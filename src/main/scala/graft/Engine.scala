@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Session factory + table loader for the graft engine.
+  *
+  * Design notes (SURVEY.md §7.1): everything in this library is expressed on
+  * `SparkSession`/`DataFrame`/`Column`/`spark.ml` — no bespoke execution
+  * engine. This object pins the session configuration the whole engine
+  * assumes:
+  *
+  *   - `spark.sql.ansi.enabled=false` — pandas-style coercion semantics
+  *     (invalid casts → null, div-by-zero → null) per SURVEY.md §2.2 P11.
+  *   - `spark.sql.session.timeZone=UTC` — oracle (DuckDB) parity for all
+  *     date/timestamp arithmetic.
+  *   - `spark.sql.shuffle.partitions` sized to the local core count, not the
+  *     200 default; on a real cluster this would be tuned to ~2-3× total
+  *     cores and AQE coalesces the rest.
+  *   - AQE on — runtime shuffle coalescing + skew-join splitting, which is
+  *     the scale story for the 100-TB target (skewed keys get split without
+  *     manual salting in the common case).
+  */
+object Engine {
+
+  /** Standard engine session. `cores` becomes both the local parallelism and
+    * the shuffle partition count (local mode: one JVM, N threads).
+    */
+  def session(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the engine's required runtime confs to an externally built
+    * session (Verify/Bench build their own per the driver contract).
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  /** Load one TESTDATA table: `table(spark, dir, "lineitem")` reads
+    * `dir/lineitem.parquet`. Plain parquet scan — filters/projections placed
+    * on top are pushed into the scan by Catalyst (verified in PlanSpec).
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // TESTDATA `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects; with `nanosAsLong` it surfaces as a Long of nanoseconds.
+    // Truncate ns → µs (same floor semantics as DuckDB's TIMESTAMP_NS → TIMESTAMP
+    // cast) so downstream operators see a real TimestampType column.
+    val typed = raw.schema.fields.foldLeft(raw) {
+      case (df, f) if f.name == "ts" && f.dataType == LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case (df, _) => df
+    }
+    rebalance(spark, typed)
+  }
+
+  /** Rebalance an under-partitioned scan up to the session parallelism.
+    *
+    * The TESTDATA files are single-row-group parquet, so Spark reads each
+    * table as ONE split — every downstream stage would run on one core. A
+    * round-robin repartition (cheap at local scale) restores parallelism.
+    * On a real cluster a 100-TB table scans as tens of thousands of splits,
+    * `parts < parallelism` is false, and this is a no-op — it never adds a
+    * shuffle to a well-partitioned input.
+    */
+  private def rebalance(spark: SparkSession, df: DataFrame): DataFrame = {
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+  }
+}

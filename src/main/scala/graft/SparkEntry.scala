@@ -1,13 +1,504 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cleaning, Dedup, Reshape, WindowOps}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.mining.Association
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator (or operator pipeline) from the
+  * SURVEY.md §2 inventory, expressed Spark-first; `oracleSql` holds the
+  * equivalent DuckDB SQL over the same parquet tables. Column names and
+  * rounding are mirrored exactly on both sides (the driver's compare hashes
+  * values after sorting columns by name).
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(Engine.tune(spark), dir, name)
+
+  /** Stopword list shared by the text-quality operators and their oracles. */
+  private val Stopwords =
+    Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+  /** Oracle-stable rounding: money-style inputs make aggregate averages land
+    * EXACTLY on round-half boundaries (e.g. avg = 46.49875), where the two
+    * engines' float summation order decides the direction. A +1e-9 nudge —
+    * far above float noise (~1e-12 rel), far below data resolution (0.01) —
+    * applied identically in the Spark plan and the oracle SQL makes the
+    * rounding deterministic on both sides.
+    */
+  private def rnd(c: Column, d: Int): Column = round(c + lit(1e-9), d)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    regionalRevenue(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------------
+  // q01 — TPC-H Q1-shaped pricing summary: scan → wide agg (A3/A4 family).
+  // Partial (map-side) aggregation + single shuffle on the 2-col group key.
+  private def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        rnd(sum(col("l_quantity")), 2).as("sum_qty"),
+        rnd(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+          .as("sum_charge"),
+        rnd(avg(col("l_quantity")), 4).as("avg_qty"),
+        rnd(avg(col("l_extendedprice")), 4).as("avg_price"),
+        rnd(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // q02 — 5-way star join (J1 at scale): fact lineitem ⋈ orders ⋈ customer
+  // ⋈ nation ⋈ region. Dimension sides broadcast explicitly — zero shuffle
+  // of the fact table for the dim joins; only the l↔o join + final agg shuffle.
+  private def regionalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  // q03 — top-k by aggregate (O1/O2): revenue per order, top 10.
+  // orderBy+limit plans as TakeOrderedAndProject (distributed top-k, no
+  // global sort).
+  private def topOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    li.groupBy(col("l_orderkey"))
+      .agg(rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("order_date"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  // q04 — COVID-style time-series featurization (W1–W4): daily event counts
+  // → lag/trailing-mean/pct-change/diff features over one ordered window.
+  // Single series ⇒ single-partition window, explicit per SURVEY §7.5-7;
+  // the daily pre-aggregation shuffles 10k → 30 rows first, so the window
+  // input is tiny at any scale.
+  private def eventDayFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("av"))
+    val w = WindowOps.spec(Seq.empty, Seq(col("d")))
+    val withLags = WindowOps.lagFeatures(daily, w, Seq("n_events"), Seq(1, 3, 7))
+    val withMa = WindowOps.trailingMean(WindowOps.trailingMean(withLags, w, "av", 3), w, "av", 7)
+    val withPct = WindowOps.laggedPctChange(withMa, w, "n_events")
+    val full = WindowOps.laggedDiff(WindowOps.laggedDiff(withPct, w, "n_events", 1), w, "n_events", 7)
+    full
+      .select(
+        col("d"),
+        col("n_events"),
+        rnd(col("av"), 4).as("avg_value"),
+        col("n_events_lag1"),
+        col("n_events_lag3"),
+        col("n_events_lag7"),
+        rnd(col("av_ma3"), 4).as("ma3"),
+        rnd(col("av_ma7"), 4).as("ma7"),
+        rnd(col("n_events_pct_change"), 6).as("pct_change"),
+        col("n_events_diff1"),
+        col("n_events_diff7"))
+      .orderBy(col("d"))
+  }
+
+  // q05 — keep-last dedup (A1): latest event per (user_id, event_type),
+  // explicit ordering (ts, event_id) per SURVEY §7.5-1. One shuffle on the
+  // key; no global sort.
+  private def latestEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    Dedup
+      .keepLast(ev, Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  // q06 — pivot (A2): daily avg value per event_type as columns, explicit
+  // value list (static schema; no distinct pre-job).
+  private def dailyTypePivot(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("d", to_date(col("ts")))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Reshape
+      .pivotAgg(ev, "d", "event_type", types, rnd(avg(col("value")), 4), "avg_")
+      .orderBy(col("d"))
+  }
+
+  // q07 — value_counts (A3): order-priority frequency.
+  private def priorityCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+
+  // q08 — describe() (A4): exact one-row numeric summary of lineitem measures.
+  private def lineitemSummary(s: SparkSession, dir: String): DataFrame =
+    Cleaning.numericSummary(
+      t(s, dir, "lineitem").select("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  // q09 — VEG trend discretization (W5+P14): per event_type daily average,
+  // adjacent-day comparison (lead), ±5% band → up/down/flat.
+  private def trendLabels(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(avg(col("value")).as("v"))
+    val w = WindowOps.spec(Seq("event_type"), Seq(col("d")))
+    WindowOps
+      .trendLabel(daily, w, "v", band = 0.05)
+      .filter(col("trend").isNotNull)
+      .select(col("d"), col("event_type"), col("trend"))
+      .orderBy(col("d"), col("event_type"))
+  }
+
+  // q10 — 2-itemset support (A8): baskets = dates, items = type_trend
+  // strings; canonical-pair self-join; min support 0.15 of baskets (the
+  // reference's threshold, 蔬菜价格相关性分析.py:341 — absolute count resolved
+  // driver-side exactly as the reference's ceil(min_support * n), VEG:135).
+  private def trendPairSupport(s: SparkSession, dir: String): DataFrame = {
+    val trends = trendLabels(s, dir)
+      .withColumn("item", concat_ws("_", col("event_type"), col("trend")))
+      .select(col("d"), col("item"))
+    val nBaskets = trends.select(col("d")).distinct().count()
+    val minCount = math.ceil(0.15 * nBaskets).toLong
+    val a = trends.as("a")
+    val b = trends.as("b")
+    a.join(b, col("a.d") === col("b.d") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item1"), col("b.item").as("item2"))
+      .agg(count(lit(1)).as("support_count"))
+      .filter(col("support_count") >= minCount)
+      .orderBy(col("item1"), col("item2"))
+  }
+
+  // q11 — exact content dedup at scale (north-star dedup): shuffle on a
+  // 256-bit digest of the text, not the text itself.
+  private def docDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .exactDedupByHash(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  // q12 — token statistics per language (text analysis suite).
+  private def tokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        rnd(avg(TF.tokenCount(col("text"))), 4).as("avg_tokens"),
+        rnd(avg(col("n_chars")), 4).as("avg_chars"),
+        sum(TF.tokenCount(col("text"))).as("total_tokens"))
+      .orderBy(col("lang"))
+
+  // q13 — document quality scoring (text analysis suite): deterministic
+  // arithmetic score, top 20.
+  private def docQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TF.qualityScore(col("text"), Stopwords).as("quality"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .limit(20)
+
+  // q14 — brute-force exact kNN (similarity search baseline): queries =
+  // vec_id < 10 broadcast against the full corpus; top-5 cosine neighbors.
+  private def knnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    VF.bruteForceTopK(queries, emb, "q_id", "vec_id", "q_vec", "embedding", k = 5)
+      .withColumnRenamed("vec_id", "c_id")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // q15 — document signatures (dedup suite plumbing): 64-bit fingerprint,
+  // SimHash over tokens, MinHash band keys over char 5-shingles. Hash
+  // functions are engine-specific (xxhash64) ⇒ rows-only check, no SQL oracle.
+  private def docSignatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = TF.charShingles(col("text"), 5)
+    docs
+      .select(
+        col("doc_id"),
+        TF.fingerprint(col("text")).as("fingerprint"),
+        TF.simhash64(TF.tokens(col("text"))).as("simhash"),
+        TF.minhashSignature(sh, 8).as("minhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q16 — MinHash-LSH near-duplicate candidates (dedup suite): 16-hash
+  // MinHash signature → 4 bands of 4, bucket-join on (band, band-hash) —
+  // candidate generation is an equi-join on a small key, NOT an O(n²) cross
+  // join — then exact shingle-Jaccard verification of candidates only.
+  // Engine-specific hashes ⇒ rows-only check.
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = 4
+    val rowsPerBand = 4
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TF.charShingles(col("text"), 5).as("shingles"))
+      .withColumn("minhash", TF.minhashSignature(col("shingles"), bands * rowsPerBand))
+    // The self-join below would recompute the shingle+minhash subtree for
+    // both sides; persist the banded table so signatures are computed once.
+    val banded = docs.select(
+      col("doc_id"),
+      col("shingles"),
+      posexplode(array((0 until bands).map { bd =>
+        hash((0 until rowsPerBand).map(r => element_at(col("minhash"), bd * rowsPerBand + r + 1)): _*)
+      }.toIndexedSeq: _*)).as(Seq("band", "band_hash")))
+      .persist()
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(
+        b,
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"), col("a.shingles").as("sh1"), col("b.shingles").as("sh2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("jaccard", rnd(TF.jaccard(col("sh1"), col("sh2")), 4))
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
+      .limit(100)
+  }
+
+  // q17 — FPGrowth association rules over the trend baskets (M27/A9): the
+  // full VEG pipeline end-to-end. FPGrowth output is checked in tests against
+  // the relational pair counts (q10); rows-only at the driver.
+  private def trendRules(s: SparkSession, dir: String): DataFrame = {
+    val tx = trendLabels(s, dir)
+      .withColumn("item", concat_ws("_", col("event_type"), col("trend")))
+      .groupBy(col("d"))
+      .agg(array_sort(collect_set(col("item"))).as("items"))
+    val model = Association.fpgrowth(tx, "items", minSupport = 0.15, minConfidence = 0.6)
+    Association
+      .rules(model)
+      .select(
+        col("antecedent_str"),
+        col("consequent_str"),
+        rnd(col("confidence"), 4).as("confidence"),
+        rnd(col("lift"), 4).as("lift"),
+        rnd(col("support"), 4).as("support"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> pricingSummary,
+    "q02_regional_revenue" -> regionalRevenue,
+    "q03_top_orders" -> topOrders,
+    "q04_event_day_features" -> eventDayFeatures,
+    "q05_latest_events" -> latestEvents,
+    "q06_daily_type_pivot" -> dailyTypePivot,
+    "q07_priority_counts" -> priorityCounts,
+    "q08_lineitem_summary" -> lineitemSummary,
+    "q09_trend_labels" -> trendLabels,
+    "q10_trend_pair_support" -> trendPairSupport,
+    "q11_doc_dedup" -> docDedup,
+    "q12_token_stats" -> tokenStats,
+    "q13_doc_quality" -> docQuality,
+    "q14_knn_bruteforce" -> knnBruteForce,
+    "q15_doc_signatures" -> docSignatures,
+    "q16_neardup_pairs" -> nearDupPairs,
+    "q17_trend_rules" -> trendRules)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+        |  round(sum(l_extendedprice) + 1e-9, 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 2) AS sum_charge,
+        |  round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+        |  round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+        |  round(avg(l_discount) + 1e-9, 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_regional_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS order_date
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q04_event_day_features" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n_events, avg(value) AS av
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT d, n_events,
+        |  round(av + 1e-9, 4) AS avg_value,
+        |  lag(n_events, 1) OVER w AS n_events_lag1,
+        |  lag(n_events, 3) OVER w AS n_events_lag3,
+        |  lag(n_events, 7) OVER w AS n_events_lag7,
+        |  round(avg(av) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) + 1e-9, 4) AS ma3,
+        |  round(avg(av) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) + 1e-9, 4) AS ma7,
+        |  round((lag(n_events, 1) OVER w - lag(n_events, 2) OVER w)
+        |        / CAST(lag(n_events, 2) OVER w AS DOUBLE) + 1e-9, 6) AS pct_change,
+        |  lag(n_events, 1) OVER w - lag(n_events, 2) OVER w AS n_events_diff1,
+        |  lag(n_events, 1) OVER w - lag(n_events, 8) OVER w AS n_events_diff7
+        |FROM daily
+        |WINDOW w AS (ORDER BY d)
+        |ORDER BY d""".stripMargin,
+    "q05_latest_events" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q06_daily_type_pivot" ->
+      """SELECT CAST(ts AS DATE) AS d,
+        |  round(avg(CASE WHEN event_type = 'click' THEN value END) + 1e-9, 4) AS avg_click,
+        |  round(avg(CASE WHEN event_type = 'error' THEN value END) + 1e-9, 4) AS avg_error,
+        |  round(avg(CASE WHEN event_type = 'purchase' THEN value END) + 1e-9, 4) AS avg_purchase,
+        |  round(avg(CASE WHEN event_type = 'signup' THEN value END) + 1e-9, 4) AS avg_signup,
+        |  round(avg(CASE WHEN event_type = 'view' THEN value END) + 1e-9, 4) AS avg_view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY d""".stripMargin,
+    "q07_priority_counts" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY n DESC, o_orderpriority""".stripMargin,
+    "q08_lineitem_summary" ->
+      """SELECT
+        |  count(l_quantity) AS l_quantity_count,
+        |  round(avg(l_quantity) + 1e-9, 4) AS l_quantity_mean,
+        |  round(stddev_samp(l_quantity) + 1e-9, 4) AS l_quantity_std,
+        |  round(min(l_quantity) + 1e-9, 4) AS l_quantity_min,
+        |  round(max(l_quantity) + 1e-9, 4) AS l_quantity_max,
+        |  count(l_extendedprice) AS l_extendedprice_count,
+        |  round(avg(l_extendedprice) + 1e-9, 4) AS l_extendedprice_mean,
+        |  round(stddev_samp(l_extendedprice) + 1e-9, 4) AS l_extendedprice_std,
+        |  round(min(l_extendedprice) + 1e-9, 4) AS l_extendedprice_min,
+        |  round(max(l_extendedprice) + 1e-9, 4) AS l_extendedprice_max,
+        |  count(l_discount) AS l_discount_count,
+        |  round(avg(l_discount) + 1e-9, 4) AS l_discount_mean,
+        |  round(stddev_samp(l_discount) + 1e-9, 4) AS l_discount_std,
+        |  round(min(l_discount) + 1e-9, 4) AS l_discount_min,
+        |  round(max(l_discount) + 1e-9, 4) AS l_discount_max,
+        |  count(l_tax) AS l_tax_count,
+        |  round(avg(l_tax) + 1e-9, 4) AS l_tax_mean,
+        |  round(stddev_samp(l_tax) + 1e-9, 4) AS l_tax_std,
+        |  round(min(l_tax) + 1e-9, 4) AS l_tax_min,
+        |  round(max(l_tax) + 1e-9, 4) AS l_tax_max
+        |FROM lineitem""".stripMargin,
+    "q09_trend_labels" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type, avg(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), led AS (
+        |  SELECT d, event_type, v,
+        |    lead(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS nv
+        |  FROM daily
+        |)
+        |SELECT d, event_type,
+        |  CASE WHEN nv > v * 1.05 THEN 'up'
+        |       WHEN nv < v * 0.95 THEN 'down'
+        |       ELSE 'flat' END AS trend
+        |FROM led
+        |WHERE nv IS NOT NULL
+        |ORDER BY d, event_type""".stripMargin,
+    "q10_trend_pair_support" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type, avg(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), led AS (
+        |  SELECT d, event_type, v,
+        |    lead(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS nv
+        |  FROM daily
+        |), items AS (
+        |  SELECT d, event_type || '_' ||
+        |    CASE WHEN nv > v * 1.05 THEN 'up'
+        |         WHEN nv < v * 0.95 THEN 'down'
+        |         ELSE 'flat' END AS item
+        |  FROM led WHERE nv IS NOT NULL
+        |)
+        |SELECT a.item AS item1, b.item AS item2, count(*) AS support_count
+        |FROM items a JOIN items b ON a.d = b.d AND a.item < b.item
+        |GROUP BY 1, 2
+        |HAVING count(*) >= ceil(0.15 * (SELECT count(DISTINCT d) FROM items))
+        |ORDER BY item1, item2""".stripMargin,
+    "q11_doc_dedup" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id,
+        |  count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+    "q12_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(len(regexp_split_to_array(trim(text), '\s+'))) + 1e-9, 4) AS avg_tokens,
+        |  round(avg(n_chars) + 1e-9, 4) AS avg_chars,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q13_doc_quality" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) AS len_score,
+        |    greatest(0.0, 1.0 -
+        |      ((length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
+        |        / CAST(length(text) AS DOUBLE)) * 4) AS punct_score,
+        |    least((len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t))))
+        |      / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)) * 5, 1.0) AS stop_score
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  round(len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3 + 1e-9, 6) AS quality
+        |FROM scored
+        |ORDER BY quality DESC, doc_id
+        |LIMIT 20""".stripMargin,
+    "q14_knn_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        |  FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.q_id, c.vec_id AS c_id,
+        |    list_dot_product(q.q_vec, c.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+        |         * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim
+        |  FROM q, embeddings c
+        |  WHERE q.q_id != c.vec_id
+        |), ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, c_id, round(sim + 1e-9, 6) AS sim, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin)
 }

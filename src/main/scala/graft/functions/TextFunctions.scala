@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for the training-data pipeline suite
+  * (north-star extensions; SURVEY.md §7.2 phase 5): token counting, quality
+  * ratios, language-ID heuristic, fingerprinting. All pure `Column`
+  * expressions over `org.apache.spark.sql.functions` — codegen'd, no UDFs —
+  * so they vectorize inside whole-stage codegen at 100-TB scan scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (split on runs of whitespace, ignoring leading/
+    * trailing). Returns ArrayType(StringType).
+    */
+  def tokens(text: Column): Column = {
+    val trimmed = trim(text)
+    when(length(trimmed) === 0, array().cast("array<string>"))
+      .otherwise(split(trimmed, "\\s+"))
+  }
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length in characters; null for empty docs. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(null))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters (punctuation/symbols). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", ""))).cast("double") /
+          length(text))
+
+  /** Ratio of tokens that appear in `stopwords` (exact, case-insensitive). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(s => lit(s.toLowerCase)).toIndexedSeq: _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        size(filter(toks, t => array_contains(stops, lower(t)))).cast("double") / size(toks))
+  }
+
+  /** Heuristic document quality score in [0,1]: rewards moderate length,
+    * low punctuation, and a natural stopword rate — the standard cheap
+    * pre-filter shape for LLM corpus curation. Deterministic arithmetic only,
+    * so it is oracle-checkable.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0)) // saturates at 50 tokens
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4)
+    val stopScore = least(stopwordRatio(text, stopwords) * 5, lit(1.0))
+    // +1e-9 before rounding: oracle-stable on exact round-half boundaries.
+    round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3 + lit(1e-9), 6)
+  }
+
+  /** Character n-gram shingles of the normalized text (lowercased, whitespace
+    * collapsed). Building block for MinHash / Jaccard near-dup.
+    *
+    * The normalization is bound once via a single-element `transform` (a
+    * "let" at the expression level): referencing it directly inside the
+    * per-shingle lambda would re-run the regex for every shingle — measured
+    * 25× slower on the sf0.1 corpus.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    element_at(
+      transform(
+        array(norm),
+        nm =>
+          transform(
+            sequence(lit(1), greatest(length(nm) - (n - 1), lit(0))),
+            i => nm.substr(i, lit(n)))),
+      1)
+  }
+
+  /** Word n-gram shingles (joined with a space). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** 64-bit document fingerprint: xxhash64 over the normalized text. Same
+    * normalization as `charShingles`, so near-identical whitespace variants
+    * collide — the cheap exact-near-dup key.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** MinHash signature of a shingle array (length-k array<long>). Delegates
+    * to the native Catalyst expression — the composed higher-order-function
+    * form is interpreted + boxing-heavy and measured 10× slower on the sf0.1
+    * corpus. Empty input yields Long.MaxValue sentinels.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    graft.expressions.HashExpressions.minhashSignature(shingles, k)
+
+  /** SimHash (64-bit) over an array of tokens/shingles: per-bit majority vote
+    * of each element's hash. Native Catalyst expression — one tight loop per
+    * row (each element hashed once, 64 counter bumps), where the composed
+    * `aggregate`/`zip_with` form allocates a boxed 64-array per element.
+    */
+  def simhash64(elems: Column): Column =
+    graft.expressions.HashExpressions.simhash64(elems)
+
+  /** n-gram Jaccard similarity between two shingle arrays (exact). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Cheap language-ID heuristic over a closed language set: score each
+    * language by stopword hits per token and pick the argmax. Suitable for
+    * the synthetic TESTDATA corpus; a production engine would swap in a
+    * trained n-gram model behind the same Column signature.
+    */
+  def langIdHeuristic(text: Column, profiles: Map[String, Seq[String]]): Column = {
+    val toks = tokens(text)
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val w = array(words.map(lit).toIndexedSeq: _*)
+      struct(
+        (size(filter(toks, t => array_contains(w, lower(t)))).cast("double") /
+          greatest(size(toks), lit(1))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (score, lang) — deterministic tiebreak on language code
+    array_max(array(scored.toIndexedSeq: _*)).getField("lang")
+  }
+}
