@@ -75,17 +75,23 @@ object TextFunctions {
       transform(
         array(norm),
         nm =>
-          transform(
-            sequence(lit(1), greatest(length(nm) - (n - 1), lit(0))),
-            i => nm.substr(i, lit(n)))),
+          // guard: sequence(1, 0) in Spark is DESCENDING [1,0], not empty —
+          // texts shorter than n must yield an empty shingle set explicitly.
+          when(length(nm) < n, array().cast("array<string>"))
+            .otherwise(
+              transform(
+                sequence(lit(1), length(nm) - (n - 1)),
+                i => nm.substr(i, lit(n))))),
       1)
   }
 
   /** Word n-gram shingles (joined with a space). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    transform(sequence(lit(1), count), i => concat_ws(" ", slice(toks, i, lit(n))))
+    // same sequence(1,0)-is-descending guard as charShingles
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(1), size(toks) - (n - 1)), i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
   /** 64-bit document fingerprint: xxhash64 over the normalized text. Same

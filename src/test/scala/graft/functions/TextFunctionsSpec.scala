@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.{TextFunctions => TF}
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens handles empties, runs of whitespace, and trim") {
+    val df = Seq("a b  c", "  x ", "", "   ").toDF("t")
+    val out = df.select(TF.tokenCount(col("t")).as("n")).as[Int].collect().toSeq
+    assert(out == Seq(3, 1, 0, 0))
+  }
+
+  test("charShingles slides over the normalized text") {
+    val df = Seq("AB  cd").toDF("t") // normalized: "ab cd" (5 chars)
+    val out = df.select(TF.charShingles(col("t"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(out == Seq("ab ", "b c", " cd"))
+  }
+
+  test("charShingles shorter than n yields empty array") {
+    val df = Seq("ab").toDF("t")
+    assert(df.select(TF.charShingles(col("t"), 5)).as[Seq[String]].head().isEmpty)
+  }
+
+  test("jaccard exact on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(TF.jaccard(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(j - 0.5) < 1e-12) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("fingerprint is whitespace/case-invariant") {
+    val df = Seq(("Hello  World", "hello world"), ("a", "b")).toDF("x", "y")
+    val out = df.select((TF.fingerprint(col("x")) === TF.fingerprint(col("y"))).as("eq"))
+      .as[Boolean].collect().toSeq
+    assert(out == Seq(true, false))
+  }
+
+  test("minhash signature: identical inputs agree, length k, deterministic") {
+    val df = Seq("the quick brown fox", "the quick brown fox", "something else entirely")
+      .toDF("t")
+    val sigs = df.select(TF.minhashSignature(TF.charShingles(col("t"), 4), 16).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0).length == 16)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("minhash similarity tracks jaccard (near-dup pair shares most slots)") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy dog again and again!" // near-dup
+    val c = "completely different text with no overlap whatsoever here"
+    val df = Seq(a, b, c).toDF("t")
+    val sigs = df.select(TF.minhashSignature(TF.charShingles(col("t"), 4), 32).as("s"))
+      .as[Seq[Long]].collect()
+    val simAB = sigs(0).zip(sigs(1)).count { case (x, y) => x == y }
+    val simAC = sigs(0).zip(sigs(2)).count { case (x, y) => x == y }
+    assert(simAB > 24, s"near-dup agreement $simAB should be high")
+    assert(simAC < 8, s"unrelated agreement $simAC should be low")
+  }
+
+  test("simhash: identical inputs equal; near inputs within small hamming distance") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val near = base + " w17"
+    val far = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15 z16"
+    val df = Seq(base, base, near, far).toDF("t")
+    val hs = df.select(TF.simhash64(TF.tokens(col("t"))).as("h")).as[Long].collect()
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hs(0) == hs(1))
+    assert(hamming(hs(0), hs(2)) < 16, "near-dup simhash should be close")
+    assert(hamming(hs(0), hs(3)) > 16, "unrelated simhash should be far")
+  }
+
+  test("stopwordRatio and punctRatio compute exact fractions") {
+    val df = Seq("the cat, the dog!").toDF("t") // 4 tokens, 2 stopwords; 2 punct of 17 chars
+    val r = df.select(
+      TF.stopwordRatio(col("t"), Seq("the")).as("s"),
+      TF.punctRatio(col("t")).as("p")).head()
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 2.0 / 17) < 1e-12)
+  }
+
+  test("langIdHeuristic picks the profile with most stopword hits") {
+    val profiles = Map(
+      "en" -> Seq("the", "and", "of"),
+      "de" -> Seq("der", "und", "das"))
+    val df = Seq("the cat and the hat", "der hund und das haus").toDF("t")
+    val out = df.select(TF.langIdHeuristic(col("t"), profiles).as("l"))
+      .as[String].collect().toSeq
+    assert(out == Seq("en", "de"))
+  }
+}

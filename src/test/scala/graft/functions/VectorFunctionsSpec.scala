@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.{VectorFunctions => VF}
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dot / norm / cosine on known vectors") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val r = df.select(
+      VF.dot(col("a"), col("b")).as("d"),
+      VF.norm(col("a")).as("n"),
+      VF.cosine(col("a"), col("b")).as("c")).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+  }
+
+  test("cosine of zero vector is null, not NaN") {
+    val df = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+    assert(df.select(VF.cosine(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("bruteForceTopK returns exact nearest neighbors in rank order") {
+    // 2-D points: q=(1,0); corpus on known angles
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)),    // sim 1.0 (excluded: same id as query)
+      (2L, Seq(1f, 0.1f)),  // ~0.995
+      (3L, Seq(1f, 1f)),    // ~0.707
+      (4L, Seq(0f, 1f)),    // 0.0
+      (5L, Seq(-1f, 0f))    // -1.0
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = VF.bruteForceTopK(queries, corpus, "q_id", "vec_id", "q_vec", "embedding", 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(2L, 3L, 4L))
+  }
+
+  test("lshBucketTopK finds the strong neighbors of the exact top-k") {
+    val dim = 8
+    // cluster A near (1,1,...,1), cluster B near (-1,...,-1,+noise dims)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 1f else -1f
+      (i.toLong, (0 until dim).map(d => base + 0.01f * ((i * 7 + d) % 5)).toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val approx = VF.lshBucketTopK(queries, corpus, "q_id", "vec_id", "q_vec", "embedding",
+      k = 5, dim = dim, nPlanes = 4, nTables = 8)
+      .select("vec_id").as[Long].collect().toSet
+    // all returned neighbors must be from the same (even-id) cluster
+    assert(approx.nonEmpty && approx.forall(_ % 2 == 0))
+  }
+}
