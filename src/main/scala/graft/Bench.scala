@@ -28,9 +28,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // JVM/codegen warmup on the smallest sf so per-query numbers measure the
-    // plan, not first-touch classloading.
-    SparkEntry.queries.values.headOption.foreach { fn =>
+    // JVM/codegen warmup: run EVERY query once at the smallest sf so the
+    // timed sf0.1 numbers measure the plan, not first-touch classloading/JIT
+    // (cold-start inflated individual queries 5-10x in testing).
+    SparkEntry.queries.values.foreach { fn =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }

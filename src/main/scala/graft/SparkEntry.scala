@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Cleaning, Dedup, Reshape, WindowOps}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.mining.Association
+import graft.ml.{Classification, Clustering, Features, Regression}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -295,6 +296,148 @@ object SparkEntry {
         rnd(col("support"), 4).as("support"))
   }
 
+  // q18 — kNN-join classification (M11, oracle-checked): majority label of
+  // the 5 cosine-nearest train vectors. Deterministic tiebreaks: neighbor
+  // rank by (sim desc, id asc); vote by (count desc, label asc). Queries
+  // broadcast; corpus streams — no corpus shuffle at any scale.
+  private def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val train = emb.filter(col("vec_id") >= 50)
+    val sim = VF.cosine(col("q_vec"), col("embedding"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(sim.desc, col("vec_id").asc)
+    val votes = train
+      .crossJoin(broadcast(queries))
+      .withColumn("_rn", row_number().over(wRank))
+      .filter(col("_rn") <= 5)
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val wVote = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("label").asc)
+    votes
+      .withColumn("_vr", row_number().over(wVote))
+      .filter(col("_vr") === 1)
+      .select(col("q_id"), col("label").as("predicted"))
+      .orderBy(col("q_id"))
+  }
+
+  // q19 — classifier bake-off endpoint (M10/M7 + GOLDEN shape): logistic
+  // regression on the embeddings, fit on vec_id ≥ 100, scored output for the
+  // rest. Float probabilities are library-specific ⇒ rows-only.
+  private def scoredClassifier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = t(s, dir, "embeddings")
+      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+      .withColumn("bin_label", (col("label") >= 5).cast("int"))
+    val (test, train) = Features.chronologicalSplit(emb, "vec_id", 99L)
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .setLabelCol("bin_label").setMaxIter(100).fit(train)
+    Classification.scoredOutput(model.transform(test), "vec_id", "bin_label")
+      .orderBy(col("sample_id"))
+  }
+
+  // q20 — clustering summary (M19/M22 + A11): KMeans k=2 over embeddings,
+  // silhouette + consistency against the binary label split. Rows-only.
+  private def clusterSummary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = t(s, dir, "embeddings")
+      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
+    val clustered = Clustering.kmeans(emb, k = 2, seed = 42L).cache()
+    val sil = Clustering.silhouette(clustered)
+    val cons = Clustering.consistency(clustered.withColumn("g", col("label") >= 5), "g")
+    val sizes = clustered.groupBy("prediction").count()
+      .orderBy("count").select("count").collect().map(_.getLong(0))
+    import s.implicits._
+    Seq((math.round(sil * 10000) / 10000.0, math.round(cons * 10000) / 10000.0,
+      sizes.head, sizes.last))
+      .toDF("silhouette", "consistency", "smaller_cluster", "larger_cluster")
+  }
+
+  // q21 — rolling-origin CV (M5, the TimeSeriesSplit analog): ridge on the
+  // daily event-count series, 5 expanding-window folds. Rows-only.
+  private def rollingCv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("label"))
+      .withColumn("day_num", datediff(col("d"), lit("2024-01-01")).cast("double"))
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("day_num")).setOutputCol("features").transform(daily)
+    Regression.rollingOriginCv(
+      assembled, "day_num", "features", "label", k = 5,
+      train => Regression.linear(regParam = 0.1, elasticNetParam = 0.0).fit(train))
+      .orderBy(col("fold"))
+  }
+
+  // q22 — semi/anti joins (free Spark surface beyond the reference's J1):
+  // per nation, customers with vs without orders.
+  private def customerOrderPresence(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val n = t(s, dir, "nation")
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+    val withoutO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+    val agg1 = withO.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_with_orders"))
+    val agg2 = withoutO.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_without_orders"))
+    agg1.join(agg2, Seq("n_name"), "full_outer")
+      .na.fill(0L, Seq("n_with_orders", "n_without_orders"))
+      .orderBy("n_name")
+  }
+
+  // q23 — rollup (grouping-set surface, free in Spark beyond the reference):
+  // revenue at (region, nation), (region), and grand-total levels.
+  private def revenueRollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  // q24 — sessionization (gap > 30 min), the classic stateful window
+  // pipeline: lag → break flag → running sum = session id → per-user stats.
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withBreaks = ev
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "_brk",
+        when(col("_prev").isNull ||
+          (col("ts").cast("double") - col("_prev").cast("double")) > 1800.0, 1L)
+          .otherwise(0L))
+      .withColumn("_sess", sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    withBreaks
+      .groupBy(col("user_id"))
+      .agg(max(col("_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  // q25 — string/JSON extraction (F-ops): pull the numeric k out of the
+  // props JSON with a regex, aggregate per event type.
+  private def propsExtract(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(k).as("k_sum"),
+        rnd(avg(k), 4).as("k_avg"),
+        min(k).as("k_min"),
+        max(k).as("k_max"))
+      .orderBy(col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -313,7 +456,15 @@ object SparkEntry {
     "q14_knn_bruteforce" -> knnBruteForce,
     "q15_doc_signatures" -> docSignatures,
     "q16_neardup_pairs" -> nearDupPairs,
-    "q17_trend_rules" -> trendRules)
+    "q17_trend_rules" -> trendRules,
+    "q18_knn_classify" -> knnClassify,
+    "q19_scored_classifier" -> scoredClassifier,
+    "q20_cluster_summary" -> clusterSummary,
+    "q21_rolling_cv" -> rollingCv,
+    "q22_customer_order_presence" -> customerOrderPresence,
+    "q23_revenue_rollup" -> revenueRollup,
+    "q24_sessionize" -> sessionize,
+    "q25_props_extract" -> propsExtract)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -500,5 +651,80 @@ object SparkEntry {
         |)
         |SELECT q_id, c_id, round(sim + 1e-9, 6) AS sim, rank
         |FROM ranked WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin)
+        |ORDER BY q_id, rank""".stripMargin,
+    "q18_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 50
+        |), t AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS tv
+        |  FROM embeddings WHERE vec_id >= 50
+        |), scored AS (
+        |  SELECT q.q_id, t.vec_id, t.label,
+        |    list_dot_product(q.qv, t.tv)
+        |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(t.tv, t.tv))) AS sim
+        |  FROM q, t
+        |), ranked AS (
+        |  SELECT q_id, label,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM scored
+        |), votes AS (
+        |  SELECT q_id, label, count(*) AS c FROM ranked WHERE rn <= 5 GROUP BY 1, 2
+        |)
+        |SELECT q_id, label AS predicted FROM (
+        |  SELECT q_id, label,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, label ASC) AS vr
+        |  FROM votes
+        |) WHERE vr = 1
+        |ORDER BY q_id""".stripMargin,
+    "q22_customer_order_presence" ->
+      """WITH w AS (SELECT DISTINCT o_custkey FROM orders)
+        |SELECT n_name,
+        |  CAST(count(*) FILTER (WHERE w.o_custkey IS NOT NULL) AS BIGINT) AS n_with_orders,
+        |  CAST(count(*) FILTER (WHERE w.o_custkey IS NULL) AS BIGINT) AS n_without_orders
+        |FROM customer c
+        |JOIN nation n ON c_nationkey = n_nationkey
+        |LEFT JOIN w ON c_custkey = w.o_custkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q23_revenue_rollup" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q24_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR epoch(ts - prev) > 1800.0 THEN 1 ELSE 0 END AS brk
+        |  FROM lagged
+        |), sess AS (
+        |  SELECT user_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q25_props_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+        |  round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) + 1e-9, 4) AS k_avg,
+        |  CAST(min(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_min,
+        |  CAST(max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_max
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
 }

@@ -1,0 +1,96 @@
+package graft.ml
+
+import org.apache.spark.ml.classification._
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classification recipes (SURVEY.md §2.9 M7–M16, A12): the CANCER 8-model
+  * bake-off re-expressed on spark.ml.
+  *
+  * Capability notes: RBF-kernel SVC has no spark.ml analog — `LinearSVC` is
+  * the linear stand-in and `GBTClassifier` the strong nonlinear baseline
+  * (乳腺癌预测.py:111). KNN is a k-nearest-neighbor JOIN (`knnClassify`), not
+  * a fitted model.
+  */
+object Classification {
+
+  /** The bake-off roster (name → estimator), mirroring 乳腺癌预测.py:105-114. */
+  def roster(seed: Long, numFeatures: Int): Seq[(String, org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Transformer])] =
+    Seq(
+      "logistic_regression" -> new LogisticRegression().setMaxIter(200),
+      "decision_tree" -> new DecisionTreeClassifier().setMaxDepth(5).setSeed(seed),
+      "gaussian_nb" -> new NaiveBayes().setModelType("gaussian"),
+      "linear_svc" -> new LinearSVC().setMaxIter(100),
+      "random_forest" -> new RandomForestClassifier().setNumTrees(100).setSeed(seed),
+      "gbt" -> new GBTClassifier().setSeed(seed),
+      "mlp_30_30" -> new MultilayerPerceptronClassifier()
+        .setLayers(Array(numFeatures, 30, 30, 2)).setSeed(seed).setMaxIter(100))
+
+  /** M7 — per-model metric row: accuracy / weighted P / R / F1 (+ AUC when a
+    * probability/raw-prediction column exists).
+    */
+  def metrics(preds: DataFrame, labelCol: String, model: String): DataFrame = {
+    val mc = new MulticlassClassificationEvaluator()
+      .setLabelCol(labelCol).setPredictionCol("prediction")
+    val acc = mc.setMetricName("accuracy").evaluate(preds)
+    val p = mc.setMetricName("weightedPrecision").evaluate(preds)
+    val r = mc.setMetricName("weightedRecall").evaluate(preds)
+    val f1 = mc.setMetricName("f1").evaluate(preds)
+    val auc =
+      if (preds.columns.contains("rawPrediction"))
+        new BinaryClassificationEvaluator()
+          .setLabelCol(labelCol).setRawPredictionCol("rawPrediction")
+          .setMetricName("areaUnderROC").evaluate(preds)
+      else Double.NaN
+    val spark = preds.sparkSession
+    import spark.implicits._
+    Seq((model, acc, p, r, f1, auc)).toDF("model", "accuracy", "precision", "recall", "f1", "auc")
+  }
+
+  /** A12 — confusion counts as a (label, prediction, n) frame. */
+  def confusion(preds: DataFrame, labelCol: String): DataFrame =
+    preds.groupBy(col(labelCol).as("label"), col("prediction"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "prediction")
+
+  /** GOLDEN-shaped scored output (乳腺癌预测.py:203-219 / 神经网络预测结果.csv):
+    * per-sample id, truth, prediction, per-class probability, correctness.
+    */
+  def scoredOutput(preds: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val p1 = element_at(vector_to_array(col("probability")), 2)
+    preds.select(
+      col(idCol).as("sample_id"),
+      col(labelCol).as("label"),
+      col("prediction").cast("int").as("predicted"),
+      round(p1, 6).as("p_positive"),
+      round(lit(1.0) - p1, 6).as("p_negative"),
+      (col(labelCol) === col("prediction").cast("int")).as("correct"))
+  }
+
+  /** M11 — kNN classification as a k-nearest-neighbor join: majority label of
+    * the k cosine-nearest train rows. `queries`/`train` carry (id, vector,
+    * [label]); the train side must be the big side — it streams; queries
+    * broadcast. Ties break toward the smaller label (deterministic).
+    */
+  def knnClassify(
+      queries: DataFrame,
+      train: DataFrame,
+      qId: String,
+      qVec: String,
+      tVec: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val sim = cosine(col(qVec), col(tVec))
+    val w = Window.partitionBy(col(qId)).orderBy(sim.desc)
+    train
+      .crossJoin(broadcast(queries))
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .groupBy(col(qId))
+      .agg(mode(col(labelCol)).as("predicted"))
+  }
+}

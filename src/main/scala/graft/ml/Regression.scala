@@ -1,0 +1,80 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Regression recipes (SURVEY.md §2.9 M5, M6, M17, M18): the COVID model
+  * bake-off re-expressed on spark.ml.
+  *
+  * Ridge / Lasso / ElasticNet unify into one `LinearRegression` via
+  * (regParam, elasticNetParam); RBF-kernel SVR has no spark.ml analog and is
+  * substituted by `GBTRegressor` as the strong nonlinear baseline (documented
+  * capability gap, 新冠疫情分析.py:155-162).
+  */
+object Regression {
+
+  /** M17 — the linear family. elasticNetParam: 0 = ridge, 1 = lasso. */
+  def linear(regParam: Double, elasticNetParam: Double, maxIter: Int = 100): LinearRegression =
+    new LinearRegression()
+      .setRegParam(regParam)
+      .setElasticNetParam(elasticNetParam)
+      .setMaxIter(maxIter)
+
+  /** M18 — nonlinear baseline standing in for RBF SVR. */
+  def gbt(seed: Long, maxDepth: Int = 5, maxIter: Int = 50): GBTRegressor =
+    new GBTRegressor().setSeed(seed).setMaxDepth(maxDepth).setMaxIter(maxIter)
+
+  /** M6 — regression metric row: rmse / mae / r2 / mape over a predictions
+    * frame. MAPE is one aggregate expression (no evaluator needed);
+    * zero-label rows are excluded from MAPE exactly as the reference's
+    * divide-then-clean does.
+    */
+  def metrics(preds: DataFrame, labelCol: String, predCol: String, model: String): DataFrame = {
+    val ev = new RegressionEvaluator().setLabelCol(labelCol).setPredictionCol(predCol)
+    val rmse = ev.setMetricName("rmse").evaluate(preds)
+    val mae = ev.setMetricName("mae").evaluate(preds)
+    val r2 = ev.setMetricName("r2").evaluate(preds)
+    val mape = preds
+      .filter(col(labelCol) =!= 0)
+      .agg(avg(abs((col(labelCol) - col(predCol)) / col(labelCol))) * 100)
+      .head().getDouble(0)
+    val spark = preds.sparkSession
+    import spark.implicits._
+    Seq((model, rmse, mae, r2, mape)).toDF("model", "rmse", "mae", "r2", "mape")
+  }
+
+  /** M5 — rolling-origin (expanding-window) cross-validation, the spark.ml
+    * analog of sklearn's `TimeSeriesSplit`: k folds over an ordered column;
+    * fold i trains on order ≤ cutᵢ and validates on (cutᵢ, cutᵢ₊₁]. Returns
+    * the per-fold validation frame (fold, cut, rmse).
+    *
+    * Driver-side loop by design (SURVEY.md §4.2) — each fit is itself a
+    * distributed job; the loop only steers.
+    */
+  def rollingOriginCv(
+      df: DataFrame,
+      orderCol: String,
+      featuresCol: String,
+      labelCol: String,
+      k: Int,
+      fit: DataFrame => org.apache.spark.ml.Model[_] with org.apache.spark.ml.Transformer)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = df.select(min(col(orderCol)).cast("double"), max(col(orderCol)).cast("double")).head()
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val cuts = (1 to k).map(i => lo + (hi - lo) * i / (k + 1).toDouble)
+    val ev = new RegressionEvaluator()
+      .setLabelCol(labelCol).setPredictionCol("prediction").setMetricName("rmse")
+    val rows = cuts.zipWithIndex.map { case (cut, i) =>
+      val next = if (i + 1 < cuts.length) cuts(i + 1) else hi + 1
+      val train = df.filter(col(orderCol).cast("double") <= cut)
+      val valid = df.filter(col(orderCol).cast("double") > cut && col(orderCol).cast("double") <= next)
+      val model = fit(train)
+      (i + 1, cut, ev.evaluate(model.transform(valid)))
+    }
+    rows.toDF("fold", "cut", "rmse")
+  }
+}

@@ -1,0 +1,144 @@
+package graft.ml
+
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class MlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // separable 2-class blob data: class 0 near (0,0), class 1 near (4,4)
+  lazy val blobs = {
+    val rng = new scala.util.Random(42)
+    (0 until 200).map { i =>
+      val label = i % 2
+      val c = label * 4.0
+      (i.toLong, label, c + rng.nextGaussian(), c + rng.nextGaussian())
+    }.toDF("id", "label", "x1", "x2")
+  }
+
+  test("standardize: train columns end up mean~0 / std~1") {
+    val (_, transform) = Features.standardize(blobs, Seq("x1", "x2"))
+    val stats = transform(blobs)
+      .select(vector_to_array(col("features")).getItem(0).as("z"))
+      .agg(avg("z"), stddev_samp("z")).head()
+    assert(math.abs(stats.getDouble(0)) < 1e-9)
+    assert(math.abs(stats.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("stratifiedSplit: disjoint, complete, roughly proportional") {
+    val (train, test) = Features.stratifiedSplit(blobs, "label", 0.7, 42L, "id")
+    assert(train.join(test, "id").count() == 0)
+    assert(train.count() + test.count() == 200)
+    val frac = train.filter($"label" === 1).count().toDouble / train.count()
+    assert(frac > 0.35 && frac < 0.65)
+  }
+
+  test("chronologicalSplit honors the cut") {
+    val (tr, te) = Features.chronologicalSplit(blobs, "id", 149L)
+    assert(tr.count() == 150 && te.count() == 50)
+    assert(te.agg(min("id")).head().getLong(0) == 150L)
+  }
+
+  test("linear family recovers y = 2x + 3") {
+    val df = (1 to 100).map(i => (i.toDouble, 2.0 * i + 3.0)).toDF("x", "y")
+      .select(col("y").as("label"), col("x"))
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x")).setOutputCol("features").transform(df)
+    val model = Regression.linear(regParam = 0.0, elasticNetParam = 0.0).fit(assembled)
+    assert(math.abs(model.coefficients(0) - 2.0) < 1e-6)
+    assert(math.abs(model.intercept - 3.0) < 1e-4)
+    val m = Regression.metrics(model.transform(assembled), "label", "prediction", "ols").head()
+    assert(m.getDouble(1) < 1e-4)            // rmse
+    assert(m.getDouble(3) > 0.999999)        // r2
+  }
+
+  test("rollingOriginCv produces k finite folds") {
+    val df = (1 to 60).map(i => (i.toDouble, 3.0 * i + 1.0)).toDF("t", "label")
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("t")).setOutputCol("features").transform(df)
+    val out = Regression.rollingOriginCv(
+      assembled, "t", "features", "label", k = 4,
+      train => Regression.linear(0.0, 0.0).fit(train))
+    val rows = out.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => !r.getDouble(2).isNaN && r.getDouble(2) < 1e-3))
+  }
+
+  test("classifier bake-off: logistic regression separates blobs (AUC > 0.95)") {
+    val (_, transform) = Features.standardize(blobs, Seq("x1", "x2"))
+    val prepared = transform(blobs)
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(100).fit(prepared)
+    val preds = model.transform(prepared)
+    val m = Classification.metrics(preds, "label", "lr").head()
+    assert(m.getDouble(1) > 0.95) // accuracy
+    assert(m.getDouble(5) > 0.95) // auc
+    val conf = Classification.confusion(preds, "label").collect()
+    assert(conf.map(_.getLong(2)).sum == 200L)
+  }
+
+  test("scoredOutput has GOLDEN shape and consistent correctness flag") {
+    val (_, transform) = Features.standardize(blobs, Seq("x1", "x2"))
+    val prepared = transform(blobs)
+    val preds = new org.apache.spark.ml.classification.LogisticRegression()
+      .fit(prepared).transform(prepared)
+    val scored = Classification.scoredOutput(preds, "id", "label")
+    assert(scored.columns.toSeq ==
+      Seq("sample_id", "label", "predicted", "p_positive", "p_negative", "correct"))
+    val bad = scored.filter(col("correct") =!= (col("label") === col("predicted"))).count()
+    assert(bad == 0)
+    val probSum = scored.select(abs(col("p_positive") + col("p_negative") - 1.0).as("e"))
+      .agg(max("e")).head().getDouble(0)
+    assert(probSum < 1e-5)
+  }
+
+  test("knnClassify predicts by neighborhood majority") {
+    val train = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0), (3L, Seq(1f, 0.2f), 0),
+      (4L, Seq(0f, 1f), 1), (5L, Seq(0.1f, 0.9f), 1), (6L, Seq(0.2f, 1f), 1))
+      .toDF("id", "vec", "label")
+    val queries = Seq((100L, Seq(1f, 0.05f)), (101L, Seq(0.05f, 1f)))
+      .toDF("q_id", "q_vec")
+    val out = Classification.knnClassify(queries, train, "q_id", "q_vec", "vec", "label", 3)
+      .orderBy("q_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((100L, 0), (101L, 1)))
+  }
+
+  test("kmeans on two blobs: silhouette > 0.5 and consistency ~ 1") {
+    val (_, transform) = Features.standardize(blobs, Seq("x1", "x2"))
+    val clustered = Clustering.kmeans(transform(blobs), k = 2, seed = 42L)
+    assert(Clustering.silhouette(clustered) > 0.5)
+    val cons = Clustering.consistency(clustered.withColumn("g", col("label") === 1), "g")
+    assert(cons > 0.95)
+  }
+
+  test("bisecting kmeans (Ward substitute) also separates the blobs") {
+    val (_, transform) = Features.standardize(blobs, Seq("x1", "x2"))
+    val clustered = Clustering.bisectingKmeans(transform(blobs), k = 2, seed = 42L)
+    val cons = Clustering.consistency(clustered.withColumn("g", col("label") === 1), "g")
+    assert(cons > 0.95)
+  }
+
+  test("pca: explained variance ratios are sane and ordered") {
+    val df = (1 to 100).map { i =>
+      val x = i.toDouble
+      (x, 2 * x + 0.01 * (i % 7), 0.1 * (i % 3))
+    }.toDF("a", "b", "c")
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("a", "b", "c")).setOutputCol("features").transform(df)
+    val (_, ev) = Clustering.pca(assembled, 2)
+    assert(ev.length == 2)
+    assert(ev(0) > 0.9, s"first component should dominate, got ${ev.toSeq}")
+    assert(ev(0) >= ev(1) && ev.sum <= 1.0 + 1e-9)
+  }
+
+  test("balancedSample keeps classes balanced") {
+    val s = Features.balancedSample(blobs, "label", 0.4, 7L)
+    val counts = s.groupBy("label").count().collect().map(_.getLong(1))
+    assert(counts.length == 2 && math.abs(counts(0) - counts(1)) < 25)
+  }
+}
