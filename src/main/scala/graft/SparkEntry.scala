@@ -438,6 +438,27 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  // q26 — one-pass multi-substring counting (A15, oracle-checked): total
+  // occurrences of a fixed word list per language, via the Aho-Corasick
+  // expression (one O(text) pass for all words — the reference rescans the
+  // text once per word). Patterns have no self-overlap, so overlapping and
+  // non-overlapping (oracle replace-based) counts coincide.
+  private def wordFrequency(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.MultiSubstringCountExpr.multiSubstringCount
+    val words = Seq("the", "data", "spark", "query", "join")
+    val docs = t(s, dir, "documents")
+      .select(col("lang"), multiSubstringCount(col("text"), words).as("_c"))
+    docs
+      .groupBy(col("lang"))
+      .agg(
+        sum(element_at(col("_c"), 1)).as("w_the"),
+        sum(element_at(col("_c"), 2)).as("w_data"),
+        sum(element_at(col("_c"), 3)).as("w_spark"),
+        sum(element_at(col("_c"), 4)).as("w_query"),
+        sum(element_at(col("_c"), 5)).as("w_join"))
+      .orderBy(col("lang"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -464,7 +485,8 @@ object SparkEntry {
     "q22_customer_order_presence" -> customerOrderPresence,
     "q23_revenue_rollup" -> revenueRollup,
     "q24_sessionize" -> sessionize,
-    "q25_props_extract" -> propsExtract)
+    "q25_props_extract" -> propsExtract,
+    "q26_word_frequency" -> wordFrequency)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -726,5 +748,15 @@ object SparkEntry {
         |  CAST(max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_max
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+    "q26_word_frequency" ->
+      """SELECT lang,
+        |  CAST(sum((length(text) - length(replace(text, 'the', ''))) // 3) AS BIGINT) AS w_the,
+        |  CAST(sum((length(text) - length(replace(text, 'data', ''))) // 4) AS BIGINT) AS w_data,
+        |  CAST(sum((length(text) - length(replace(text, 'spark', ''))) // 5) AS BIGINT) AS w_spark,
+        |  CAST(sum((length(text) - length(replace(text, 'query', ''))) // 5) AS BIGINT) AS w_query,
+        |  CAST(sum((length(text) - length(replace(text, 'join', ''))) // 4) AS BIGINT) AS w_join
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin)
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4.2: "verify via explain, don't
+  * reimplement"): the properties the 100-TB story depends on — filter/column
+  * pushdown into the parquet scan, broadcast joins for dimensions,
+  * distributed top-k, partial aggregation — must hold in the produced plans.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.Sf
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("filters and projections push into the parquet scan") {
+    val df = Engine.table(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"),
+      s"no pushed filter in:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more columns than projected:\n$p")
+  }
+
+  test("star-join query broadcasts every dimension side") {
+    val df = SparkEntry.queries("q02_regional_revenue")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    // customer, nation, region all broadcast -> at least 3 broadcast exchanges
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3, s"missing broadcast exchanges:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q03_top_orders")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-k:\n$p")
+  }
+
+  test("group-by aggregates do partial (map-side) aggregation") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected partial aggregation before the shuffle:\n$p")
+  }
+
+  test("keep-last dedup shuffles once on the key (no extra exchange)") {
+    val df = SparkEntry.queries("q05_latest_events")(spark, sf)
+    val p = plan(df)
+    // one exchange for the window partition key + final order; the window
+    // itself must not introduce repeated shuffles on the same key
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"unexpected extra hash exchanges ($exchanges):\n$p")
+  }
+
+  test("whole-stage codegen covers the pricing-summary aggregate") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    // executedPlan.toString renders WholeStageCodegen spans as "*(n)" prefixes
+    assert(p.contains("*("), s"expected codegen spans:\n$p")
+  }
+}
