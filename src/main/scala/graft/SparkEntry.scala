@@ -459,6 +459,63 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Replay the events table through a streaming query and return the
+    * in-memory sink table. Blocks until the replay drains — the streaming
+    * analog of an action.
+    */
+  private def replayStream(
+      s: SparkSession,
+      dir: String,
+      mode: String)(build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    Engine.tune(s)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the streaming file source requires a DIRECTORY; expose the single
+    // events.parquet through a temp dir symlink
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    streamDir.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val raw = s.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val name = s"graft_stream_${streamSeq.incrementAndGet()}"
+    val q = build(raw).writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  // q27 — Structured Streaming windowed aggregation (phase E, oracle-checked):
+  // tumbling 1-day windows × event_type over the replayed events stream must
+  // equal the batch group-by the oracle computes.
+  private def streamDailyCounts(s: SparkSession, dir: String): DataFrame =
+    replayStream(s, dir, "complete") { ev =>
+      graft.streaming.StreamOps.windowedTypeStats(ev)
+    }
+      .select(
+        to_date(col("window_start")).as("d"),
+        col("event_type"),
+        col("n"),
+        rnd(col("avg_value"), 4).as("avg_value"))
+      .orderBy(col("d"), col("event_type"))
+
+  // q28 — stateful streaming sessionization via flatMapGroupsWithState
+  // (phase E, oracle-checked): must equal the batch q24 pipeline.
+  private def streamSessions(s: SparkSession, dir: String): DataFrame =
+    replayStream(s, dir, "update") { ev =>
+      import s.implicits._
+      graft.streaming.StreamOps
+        .sessionize(s, ev.select(col("user_id"), col("ts"), col("event_id"))
+          .as[graft.streaming.StreamOps.Event], gapSeconds = 1800)
+        .toDF()
+    }.orderBy(col("user_id"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -486,7 +543,9 @@ object SparkEntry {
     "q23_revenue_rollup" -> revenueRollup,
     "q24_sessionize" -> sessionize,
     "q25_props_extract" -> propsExtract,
-    "q26_word_frequency" -> wordFrequency)
+    "q26_word_frequency" -> wordFrequency,
+    "q27_stream_daily_counts" -> streamDailyCounts,
+    "q28_stream_sessions" -> streamSessions)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -758,5 +817,26 @@ object SparkEntry {
         |  CAST(sum((length(text) - length(replace(text, 'join', ''))) // 4) AS BIGINT) AS w_join
         |FROM documents
         |GROUP BY lang
-        |ORDER BY lang""".stripMargin)
+        |ORDER BY lang""".stripMargin,
+    "q27_stream_daily_counts" ->
+      """SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n,
+        |  round(avg(value) + 1e-9, 4) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY d, event_type""".stripMargin,
+    "q28_stream_sessions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev IS NULL OR epoch(ts - prev) > 1800.0 THEN 1 ELSE 0 END AS brk
+        |  FROM lagged
+        |)
+        |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM flagged
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)
 }

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expressions of the engine's window operators
+  * (SURVEY.md §2.10 / §7.2 phase E): the same computations the batch queries
+  * declare, over an unbounded `events` stream.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/averages per event type with a watermark: the
+    * streaming form of the daily aggregation behind q04/q06. `complete`
+    * output in tests; on a real stream use append + watermark-closed windows.
+    */
+  def windowedTypeStats(events: DataFrame, window_ : String = "1 day", watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("avg_value"))
+
+  case class Event(user_id: Long, ts: Timestamp, event_id: Long)
+  case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+  case class SessionState(lastTs: Long, sessions: Long, events: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState — the streaming
+    * equivalent of the batch q24 (gap > `gapSeconds` starts a session).
+    * Within a micro-batch the group's events are sorted by (ts, event_id);
+    * state carries (last event time, session count) across batches.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event], gapSeconds: Long): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            val newSession = s.lastTs == Long.MinValue || (t - s.lastTs) > gapSeconds * 1000
+            s = SessionState(t, s.sessions + (if (newSession) 1 else 0), s.events + 1)
+          }
+          state.update(s)
+          Iterator(SessionSummary(userId, s.sessions, s.events))
+      }
+  }
+
+  /** Streaming trend detection (the VEG adjacent-period comparison as a
+    * stateful operator): per (event_type) group, compare each micro-batch's
+    * day-average against the previous day's retained in state and emit
+    * up/down/flat transitions.
+    */
+  case class DayStat(event_type: String, day: java.sql.Date, avg_value: Double)
+  case class Trend(event_type: String, day: java.sql.Date, trend: String)
+  case class TrendState(lastDay: Long, lastAvg: Double)
+
+  def trendDetect(spark: SparkSession, days: Dataset[DayStat], band: Double = 0.05): Dataset[Trend] = {
+    import spark.implicits._
+    days
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[DayStat], state: GroupState[TrendState]) =>
+          val sorted = it.toVector.sortBy(_.day.getTime)
+          val out = Vector.newBuilder[Trend]
+          var s = state.getOption.orNull
+          sorted.foreach { d =>
+            if (s != null) {
+              val label =
+                if (d.avg_value > s.lastAvg * (1 + band)) "up"
+                else if (d.avg_value < s.lastAvg * (1 - band)) "down"
+                else "flat"
+              out += Trend(key, d.day, label)
+            }
+            s = TrendState(d.day.getTime, d.avg_value)
+          }
+          if (s != null) state.update(s)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("csv reads GBK-encoded files with headers and inferred types") {
+    val dir = tmpDir("gbkcsv")
+    val content = "日期,蔬菜名,价格\n2024-01-01,白菜,3.5\n2024-01-02,萝卜,2.0\n"
+    Files.write(Paths.get(dir, "veg.csv"), content.getBytes(Charset.forName("GBK")))
+    val df = Sources.csv(spark, s"$dir/veg.csv", encoding = "GBK")
+    assert(df.columns.toSeq == Seq("日期", "蔬菜名", "价格"))
+    val rows = df.orderBy("日期").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getString(1) == "白菜")
+    assert(rows.head.getDouble(2) == 3.5)
+  }
+
+  test("wholeTextWithFallback detects per-file encodings") {
+    val dir = tmpDir("enc")
+    // GBK bytes that are INVALID UTF-8 (so the fallback chain must advance)
+    Files.write(Paths.get(dir, "gbk.txt"), "红楼梦第一回".getBytes(Charset.forName("GBK")))
+    Files.write(Paths.get(dir, "utf8.txt"), "hello 世界".getBytes("UTF-8"))
+    val m = Sources.wholeTextWithFallback(spark, dir, "*.txt")
+      .select(element_at(split(col("path"), "/"), -1).as("f"), col("charset"), col("text"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(m("utf8.txt") == (("UTF-8", "hello 世界")))
+    assert(m("gbk.txt")._1 == "GBK")
+    assert(m("gbk.txt")._2 == "红楼梦第一回")
+  }
+
+  test("binaryDir filters by glob and exposes filename + content") {
+    val dir = tmpDir("bin")
+    Files.write(Paths.get(dir, "cat.1.jpg"), Array[Byte](1, 2, 3))
+    Files.write(Paths.get(dir, "dog.1.jpg"), Array[Byte](4, 5))
+    Files.write(Paths.get(dir, "notes.txt"), Array[Byte](9))
+    val df = Sources.binaryDir(spark, dir, "*.jpg")
+    val rows = df.orderBy("filename").collect()
+    assert(rows.map(_.getAs[String]("filename")).toSeq == Seq("cat.1.jpg", "dog.1.jpg"))
+    assert(rows.head.getAs[Long]("length") == 3L)
+    // filename-prefix filter (P8)
+    assert(df.filter(col("filename").startsWith("cat")).count() == 1)
+  }
+
+  test("writeCsvSingle produces exactly one headered part file in order") {
+    val dir = tmpDir("csvout") + "/out"
+    val df = Seq((2, "b"), (1, "a"), (3, "c")).toDF("id", "v")
+    Sources.writeCsvSingle(df, dir, sortBy = Seq("id"))
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(parts.length == 1)
+    val lines = scala.io.Source.fromFile(parts.head).getLines().toSeq
+    assert(lines == Seq("id,v", "1,a", "2,b", "3,c"))
+  }
+}
