@@ -516,6 +516,24 @@ object SparkEntry {
         .toDF()
     }.orderBy(col("user_id"))
 
+  // q29 — embedding-cosine near-duplicate pairs (dedup suite, oracle-checked):
+  // all pairs with cosine ≥ 0.4 (the synthetic corpus has no true near-dups;
+  // 0.4 selects the top ~0.1% closest pairs). Exact self-join baseline; the LSH-bucketed
+  // variant (VectorFunctions.lshBucketTopK) is the 100-TB path — at scale the
+  // equi-join on bucket keys replaces this O(n²) comparison.
+  private def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val sim = VF.cosine(col("v1"), col("v2"))
+    a.crossJoin(b)
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim", sim)
+      .filter(col("sim") >= 0.4)
+      .select(col("id1"), col("id2"), rnd(col("sim"), 6).as("sim"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -545,7 +563,8 @@ object SparkEntry {
     "q25_props_extract" -> propsExtract,
     "q26_word_frequency" -> wordFrequency,
     "q27_stream_daily_counts" -> streamDailyCounts,
-    "q28_stream_sessions" -> streamSessions)
+    "q28_stream_sessions" -> streamSessions,
+    "q29_embedding_neardups" -> embeddingNearDups)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -838,5 +857,15 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM flagged
         |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    "q29_embedding_neardups" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_dot_product(a.e, b.e)
+        |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        |    + 1e-9, 6) AS sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e)
+        |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
+        |ORDER BY id1, id2""".stripMargin)
 }
