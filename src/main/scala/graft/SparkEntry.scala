@@ -249,16 +249,22 @@ object SparkEntry {
   // join — then exact shingle-Jaccard verification of candidates only.
   // Engine-specific hashes ⇒ rows-only check.
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.VectorExpressions.jaccardSorted
     val bands = 4
     val rowsPerBand = 4
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), TF.charShingles(col("text"), 5).as("shingles"))
       .withColumn("minhash", TF.minhashSignature(col("shingles"), bands * rowsPerBand))
+      // candidate verification runs on SORTED HASHED shingles: the native
+      // two-pointer Jaccard is ~10× the interpreted string-array intersect,
+      // and the join shuffles 8-byte hashes instead of 5-char strings.
+      .withColumn("hashes", sort_array(transform(col("shingles"), sh => xxhash64(sh))))
+      .drop("shingles")
     // The self-join below would recompute the shingle+minhash subtree for
     // both sides; persist the banded table so signatures are computed once.
     val banded = docs.select(
       col("doc_id"),
-      col("shingles"),
+      col("hashes"),
       posexplode(array((0 until bands).map { bd =>
         hash((0 until rowsPerBand).map(r => element_at(col("minhash"), bd * rowsPerBand + r + 1)): _*)
       }.toIndexedSeq: _*)).as(Seq("band", "band_hash")))
@@ -269,9 +275,9 @@ object SparkEntry {
         b,
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"), col("a.shingles").as("sh1"), col("b.shingles").as("sh2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"), col("a.hashes").as("h1"), col("b.hashes").as("h2"))
       .dropDuplicates("id1", "id2")
-      .withColumn("jaccard", rnd(TF.jaccard(col("sh1"), col("sh2")), 4))
+      .withColumn("jaccard", rnd(jaccardSorted(col("h1"), col("h2")), 4))
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("id1"), col("id2"))
       .limit(100)

@@ -58,3 +58,44 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(approx.nonEmpty && approx.forall(_ % 2 == 0))
   }
 }
+
+class VectorExpressionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.expressions.VectorExpressions
+
+  test("native cosine equals HOF dot/norm composition bit-for-bit") {
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),
+      (Seq(0.1f, -0.2f, 0.3f), Seq(-1f, 2f, -3f))).toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.cosineSimilarity(col("a"), col("b")).as("native"),
+      (VF.dot(col("a"), col("b")) /
+        (sqrt(VF.dot(col("a"), col("a"))) * sqrt(VF.dot(col("b"), col("b"))))).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("native cosine: zero vector -> null, length mismatch -> null") {
+    val df = Seq((Seq(0f, 0f), Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("z", "v", "w")
+    val r = df.select(
+      VectorExpressions.cosineSimilarity(col("z"), col("v")),
+      VectorExpressions.cosineSimilarity(col("v"), col("w"))).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("jaccardSorted equals set jaccard on hashed shingles") {
+    val df = Seq(
+      (Seq("ab", "bc", "cd"), Seq("bc", "cd", "de")),
+      (Seq("xx", "xx", "yy"), Seq("yy", "zz")),   // duplicates collapse
+      (Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    val out = df.select(
+      VectorExpressions.jaccardSorted(
+        sort_array(transform(col("x"), s => xxhash64(s))),
+        sort_array(transform(col("y"), s => xxhash64(s)))).as("j"),
+      graft.functions.TextFunctions.jaccard(col("x"), col("y")).as("ref"))
+      .collect()
+    out.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+}
