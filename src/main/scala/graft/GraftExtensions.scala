@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expressions._
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `spark.sql` call-sites can use
+  * them directly:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT simhash64(tokens), minhash_signature(shingles, 16), ...")
+  * }}}
+  *
+  * This is the (c) mechanism of the custom-operator preference order
+  * (SURVEY.md §7.1) — used here only for function registration; the engine
+  * needs no custom planner rules because every operator plans onto stock
+  * Spark physical operators.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
+  }
+
+  private def stringArrayArg(e: Expression, name: String): Seq[String] = e match {
+    case Literal(data: org.apache.spark.sql.catalyst.util.ArrayData, _) =>
+      data.toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.asInstanceOf[UTF8String].toString).toSeq
+    // `array('a','b')` reaches function resolution as an unfolded CreateArray
+    case ca: org.apache.spark.sql.catalyst.expressions.CreateArray
+        if ca.children.forall(c => c.isInstanceOf[Literal]) =>
+      ca.children.map(_.asInstanceOf[Literal].value.asInstanceOf[UTF8String].toString)
+    case other => throw new IllegalArgumentException(s"$name must be a string array literal, got $other")
+  }
+
+  private def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    Seq(
+      (FunctionIdentifier("simhash64"),
+        info("simhash64", "simhash64(array<string>) - 64-bit SimHash of the elements"),
+        (args: Seq[Expression]) => SimHash64Expr(args.head)),
+      (FunctionIdentifier("minhash_signature"),
+        info("minhash_signature", "minhash_signature(array<string>, k) - k-long MinHash signature"),
+        (args: Seq[Expression]) => MinHashSignatureExpr(args.head, intArg(args(1), "k"))),
+      (FunctionIdentifier("cosine_similarity"),
+        info("cosine_similarity", "cosine_similarity(array<float|double>, array<float|double>)"),
+        (args: Seq[Expression]) => CosineSimilarityExpr(args.head, args(1))),
+      (FunctionIdentifier("jaccard_sorted"),
+        info("jaccard_sorted", "jaccard_sorted(array<bigint>, array<bigint>) - set Jaccard of sorted arrays"),
+        (args: Seq[Expression]) => JaccardSortedLongExpr(args.head, args(1))),
+      (FunctionIdentifier("multi_substring_count"),
+        info("multi_substring_count",
+          "multi_substring_count(text, array('p1','p2',...)) - occurrence count per pattern"),
+        (args: Seq[Expression]) =>
+          MultiSubstringCountExpr(args.head, stringArrayArg(args(1), "patterns"))))
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  /** Register the SQL functions on an ALREADY-RUNNING session —
+    * `withExtensions` only applies at build time and `getOrCreate` silently
+    * ignores it when a session is active.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    new GraftExtensions().registrations.foreach { case (id, info, builder) =>
+      ColumnBridge.registerFunction(classic, id, info, builder)
+    }
+  }
+}

@@ -70,6 +70,45 @@ object Classification {
       (col(labelCol) === col("prediction").cast("int")).as("correct"))
   }
 
+  /** M4/M5 — k-fold cross-validated grid search (the sklearn
+    * GridSearchCV(cv=5) analog): returns (bestModel, avg metric per grid
+    * point as a DataFrame). Per-fold std (the reference's cv_std) comes from
+    * `collectSubModels` when requested.
+    */
+  def gridSearch[M <: org.apache.spark.ml.Model[M]](
+      train: DataFrame,
+      estimator: org.apache.spark.ml.Estimator[M],
+      grid: Array[org.apache.spark.ml.param.ParamMap],
+      evaluator: org.apache.spark.ml.evaluation.Evaluator,
+      numFolds: Int = 5,
+      seed: Long = 42L): (org.apache.spark.ml.tuning.CrossValidatorModel, DataFrame) = {
+    val cv = new org.apache.spark.ml.tuning.CrossValidator()
+      .setEstimator(estimator)
+      .setEstimatorParamMaps(grid)
+      .setEvaluator(evaluator)
+      .setNumFolds(numFolds)
+      .setSeed(seed)
+    val model = cv.fit(train)
+    val spark = train.sparkSession
+    import spark.implicits._
+    val rows = grid.zip(model.avgMetrics).map { case (pm, m) => (pm.toString, m) }
+    (model, rows.toSeq.toDF("params", "avg_metric"))
+  }
+
+  /** M8 — ROC curve points (fpr, tpr) for binary predictions with a
+    * probability column, via the RDD-based BinaryClassificationMetrics
+    * (the only API Spark exposes for curve points).
+    */
+  def rocCurve(preds: DataFrame, labelCol: String): DataFrame = {
+    val scoreAndLabel = preds
+      .select(element_at(vector_to_array(col("probability")), 2), col(labelCol).cast("double"))
+      .rdd.map(r => (r.getDouble(0), r.getDouble(1)))
+    val metrics = new org.apache.spark.mllib.evaluation.BinaryClassificationMetrics(scoreAndLabel)
+    val spark = preds.sparkSession
+    import spark.implicits._
+    metrics.roc().toDF("fpr", "tpr")
+  }
+
   /** M11 — kNN classification as a k-nearest-neighbor join: majority label of
     * the k cosine-nearest train rows. `queries`/`train` carry (id, vector,
     * [label]); the train side must be the big side — it streams; queries

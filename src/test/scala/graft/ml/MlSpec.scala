@@ -142,3 +142,42 @@ class MlSpec extends AnyFunSuite {
     assert(counts.length == 2 && math.abs(counts(0) - counts(1)) < 25)
   }
 }
+
+class MlTuningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val blobs = {
+    val rng = new scala.util.Random(7)
+    (0 until 120).map { i =>
+      val label = i % 2
+      val c = label * 4.0
+      (i.toLong, label, c + rng.nextGaussian(), c + rng.nextGaussian())
+    }.toDF("id", "label", "x1", "x2")
+  }
+
+  test("gridSearch picks a regParam and reports per-point avg metrics") {
+    val (_, transform) = Features.standardize(blobs, Seq("x1", "x2"))
+    val prepared = transform(blobs)
+    val lr = new org.apache.spark.ml.classification.LogisticRegression().setMaxIter(50)
+    val grid = new org.apache.spark.ml.tuning.ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.0, 0.1, 1.0)).build()
+    val ev = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+    val (model, metrics) = Classification.gridSearch(prepared, lr, grid, ev, numFolds = 3)
+    assert(metrics.count() == 3)
+    assert(metrics.agg(org.apache.spark.sql.functions.max("avg_metric"))
+      .head().getDouble(0) > 0.9)
+    assert(model.bestModel.isInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel])
+  }
+
+  test("rocCurve starts near (0,0) and ends at (1,1)") {
+    val (_, transform) = Features.standardize(blobs, Seq("x1", "x2"))
+    val prepared = transform(blobs)
+    val preds = new org.apache.spark.ml.classification.LogisticRegression()
+      .fit(prepared).transform(prepared)
+    val roc = Classification.rocCurve(preds, "label").collect()
+    assert(roc.length > 2)
+    assert(roc.head.getDouble(0) == 0.0)
+    assert(roc.last.getDouble(0) == 1.0 && roc.last.getDouble(1) == 1.0)
+  }
+}
