@@ -35,6 +35,19 @@ object SparkEntry {
     */
   private def rnd(c: Column, d: Int): Column = round(c + lit(1e-9), d)
 
+  /** Exact-decimal money arithmetic: the 2-decimal money columns cast to
+    * decimal make SUMS exact on both engines — float summation noise
+    * (~1e-5 at 1e7 magnitudes) exceeds the epsilon trick's safety margin for
+    * 2-decimal rounding, so big money sums must not go through doubles.
+    * Intermediate casts keep every decimal width <= 38 on both engines.
+    */
+  private def dec2(name: String): Column = col(name).cast("decimal(12,2)")
+  private def discPrice: Column =
+    (dec2("l_extendedprice") * (lit(1) - dec2("l_discount"))).cast("decimal(18,4)")
+  private def charge: Column =
+    (discPrice * (lit(1) + dec2("l_tax"))).cast("decimal(24,6)")
+  private def moneyRound(c: Column): Column = round(c, 2).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     regionalRevenue(spark, "/root/testdata/sf0.001")
@@ -46,11 +59,10 @@ object SparkEntry {
     val li = t(s, dir, "lineitem")
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        rnd(sum(col("l_quantity")), 2).as("sum_qty"),
-        rnd(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
-          .as("sum_charge"),
+        moneyRound(sum(dec2("l_quantity"))).as("sum_qty"),
+        moneyRound(sum(dec2("l_extendedprice"))).as("sum_base_price"),
+        moneyRound(sum(discPrice)).as("sum_disc_price"),
+        moneyRound(sum(charge)).as("sum_charge"),
         rnd(avg(col("l_quantity")), 4).as("avg_qty"),
         rnd(avg(col("l_extendedprice")), 4).as("avg_price"),
         rnd(avg(col("l_discount")), 4).as("avg_disc"),
@@ -73,7 +85,7 @@ object SparkEntry {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        moneyRound(sum(discPrice)).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -85,7 +97,7 @@ object SparkEntry {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     li.groupBy(col("l_orderkey"))
-      .agg(rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(moneyRound(sum(discPrice)).as("revenue"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("revenue"), to_date(col("o_orderdate")).as("order_date"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
@@ -405,7 +417,7 @@ object SparkEntry {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(moneyRound(sum(discPrice)).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
   }
@@ -540,6 +552,27 @@ object SparkEntry {
       .orderBy(col("id1"), col("id2"))
   }
 
+  // q30 — date arithmetic + statistical aggregates: monthly revenue with
+  // Pearson correlation and exact distinct counts (the A/F surfaces the
+  // reference exercises via numpy: corr, nunique, month bucketing).
+  private def monthlyStats(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        moneyRound(sum(discPrice)).as("revenue"),
+        rnd(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
+      .orderBy(col("month"))
+  }
+
+  // q31 — cube (full grouping-set lattice) over returnflag × linestatus.
+  private def pricingCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), moneyRound(sum(dec2("l_quantity"))).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -570,7 +603,9 @@ object SparkEntry {
     "q26_word_frequency" -> wordFrequency,
     "q27_stream_daily_counts" -> streamDailyCounts,
     "q28_stream_sessions" -> streamSessions,
-    "q29_embedding_neardups" -> embeddingNearDups)
+    "q29_embedding_neardups" -> embeddingNearDups,
+    "q30_monthly_stats" -> monthlyStats,
+    "q31_pricing_cube" -> pricingCube)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -578,10 +613,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
-        |  round(sum(l_extendedprice) + 1e-9, 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 2) AS sum_charge,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_charge,
         |  round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
         |  round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
         |  round(avg(l_discount) + 1e-9, 4) AS avg_disc,
@@ -591,7 +626,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_regional_revenue" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+        |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -602,7 +637,7 @@ object SparkEntry {
         |ORDER BY r_name, n_name""".stripMargin,
     "q03_top_orders" ->
       """SELECT o_orderkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+        |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |  CAST(o_orderdate AS DATE) AS order_date
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderkey, o_orderdate
@@ -795,7 +830,7 @@ object SparkEntry {
         |ORDER BY n_name""".stripMargin,
     "q23_revenue_rollup" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+        |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -873,5 +908,20 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e)
         |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.4
-        |ORDER BY id1, id2""".stripMargin)
+        |ORDER BY id1, id2""".stripMargin,
+    "q30_monthly_stats" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  count(*) AS n_lines,
+        |  count(DISTINCT l_suppkey) AS n_suppliers,
+        |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  round(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS qty_price_corr
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
+    "q31_pricing_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
 }

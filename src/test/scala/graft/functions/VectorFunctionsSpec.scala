@@ -99,3 +99,22 @@ class VectorExpressionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     out.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 }
+
+class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("ivfTopK recovers the exact top-k for clustered data") {
+    val emb = graft.Engine.table(spark, graft.TestSpark.Sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = VF.bruteForceTopK(queries, emb, "q_id", "vec_id", "q_vec", "embedding", 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VF.ivfTopK(queries, emb, "q_id", "vec_id", "q_vec", "embedding",
+      k = 5, nCells = 8, nProbe = 6)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+}
