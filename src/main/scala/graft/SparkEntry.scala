@@ -266,11 +266,12 @@ object SparkEntry {
     val rowsPerBand = 4
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), TF.charShingles(col("text"), 5).as("shingles"))
-      .withColumn("minhash", TF.minhashSignature(col("shingles"), bands * rowsPerBand))
       // candidate verification runs on SORTED HASHED shingles: the native
       // two-pointer Jaccard is ~10× the interpreted string-array intersect,
-      // and the join shuffles 8-byte hashes instead of 5-char strings.
+      // the join shuffles 8-byte hashes instead of 5-char strings, and the
+      // minhash derives from the SAME hashes (each shingle string-hashed once).
       .withColumn("hashes", sort_array(transform(col("shingles"), sh => xxhash64(sh))))
+      .withColumn("minhash", TF.minhashSignature(col("hashes"), bands * rowsPerBand))
       .drop("shingles")
     // The self-join below would recompute the shingle+minhash subtree for
     // both sides; persist the banded table so signatures are computed once.

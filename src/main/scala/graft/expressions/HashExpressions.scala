@@ -26,12 +26,18 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(StringType, _) | ArrayType(LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"minhash_signature requires array<string>, got ${other.catalogString}")
+          s"minhash_signature requires array<string> or array<bigint>, got ${other.catalogString}")
     }
+
+  // array<long> input = pre-hashed elements (e.g. xxhash64 of shingles):
+  // skips the string-hash pass so pipelines that also need the raw hashes
+  // hash each shingle exactly once.
+  @transient private lazy val elementsAreLongs =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -40,8 +46,12 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val base =
+          if (elementsAreLongs) XXH64.hashLong(arr.getLong(i), 42L)
+          else {
+            val s = arr.getUTF8String(i)
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          }
         var j = 0
         while (j < k) {
           val h = XXH64.hashLong(base, j.toLong)
