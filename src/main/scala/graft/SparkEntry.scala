@@ -209,7 +209,8 @@ object SparkEntry {
       .exactDedupByHash(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
 
-  // q12 — token statistics per language (text analysis suite).
+  // q12 — token statistics per language (text analysis suite): whitespace
+  // tokens + BPE-ish regex pre-tokenization, both oracle-checked.
   private def tokenStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .groupBy(col("lang"))
@@ -217,7 +218,8 @@ object SparkEntry {
         count(lit(1)).as("n_docs"),
         rnd(avg(TF.tokenCount(col("text"))), 4).as("avg_tokens"),
         rnd(avg(col("n_chars")), 4).as("avg_chars"),
-        sum(TF.tokenCount(col("text"))).as("total_tokens"))
+        sum(TF.tokenCount(col("text"))).as("total_tokens"),
+        sum(TF.bpeTokenCount(col("text"))).as("total_bpe_tokens"))
       .orderBy(col("lang"))
 
   // q13 — document quality scoring (text analysis suite): deterministic
@@ -251,7 +253,8 @@ object SparkEntry {
         col("doc_id"),
         TF.fingerprint(col("text")).as("fingerprint"),
         TF.simhash64(TF.tokens(col("text"))).as("simhash"),
-        TF.minhashSignature(sh, 8).as("minhash"))
+        TF.minhashSignature(sh, 8).as("minhash"),
+        size(TF.winnowingFingerprints(transform(sh, s0 => xxhash64(s0)), 8)).as("n_winnow_fps"))
       .orderBy(col("doc_id"))
   }
 
@@ -754,7 +757,8 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         |  round(avg(len(regexp_split_to_array(trim(text), '\s+'))) + 1e-9, 4) AS avg_tokens,
         |  round(avg(n_chars) + 1e-9, 4) AS avg_chars,
-        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,

@@ -61,6 +61,35 @@ object TextFunctions {
     round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3 + lit(1e-9), 6)
   }
 
+  /** BPE-ish subword tokenization via regex (the cheap pre-tokenizer shape
+    * used before byte-pair merging): letter runs, digit runs, and single
+    * punctuation marks each become tokens. The pattern uses only constructs
+    * with identical semantics in Java regex and RE2, so a DuckDB oracle
+    * reproduces it.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Winnowing fingerprints (the rolling-hash document fingerprint of
+    * Schleimer et al.): over the shingle-hash sequence, take the minimum
+    * hash of every sliding window of `w`, dedup — robust to local edits.
+    * Works on the same `array<long>` hash column the near-dup pipeline
+    * already computes (each shingle hashed once).
+    */
+  def winnowingFingerprints(hashes: Column, w: Int): Column = {
+    val n = size(hashes)
+    when(n === 0, array().cast("array<bigint>"))
+      .when(n <= w, array(array_min(hashes)))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(1), n - (w - 1)),
+            i => array_min(slice(hashes, i, lit(w))))))
+  }
+
   /** Character n-gram shingles of the normalized text (lowercased, whitespace
     * collapsed). Building block for MinHash / Jaccard near-dup.
     *

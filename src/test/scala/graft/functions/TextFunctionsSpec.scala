@@ -94,3 +94,41 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out == Seq("en", "de"))
   }
 }
+
+class TokenizerSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("bpeTokens splits letter runs, digit runs, and punctuation") {
+    val df = Seq("Hello, world42! x-y").toDF("t")
+    val toks = df.select(TF.bpeTokens(col("t"))).as[Seq[String]].head()
+    assert(toks == Seq("Hello", ",", "world", "42", "!", "x", "-", "y"))
+  }
+
+  test("winnowing fingerprints are robust to a local edit") {
+    def fp(t: String): Set[Long] = {
+      val df = Seq(t).toDF("t")
+      df.select(
+        TF.winnowingFingerprints(
+          transform(TF.charShingles(col("t"), 4), s => xxhash64(s)), 4))
+        .as[Seq[Long]].head().toSet
+    }
+    val a = fp("the quick brown fox jumps over the lazy dog again and again")
+    val b = fp("the quick brown fox jumps over the lazy dog again and againX")
+    val c = fp("completely unrelated content with different words entirely")
+    val simAB = (a intersect b).size.toDouble / (a union b).size
+    val simAC = (a intersect c).size.toDouble / (a union c).size
+    assert(simAB > 0.6, s"near-dup fingerprint overlap $simAB")
+    assert(simAC < 0.1, s"unrelated fingerprint overlap $simAC")
+  }
+
+  test("winnowing handles short and empty inputs") {
+    val df = Seq(("ab"), ("")).toDF("t")
+    val out = df.select(
+      TF.winnowingFingerprints(
+        transform(TF.charShingles(col("t"), 4), s => xxhash64(s)), 4).as("f"))
+      .as[Seq[Long]].collect()
+    assert(out(1).isEmpty)
+  }
+}
