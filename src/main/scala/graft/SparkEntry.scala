@@ -577,6 +577,35 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), moneyRound(sum(dec2("l_quantity"))).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  // q32 — brand revenue: fact ⋈ broadcast part dimension, grouped by brand
+  // with a size-range filter pushed into the dimension scan.
+  private def brandRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_size").between(1, 30))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        moneyRound(sum(discPrice)).as("revenue"),
+        count(lit(1)).as("n_lines"),
+        rnd(avg(col("p_retailprice")), 4).as("avg_retail"))
+      .orderBy(col("p_brand"))
+  }
+
+  // q33 — supplier account stats per nation (left join keeps nations with
+  // no suppliers).
+  private def supplierBalance(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    n.join(sup, col("s_nationkey") === col("n_nationkey"), "left_outer")
+      .groupBy(col("n_name"))
+      .agg(
+        count(col("s_suppkey")).as("n_suppliers"),
+        rnd(sum(col("s_acctbal")), 2).as("total_acctbal"),
+        rnd(min(col("s_acctbal")), 2).as("min_acctbal"),
+        rnd(max(col("s_acctbal")), 2).as("max_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -609,7 +638,9 @@ object SparkEntry {
     "q28_stream_sessions" -> streamSessions,
     "q29_embedding_neardups" -> embeddingNearDups,
     "q30_monthly_stats" -> monthlyStats,
-    "q31_pricing_cube" -> pricingCube)
+    "q31_pricing_cube" -> pricingCube,
+    "q32_brand_revenue" -> brandRevenue,
+    "q33_supplier_balance" -> supplierBalance)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -928,5 +959,23 @@ object SparkEntry {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q32_brand_revenue" ->
+      """SELECT p_brand,
+        |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines,
+        |  round(avg(p_retailprice) + 1e-9, 4) AS avg_retail
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size BETWEEN 1 AND 30
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q33_supplier_balance" ->
+      """SELECT n_name,
+        |  count(s_suppkey) AS n_suppliers,
+        |  round(sum(s_acctbal) + 1e-9, 2) AS total_acctbal,
+        |  round(min(s_acctbal) + 1e-9, 2) AS min_acctbal,
+        |  round(max(s_acctbal) + 1e-9, 2) AS max_acctbal
+        |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
 }
