@@ -100,3 +100,65 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 }
+
+/** State must accumulate ACROSS micro-batches, not just within one replay. */
+class StreamIncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sessionization state carries across two micro-batches") {
+    val all = Engine.table(spark, TestSpark.Sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    // split by TIME: the stateful operator (like any event-time processor)
+    // assumes batches arrive in order; a mid-month cut models real arrival
+    val cut = "2024-01-16"
+    val half1 = all.filter(col("ts") < lit(cut))
+    val half2 = all.filter(col("ts") >= lit(cut))
+
+    val dir = Files.createTempDirectory("events-incr").toString
+    half1.write.mode("overwrite").parquet(dir + "/b1")
+    // stream over a parent dir that gains a second batch mid-run
+    val streamDir = Files.createTempDirectory("events-incr-stream").toString
+    def addBatch(src: String, n: Int): Unit = {
+      val files = new java.io.File(dir + "/" + src).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      files.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(streamDir, s"batch${n}_$i.parquet"))
+      }
+    }
+    addBatch("b1", 1)
+
+    val stream = spark.readStream.schema(all.schema).parquet(streamDir)
+      .as[StreamOps.Event]
+    val q = StreamOps.sessionize(spark, stream, gapSeconds = 1800).toDF()
+      .writeStream.outputMode("update").format("memory").queryName("incr_sessions").start()
+    q.processAllAvailable()
+    half2.write.mode("overwrite").parquet(dir + "/b2")
+    addBatch("b2", 2)
+    q.processAllAvailable()
+    q.stop()
+
+    // update-mode memory sink appends one row per user per batch; the final
+    // state per user is the one with the highest n_events
+    val got = spark.table("incr_sessions")
+      .groupBy("user_id").agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+      .select(col("user_id"), col("s.n_sessions"), col("s.n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val want = all
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn("_brk",
+        when(col("_prev").isNull ||
+          (col("ts").cast("double") - col("_prev").cast("double")) > 1800.0, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("_brk")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    assert(got == want, "two-batch streaming must equal the batch pipeline")
+  }
+}
