@@ -41,11 +41,15 @@ object Bench {
     // query-internal persist() are dropped between queries so later queries
     // don't pay earlier queries' memory pressure.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = (1 to 2).map { _ =>
+      def once(): Double = {
         val dt = time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         spark.catalog.clearCache()
         dt
-      }.min
+      }
+      val two = Seq(once(), once())
+      // ambient host contention occasionally inflates BOTH samples of one
+      // query 10-80x; when the two samples disagree wildly, buy one more
+      val t = if (two.max / math.max(two.min, 1e-9) > 3.0) (two :+ once()).min else two.min
       name -> t
     }
     val qs = results
