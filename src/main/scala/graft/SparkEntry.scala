@@ -606,6 +606,21 @@ object SparkEntry {
       .orderBy(col("n_name"))
   }
 
+  // q34 — exact order statistics (the quartiles of pandas describe()):
+  // linear-interpolated percentiles per group, matching DuckDB's
+  // quantile_cont semantics.
+  private def priceQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val pcts = percentile(col("l_extendedprice"), array(lit(0.25), lit(0.5), lit(0.75)))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        rnd(element_at(pcts, 1), 4).as("p25"),
+        rnd(element_at(pcts, 2), 4).as("p50"),
+        rnd(element_at(pcts, 3), 4).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -640,7 +655,8 @@ object SparkEntry {
     "q30_monthly_stats" -> monthlyStats,
     "q31_pricing_cube" -> pricingCube,
     "q32_brand_revenue" -> brandRevenue,
-    "q33_supplier_balance" -> supplierBalance)
+    "q33_supplier_balance" -> supplierBalance,
+    "q34_price_quartiles" -> priceQuartiles)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -977,5 +993,14 @@ object SparkEntry {
         |  round(max(s_acctbal) + 1e-9, 2) AS max_acctbal
         |FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
         |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin)
+        |ORDER BY n_name""".stripMargin,
+    "q34_price_quartiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25) + 1e-9, 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75) + 1e-9, 4) AS p75,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
 }
