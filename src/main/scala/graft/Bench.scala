@@ -6,8 +6,35 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. Each query is forced end-to-end with a noop-format
   * write (computes every column — `count()` would let Catalyst prune the
   * projections and under-measure).
+  *
+  * Optional args: query-name prefixes to run a subset (iteration aid),
+  * e.g. `runMain graft.Bench q15 q16`.
   */
 object Bench {
+
+  /** Standing per-query baseline (BASELINE.md §3 = BENCH_r01 at sf0.1):
+    * regression >1.5× on any green query is a round finding. q15's entry is
+    * the post-fix target (its r1 number measured a known defect).
+    */
+  val BaselineSec: Map[String, Double] = Map(
+    "q01_pricing_summary" -> 1.238, "q02_regional_revenue" -> 1.581,
+    "q03_top_orders" -> 1.502, "q04_event_day_features" -> 0.724,
+    "q05_latest_events" -> 1.085, "q06_daily_type_pivot" -> 0.724,
+    "q07_priority_counts" -> 0.344, "q08_lineitem_summary" -> 1.066,
+    "q09_trend_labels" -> 0.980, "q10_trend_pair_support" -> 1.585,
+    "q11_doc_dedup" -> 0.613, "q12_token_stats" -> 0.387,
+    "q13_doc_quality" -> 0.329, "q14_knn_bruteforce" -> 0.592,
+    "q15_doc_signatures" -> 10.000, "q16_neardup_pairs" -> 2.111,
+    "q17_trend_rules" -> 9.343, "q18_knn_classify" -> 3.026,
+    "q19_scored_classifier" -> 13.602, "q20_cluster_summary" -> 40.838,
+    "q21_rolling_cv" -> 16.878, "q22_customer_order_presence" -> 3.678,
+    "q23_revenue_rollup" -> 6.215, "q24_sessionize" -> 2.062,
+    "q25_props_extract" -> 0.527, "q26_word_frequency" -> 0.351,
+    "q27_stream_daily_counts" -> 1.979, "q28_stream_sessions" -> 1.765,
+    "q29_embedding_neardups" -> 0.528, "q30_monthly_stats" -> 2.015,
+    "q31_pricing_cube" -> 1.260, "q32_brand_revenue" -> 2.596,
+    "q33_supplier_balance" -> 0.516, "q34_price_quartiles" -> 1.801)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,6 +49,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Engine.tune(spark)
 
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
+
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
       try fn catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}") }
@@ -31,7 +62,7 @@ object Bench {
     // JVM/codegen warmup: run EVERY query once at the smallest sf so the
     // timed sf0.1 numbers measure the plan, not first-touch classloading/JIT
     // (cold-start inflated individual queries 5-10x in testing).
-    SparkEntry.queries.values.foreach { fn =>
+    selected.values.foreach { fn =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -40,7 +71,7 @@ object Bench {
     // inflated single-shot numbers up to 4x in testing. Caches from
     // query-internal persist() are dropped between queries so later queries
     // don't pay earlier queries' memory pressure.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val dt = time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         spark.catalog.clearCache()
@@ -55,9 +86,14 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val ratios = results
+      .flatMap { case (k, v) =>
+        BaselineSec.get(k).map(b => "\"" + k + "\":" + f"${v / b}%.2f")
+      }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"vs_baseline":$ratios,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -243,7 +243,9 @@ object SparkEntry {
   }
 
   // q15 — document signatures (dedup suite plumbing): 64-bit fingerprint,
-  // SimHash over tokens, MinHash band keys over char 5-shingles. Hash
+  // SimHash over tokens, MinHash (as a single 64-bit key — the driver compare
+  // requires scalar columns; the array form stays library API), winnowing
+  // fingerprint count via the native O(n) monotonic-deque expression. Hash
   // functions are engine-specific (xxhash64) ⇒ rows-only check, no SQL oracle.
   private def docSignatures(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -253,7 +255,7 @@ object SparkEntry {
         col("doc_id"),
         TF.fingerprint(col("text")).as("fingerprint"),
         TF.simhash64(TF.tokens(col("text"))).as("simhash"),
-        TF.minhashSignature(sh, 8).as("minhash"),
+        xxhash64(TF.minhashSignature(sh, 8)).as("minhash_key"),
         size(TF.winnowingFingerprints(transform(sh, s0 => xxhash64(s0)), 8)).as("n_winnow_fps"))
       .orderBy(col("doc_id"))
   }
@@ -321,25 +323,15 @@ object SparkEntry {
   // q18 — kNN-join classification (M11, oracle-checked): majority label of
   // the 5 cosine-nearest train vectors. Deterministic tiebreaks: neighbor
   // rank by (sim desc, id asc); vote by (count desc, label asc). Queries
-  // broadcast; corpus streams — no corpus shuffle at any scale.
+  // broadcast; corpus streams; the per-query ranking is the bounded partial
+  // top-k aggregator — no full-pair window shuffle at any scale.
   private def knnClassify(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val train = emb.filter(col("vec_id") >= 50)
-    val sim = VF.cosine(col("q_vec"), col("embedding"))
-    val wRank = Window.partitionBy(col("q_id")).orderBy(sim.desc, col("vec_id").asc)
-    val votes = train
-      .crossJoin(broadcast(queries))
-      .withColumn("_rn", row_number().over(wRank))
-      .filter(col("_rn") <= 5)
-      .groupBy(col("q_id"), col("label"))
-      .agg(count(lit(1)).as("c"))
-    val wVote = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("label").asc)
-    votes
-      .withColumn("_vr", row_number().over(wVote))
-      .filter(col("_vr") === 1)
-      .select(col("q_id"), col("label").as("predicted"))
+    Classification
+      .knnClassify(queries, train, "q_id", "q_vec", "vec_id", "embedding", "label", k = 5)
       .orderBy(col("q_id"))
   }
 

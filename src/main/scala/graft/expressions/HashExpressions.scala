@@ -119,6 +119,82 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints (Schleimer et al., SIGMOD'03) over a pre-hashed
+  * shingle sequence: the distinct minima of every sliding window of `w`
+  * hashes, returned sorted ascending (set semantics — the selection POSITIONS
+  * don't matter for document similarity, only the value set).
+  *
+  * Native rolling-minimum via a monotonic index deque: O(n) with zero
+  * per-window allocation. The composed HOF form
+  * (`transform(sequence(...), i => array_min(slice(hashes, i, w)))`) is
+  * interpreted, O(n·w), and allocates a w-element array per window — it alone
+  * made q15 the slowest declared query (56 s of 180 s at sf0.1).
+  *
+  * Empty input → empty array; n ≤ w → the single global minimum.
+  */
+case class WinnowingFingerprintsExpr(child: Expression, w: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(w > 0 && w <= 4096, s"winnowing window out of range: $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnowing_fingerprints requires array<bigint>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val vals = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      vals(i) = if (arr.isNullAt(i)) Long.MaxValue else arr.getLong(i)
+      i += 1
+    }
+    if (n <= w) {
+      var mn = Long.MaxValue
+      i = 0
+      while (i < n) { if (vals(i) < mn) mn = vals(i); i += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    val nWin = n - w + 1
+    val mins = new Array[Long](nWin)
+    // monotonic deque of indices, values strictly increasing front→back
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // window of valid entries: [head, tail)
+    i = 0
+    while (i < n) {
+      while (tail > head && vals(dq(tail - 1)) >= vals(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) mins(i - w + 1) = vals(dq(head))
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var out = 0
+    i = 0
+    while (i < nWin) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(out) = mins(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, out))
+  }
+
+  override def prettyName: String = "winnowing_fingerprints"
+  override protected def withNewChildInternal(newChild: Expression): WinnowingFingerprintsExpr =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toColumn, expression => toExpr}
 
@@ -129,4 +205,8 @@ object HashExpressions {
   /** SimHash64 Column over an array<string> column. */
   def simhash64(elems: Column): Column =
     toColumn(SimHash64Expr(toExpr(elems)))
+
+  /** Winnowing fingerprints Column over an array<bigint> hash column. */
+  def winnowingFingerprints(hashes: Column, w: Int): Column =
+    toColumn(WinnowingFingerprintsExpr(toExpr(hashes), w))
 }

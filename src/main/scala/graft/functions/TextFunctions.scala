@@ -77,18 +77,13 @@ object TextFunctions {
     * Schleimer et al.): over the shingle-hash sequence, take the minimum
     * hash of every sliding window of `w`, dedup — robust to local edits.
     * Works on the same `array<long>` hash column the near-dup pipeline
-    * already computes (each shingle hashed once).
+    * already computes (each shingle hashed once). Native monotonic-deque
+    * expression — O(n) per doc; the composed HOF form was O(n·w) interpreted
+    * and dominated the sf0.1 bench. Fingerprints return sorted ascending
+    * (set semantics).
     */
-  def winnowingFingerprints(hashes: Column, w: Int): Column = {
-    val n = size(hashes)
-    when(n === 0, array().cast("array<bigint>"))
-      .when(n <= w, array(array_min(hashes)))
-      .otherwise(
-        array_distinct(
-          transform(
-            sequence(lit(1), n - (w - 1)),
-            i => array_min(slice(hashes, i, lit(w))))))
-  }
+  def winnowingFingerprints(hashes: Column, w: Int): Column =
+    graft.expressions.HashExpressions.winnowingFingerprints(hashes, w)
 
   /** Character n-gram shingles of the normalized text (lowercased, whitespace
     * collapsed). Building block for MinHash / Jaccard near-dup.

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding / similarity-search operators (north-star extensions).
@@ -27,6 +26,29 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.VectorExpressions.cosineSimilarity(a, b)
 
+  /** Final per-query ranking shared by all the top-k variants: bounded-heap
+    * partial top-k (TopK.topKPerKey) instead of
+    * `row_number().over(Window.partitionBy(qId))` — the window form shuffles
+    * every scored pair onto n_query reducers (each reducer holding a full
+    * corpus's scores at scale); the aggregator reduces each map partition to
+    * ≤ 2k entries per query before the exchange.
+    */
+  private def rankTopK(
+      scored: DataFrame,
+      qId: String,
+      cId: String,
+      simCol: Column,
+      k: Int): DataFrame = {
+    val cIdType = scored.schema(cId).dataType
+    TopK
+      .topKPerKey(scored, qId, simCol, col(cId).cast("long"), lit(0L), k)
+      .select(
+        col(qId),
+        col("id").cast(cIdType).as(cId),
+        round(col("sim") + lit(1e-9), 6).as("sim"),
+        col("rank"))
+  }
+
   /** Brute-force exact top-k cosine neighbors: every row of `queries` against
     * every row of `corpus`. The query side is broadcast (it is the small
     * side by construction), so the plan is a BroadcastNestedLoopJoin that
@@ -42,15 +64,11 @@ object VectorFunctions {
       qVec: String,
       cVec: String,
       k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-    val sim = cosine(col(qVec), col(cVec))
-    val w = Window.partitionBy(col(qId)).orderBy(sim.desc, col(cId).asc)
-    joined
+    val scored = corpus
+      .crossJoin(broadcast(queries))
       .filter(col(qId) =!= col(cId))
-      .withColumn("sim", sim)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col(cId), round(col("sim") + lit(1e-9), 6).as("sim"), col("rank"))
+      .withColumn("_sim", cosine(col(qVec), col(cVec)))
+    rankTopK(scored, qId, cId, col("_sim"), k)
   }
 
   /** IVF-style approximate top-k (the inverted-file ANN pattern): a KMeans
@@ -88,23 +106,22 @@ object VectorFunctions {
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
       .toSeq
       .toDF("_cell", "_centroid")
-    val qCells = queries
+    // nProbe nearest cells per query, via the same bounded partial top-k —
+    // at 1M queries × √corpus cells a window over the (query × centroid)
+    // pairs would be its own full shuffle.
+    val qCellScores = queries
       .crossJoin(broadcast(centroids))
       .withColumn("_csim", cosine(col(qVec), col("_centroid")))
-      .withColumn("_crank",
-        row_number().over(Window.partitionBy(col(qId)).orderBy(col("_csim").desc)))
-      .filter(col("_crank") <= nProbe)
-      .select(col(qId), col(qVec), col("_cell"))
+    val qCells = TopK
+      .topKPerKey(qCellScores, qId, col("_csim"), col("_cell").cast("long"), lit(0L), nProbe)
+      .select(col(qId), col("id").cast("int").as("_cell"))
+      .join(queries, Seq(qId))
 
-    val sim = cosine(col(qVec), col(cVec))
-    val w = Window.partitionBy(col(qId)).orderBy(sim.desc, col(cId).asc)
-    assigned
+    val scored = assigned
       .join(broadcast(qCells), Seq("_cell"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("sim", sim)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col(cId), round(col("sim") + lit(1e-9), 6).as("sim"), col("rank"))
+      .withColumn("_sim", cosine(col(qVec), col(cVec)))
+    rankTopK(scored, qId, cId, col("_sim"), k)
   }
 
   /** LSH-bucketed approximate top-k: random-hyperplane signatures (the same
@@ -153,13 +170,9 @@ object VectorFunctions {
     }
     val candidates = tables.reduce(_ union _).dropDuplicates(qId, cId)
 
-    val sim = cosine(col(qVec), col(cVec))
-    val w = Window.partitionBy(col(qId)).orderBy(sim.desc, col(cId).asc)
-    candidates
+    val scored = candidates
       .filter(col(qId) =!= col(cId))
-      .withColumn("sim", sim)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col(cId), round(col("sim") + lit(1e-9), 6).as("sim"), col("rank"))
+      .withColumn("_sim", cosine(col(qVec), col(cVec)))
+    rankTopK(scored, qId, cId, col("_sim"), k)
   }
 }

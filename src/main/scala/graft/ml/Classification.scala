@@ -4,7 +4,6 @@ import org.apache.spark.ml.classification._
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classification recipes (SURVEY.md §2.9 M7–M16, A12): the CANCER 8-model
@@ -112,24 +111,38 @@ object Classification {
   /** M11 — kNN classification as a k-nearest-neighbor join: majority label of
     * the k cosine-nearest train rows. `queries`/`train` carry (id, vector,
     * [label]); the train side must be the big side — it streams; queries
-    * broadcast. Ties break toward the smaller label (deterministic).
+    * broadcast. Fully deterministic tiebreaks: neighbor rank by (sim desc,
+    * train id asc), vote by (count desc, label asc).
+    *
+    * Scale shape: the per-query ranking is the bounded partial top-k
+    * aggregator (graft.functions.TopK) — each map task reduces its scored
+    * pairs to ≤ 2k entries per query before the exchange; no full-pair
+    * window shuffle. Requires a numeric label and a numeric train id
+    * (`tId`).
     */
   def knnClassify(
       queries: DataFrame,
       train: DataFrame,
       qId: String,
       qVec: String,
+      tId: String,
       tVec: String,
       labelCol: String,
       k: Int): DataFrame = {
-    import graft.functions.VectorFunctions.cosine
-    val sim = cosine(col(qVec), col(tVec))
-    val w = Window.partitionBy(col(qId)).orderBy(sim.desc)
-    train
+    import graft.functions.{TopK, VectorFunctions}
+    val scored = train
       .crossJoin(broadcast(queries))
-      .withColumn("_rank", row_number().over(w))
-      .filter(col("_rank") <= k)
+      .withColumn("_sim", VectorFunctions.cosine(col(qVec), col(tVec)))
+    val labelType = train.schema(labelCol).dataType
+    val votes = TopK
+      .topKPerKey(scored, qId, col("_sim"), col(tId).cast("long"), col(labelCol).cast("long"), k)
+      .groupBy(col(qId), col("tag").cast(labelType).as("_label"))
+      .agg(count(lit(1)).as("_c"))
+    // argmax by (count desc, label asc) without a window: min of (-count,
+    // label) under lexicographic struct ordering.
+    votes
       .groupBy(col(qId))
-      .agg(mode(col(labelCol)).as("predicted"))
+      .agg(min(struct((-col("_c")).as("nc"), col("_label").as("l"))).as("_w"))
+      .select(col(qId), col("_w.l").as("predicted"))
   }
 }

@@ -56,6 +56,25 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"unexpected extra hash exchanges ($exchanges):\n$p")
   }
 
+  test("kNN top-k plans as partial aggregation, not a full-pair window shuffle") {
+    val q14 = SparkEntry.queries("q14_knn_bruteforce")(spark, sf)
+    val p = plan(q14)
+    assert(!p.contains("Window"), s"full-pair window shuffle in kNN plan:\n$p")
+    // the bounded-heap aggregator must run a partial phase before the
+    // exchange: ObjectHashAggregate with partial_topkbysim upstream
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash aggregate:\n$p")
+    assert(p.toLowerCase.contains("partial_topkbysim"),
+      s"expected map-side partial top-k before the exchange:\n$p")
+  }
+
+  test("kNN classification plans without any window operator") {
+    val q18 = SparkEntry.queries("q18_knn_classify")(spark, sf)
+    val p = plan(q18)
+    assert(!p.contains("Window"), s"window shuffle in kNN-classify plan:\n$p")
+    assert(p.toLowerCase.contains("partial_topkbysim"),
+      s"expected map-side partial top-k before the exchange:\n$p")
+  }
+
   test("whole-stage codegen covers the pricing-summary aggregate") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
     df.collect() // finalize the adaptive plan

@@ -103,7 +103,7 @@ class MlSpec extends AnyFunSuite {
       .toDF("id", "vec", "label")
     val queries = Seq((100L, Seq(1f, 0.05f)), (101L, Seq(0.05f, 1f)))
       .toDF("q_id", "q_vec")
-    val out = Classification.knnClassify(queries, train, "q_id", "q_vec", "vec", "label", 3)
+    val out = Classification.knnClassify(queries, train, "q_id", "q_vec", "id", "vec", "label", 3)
       .orderBy("q_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(out == Seq((100L, 0), (101L, 1)))
   }
