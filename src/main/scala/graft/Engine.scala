@@ -61,30 +61,53 @@ object Engine {
     * on top are pushed into the scan by Catalyst (verified in PlanSpec).
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val raw = spark.read.parquet(path)
     // TESTDATA `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     // reader rejects; with `nanosAsLong` it surfaces as a Long of nanoseconds.
     // Truncate ns → µs (same floor semantics as DuckDB's TIMESTAMP_NS → TIMESTAMP
     // cast) so downstream operators see a real TimestampType column.
     val typed = raw.schema.fields.foldLeft(raw) {
       case (df, f) if f.name == "ts" && f.dataType == LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // integer `div`, not `/`: double division at ~1.7e18 ns magnitudes
+        // (ulp ≈ 256 ns) can land 1 µs off the exact floor(ns/1000) that
+        // DuckDB's integer cast computes.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case (df, _) => df
     }
-    rebalance(spark, typed)
+    if (estimatedScanPartitions(spark, path) < spark.sparkContext.defaultParallelism)
+      typed.repartition(spark.sparkContext.defaultParallelism)
+    else typed
   }
 
-  /** Rebalance an under-partitioned scan up to the session parallelism.
+  /** Estimated split count of a parquet scan, from file-size metadata only —
+    * mirrors Spark's byte-based file splitting (total bytes /
+    * `spark.sql.files.maxPartitionBytes`) without materializing an RDD plan
+    * per table load (`df.rdd.getNumPartitions` re-plans the query; on a real
+    * cluster the estimate comes free from the same listing the scan does).
     *
-    * The TESTDATA files are single-row-group parquet, so Spark reads each
-    * table as ONE split — every downstream stage would run on one core. A
-    * round-robin repartition (cheap at local scale) restores parallelism.
-    * On a real cluster a 100-TB table scans as tens of thousands of splits,
-    * `parts < parallelism` is false, and this is a no-op — it never adds a
-    * shuffle to a well-partitioned input.
+    * Used to rebalance under-partitioned scans: the TESTDATA files are small
+    * single-row-group parquet, so Spark reads each table as ONE split and
+    * every downstream stage would run on one core; a round-robin repartition
+    * (cheap at local scale) restores parallelism. A 100-TB table scans as
+    * tens of thousands of splits, the estimate exceeds the parallelism, and
+    * the repartition never fires — it never adds a shuffle to a
+    * well-partitioned input.
     */
-  private def rebalance(spark: SparkSession, df: DataFrame): DataFrame = {
-    val parallelism = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+  private def estimatedScanPartitions(spark: SparkSession, path: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    val bytes =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator.asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size)
+          .sum
+        finally s.close()
+      } else java.nio.file.Files.size(p)
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    math.max(1L, math.ceil(bytes.toDouble / math.max(maxPart, 1L)).toLong).toInt
   }
 }

@@ -279,14 +279,17 @@ object SparkEntry {
       .withColumn("minhash", TF.minhashSignature(col("hashes"), bands * rowsPerBand))
       .drop("shingles")
     // The self-join below would recompute the shingle+minhash subtree for
-    // both sides; persist the banded table so signatures are computed once.
+    // both sides; localCheckpoint materializes the banded table once and —
+    // unlike persist(), which stays pinned with no unpersist hook after the
+    // DataFrame is handed to the caller — its blocks are released by the
+    // ContextCleaner as soon as the plan is unreferenced.
     val banded = docs.select(
       col("doc_id"),
       col("hashes"),
       posexplode(array((0 until bands).map { bd =>
         hash((0 until rowsPerBand).map(r => element_at(col("minhash"), bd * rowsPerBand + r + 1)): _*)
       }.toIndexedSeq: _*)).as(Seq("band", "band_hash")))
-      .persist()
+      .localCheckpoint()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(
@@ -497,7 +500,8 @@ object SparkEntry {
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val raw = s.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // exact integer ns→µs division — same floor semantics as Engine.table
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_stream_${streamSeq.incrementAndGet()}"
     val q = build(raw).writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
@@ -532,18 +536,14 @@ object SparkEntry {
 
   // q29 — embedding-cosine near-duplicate pairs (dedup suite, oracle-checked):
   // all pairs with cosine ≥ 0.4 (the synthetic corpus has no true near-dups;
-  // 0.4 selects the top ~0.1% closest pairs). Exact self-join baseline; the LSH-bucketed
-  // variant (VectorFunctions.lshBucketTopK) is the 100-TB path — at scale the
-  // equi-join on bucket keys replaces this O(n²) comparison.
+  // 0.4 selects the top ~0.1% closest pairs). Size-gated dual path
+  // (VF.cosineNearDupPairs): exhaustive exact self-join up to 1000 vectors —
+  // the oracle cross-check scale — and LSH-bucketed candidates + exact
+  // verification beyond it, where candidate generation is an equi-join on
+  // the hyperplane bucket key (no CartesianProduct over the corpus at scale).
   private def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
-    val sim = VF.cosine(col("v1"), col("v2"))
-    a.crossJoin(b)
-      .filter(col("id1") < col("id2"))
-      .withColumn("sim", sim)
-      .filter(col("sim") >= 0.4)
+    VF.cosineNearDupPairs(emb, "vec_id", "embedding", threshold = 0.4, dim = 64)
       .select(col("id1"), col("id2"), rnd(col("sim"), 6).as("sim"))
       .orderBy(col("id1"), col("id2"))
   }
@@ -613,6 +613,98 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  // q35 — cleaning composite (P1/P3/P4/P5/P10/P11/P12, oracle-checked): the
+  // reference's universal preamble (dropna/fillna/audit — 新冠疫情分析.py:36,
+  // 蔬菜价格相关性分析.py:29-55, 乳腺癌预测.py:59-79) exercised end-to-end.
+  // Deterministic dirt is injected into events (whitespace-only strings,
+  // nulls, ±inf, unparseable numerics — keyed off event_id mod so the oracle
+  // reproduces it), then cleaned by the Cleaning operators and audited per
+  // remapped category. The `complete` flag is P1's dropna predicate over the
+  // cleaned columns; fillNumeric (P3) feeds the filled averages.
+  private def cleanAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val dirty = ev.select(
+      col("event_id"),
+      when(pmod(col("event_id"), lit(7)) === 0, lit("   ")).otherwise(col("event_type")).as("wtype"),
+      when(pmod(col("event_id"), lit(5)) === 0, lit(null).cast("double")).otherwise(col("value")).as("v"),
+      when(pmod(col("event_id"), lit(11)) === 0, lit(Double.PositiveInfinity))
+        .when(pmod(col("event_id"), lit(13)) === 0, lit(Double.NegativeInfinity))
+        .otherwise(col("value")).as("iv"),
+      when(pmod(col("event_id"), lit(3)) === 0, lit("x"))
+        .otherwise(pmod(col("event_id"), lit(100)).cast("string")).as("nstr"))
+    val cleaned = Cleaning
+      .replaceInf(Cleaning.whitespaceToNull(dirty), Seq("iv")) // P5, P4
+      .withColumn("num", Cleaning.toNumeric(col("nstr"))) // P11: 'x' → null
+      .withColumn("cat", Cleaning.remap(col("wtype"), Map( // P12 (null stays null)
+        "click" -> "engagement", "view" -> "engagement",
+        "purchase" -> "conversion", "signup" -> "conversion",
+        "error" -> "problem")))
+      .withColumn("v_was_null", col("v").isNull) // P10 audit flags, pre-fill
+      .withColumn("num_was_null", col("num").isNull)
+      .withColumn("complete", // P1: dropna("any") membership over the cleaned columns
+        col("wtype").isNotNull && col("v").isNotNull && col("num").isNotNull)
+    val filled = Cleaning.fillNumeric(cleaned, 0.0) // P3
+    filled
+      .groupBy(col("cat"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v_was_null").cast("long")).as("n_null_v"),
+        sum(col("num_was_null").cast("long")).as("n_bad_num"),
+        rnd(avg(col("v")), 4).as("avg_v_filled"),
+        rnd(avg(col("iv")), 4).as("avg_iv"),
+        sum(col("complete").cast("long")).as("n_complete"))
+      .orderBy(asc_nulls_first("cat"))
+  }
+
+  // q36 — EDA feature-contrast table (A5/A6 + W6/W7, oracle-checked): doc
+  // features → global row ordinal (W7) → 80/20 positional split (W6, the
+  // first-80-vs-last-40 chapter contrast shape, 红楼梦作者分析.py:314-316) →
+  // per-feature split means + |diff| (A5) joined with per-feature variance
+  // (A6). Both library operators reduce to one aggregate row, so the final
+  // join is driver-trivial.
+  private def featureContrast(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Stylometry
+    val docs = t(s, dir, "documents")
+    val featCols = Seq("n_tokens", "n_chars", "punct_ratio")
+    val feats = docs.select(
+      col("doc_id"),
+      TF.tokenCount(col("text")).cast("double").as("n_tokens"),
+      col("n_chars").cast("double").as("n_chars"),
+      TF.punctRatio(col("text")).as("punct_ratio"))
+    val w = WindowOps.spec(Seq.empty, Seq(col("doc_id")))
+    val withSeq = WindowOps.ordinal(feats, w, "seq") // W7
+    val cut = math.ceil(0.8 * docs.count()).toLong
+    val (first, last) = Features.chronologicalSplit(withSeq, "seq", cut) // W6
+    val split = first.withColumn("is_first", lit(true))
+      .unionByName(last.withColumn("is_first", lit(false)))
+    val contrast = Stylometry.groupContrast(split, col("is_first"), featCols) // A5
+    val varRank = Stylometry.varianceTopK(split, featCols, featCols.size) // A6
+    contrast
+      .join(varRank, "feature")
+      .select(
+        col("feature"),
+        rnd(col("mean_a"), 4).as("mean_first"),
+        rnd(col("mean_b"), 4).as("mean_last"),
+        rnd(col("abs_diff"), 4).as("abs_diff"),
+        rnd(col("variance"), 4).as("variance"))
+      .orderBy("feature")
+  }
+
+  // q37 — 1-itemset support (A7, oracle-checked): supports of the single
+  // trend items over the daily baskets, same 0.15 threshold as q10's pairs
+  // (蔬菜价格相关性分析.py:116-134).
+  private def itemSupport(s: SparkSession, dir: String): DataFrame = {
+    val tx = trendLabels(s, dir)
+      .withColumn("item", concat_ws("_", col("event_type"), col("trend")))
+      .groupBy(col("d"))
+      .agg(collect_list(col("item")).as("items"))
+    val nBaskets = tx.count()
+    Association
+      .itemSupport(tx, "items", minCount = math.ceil(0.15 * nBaskets).toLong)
+      .withColumn("support", rnd(col("support_count").cast("double") / nBaskets, 4))
+      .orderBy("item")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -648,7 +740,10 @@ object SparkEntry {
     "q31_pricing_cube" -> pricingCube,
     "q32_brand_revenue" -> brandRevenue,
     "q33_supplier_balance" -> supplierBalance,
-    "q34_price_quartiles" -> priceQuartiles)
+    "q34_price_quartiles" -> priceQuartiles,
+    "q35_clean_audit" -> cleanAudit,
+    "q36_feature_contrast" -> featureContrast,
+    "q37_item_support" -> itemSupport)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -793,10 +888,15 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
     "q12_token_stats" ->
+      // CASE guard pins the empty-doc convention to 0 tokens on both sides:
+      // DuckDB's len(regexp_split_to_array('', '\s+')) is 1, Spark-side
+      // TextFunctions.tokens('') is an empty array.
       """SELECT lang, count(*) AS n_docs,
-        |  round(avg(len(regexp_split_to_array(trim(text), '\s+'))) + 1e-9, 4) AS avg_tokens,
+        |  round(avg(CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) + 1e-9, 4) AS avg_tokens,
         |  round(avg(n_chars) + 1e-9, 4) AS avg_chars,
-        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens
         |FROM documents
         |GROUP BY lang
@@ -994,5 +1094,93 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q35_clean_audit" ->
+      """WITH dirty AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN '   ' ELSE event_type END AS wtype,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v,
+        |    CASE WHEN event_id % 11 = 0 THEN CAST('inf' AS DOUBLE)
+        |         WHEN event_id % 13 = 0 THEN CAST('-inf' AS DOUBLE)
+        |         ELSE value END AS iv,
+        |    CASE WHEN event_id % 3 = 0 THEN 'x'
+        |         ELSE CAST(event_id % 100 AS VARCHAR) END AS nstr
+        |  FROM events
+        |), cleaned AS (
+        |  SELECT
+        |    CASE WHEN trim(wtype) = '' THEN NULL ELSE wtype END AS wtype,
+        |    v,
+        |    CASE WHEN isinf(iv) OR isnan(iv) THEN 0.0 ELSE iv END AS iv,
+        |    TRY_CAST(nstr AS DOUBLE) AS num
+        |  FROM dirty
+        |), final AS (
+        |  SELECT *,
+        |    CASE WHEN wtype IN ('click', 'view') THEN 'engagement'
+        |         WHEN wtype IN ('purchase', 'signup') THEN 'conversion'
+        |         WHEN wtype = 'error' THEN 'problem'
+        |         ELSE NULL END AS cat,
+        |    (wtype IS NOT NULL AND v IS NOT NULL AND num IS NOT NULL) AS complete
+        |  FROM cleaned
+        |)
+        |SELECT cat, count(*) AS n,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_v,
+        |  CAST(sum(CASE WHEN num IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_num,
+        |  round(avg(coalesce(v, 0.0)) + 1e-9, 4) AS avg_v_filled,
+        |  round(avg(iv) + 1e-9, 4) AS avg_iv,
+        |  CAST(sum(CASE WHEN complete THEN 1 ELSE 0 END) AS BIGINT) AS n_complete
+        |FROM final
+        |GROUP BY cat
+        |ORDER BY cat NULLS FIRST""".stripMargin,
+    "q36_feature_contrast" ->
+      """WITH feats AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tokens,
+        |    CAST(n_chars AS DOUBLE) AS n_chars,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE (length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
+        |        / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |    row_number() OVER (ORDER BY doc_id) AS seq
+        |  FROM documents
+        |), flagged AS (
+        |  SELECT *,
+        |    seq <= ceil(0.8 * (SELECT count(*) FROM documents)) AS is_first
+        |  FROM feats
+        |), u AS (
+        |  SELECT 'n_tokens' AS feature, n_tokens AS x, is_first FROM flagged
+        |  UNION ALL
+        |  SELECT 'n_chars' AS feature, n_chars AS x, is_first FROM flagged
+        |  UNION ALL
+        |  SELECT 'punct_ratio' AS feature, punct_ratio AS x, is_first FROM flagged
+        |)
+        |SELECT feature,
+        |  round(avg(CASE WHEN is_first THEN x END) + 1e-9, 4) AS mean_first,
+        |  round(avg(CASE WHEN NOT is_first THEN x END) + 1e-9, 4) AS mean_last,
+        |  round(abs(avg(CASE WHEN is_first THEN x END)
+        |    - avg(CASE WHEN NOT is_first THEN x END)) + 1e-9, 4) AS abs_diff,
+        |  round(var_samp(x) + 1e-9, 4) AS variance
+        |FROM u
+        |GROUP BY feature
+        |ORDER BY feature""".stripMargin,
+    "q37_item_support" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type, avg(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), led AS (
+        |  SELECT d, event_type, v,
+        |    lead(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS nv
+        |  FROM daily
+        |), items AS (
+        |  SELECT d, event_type || '_' ||
+        |    CASE WHEN nv > v * 1.05 THEN 'up'
+        |         WHEN nv < v * 0.95 THEN 'down'
+        |         ELSE 'flat' END AS item
+        |  FROM led WHERE nv IS NOT NULL
+        |)
+        |SELECT item, count(*) AS support_count,
+        |  round(count(*) / CAST((SELECT count(DISTINCT d) FROM items) AS DOUBLE) + 1e-9, 4) AS support
+        |FROM items
+        |GROUP BY item
+        |HAVING count(*) >= ceil(0.15 * (SELECT count(DISTINCT d) FROM items))
+        |ORDER BY item""".stripMargin)
 }

@@ -97,10 +97,13 @@ object Stylometry {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val spark = df.sparkSession
     import spark.implicits._
+    // an empty side of the split makes avg() null — surface NaN (like
+    // varianceTopK) instead of NPEing on getDouble
+    def at(i: Int): Double = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
     featureCols.zipWithIndex
       .map { case (c, i) =>
-        val a = row.getDouble(2 * i)
-        val b = row.getDouble(2 * i + 1)
+        val a = at(2 * i)
+        val b = at(2 * i + 1)
         (c, a, b, math.abs(a - b))
       }
       .sortBy(-_._4)

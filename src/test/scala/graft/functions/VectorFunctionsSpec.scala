@@ -57,6 +57,31 @@ class VectorFunctionsSpec extends AnyFunSuite {
     // all returned neighbors must be from the same (even-id) cluster
     assert(approx.nonEmpty && approx.forall(_ % 2 == 0))
   }
+
+  test("cosineNearDupPairs: bucketed path is a verified subset of exact, recall >= 0.9") {
+    val dir = TestSpark.Sf
+    val emb = graft.Engine.table(spark, dir, "embeddings")
+    def pairs(gate: Long) =
+      VF.cosineNearDupPairs(emb, "vec_id", "embedding", threshold = 0.4, dim = 64,
+          exactGateRows = gate)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val exact = pairs(gate = Long.MaxValue)
+    val bucketed = pairs(gate = 0L)
+    assert(bucketed.subsetOf(exact), "bucketed path produced a pair the exact path lacks")
+    assert(exact.nonEmpty)
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.9, s"bucketed recall $recall (${bucketed.size}/${exact.size})")
+  }
+
+  test("cosineNearDupPairs bucketed plan is an equi-join, no cartesian product") {
+    val dir = TestSpark.Sf
+    val emb = graft.Engine.table(spark, dir, "embeddings")
+    val plan = VF.cosineNearDupPairs(emb, "vec_id", "embedding", threshold = 0.4, dim = 64,
+        exactGateRows = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product at scale:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join at scale:\n$plan")
+  }
 }
 
 class VectorExpressionsSpec extends org.scalatest.funsuite.AnyFunSuite {

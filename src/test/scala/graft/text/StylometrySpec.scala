@@ -61,4 +61,11 @@ class StylometrySpec extends AnyFunSuite {
     assert(out.head.getDouble(1) == 11.0 && out.head.getDouble(2) == 2.0)
     assert(out(1).getDouble(3) == 0.0)
   }
+
+  test("groupContrast survives an empty split side (NaN, not NPE)") {
+    val df = Seq((true, 10.0), (true, 12.0)).toDF("g", "x")
+    val out = Stylometry.groupContrast(df, col("g"), Seq("x")).head()
+    assert(out.getDouble(1) == 11.0)
+    assert(out.getDouble(2).isNaN && out.getDouble(3).isNaN)
+  }
 }
