@@ -94,6 +94,50 @@ object Classification {
     (model, rows.toSeq.toDF("params", "avg_metric"))
   }
 
+  /** M4 — explicit k-fold CV over a param grid with PER-FOLD metrics: the
+    * sklearn `GridSearchCV.cv_results_` analog the reference reports as
+    * cv_mean ± cv_std (乳腺癌预测.py:132,179), which Spark's CrossValidator
+    * collapses into avgMetrics. Fold assignment hashes `idCol` (content-
+    * keyed — deterministic under any partitioning, unlike rand()).
+    *
+    * Returns (perFold, summary): perFold = (params, fold, metric) with
+    * numFolds rows per grid point; summary = (params, cv_mean, cv_std)
+    * with cv_std the sample std over folds.
+    */
+  def gridSearchPerFold[M <: org.apache.spark.ml.Model[M]](
+      train: DataFrame,
+      idCol: String,
+      estimator: org.apache.spark.ml.Estimator[M],
+      grid: Array[org.apache.spark.ml.param.ParamMap],
+      evaluator: org.apache.spark.ml.evaluation.Evaluator,
+      numFolds: Int = 5,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    require(numFolds >= 2, s"numFolds must be >= 2, got $numFolds")
+    val withFold = train
+      .withColumn("_fold", pmod(xxhash64(col(idCol), lit(seed)), lit(numFolds)))
+      .cache()
+    val rows =
+      try {
+        for {
+          pm <- grid.toSeq
+          f <- 0 until numFolds
+        } yield {
+          val tr = withFold.filter(col("_fold") =!= f).drop("_fold")
+          val te = withFold.filter(col("_fold") === f).drop("_fold")
+          val model = estimator.fit(tr, pm)
+          (pm.toString, f, evaluator.evaluate(model.transform(te)))
+        }
+      } finally withFold.unpersist()
+    val spark = train.sparkSession
+    import spark.implicits._
+    val perFold = rows.toDF("params", "fold", "metric")
+    val summary = perFold
+      .groupBy("params")
+      .agg(avg("metric").as("cv_mean"), stddev_samp("metric").as("cv_std"))
+      .orderBy(col("cv_mean").desc)
+    (perFold, summary)
+  }
+
   /** M8 — ROC curve points (fpr, tpr) for binary predictions with a
     * probability column, via the RDD-based BinaryClassificationMetrics
     * (the only API Spark exposes for curve points).

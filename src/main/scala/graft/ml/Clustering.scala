@@ -17,6 +17,24 @@ object Clustering {
     new KMeans().setK(k).setSeed(seed).setFeaturesCol(featuresCol)
       .fit(df).transform(df)
 
+  /** M19 with the reference's n_init semantics (红楼梦作者分析.py:176-178,
+    * sklearn KMeans(n_init=10)): fit `nInit` seeded inits and keep the one
+    * with the lowest within-cluster SSE (trainingCost). Fits are sequential
+    * driver-steered jobs over the (caller-cached) frame — same shape as
+    * sklearn's loop, each fit itself distributed.
+    */
+  def kmeansBestOf(
+      df: DataFrame,
+      k: Int,
+      nInit: Int,
+      baseSeed: Long = 42L,
+      featuresCol: String = "features"): DataFrame = {
+    val best = (0 until nInit)
+      .map(i => new KMeans().setK(k).setSeed(baseSeed + i).setFeaturesCol(featuresCol).fit(df))
+      .minBy(_.summary.trainingCost)
+    best.transform(df)
+  }
+
   /** BisectingKMeans splits a node by perturbing the parent center
     * proportionally to its NORM — on mean-centered (standardized) input the
     * root center is the origin, the perturbation is zero, and the tree never
@@ -24,13 +42,75 @@ object Clustering {
     * is translation-invariant, so shift every coordinate by a constant
     * before fitting; predictions attach to the original rows.
     */
-  def bisectingKmeans(df: DataFrame, k: Int, seed: Long, featuresCol: String = "features"): DataFrame = {
+  def bisectingKmeans(df: DataFrame, k: Int, seed: Long, featuresCol: String = "features"): DataFrame =
+    bisectingKmeansWithCentroids(df, k, seed, featuresCol)._1
+
+  /** As `bisectingKmeans`, but also returns the fitted cluster centers
+    * (shifted back into the caller's coordinate space) for driver-side
+    * hierarchy analysis — see `wardLinkage`.
+    */
+  def bisectingKmeansWithCentroids(
+      df: DataFrame,
+      k: Int,
+      seed: Long,
+      featuresCol: String = "features"): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val shifted = df.withColumn(
       "_bkm_features",
       array_to_vector(transform(vector_to_array(col(featuresCol)), x => x + lit(1.2345))))
-    new BisectingKMeans().setK(k).setSeed(seed).setFeaturesCol("_bkm_features")
-      .fit(shifted).transform(shifted).drop("_bkm_features")
+    val model = new BisectingKMeans().setK(k).setSeed(seed).setFeaturesCol("_bkm_features")
+      .fit(shifted)
+    val centers = model.clusterCenters.map(_.toArray.map(_ - 1.2345))
+    (model.transform(shifted).drop("_bkm_features"), centers)
+  }
+
+  /** M20 — Ward agglomerative linkage computed driver-side over a small
+    * point set (the collected BisectingKMeans centroids — the scalable
+    * substitute for the reference's scipy `linkage(X, 'ward')` over all
+    * rows, 红楼梦作者分析.py:297-299: cluster distributed first, dendrogram on
+    * the k centroids). Lance-Williams recurrence on squared Euclidean
+    * distances; merge heights are √d² (monotone non-decreasing for Ward).
+    *
+    * Returns scipy-linkage-shaped rows (step, left, right, height, size):
+    * original points are ids 0..n-1, the cluster born at step s gets id
+    * n+s, `size` is the merged cluster's member count.
+    */
+  def wardLinkage(points: Array[Array[Double]]): Seq[(Int, Int, Int, Double, Int)] = {
+    val n = points.length
+    require(n >= 2, s"ward linkage needs >= 2 points, got $n")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // active cluster state: id -> (lance-williams distance map handled via
+    // a mutable matrix over original slots)
+    val ids = Array.range(0, n) // current cluster id occupying slot i (-1 = dead)
+    val size = Array.fill(n)(1)
+    val dist = Array.tabulate(n, n)((i, j) => d2(points(i), points(j)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Double, Int)]
+    var nextId = n
+    for (step <- 0 until n - 1) {
+      // find the closest active pair (deterministic tiebreak by slot order)
+      var bi = -1; var bj = -1; var bd = Double.MaxValue
+      for (i <- 0 until n if ids(i) >= 0; j <- i + 1 until n if ids(j) >= 0)
+        if (dist(i)(j) < bd) { bd = dist(i)(j); bi = i; bj = j }
+      val (idI, idJ) = (math.min(ids(bi), ids(bj)), math.max(ids(bi), ids(bj)))
+      val merged = size(bi) + size(bj)
+      out += ((step, idI, idJ, math.sqrt(bd), merged))
+      // Lance-Williams Ward update against every other active cluster
+      for (m <- 0 until n if m != bi && m != bj && ids(m) >= 0) {
+        val nm = size(m).toDouble
+        val upd = ((size(bi) + nm) * dist(math.min(m, bi))(math.max(m, bi)) +
+          (size(bj) + nm) * dist(math.min(m, bj))(math.max(m, bj)) -
+          nm * bd) / (merged + nm)
+        dist(math.min(m, bi))(math.max(m, bi)) = upd
+      }
+      ids(bi) = nextId; nextId += 1
+      size(bi) = merged
+      ids(bj) = -1
+    }
+    out.toSeq
   }
 
   /** M22 — silhouette (squared-Euclidean) over a clustered frame. */

@@ -144,9 +144,11 @@ object Recipes {
     val feats = Stylometry.functionWordFeatures(docs, "doc_id", "text", words)
     val featureCols = words.indices.map(i => s"w_$i")
     val (_, scale) = Features.standardize(feats, featureCols)
-    val scaled = scale(feats)
+    val scaled = scale(feats).cache()
     val (projected, ev) = Clustering.pca(scaled, k = 2)
-    val clustered = Clustering.kmeans(scaled, k = 2, seed = 42L).cache()
+    // n_init=10 best-of-seeds, the reference's KMeans(n_init=10)
+    // (红楼梦作者分析.py:176-178)
+    val clustered = Clustering.kmeansBestOf(scaled, k = 2, nInit = 10, baseSeed = 42L).cache()
     val sil = Clustering.silhouette(clustered)
     val cons = Clustering.consistency(
       clustered.withColumn("g", col("doc_id") % 2 === 0), "g")
@@ -155,13 +157,72 @@ object Recipes {
       .toDF("silhouette", "consistency_vs_even_split", "pc1_explained_variance")
     val topVar = Stylometry.varianceTopK(feats, featureCols, k = 5)
     val contrast = Stylometry.groupContrast(feats, col("doc_id") % 2 === 0, featureCols)
+    // Ward dendrogram skeleton (红楼梦作者分析.py:297-299): distributed
+    // BisectingKMeans to k=8 centroids, scipy-shaped Ward linkage on the
+    // collected centroids driver-side.
+    val (_, centroids) = Clustering.bisectingKmeansWithCentroids(scaled, k = 8, seed = 42L)
+    val linkage = Clustering.wardLinkage(centroids)
+      .toDF("step", "left", "right", "height", "size")
     Map(
       "features" -> feats,
       "pca_projection" -> projected.select("doc_id", "pca_features"),
       "clusters" -> clustered.select("doc_id", "prediction"),
       "summary" -> summary,
       "top_variance_words" -> topVar,
-      "group_contrast" -> contrast)
+      "group_contrast" -> contrast,
+      "ward_linkage" -> linkage)
+  }
+
+  /** HLM DBSCAN parameter sweep (红楼梦作者分析.py:189-220): eps × minPts grid
+    * over 2-D points, one selection table row per combo — cluster count,
+    * noise count, silhouette (squared-Euclidean over non-noise points,
+    * NaN unless ≥ 2 clusters survive) — with `selected` marking the
+    * reference's pick: best silhouette when any combo produced one, else
+    * the combo clustering the most points (fewest noise).
+    */
+  def dbscanGrid(
+      points: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      epsGrid: Seq[Double],
+      minPtsGrid: Seq[Int]): DataFrame = {
+    import graft.ml.Dbscan
+    import org.apache.spark.ml.evaluation.ClusteringEvaluator
+    import org.apache.spark.ml.feature.VectorAssembler
+    val spark = points.sparkSession
+    val pts = points.select(
+      col(idCol).cast("long").as("id"),
+      col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y")).cache()
+    val rows = for (eps <- epsGrid; mp <- minPtsGrid) yield {
+      val labels = Dbscan.fit(pts, "id", "x", "y", eps, mp).cache()
+      val nClusters = labels.filter(col("cluster") =!= -1).select("cluster").distinct().count()
+      val nNoise = labels.filter(col("cluster") === -1).count()
+      val sil =
+        if (nClusters >= 2) {
+          val assembled = new VectorAssembler()
+            .setInputCols(Array("x", "y")).setOutputCol("features")
+            .transform(pts.join(labels.filter(col("cluster") =!= -1), Seq("id")))
+            .withColumn("cluster", col("cluster").cast("int"))
+          new ClusteringEvaluator()
+            .setFeaturesCol("features").setPredictionCol("cluster")
+            .evaluate(assembled)
+        } else Double.NaN
+      labels.unpersist()
+      (eps, mp, nClusters, nNoise, sil)
+    }
+    pts.unpersist()
+    val withSil = rows.filter(r => !r._5.isNaN)
+    val pick =
+      if (withSil.nonEmpty) { val b = withSil.maxBy(_._5); (b._1, b._2) }
+      else { val b = rows.minBy(_._4); (b._1, b._2) }
+    import spark.implicits._
+    rows
+      .map { case (eps, mp, nc, nn, sil) =>
+        (eps, mp, nc, nn, sil, (eps, mp) == pick)
+      }
+      .toDF("eps", "min_pts", "n_clusters", "n_noise", "silhouette", "selected")
   }
 
   /** CATDOG (猫狗大战分类.py, SURVEY §3 data plane): binary scan → label from

@@ -170,6 +170,43 @@ class MlTuningSpec extends AnyFunSuite {
     assert(model.bestModel.isInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel])
   }
 
+  test("gridSearchPerFold returns k rows per grid point and a mean/std summary") {
+    val (_, transform) = Features.standardize(blobs, Seq("x1", "x2"))
+    val prepared = transform(blobs)
+    val lr = new org.apache.spark.ml.classification.LogisticRegression().setMaxIter(50)
+    val grid = new org.apache.spark.ml.tuning.ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.0, 1.0)).build()
+    val ev = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+    val (perFold, summary) =
+      Classification.gridSearchPerFold(prepared, "id", lr, grid, ev, numFolds = 3)
+    val counts = perFold.groupBy("params").count().collect()
+    assert(counts.length == 2 && counts.forall(_.getLong(1) == 3L))
+    assert(perFold.select("fold").distinct().count() == 3)
+    val s = summary.collect()
+    assert(s.length == 2)
+    // cv_mean/cv_std finite; the separable blobs give a high best mean
+    assert(s.forall(r => !r.getDouble(1).isNaN && !r.getDouble(2).isNaN))
+    assert(s.map(_.getDouble(1)).max > 0.9)
+    // summary mean equals the per-fold average (exactly: same doubles)
+    val pf = perFold.collect().groupBy(_.getString(0)).view.mapValues(
+      rs => rs.map(_.getDouble(2)).sum / rs.length).toMap
+    s.foreach(r => assert(math.abs(r.getDouble(1) - pf(r.getString(0))) < 1e-12))
+  }
+
+  test("wardLinkage merges nearest pairs first with monotone heights") {
+    // two tight pairs far apart: (0,1) and (2,3) merge before the top join
+    val pts = Array(
+      Array(0.0, 0.0), Array(0.1, 0.0),
+      Array(10.0, 0.0), Array(10.1, 0.0))
+    val linkage = Clustering.wardLinkage(pts)
+    assert(linkage.length == 3)
+    val heights = linkage.map(_._4)
+    assert(heights == heights.sorted, s"non-monotone ward heights: $heights")
+    // first two merges are the tight pairs, sizes accumulate to n
+    assert(Set(linkage(0), linkage(1)).map(l => Set(l._2, l._3)) == Set(Set(0, 1), Set(2, 3)))
+    assert(linkage.last._5 == 4)
+  }
+
   test("rocCurve starts near (0,0) and ends at (1,1)") {
     val (_, transform) = Features.standardize(blobs, Seq("x1", "x2"))
     val prepared = transform(blobs)
