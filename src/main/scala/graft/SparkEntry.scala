@@ -705,6 +705,49 @@ object SparkEntry {
       .orderBy("item")
   }
 
+  // q38 — backward as-of join (the point-in-time join Spark lacks natively,
+  // AsOf.asofBackward; oracle = DuckDB ASOF LEFT JOIN): each purchase picks
+  // up the same user's most recent click at-or-before it. Right side is
+  // deduped to one click per (user, ts) — max event_id — so the as-of match
+  // is deterministic under time ties. Timestamps reduced to second-floor
+  // longs in the OUTPUT (ns-vs-µs parity); the MATCH runs at µs on both
+  // engines (CAST(ts AS TIMESTAMP) truncates DuckDB's ns like Engine.table).
+  private def asofClicks(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOf
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = Dedup.keepLast(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"),
+          col("value").as("click_value")),
+      Seq("user_id", "cts"), Seq(col("click_id")))
+      .withColumn("cts2", col("cts"))
+    AsOf.asofBackward(purchases, clicks, Seq("user_id"), "ts", "cts")
+      .select(
+        col("event_id"), col("user_id"), col("click_id"),
+        rnd(col("value"), 4).as("purchase_value"),
+        rnd(col("click_value"), 4).as("click_value"),
+        (col("ts").cast("long") - col("cts2").cast("long")).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+
+  // q39 — two-phase salted aggregation (Skew.saltedAgg; oracle = the plain
+  // GROUP BY it must equal): the skewed-key mitigation for aggregations AQE
+  // can't split. Decomposable aggregates over exact integers, so the salted
+  // two-phase result is bit-equal to the direct one.
+  private def saltedHotKey(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    val ev = t(s, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+    Skew.saltedAgg(ev, Seq("event_type"), buckets = 16,
+        partial = Seq(count(lit(1)).as("_c"), sum(col("k")).as("_s"),
+          min(col("k")).as("_mn"), max(col("k")).as("_mx")),
+        merge = Seq(sum(col("_c")).as("n"), sum(col("_s")).as("k_sum"),
+          min(col("_mn")).as("k_min"), max(col("_mx")).as("k_max")))
+      .orderBy(col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -743,7 +786,9 @@ object SparkEntry {
     "q34_price_quartiles" -> priceQuartiles,
     "q35_clean_audit" -> cleanAudit,
     "q36_feature_contrast" -> featureContrast,
-    "q37_item_support" -> itemSupport)
+    "q37_item_support" -> itemSupport,
+    "q38_asof_clicks" -> asofClicks,
+    "q39_salted_hot_key" -> saltedHotKey)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1182,5 +1227,30 @@ object SparkEntry {
         |FROM items
         |GROUP BY item
         |HAVING count(*) >= ceil(0.15 * (SELECT count(DISTINCT d) FROM items))
-        |ORDER BY item""".stripMargin)
+        |ORDER BY item""".stripMargin,
+    "q38_asof_clicks" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), c0 AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id AS click_id,
+        |    value AS click_value,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'
+        |), c AS (SELECT user_id, cts, click_id, click_value FROM c0 WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, c.click_id,
+        |  round(p.value + 1e-9, 4) AS purchase_value,
+        |  round(c.click_value + 1e-9, 4) AS click_value,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.cts)) AS BIGINT) AS gap_s
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+        |ORDER BY p.event_id""".stripMargin,
+    "q39_salted_hot_key" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+        |  CAST(min(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_min,
+        |  CAST(max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_max
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
 }
