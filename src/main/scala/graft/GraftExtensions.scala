@@ -60,7 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info("multi_substring_count",
           "multi_substring_count(text, array('p1','p2',...)) - occurrence count per pattern"),
         (args: Seq[Expression]) =>
-          MultiSubstringCountExpr(args.head, stringArrayArg(args(1), "patterns"))))
+          MultiSubstringCountExpr(args.head, stringArrayArg(args(1), "patterns"))),
+      (FunctionIdentifier("winnowing_fingerprints"),
+        info("winnowing_fingerprints",
+          "winnowing_fingerprints(array<bigint>, w) - distinct sliding-window-min fingerprints"),
+        (args: Seq[Expression]) =>
+          WinnowingFingerprintsExpr(args.head, intArg(args(1), "w"))))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit =

@@ -541,6 +541,9 @@ object SparkEntry {
   // the oracle cross-check scale — and LSH-bucketed candidates + exact
   // verification beyond it, where candidate generation is an equi-join on
   // the hyperplane bucket key (no CartesianProduct over the corpus at scale).
+  // Beyond the gate the output is approximate (recall per VF Scaladoc — the
+  // default planes target the s ≥ 0.9 true near-dup regime); the oracle
+  // compare runs at sf ≤ 0.01 where the path is exact by the gate.
   private def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VF.cosineNearDupPairs(emb, "vec_id", "embedding", threshold = 0.4, dim = 64)
@@ -748,6 +751,30 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  // q40 — end-to-end corpus curation (the flagship LLM-training-data
+  // pipeline composition, oracle-checked): exact dedup on a content digest
+  // (keep min doc_id) → deterministic quality scoring → quality-threshold
+  // filter → per-language kept-doc / token-budget stats. Every stage is the
+  // already-verified operator (q11 dedup, q13 quality, q12 tokens) — this
+  // query checks their composition.
+  private def corpusCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = Dedup.exactDedupByHash(docs, "text", "doc_id").select("doc_id")
+    docs
+      .join(keep, Seq("doc_id"), "left_semi")
+      .select(
+        col("lang"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.qualityScore(col("text"), Stopwords).as("quality"))
+      .filter(col("quality") >= 0.5)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        rnd(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("lang"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -788,7 +815,8 @@ object SparkEntry {
     "q36_feature_contrast" -> featureContrast,
     "q37_item_support" -> itemSupport,
     "q38_asof_clicks" -> asofClicks,
-    "q39_salted_hot_key" -> saltedHotKey)
+    "q39_salted_hot_key" -> saltedHotKey,
+    "q40_corpus_curation" -> corpusCuration)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1252,5 +1280,30 @@ object SparkEntry {
         |  CAST(max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_max
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+    "q40_corpus_curation" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+        |), scored AS (
+        |  SELECT d.lang,
+        |    CASE WHEN trim(d.text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS n_tokens,
+        |    round(
+        |      least(len(regexp_split_to_array(trim(d.text), '\s+')) / 50.0, 1.0) * 0.4
+        |      + greatest(0.0, 1.0 -
+        |          ((length(d.text) - length(regexp_replace(d.text, '[^\p{L}\p{N}\s]', '', 'g')))
+        |            / CAST(length(d.text) AS DOUBLE)) * 4) * 0.3
+        |      + least((len(list_filter(regexp_split_to_array(trim(d.text), '\s+'),
+        |            t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t))))
+        |          / CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS DOUBLE)) * 5, 1.0) * 0.3
+        |      + 1e-9, 6) AS quality
+        |  FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(quality) + 1e-9, 4) AS avg_quality
+        |FROM scored
+        |WHERE quality >= 0.5
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin)
 }

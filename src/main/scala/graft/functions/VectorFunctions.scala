@@ -161,26 +161,16 @@ object VectorFunctions {
     rankTopK(scored, qId, cId, col("_sim"), k)
   }
 
-  /** Pseudo-random hyperplane component for (table, plane, dimension):
-    * xxhash64 of the triple, mapped to [-1, 1). Deterministic — no driver
-    * randomness; the signature replays identically at any scale.
-    */
-  private def planeComponent(t: Int, p: Int, d: Int): Column =
-    (xxhash64(lit(t), lit(p), lit(d)).cast("double") / lit(Long.MaxValue.toDouble))
-
   /** Sign-pattern bucket id of `vec` under `nPlanes` fixed hyperplanes for
     * LSH table `t` (random-hyperplane a.k.a. SimHash family: P[bit match] =
-    * 1 − angle/π).
+    * 1 − angle/π). Native single-node expression (LshBucketExpr) — the
+    * composed element_at/multiply Column tree had nPlanes×dim nodes per
+    * signature and made Catalyst planning, not execution, the near-dup
+    * bottleneck. `dim` is taken from the runtime vector length; the
+    * parameter is kept for API stability.
     */
-  def lshSignature(vec: Column, t: Int, nPlanes: Int, dim: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = (0 until dim)
-        .map(d => element_at(vec, d + 1).cast("double") * planeComponent(t, p, d))
-        .reduce(_ + _)
-      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshSignature(vec: Column, t: Int, nPlanes: Int, dim: Int): Column =
+    graft.expressions.VectorExpressions.lshBucket(vec, t, nPlanes)
 
   /** All pairs with cosine ≥ `threshold` (embedding near-duplicates).
     *
@@ -193,10 +183,14 @@ object VectorFunctions {
     *     the corpus) — then exact cosine verification of candidates only.
     *     Output ⊆ exact output (verification is exact); recall governed by
     *     (nPlanes, nTables): miss probability per pair at similarity s is
-    *     (1 − (1 − acos(s)/π)^nPlanes)^nTables. The defaults (2, 8) give
-    *     ≥ 98% recall at s = 0.4, ≥ 99.99% at s ≥ 0.8 — tune planes UP for
-    *     high-threshold dedup on real near-dup corpora (smaller buckets,
-    *     same recall).
+    *     (1 − (1 − acos(s)/π)^nPlanes)^nTables. The defaults (8, 8) are
+    *     sized for the real near-dup regime (s ≥ 0.9 → ~94% recall; s ≥
+    *     0.95 → ~99.8%) while keeping buckets fine-grained (2^8 per table —
+    *     candidate volume ~nTables/2^nPlanes of the cross product). A LOW
+    *     threshold like 0.4 is inherently LSH-hostile (per-table collision
+    *     0.63^8 ≈ 2.5%): there the exact path, a higher nTables, or
+    *     fewer planes with the candidate-volume cost is the trade — all-pairs
+    *     at low s is output-bound O(n²) no matter the algorithm.
     *
     * The count() gate is one cheap metadata-ish job per call; at 100 TB the
     * caller knows the corpus is big and the gate short-circuits into the
@@ -209,7 +203,7 @@ object VectorFunctions {
       threshold: Double,
       dim: Int,
       exactGateRows: Long = 1000L,
-      nPlanes: Int = 2,
+      nPlanes: Int = 8,
       nTables: Int = 8): DataFrame = {
     val exact = corpus.count() <= exactGateRows
     val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"))
@@ -217,12 +211,27 @@ object VectorFunctions {
     val candidates =
       if (exact) a.crossJoin(b).filter(col("id1") < col("id2"))
       else {
-        val tables = (0 until nTables).map { t =>
-          val ab = a.withColumn("bucket", lshSignature(col("v1"), t, nPlanes, dim))
-          val bb = b.withColumn("bucket", lshSignature(col("v2"), t, nPlanes, dim))
-          ab.join(bb, Seq("bucket")).filter(col("id1") < col("id2")).drop("bucket")
-        }
-        tables.reduce(_ union _).dropDuplicates("id1", "id2")
+        // One signature pass over the corpus (explode over tables) instead of
+        // 2×nTables recomputations; the candidate self-join and the pair
+        // dedup carry ONLY (table, bucket, id) — the payload vectors rejoin
+        // by id after dedup, so the widest shuffle moves ids, not 2×dim
+        // floats per candidate. With b = 2^nPlanes buckets per table the
+        // candidate volume is ~nTables·n²/b pairs, not n²/4 — sizing the
+        // bucket count, not the join strategy, is what keeps this sub-cross.
+        val sigs = corpus
+          .select(
+            col(idCol).as("id"),
+            explode(array((0 until nTables).map(tb =>
+              struct(lit(tb).as("t"), lshSignature(col(vecCol), tb, nPlanes, dim).as("b"))): _*)).as("tb"))
+          .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+        val pairIds = sigs
+          .join(sigs.select(col("id").as("id2"), col("t"), col("b")), Seq("t", "b"))
+          .filter(col("id") < col("id2"))
+          .select(col("id").as("id1"), col("id2"))
+          .dropDuplicates("id1", "id2")
+        pairIds
+          .join(a.withColumnRenamed("id1", "jid1"), col("id1") === col("jid1")).drop("jid1")
+          .join(b.withColumnRenamed("id2", "jid2"), col("id2") === col("jid2")).drop("jid2")
       }
     candidates
       .withColumn("sim", cosine(col("v1"), col("v2")))

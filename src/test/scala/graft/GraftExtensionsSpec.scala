@@ -21,13 +21,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  minhash_signature(array('a','b','c'), 4) AS mh,
         |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
         |  jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS js,
-        |  multi_substring_count('abcabc', array('abc', 'bc')) AS msc
+        |  multi_substring_count('abcabc', array('abc', 'bc')) AS msc,
+        |  winnowing_fingerprints(array(5L, 3L, 9L, 1L, 7L), 2) AS wf
         |""".stripMargin).head()
     assert(row.getLong(0) != 0L)
     assert(row.getSeq[Long](1).length == 4)
     assert(row.getDouble(2) == 1.0)
     assert(row.getDouble(3) == 0.5)
     assert(row.getSeq[Long](4) == Seq(2L, 2L))
+    // window mins of [5,3,9,1,7] w=2 -> [3,3,1,1], distinct sorted -> [1,3]
+    assert(row.getSeq[Long](5) == Seq(1L, 3L))
   }
 
   test("SQL and Column APIs agree") {

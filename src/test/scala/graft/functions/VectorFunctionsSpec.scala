@@ -61,9 +61,13 @@ class VectorFunctionsSpec extends AnyFunSuite {
   test("cosineNearDupPairs: bucketed path is a verified subset of exact, recall >= 0.9") {
     val dir = TestSpark.Sf
     val emb = graft.Engine.table(spark, dir, "embeddings")
+    // threshold 0.4 is the LSH-hostile low-s regime (see the operator's
+    // Scaladoc): tune planes DOWN / tables up for recall — collision 0.63²
+    // per table, miss (1−0.4)^8 ≈ 2% at s = 0.4. The default (8, 8) targets
+    // s ≥ 0.9 dedup where fine buckets keep candidates sub-quadratic.
     def pairs(gate: Long) =
       VF.cosineNearDupPairs(emb, "vec_id", "embedding", threshold = 0.4, dim = 64,
-          exactGateRows = gate)
+          exactGateRows = gate, nPlanes = 2, nTables = 8)
         .select("id1", "id2").as[(Long, Long)].collect().toSet
     val exact = pairs(gate = Long.MaxValue)
     val bucketed = pairs(gate = 0L)

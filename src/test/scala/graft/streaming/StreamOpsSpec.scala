@@ -123,8 +123,14 @@ class StreamIncrementalSpec extends AnyFunSuite {
       val files = new java.io.File(dir + "/" + src).listFiles()
         .filter(_.getName.endsWith(".parquet"))
       files.zipWithIndex.foreach { case (f, i) =>
-        java.nio.file.Files.copy(f.toPath,
-          java.nio.file.Paths.get(streamDir, s"batch${n}_$i.parquet"))
+        // copy-then-atomic-rename: the file source lists the dir per trigger
+        // while this runs; a plain copy can be listed half-written (flaky
+        // under suite load). Dot-prefixed names are hidden from the source.
+        val tmp = java.nio.file.Paths.get(streamDir, s".batch${n}_$i.parquet.tmp")
+        java.nio.file.Files.copy(f.toPath, tmp)
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get(streamDir, s"batch${n}_$i.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
     }
     addBatch("b1", 1)
