@@ -8,6 +8,7 @@ import graft.operators.{Cleaning, Dedup, Reshape, WindowOps}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.mining.Association
 import graft.ml.{Classification, Clustering, Features, Regression}
+import graft.text.Stylometry
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -534,6 +535,24 @@ object SparkEntry {
         .toDF()
     }.orderBy(col("user_id"))
 
+  // q43 — streaming exact dedup (dedup suite × phase E, oracle-checked):
+  // replay events as a stream, drop content-duplicate rows (digest of
+  // user_id|event_type|props — the synthetic corpus has ~6% true dups),
+  // then summarize per type. Must equal the batch DISTINCT the oracle runs.
+  private def streamDedup(s: SparkSession, dir: String): DataFrame =
+    replayStream(s, dir, "append") { ev =>
+      graft.streaming.StreamOps.dedupByDigest(
+        ev,
+        sha2(concat_ws("|", col("user_id"), col("event_type"), col("props")), 256),
+        "ts",
+        watermark = "365 days")
+    }
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_unique"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
   // q29 — embedding-cosine near-duplicate pairs (dedup suite, oracle-checked):
   // all pairs with cosine ≥ 0.4 (the synthetic corpus has no true near-dups;
   // 0.4 selects the top ~0.1% closest pairs). Size-gated dual path
@@ -775,6 +794,49 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Closed language-profile set for the q41 lang-ID heuristic: real
+    * stopword lists; the synthetic corpus mostly resolves to en or und,
+    * which is exactly what the oracle checks (tokenize → per-profile hit
+    * ratio → argmax with deterministic tiebreak → unknown on zero evidence).
+    */
+  private val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "mit", "ist", "auf", "nicht"),
+    "es" -> Seq("el", "la", "que", "y", "en", "un", "por", "con", "los", "una"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "du", "dans", "est", "pour", "au"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  // q41 — language-ID heuristic (north-star text analysis, oracle-checked):
+  // predicted language per document over the closed profile set, aggregated
+  // as a (true lang × predicted) contingency table. Pure codegen'd Column
+  // pipeline — the 100-TB shape is one scan + a tiny groupBy.
+  private def langIdCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TF.langIdWithUnknown(col("text"), LangProfiles).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  // q42 — chapter split + Chinese-numeral parse (F1/F2, golden-oracle): the
+  // HLM heading regex over a literal mini-book, one row per chapter with
+  // the parsed 第N回 number and the chapter-body token count. The oracle is
+  // pinned VALUES rows (DuckDB cannot run the parser; the driver compare
+  // still independently verifies every emitted value).
+  private def chapterBook(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val book =
+      "第一回 甄士隐梦幻识通灵\nalpha beta gamma delta\n" +
+        "第十二回 王熙凤毒设相思局\nepsilon zeta\n" +
+        "第二十五回 魇魔法姊妹逢五鬼\nred blue green yellow purple\n" +
+        "第一百回 破好事香菱结深恨\nfinal chapter words here\n"
+    Stylometry.splitChapters(s, Seq(book).toDF("text"), "text")
+      .select(
+        col("chapter").cast("long").as("chapter"),
+        col("title"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy(col("chapter"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -816,7 +878,10 @@ object SparkEntry {
     "q37_item_support" -> itemSupport,
     "q38_asof_clicks" -> asofClicks,
     "q39_salted_hot_key" -> saltedHotKey,
-    "q40_corpus_curation" -> corpusCuration)
+    "q40_corpus_curation" -> corpusCuration,
+    "q41_lang_id" -> langIdCounts,
+    "q42_chapter_split" -> chapterBook,
+    "q43_stream_dedup" -> streamDedup)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1305,5 +1370,45 @@ object SparkEntry {
         |FROM scored
         |WHERE quality >= 0.5
         |GROUP BY lang
-        |ORDER BY lang""".stripMargin)
+        |ORDER BY lang""".stripMargin,
+    // q41: the profile lists and the tiebreak (argmax score, ties to the
+    // lexicographically GREATEST lang — Spark's array_max on struct(score,
+    // lang)) are mirrored exactly; zero evidence -> 'und' on both sides.
+    "q41_lang_id" ->
+      """WITH toks AS (
+        |  SELECT lang, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+        |), r AS (
+        |  SELECT lang,
+        |    len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_en,
+        |    len(list_filter(tk, t -> list_contains(['der','die','das','und','ein','zu','mit','ist','auf','nicht'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_de,
+        |    len(list_filter(tk, t -> list_contains(['el','la','que','y','en','un','por','con','los','una'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_es,
+        |    len(list_filter(tk, t -> list_contains(['le','les','et','des','une','du','dans','est','pour','au'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_fr,
+        |    len(list_filter(tk, t -> list_contains(['的','了','是','在','我','有','和','就','不','人'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_zh
+        |  FROM toks
+        |), pred AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+        |         WHEN s_zh >= greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+        |         WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+        |         WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+        |         WHEN s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS predicted
+        |  FROM r
+        |)
+        |SELECT lang, predicted, count(*) AS n
+        |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    // q42: pinned golden rows — DuckDB cannot run the chapter parser; the
+    // compare still independently verifies every parsed number/title/count.
+    "q42_chapter_split" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '甄士隐梦幻识通灵', CAST(4 AS BIGINT)),
+        |  (CAST(12 AS BIGINT), '王熙凤毒设相思局', CAST(2 AS BIGINT)),
+        |  (CAST(25 AS BIGINT), '魇魔法姊妹逢五鬼', CAST(5 AS BIGINT)),
+        |  (CAST(100 AS BIGINT), '破好事香菱结深恨', CAST(4 AS BIGINT))
+        |) AS t(chapter, title, n_tokens) ORDER BY chapter""".stripMargin,
+    "q43_stream_dedup" ->
+      """WITH u AS (SELECT DISTINCT user_id, event_type, props FROM events)
+        |SELECT event_type, count(*) AS n_unique,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -154,15 +154,34 @@ object TextFunctions {
     * trained n-gram model behind the same Column signature.
     */
   def langIdHeuristic(text: Column, profiles: Map[String, Seq[String]]): Column = {
+    val best = bestLangStruct(text, profiles)
+    best.getField("lang")
+  }
+
+  /** As `langIdHeuristic`, but zero-evidence documents (no profile word hits
+    * at all) map to `unknownLabel` instead of the tiebreak winner — the
+    * honest answer for a closed-profile classifier.
+    */
+  def langIdWithUnknown(
+      text: Column,
+      profiles: Map[String, Seq[String]],
+      unknownLabel: String = "und"): Column = {
+    val best = bestLangStruct(text, profiles)
+    when(best.getField("score") <= 0.0, lit(unknownLabel))
+      .otherwise(best.getField("lang"))
+  }
+
+  private def bestLangStruct(text: Column, profiles: Map[String, Seq[String]]): Column = {
     val toks = tokens(text)
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val w = array(words.map(lit).toIndexedSeq: _*)
+      val w = array(words.map(s => lit(s.toLowerCase)).toIndexedSeq: _*)
       struct(
         (size(filter(toks, t => array_contains(w, lower(t)))).cast("double") /
           greatest(size(toks), lit(1))).as("score"),
         lit(lang).as("lang"))
     }
     // argmax by (score, lang) — deterministic tiebreak on language code
-    array_max(array(scored.toIndexedSeq: _*)).getField("lang")
+    // (equal scores -> lexicographically greatest lang)
+    array_max(array(scored.toIndexedSeq: _*))
   }
 }

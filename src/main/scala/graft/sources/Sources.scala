@@ -77,4 +77,14 @@ object Sources {
     val ordered = if (sortBy.nonEmpty) df.orderBy(sortBy.map(col).toIndexedSeq: _*) else df
     ordered.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
   }
+
+  /** Hive-style partitioned parquet sink — the 100-TB table layout: one
+    * directory per partition value, so any read with a filter on the
+    * partition columns prunes whole directories at PLANNING time (the scan's
+    * PartitionFilters — zero bytes of pruned data are listed or read).
+    * Partition by low-cardinality scan predicates (date, category), never by
+    * high-cardinality keys (one dir per value = small-files death).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }

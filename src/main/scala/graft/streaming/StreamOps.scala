@@ -50,6 +50,26 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup — the streaming leg of the LLM dedup suite: drop
+    * any row whose content digest has been seen before, emitting the FIRST
+    * occurrence (append mode). State holds one digest per distinct row,
+    * expired by the watermark: duplicates are recognized only within the
+    * watermark horizon — the standard bounded-state trade for an unbounded
+    * stream (exact global dedup of an infinite stream needs infinite state).
+    * At scale the state is ~32 B per distinct key in the horizon, sharded by
+    * digest across executors.
+    */
+  def dedupByDigest(
+      events: DataFrame,
+      digest: org.apache.spark.sql.Column,
+      tsCol: String,
+      watermark: String): DataFrame =
+    events
+      .withColumn("_digest", digest)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_digest")
+      .drop("_digest")
+
   /** Streaming trend detection (the VEG adjacent-period comparison as a
     * stateful operator): per (event_type) group, compare each micro-batch's
     * day-average against the previous day's retained in state and emit

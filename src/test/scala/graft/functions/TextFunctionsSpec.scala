@@ -131,4 +131,27 @@ class TokenizerSpec extends org.scalatest.funsuite.AnyFunSuite {
       .as[Seq[Long]].collect()
     assert(out(1).isEmpty)
   }
+
+  test("native winnowing equals the brute-force window-min reference") {
+    // the monotonic-deque expression must match the O(n·w) definition
+    // (distinct sorted window minima) on random inputs incl. duplicates
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 25).map { i =>
+      val n = rnd.nextInt(40)
+      (Seq.fill(n)(rnd.nextInt(8).toLong), 1 + rnd.nextInt(6), i)
+    }
+    val df = cases.map { case (a, w, i) => (i, a, w) }.toDF("i", "hashes", "w")
+    val got = cases.map { case (a, w, i) =>
+      val r = Seq((i, a)).toDF("i", "hashes")
+        .select(TF.winnowingFingerprints(col("hashes"), w)).as[Seq[Long]].head()
+      (i, r)
+    }.toMap
+    cases.foreach { case (a, w, i) =>
+      val want =
+        if (a.isEmpty) Seq.empty[Long]
+        else if (a.length <= w) Seq(a.min) // contract: short input -> global min
+        else (0 to a.length - w).map(j => a.slice(j, j + w).min).distinct.sorted
+      assert(got(i) == want, s"case $i: arr=$a w=$w")
+    }
+  }
 }

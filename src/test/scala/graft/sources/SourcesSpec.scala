@@ -64,4 +64,32 @@ class SourcesSpec extends AnyFunSuite {
     val lines = scala.io.Source.fromFile(parts.head).getLines().toSeq
     assert(lines == Seq("id,v", "1,a", "2,b", "3,c"))
   }
+
+  test("writePartitioned lays out hive dirs and a partition filter prunes them") {
+    val dir = tmpDir("partout") + "/events_by_day"
+    val events = graft.Engine.table(spark, TestSpark.Sf, "events")
+      .withColumn("day", to_date(col("ts")))
+    Sources.writePartitioned(events, dir, Seq("day"))
+    // hive layout: one day=... directory per date
+    val dayDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("day="))
+    assert(dayDirs.length > 1, "expected one directory per day")
+
+    val back = spark.read.parquet(dir)
+    val oneDay = dayDirs.head.getName.stripPrefix("day=")
+    val q = back.filter(col("day") === lit(oneDay))
+    // the filter must prune at PLANNING time: the scan's partition count
+    // equals one day's files, and the predicate shows up as a partition
+    // filter, not a data filter
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day"),
+      s"partition filter missing from scan:\n$scan")
+    val expected = events.filter(to_date(col("ts")) === lit(oneDay)).count()
+    assert(q.count() == expected)
+    // pruned read touches exactly the one directory's files
+    val prunedFiles = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(prunedFiles.contains(1), s"expected exactly 1 selected partition, got $prunedFiles")
+  }
 }

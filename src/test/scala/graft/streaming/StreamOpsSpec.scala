@@ -137,21 +137,33 @@ class StreamIncrementalSpec extends AnyFunSuite {
 
     val stream = spark.readStream.schema(all.schema).parquet(streamDir)
       .as[StreamOps.Event]
-    val q = StreamOps.sessionize(spark, stream, gapSeconds = 1800).toDF()
-      .writeStream.outputMode("update").format("memory").queryName("incr_sessions").start()
-    q.processAllAvailable()
+    // One bounded query RUN per arrival batch, sharing a checkpoint: a
+    // free-running trigger can fire mid-copy and split one arrival's part
+    // files (hash-partitioned, not time-ordered) across micro-batches,
+    // feeding the stateful operator out-of-order events — the operator's
+    // contract is in-order batch arrival. Stopping between batches pins the
+    // batch boundary AND exercises state recovery across query restarts.
+    val ckpt = Files.createTempDirectory("events-incr-ckpt").toString
+    // user -> (n_sessions, n_events); update-mode emits the latest state per
+    // user per micro-batch, so last-write-wins per user is the final state
+    // (memory sink cannot recover from a checkpoint; foreachBatch can)
+    val acc = new scala.collection.concurrent.TrieMap[Long, (Long, Long)]()
+    def runBatch(): Unit = {
+      val q = StreamOps.sessionize(spark, stream, gapSeconds = 1800).toDF()
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => acc.put(r.getLong(0), (r.getLong(1), r.getLong(2))))
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runBatch()
     half2.write.mode("overwrite").parquet(dir + "/b2")
     addBatch("b2", 2)
-    q.processAllAvailable()
-    q.stop()
+    runBatch()
 
-    // update-mode memory sink appends one row per user per batch; the final
-    // state per user is the one with the highest n_events
-    val got = spark.table("incr_sessions")
-      .groupBy("user_id").agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
-      .select(col("user_id"), col("s.n_sessions"), col("s.n_events"))
-      .orderBy("user_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = acc.toSeq.map { case (u, (s, e)) => (u, s, e) }.sortBy(_._1)
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -166,5 +178,52 @@ class StreamIncrementalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
 
     assert(got == want, "two-batch streaming must equal the batch pipeline")
+  }
+
+  test("streaming dedup drops duplicates across micro-batches") {
+    val all = Engine.table(spark, TestSpark.Sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("props"))
+    // b1 = a subset; b2 = EVERYTHING (so every b1 row is a cross-batch dup)
+    val b1 = all.filter(col("event_id") % 3 === 0)
+    val dir = Files.createTempDirectory("events-dedup").toString
+    val streamDir = Files.createTempDirectory("events-dedup-stream").toString
+    def addBatch(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+      val sub = dir + s"/b$n"
+      df.write.mode("overwrite").parquet(sub)
+      new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          val tmp = java.nio.file.Paths.get(streamDir, s".batch${n}_$i.parquet.tmp")
+          java.nio.file.Files.copy(f.toPath, tmp)
+          java.nio.file.Files.move(tmp,
+            java.nio.file.Paths.get(streamDir, s"batch${n}_$i.parquet"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+    }
+    val ckpt = Files.createTempDirectory("events-dedup-ckpt").toString
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    def runBatch(): Unit = {
+      val stream = spark.readStream.schema(all.schema).parquet(streamDir)
+      val q = StreamOps.dedupByDigest(
+          stream,
+          sha2(concat_ws("|", col("user_id"), col("ts").cast("long"), col("event_id")), 256),
+          "ts", watermark = "365 days")
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(df.count()); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    addBatch(b1, 1)
+    runBatch()
+    val afterB1 = seen.get()
+    addBatch(all, 2)
+    runBatch()
+
+    val distinctAll = all.select("user_id", "ts", "event_id").distinct().count()
+    assert(afterB1 == b1.select("user_id", "ts", "event_id").distinct().count())
+    assert(seen.get() == distinctAll,
+      s"stream emitted ${seen.get()} unique rows, batch distinct is $distinctAll")
   }
 }
