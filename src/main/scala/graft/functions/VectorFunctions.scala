@@ -148,15 +148,31 @@ object VectorFunctions {
       nPlanes: Int = 8,
       nTables: Int = 4): DataFrame = {
 
-    val tables = (0 until nTables).map { t =>
-      val qb = broadcast(queries.withColumn("bucket", lshSignature(col(qVec), t, nPlanes, dim)))
-      val cb = corpus.withColumn("bucket", lshSignature(col(cVec), t, nPlanes, dim))
-      cb.join(qb, Seq("bucket")).drop("bucket")
-    }
-    val candidates = tables.reduce(_ union _).dropDuplicates(qId, cId)
+    def sigs(df: DataFrame, idCol: String, vecCol: String) =
+      df.select(
+        col(idCol),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("t"), lshSignature(col(vecCol), t, nPlanes, dim).as("b"))): _*)).as("tb"))
+        .select(col(idCol), col("tb.t").as("t"), col("tb.b").as("b"))
 
-    val scored = candidates
+    // Candidate generation moves ONLY ids: one signature pass per side, the
+    // bucket join against the broadcast query signatures is map-side, and
+    // the (qId, cId) dedup shuffles two ids per candidate — never vectors.
+    val candIds = sigs(corpus, cId, cVec)
+      .join(broadcast(sigs(queries, qId, qVec)), Seq("t", "b"))
       .filter(col(qId) =!= col(cId))
+      .select(col(qId), col(cId))
+      .dropDuplicates(qId, cId)
+
+    // Scoring re-reads only the candidate corpus rows (broadcast semi
+    // filter — candidate ids are bounded by n_queries × nTables × bucket
+    // occupancy, small whenever the query batch is), so the corpus itself
+    // is never shuffled, mirroring the bruteForceTopK contract.
+    val candCorpus = corpus.join(
+      broadcast(candIds.select(col(cId)).dropDuplicates(cId)), Seq(cId), "left_semi")
+    val scored = candCorpus
+      .join(broadcast(candIds), Seq(cId))
+      .join(broadcast(queries), Seq(qId))
       .withColumn("_sim", cosine(col(qVec), col(cVec)))
     rankTopK(scored, qId, cId, col("_sim"), k)
   }

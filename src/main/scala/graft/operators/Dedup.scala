@@ -46,4 +46,47 @@ object Dedup {
     df.select(sha2(col(contentCol), 256).as("content_hash"), col(idCol))
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** SimHash near-duplicate pairs: every id pair whose 64-bit SimHash values
+    * (e.g. `TextFunctions.simhash64` over shingles) differ in at most
+    * `maxHamming` bits.
+    *
+    * Candidates come from banding: the hash is cut into `nBands` equal bit
+    * slices and docs sharing ANY band value meet in an equi-join on
+    * (band, bits) — the standard sub-quadratic SimHash blocking. By
+    * pigeonhole this is EXACT (recall 1.0), not approximate, whenever
+    * `maxHamming < nBands`: d differing bits can dirty at most d bands, so
+    * at least one band matches. The join carries (id, hash) only — 16
+    * bytes/row — and the pair dedup shuffles ids; verification is a single
+    * xor+popcount per candidate.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      simhashCol: String,
+      maxHamming: Int = 3,
+      nBands: Int = 8): DataFrame = {
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    require(maxHamming < nBands,
+      s"exactness needs maxHamming < nBands ($maxHamming >= $nBands)")
+    val w = 64 / nBands
+    val mask = if (w == 64) lit(-1L) else lit((1L << w) - 1L)
+    def sigs(id: String, h: String) =
+      df.select(
+        col(idCol).as(id),
+        col(simhashCol).as(h),
+        explode(array((0 until nBands).map(b =>
+          struct(
+            lit(b).as("band"),
+            shiftrightunsigned(col(simhashCol), b * w).bitwiseAND(mask).as("bits"))): _*)).as("bb"))
+        .select(col(id), col(h), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    sigs("id1", "h1")
+      .join(sigs("id2", "h2"), Seq("band", "bits"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("h1"), col("h2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
 }

@@ -39,4 +39,40 @@ class DedupSpec extends AnyFunSuite {
     assert(byVal == byHash)
     assert(byVal.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L), (3L, 1L)))
   }
+
+  test("simhashNearDupPairs equals brute-force hamming pairs (exact for d < nBands)") {
+    // random 64-bit hashes plus planted near-pairs at known distances
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map(i => (i, rnd.nextLong()))
+    val planted = Seq(
+      (100L, base(0)._2 ^ 1L),                 // d=1 from id 0
+      (101L, base(1)._2 ^ (1L << 13) ^ (1L << 40)), // d=2 from id 1
+      (102L, base(2)._2 ^ 7L),                 // d=3 from id 2
+      (103L, base(3)._2 ^ 0xF0L))              // d=4 from id 3 — beyond max
+    val rows = (base ++ planted).toDF("doc_id", "sh")
+    val got = Dedup.simhashNearDupPairs(rows, "doc_id", "sh", maxHamming = 3, nBands = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val all = (base ++ planted)
+    val want = (for {
+      (i, hi) <- all; (j, hj) <- all if i < j
+      if java.lang.Long.bitCount(hi ^ hj) <= 3
+    } yield (i, j)).toSet
+    assert(got == want, s"banded=$got brute=$want")
+    assert(got.contains((0L, 100L)) && got.contains((1L, 101L)) && got.contains((2L, 102L)))
+    assert(!got.contains((3L, 103L)), "d=4 pair must be filtered by maxHamming=3")
+  }
+
+  test("simhash near-dup finds an edited document end-to-end") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, "completely different content about spark catalyst expression planning")
+    ).toDF("doc_id", "text")
+      .withColumn("sh", TF.simhash64(TF.wordShingles(col("text"), 2)))
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "sh", maxHamming = 12, nBands = 16)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair not found: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
 }
