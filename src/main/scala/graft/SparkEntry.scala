@@ -837,6 +837,30 @@ object SparkEntry {
       .orderBy(col("chapter"))
   }
 
+  // q44 — PII redaction (north-star text analysis, oracle-checked): the
+  // synthetic corpus carries no PII, so the query plants deterministic
+  // email/URL/phone fixtures on doc_id residues (mirrored verbatim in the
+  // oracle SQL — the q35 injected-fixture pattern), redacts, and tallies
+  // per-language hits. Verifies the full pattern table end to end.
+  private def redactionStats(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").withColumn(
+      "text2",
+      concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0, lit(" contact alice@example.com now")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" see https://example.com/d?id=1 page")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" call 555-123-4567 today")).otherwise(lit(""))))
+    planted
+      .withColumn("clean", TF.redact(col("text2")))
+      .groupBy(col("lang"))
+      .agg(
+        count(when(col("clean").contains("<EMAIL>"), 1)).as("n_email"),
+        count(when(col("clean").contains("<URL>"), 1)).as("n_url"),
+        count(when(col("clean").contains("<PHONE>"), 1)).as("n_phone"),
+        count(when(col("clean") =!= col("text2"), 1)).as("n_redacted"))
+      .orderBy(col("lang"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -881,7 +905,8 @@ object SparkEntry {
     "q40_corpus_curation" -> corpusCuration,
     "q41_lang_id" -> langIdCounts,
     "q42_chapter_split" -> chapterBook,
-    "q43_stream_dedup" -> streamDedup)
+    "q43_stream_dedup" -> streamDedup,
+    "q44_redaction" -> redactionStats)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1410,5 +1435,29 @@ object SparkEntry {
       """WITH u AS (SELECT DISTINCT user_id, event_type, props FROM events)
         |SELECT event_type, count(*) AS n_unique,
         |  count(DISTINCT user_id) AS n_users
-        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q44_redaction" ->
+      """WITH planted AS (
+        |  SELECT lang,
+        |    text
+        |      || CASE WHEN doc_id % 7 = 0 THEN ' contact alice@example.com now' ELSE '' END
+        |      || CASE WHEN doc_id % 11 = 0 THEN ' see https://example.com/d?id=1 page' ELSE '' END
+        |      || CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567 today' ELSE '' END AS text2
+        |  FROM documents
+        |), red AS (
+        |  SELECT lang, text2,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text2,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        'https?://[^\s]+', '<URL>', 'g'),
+        |      '\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS clean
+        |  FROM planted
+        |)
+        |SELECT lang,
+        |  count(CASE WHEN clean LIKE '%<EMAIL>%' THEN 1 END) AS n_email,
+        |  count(CASE WHEN clean LIKE '%<URL>%' THEN 1 END) AS n_url,
+        |  count(CASE WHEN clean LIKE '%<PHONE>%' THEN 1 END) AS n_phone,
+        |  count(CASE WHEN clean <> text2 THEN 1 END) AS n_redacted
+        |FROM red GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -148,6 +148,22 @@ object TextFunctions {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  /** Default PII redaction table: (pattern, replacement tag), applied in
+    * order. Patterns stay inside the regex subset with identical semantics
+    * in Java regex and RE2 so a DuckDB oracle reproduces them exactly.
+    */
+  val RedactionPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("https?://[^\\s]+", "<URL>"),
+    ("\\b[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\\b", "<PHONE>"))
+
+  /** PII-style scrub — the standard pre-training redaction pass: every match
+    * of every pattern is replaced by its tag. A fold of codegen'd
+    * `regexp_replace` calls: scan-speed, no UDF, trivially parallel.
+    */
+  def redact(text: Column, patterns: Seq[(String, String)] = RedactionPatterns): Column =
+    patterns.foldLeft(text) { case (c, (p, t)) => regexp_replace(c, p, t) }
+
   /** Cheap language-ID heuristic over a closed language set: score each
     * language by stopword hits per token and pick the argmax. Suitable for
     * the synthetic TESTDATA corpus; a production engine would swap in a

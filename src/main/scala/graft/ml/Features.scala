@@ -47,11 +47,74 @@ object Features {
     (train, test)
   }
 
+  /** M2 (exact form) — stratified split with sklearn's EXACT per-class
+    * counts (`train_test_split(stratify=y)` takes ⌈n_c·frac⌉ per class, not
+    * a Bernoulli sample): rows are ranked per label by a seeded hash of the
+    * id (deterministic, data-independent shuffle order), and the first
+    * ⌈n_c·trainFraction⌉ of each class go to train. One shuffle on the
+    * label; counts are exact for every class, every run, every partitioning.
+    */
+  def stratifiedSplitExact(
+      df: DataFrame,
+      labelCol: String,
+      trainFraction: Double,
+      seed: Long,
+      idCol: String): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol)).orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    val ranked = df
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col(labelCol))))
+      .withColumn("_take", ceil(col("_n") * lit(trainFraction)))
+    (ranked.filter(col("_rn") <= col("_take")).drop("_rn", "_n", "_take"),
+      ranked.filter(col("_rn") > col("_take")).drop("_rn", "_n", "_take"))
+  }
+
   /** M3 — chronological split on an order column (the COVID 191/9 split,
     * 新冠疫情分析.py:93-97): train = order ≤ cut, test = order > cut.
     */
   def chronologicalSplit(df: DataFrame, orderCol: String, cut: Any): (DataFrame, DataFrame) =
     (df.filter(col(orderCol) <= lit(cut)), df.filter(col(orderCol) > lit(cut)))
+
+  /** Random Fourier features (Rahimi & Recht 2007, the sklearn RBFSampler):
+    * z(x) = √(2/D)·cos(Wx + b) with W rows ~ N(0, 2γ·I) and b ~ U[0, 2π],
+    * so z(x)·z(y) ≈ exp(−γ‖x−y‖²) — the RBF kernel. A LINEAR model on z is
+    * the scalable kernel machine: LinearSVC∘rbf ≈ RBF-SVC (M14),
+    * ridge∘rbf ≈ kernel ridge / SVR-shape (M18) — the honest 100-TB path
+    * where an exact kernel SVM (O(n²) gram matrix) cannot exist.
+    *
+    * W/b are driver-seeded, closed over, and shipped once per executor; the
+    * map is narrow (no shuffle), D·dim multiplies per row.
+    */
+  def rbfFeatures(
+      df: DataFrame,
+      inputCol: String,
+      outputCol: String,
+      inputDim: Int,
+      nComponents: Int,
+      gamma: Double,
+      seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val sigma = math.sqrt(2.0 * gamma)
+    val w = Array.fill(nComponents, inputDim)(rnd.nextGaussian() * sigma)
+    val b = Array.fill(nComponents)(rnd.nextDouble() * 2.0 * math.Pi)
+    val scale = math.sqrt(2.0 / nComponents)
+    val rff = udf { (v: org.apache.spark.ml.linalg.Vector) =>
+      val x = v.toArray
+      val out = new Array[Double](nComponents)
+      var i = 0
+      while (i < nComponents) {
+        val wi = w(i)
+        var s = b(i)
+        var j = 0
+        while (j < x.length) { s += wi(j) * x(j); j += 1 }
+        out(i) = math.cos(s) * scale
+        i += 1
+      }
+      org.apache.spark.ml.linalg.Vectors.dense(out)
+    }
+    df.withColumn(outputCol, rff(col(inputCol)))
+  }
 
   /** M26 — balanced per-class subsample (猫狗大战分类.py:172-177). */
   def balancedSample(df: DataFrame, labelCol: String, fraction: Double, seed: Long): DataFrame = {

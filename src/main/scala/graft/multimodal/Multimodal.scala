@@ -67,6 +67,23 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: the per-row media-transform stage (real impl: pixel
+    * resample to `w`×`h`). Meta reflects the target dims; the stub features
+    * are re-derived deterministically from (original features, target) so
+    * downstream stages observe a resize-dependent value, as they would with
+    * real pixels. Pure narrow map — composes into the same partition pass
+    * as decode under whole-stage planning.
+    */
+  def resize(spark: SparkSession, media: Dataset[DecodedMedia], w: Int, h: Int): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val scale = (w.toFloat * h) / math.max(m.meta.width.toFloat * m.meta.height, 1f)
+      m.copy(
+        meta = m.meta.copy(width = w, height = h),
+        features = m.features.map(_ * scale))
+    })
+  }
+
   /** Deterministic frame sampling for a "video" column: every k-th chunk of
     * the binary payload becomes a frame row (stub for keyframe extraction —
     * the explode/posexplode plumbing is the real part).

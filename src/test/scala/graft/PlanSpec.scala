@@ -82,4 +82,28 @@ class PlanSpec extends AnyFunSuite {
     // executedPlan.toString renders WholeStageCodegen spans as "*(n)" prefixes
     assert(p.contains("*("), s"expected codegen spans:\n$p")
   }
+
+  test("simhash near-dup banding plans as an equi-join, never a cartesian") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, i * 0x9e3779b97f4a7c15L)).toDF("doc_id", "sh")
+    val p = plan(graft.operators.Dedup.simhashNearDupPairs(docs, "doc_id", "sh"))
+    assert(!p.contains("CartesianProduct"), s"cartesian in simhash banding:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in simhash banding:\n$p")
+  }
+
+  test("lang-ID query is a single scan with partial aggregation, no join/window") {
+    val p = plan(SparkEntry.queries("q41_lang_id")(spark, sf))
+    assert(!p.contains("Join"), s"unexpected join in lang-ID plan:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in lang-ID plan:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"expected partial aggregation:\n$p")
+  }
+
+  test("corpus curation dedup shuffles digests, not document payloads") {
+    val p = plan(SparkEntry.queries("q40_corpus_curation")(spark, sf))
+    // the keep-set side of the semi join must reduce to (digest, doc_id)
+    // before its exchange: no `text` column may appear in an exchange input
+    val exchangeInputs = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeInputs.contains("text"), s"document payload in a shuffle:\n$p")
+  }
 }

@@ -37,6 +37,80 @@ class MlSpec extends AnyFunSuite {
     assert(frac > 0.35 && frac < 0.65)
   }
 
+  test("stratifiedSplitExact takes exactly ceil(n_c * frac) per class, deterministically") {
+    // unbalanced classes: 120 of class 0, 80 of class 1
+    val df = (0 until 200).map(i => (i.toLong, if (i < 120) 0 else 1)).toDF("id", "label")
+    val (train, test) = Features.stratifiedSplitExact(df, "label", 0.7, 42L, "id")
+    assert(train.join(test, "id").count() == 0)
+    assert(train.count() + test.count() == 200)
+    val counts = train.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(0) == 84L, s"class 0: ${counts(0)}")  // ceil(120*0.7)
+    assert(counts(1) == 56L, s"class 1: ${counts(1)}")  // ceil(80*0.7)
+    // deterministic: same seed -> same membership
+    val (train2, _) = Features.stratifiedSplitExact(df, "label", 0.7, 42L, "id")
+    assert(train.select("id").except(train2.select("id")).count() == 0)
+  }
+
+  test("rbfFeatures approximates the RBF kernel and linearizes circular data") {
+    val rng = new scala.util.Random(7)
+    // class 1 = inner disc (r < 1), class 0 = ring (2 < r < 3) — not
+    // linearly separable in the raw 2-D space
+    val rows = (0 until 400).map { i =>
+      val inner = i % 2 == 1
+      val r = if (inner) rng.nextDouble() else 2.0 + rng.nextDouble()
+      val th = rng.nextDouble() * 2 * math.Pi
+      (i.toLong, if (inner) 1.0 else 0.0, r * math.cos(th), r * math.sin(th))
+    }
+    val df = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x1", "x2")).setOutputCol("features")
+      .transform(rows.toDF("id", "label", "x1", "x2"))
+
+    // kernel approximation: z(x)·z(y) ≈ exp(-γ‖x−y‖²) on sampled pairs
+    val gamma = 1.0
+    val zed = Features.rbfFeatures(df, "features", "z", inputDim = 2,
+      nComponents = 500, gamma = gamma, seed = 42L)
+    val sample = zed.select("features", "z").limit(8).collect()
+      .map(r => (r.getAs[org.apache.spark.ml.linalg.Vector](0), r.getAs[org.apache.spark.ml.linalg.Vector](1)))
+    for { (xi, zi) <- sample; (xj, zj) <- sample } {
+      val d2 = xi.toArray.zip(xj.toArray).map { case (a, b) => (a - b) * (a - b) }.sum
+      val exact = math.exp(-gamma * d2)
+      val approx = zi.toArray.zip(zj.toArray).map { case (a, b) => a * b }.sum
+      assert(math.abs(exact - approx) < 0.15, s"kernel approx off: $exact vs $approx")
+    }
+
+    // raw LinearSVC fails on circles; LinearSVC on RFF features ≈ RBF-SVC
+    def acc(frame: org.apache.spark.sql.DataFrame, feat: String): Double = {
+      val m = new org.apache.spark.ml.classification.LinearSVC()
+        .setFeaturesCol(feat).setMaxIter(50).fit(frame)
+      val p = m.transform(frame)
+      p.filter(col("prediction") === col("label")).count().toDouble / p.count()
+    }
+    val rawAcc = acc(df, "features")
+    val rffAcc = acc(zed, "z")
+    assert(rawAcc < 0.7, s"circles should defeat a linear model, acc=$rawAcc")
+    assert(rffAcc > 0.9, s"RFF + linear should solve circles, acc=$rffAcc")
+  }
+
+  test("rbfFeatures + ridge fits a nonlinear regression a line cannot") {
+    val pts = (0 until 300).map { i =>
+      val x = i / 300.0 * 3.0
+      (x, math.sin(2.0 * x))
+    }
+    val df = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x")).setOutputCol("features")
+      .transform(pts.toDF("x", "label"))
+    val zed = Features.rbfFeatures(df, "features", "z", inputDim = 1,
+      nComponents = 200, gamma = 2.0, seed = 42L)
+    def rmse(frame: org.apache.spark.sql.DataFrame, feat: String): Double = {
+      val m = new org.apache.spark.ml.regression.LinearRegression()
+        .setFeaturesCol(feat).setRegParam(1e-4).setMaxIter(100).fit(frame)
+      m.summary.rootMeanSquaredError
+    }
+    assert(rmse(df, "features") > 0.4, "a line should not fit sin(2x)")
+    assert(rmse(zed, "z") < 0.1, "kernel ridge via RFF should fit sin(2x)")
+  }
+
   test("chronologicalSplit honors the cut") {
     val (tr, te) = Features.chronologicalSplit(blobs, "id", 149L)
     assert(tr.count() == 150 && te.count() == 50)

@@ -46,6 +46,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(scored.forall(s => s.label == "cat" || s.label == "dog"))
   }
 
+  test("resize retargets metadata and scales features deterministically") {
+    val media = Multimodal.decode(spark, Sources.binaryDir(spark, dir, "*.jpg"), 8)
+    val before = media.collect().map(m => m.path -> m).toMap
+    val after = Multimodal.resize(spark, media, 224, 224).collect()
+    assert(after.length == 6)
+    after.foreach { m =>
+      assert(m.meta.width == 224 && m.meta.height == 224)
+      val orig = before(m.path)
+      val scale = (224f * 224f) / (orig.meta.width.toFloat * orig.meta.height)
+      orig.features.zip(m.features).foreach { case (a, b) =>
+        assert(math.abs(a * scale - b) < 1e-5f)
+      }
+    }
+  }
+
   test("sampleFrames explodes every k-th chunk with frame indices") {
     val files = Seq(("v1", Array.fill[Byte](100)(7))).toDF("path", "content")
     val frames = Multimodal.sampleFrames(files, chunkBytes = 10, everyK = 2).collect()
