@@ -95,19 +95,19 @@ object Engine {
     * well-partitioned input.
     */
   private def estimatedScanPartitions(spark: SparkSession, path: String): Int = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(path)
+    // Hadoop FS API so s3a://, hdfs://, and local paths all stat the same
+    // way; on any failure assume the input is well-partitioned (return a
+    // large estimate) so the rebalance never fires — wrong-direction errors
+    // would add a useless shuffle, this direction only skips an optimization
     val bytes =
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.iterator.asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .map(java.nio.file.Files.size)
-          .sum
-        finally s.close()
-      } else java.nio.file.Files.size(p)
+      try {
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.getContentSummary(hp).getLength
+      } catch { case _: Exception => Long.MaxValue }
     val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    math.max(1L, math.ceil(bytes.toDouble / math.max(maxPart, 1L)).toLong).toInt
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      math.ceil(bytes.toDouble / math.max(maxPart, 1L)).toLong)).toInt
   }
 }

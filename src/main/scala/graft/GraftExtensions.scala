@@ -65,7 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info("winnowing_fingerprints",
           "winnowing_fingerprints(array<bigint>, w) - distinct sliding-window-min fingerprints"),
         (args: Seq[Expression]) =>
-          WinnowingFingerprintsExpr(args.head, intArg(args(1), "w"))))
+          WinnowingFingerprintsExpr(args.head, intArg(args(1), "w"))),
+      (FunctionIdentifier("lsh_bucket"),
+        info("lsh_bucket",
+          "lsh_bucket(array<float|double>, table, nPlanes) - random-hyperplane LSH bucket id"),
+        (args: Seq[Expression]) =>
+          LshBucketExpr(args.head, intArg(args(1), "table"), intArg(args(2), "nPlanes"))))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit =

@@ -103,6 +103,11 @@ case class LshBucketExpr(child: Expression, table: Int, nPlanes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with CodegenFallback {
 
+  // bucket ids pack into a non-negative Int bit per plane; > 30 planes
+  // would wrap `1 << p` silently, 0 would index an empty plane matrix
+  require(nPlanes > 0 && nPlanes <= 30, s"nPlanes out of range [1, 30]: $nPlanes")
+  require(table >= 0, s"table must be >= 0: $table")
+
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullable: Boolean = true
 

@@ -183,8 +183,14 @@ object TextFunctions {
       profiles: Map[String, Seq[String]],
       unknownLabel: String = "und"): Column = {
     val best = bestLangStruct(text, profiles)
-    when(best.getField("score") <= 0.0, lit(unknownLabel))
-      .otherwise(best.getField("lang"))
+    // "let"-bind the scored struct once via a 1-element transform — naming
+    // it b prevents the full profile-scoring tree from being evaluated
+    // twice (once for the score test, once for the lang projection)
+    element_at(
+      transform(
+        array(best),
+        b => when(b.getField("score") <= 0.0, lit(unknownLabel)).otherwise(b.getField("lang"))),
+      1)
   }
 
   private def bestLangStruct(text: Column, profiles: Map[String, Seq[String]]): Column = {

@@ -108,6 +108,10 @@ object TopK {
       k: Int): DataFrame = {
     val fn = udaf(new TopKBySim(k), Encoders.product[ScoredEntry])
     scored
+      // null similarity (cosine's null-vector/zero-norm contract) can never
+      // rank; the non-nullable ScoredEntry encoder would otherwise throw on
+      // it — match the old window ranking, where nulls sorted last
+      .filter(sim.isNotNull && id.isNotNull)
       .groupBy(col(keyCol))
       .agg(fn(sim, id, tag).as("_tk"))
       .select(

@@ -40,6 +40,14 @@ object VectorFunctions {
       simCol: Column,
       k: Int): DataFrame = {
     val cIdType = scored.schema(cId).dataType
+    // the aggregator carries the candidate id as a Long slot; an integral id
+    // type round-trips losslessly, anything else ('0042' strings, doubles)
+    // would silently merge or null out — refuse instead
+    require(
+      Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(cIdType),
+      s"top-k candidate id column '$cId' must be integral, got ${cIdType.catalogString}")
     TopK
       .topKPerKey(scored, qId, simCol, col(cId).cast("long"), lit(0L), k)
       .select(

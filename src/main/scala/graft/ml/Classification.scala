@@ -134,7 +134,8 @@ object Classification {
     val summary = perFold
       .groupBy("params")
       .agg(avg("metric").as("cv_mean"), stddev_samp("metric").as("cv_std"))
-      .orderBy(col("cv_mean").desc)
+      // best-first respects the metric's direction (rmse asc, auc desc)
+      .orderBy(if (evaluator.isLargerBetter) col("cv_mean").desc else col("cv_mean").asc)
     (perFold, summary)
   }
 
@@ -161,8 +162,9 @@ object Classification {
     * Scale shape: the per-query ranking is the bounded partial top-k
     * aggregator (graft.functions.TopK) — each map task reduces its scored
     * pairs to ≤ 2k entries per query before the exchange; no full-pair
-    * window shuffle. Requires a numeric label and a numeric train id
-    * (`tId`).
+    * window shuffle. Requires an integral train id (`tId`); labels may be
+    * any orderable type (they ride the aggregation as dense codes from a
+    * broadcast dictionary).
     */
   def knnClassify(
       queries: DataFrame,
@@ -174,19 +176,35 @@ object Classification {
       labelCol: String,
       k: Int): DataFrame = {
     import graft.functions.{TopK, VectorFunctions}
+    // The aggregator's payload slot is a Long; a raw cast would truncate
+    // fractional labels (1.5 and 1.0 merge) or null out strings. Instead
+    // labels ride through dense codes assigned in label-ascending order
+    // (code asc == label asc, so the vote tiebreak survives). The distinct
+    // label set is contract-small (it is a classification target), so the
+    // dictionary is a driver-side when-chain — no join, no window.
+    val labels = train.select(col(labelCol).as("_lab")).distinct()
+      .orderBy(col("_lab")).collect().map(_.get(0))
+    require(labels.nonEmpty, "knnClassify: train has no labels")
+    val encode = labels.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (l, i)) =>
+      when(col(labelCol) === lit(l), lit((i + 1).toLong)).otherwise(acc)
+    }
+    val labelType = train.schema(labelCol).dataType
+    val decode = labels.zipWithIndex.foldLeft(lit(null).cast(labelType)) { case (acc, (l, i)) =>
+      when(col("_w.l") === lit((i + 1).toLong), lit(l)).otherwise(acc)
+    }
     val scored = train
+      .withColumn("_code", encode)
       .crossJoin(broadcast(queries))
       .withColumn("_sim", VectorFunctions.cosine(col(qVec), col(tVec)))
-    val labelType = train.schema(labelCol).dataType
     val votes = TopK
-      .topKPerKey(scored, qId, col("_sim"), col(tId).cast("long"), col(labelCol).cast("long"), k)
-      .groupBy(col(qId), col("tag").cast(labelType).as("_label"))
+      .topKPerKey(scored, qId, col("_sim"), col(tId).cast("long"), col("_code"), k)
+      .groupBy(col(qId), col("tag").as("_vcode"))
       .agg(count(lit(1)).as("_c"))
-    // argmax by (count desc, label asc) without a window: min of (-count,
-    // label) under lexicographic struct ordering.
+    // argmax by (count desc, code asc = label asc) without a window: min of
+    // (-count, code) under lexicographic struct ordering.
     votes
       .groupBy(col(qId))
-      .agg(min(struct((-col("_c")).as("nc"), col("_label").as("l"))).as("_w"))
-      .select(col(qId), col("_w.l").as("predicted"))
+      .agg(min(struct((-col("_c")).as("nc"), col("_vcode").as("l"))).as("_w"))
+      .select(col(qId), decode.as("predicted"))
   }
 }
