@@ -41,7 +41,8 @@ object Bench {
     "q37_item_support" -> 1.345, "q38_asof_clicks" -> 1.083,
     "q39_salted_hot_key" -> 0.550, "q40_corpus_curation" -> 1.244,
     "q41_lang_id" -> 0.507, "q42_chapter_split" -> 0.101,
-    "q43_stream_dedup" -> 3.358, "q44_redaction" -> 1.271)
+    "q43_stream_dedup" -> 3.358, "q44_redaction" -> 1.271,
+    "q45_ann_ivf" -> 3.952, "q46_ngram_jaccard" -> 3.557)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -861,6 +861,48 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  // q45 — IVF ANN through the oracle gate: the inverted-file path (KMeans
+  // coarse quantizer → per-query cell probe → equi-join candidates → exact
+  // scoring → bounded partial top-k) declared with nProbe == nCells, where
+  // it degenerates to EXACT search regardless of how the quantizer split the
+  // corpus — so DuckDB's brute-force top-k is a valid value oracle for the
+  // whole ANN pipeline. Production tuning (nProbe << nCells, recall < 1) is
+  // covered by VectorFunctionsSpec's recall tests.
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    VF.ivfTopK(queries, emb, "q_id", "vec_id", "q_vec", "embedding",
+      k = 5, nCells = 8, nProbe = 8)
+      .withColumnRenamed("vec_id", "c_id")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // q46 — exact n-gram Jaccard near-dup pairs, blocked by language (north-
+  // star dedup suite: the exact-scoring member next to q16's MinHash bands).
+  // Shingle strings hash once (xxhash64) and sort; per-pair Jaccard is the
+  // native two-pointer set merge. Pair enumeration is Pairs.allPairs — a
+  // triangle-salted self-join, so the 5-language block key doesn't collapse
+  // the join onto 5 reducers. The DuckDB oracle recomputes Jaccard on the
+  // raw shingle STRING sets: hashing is injective in practice (64-bit, ~1e5
+  // shingles), so values match exactly.
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = docs.select(
+      col("doc_id"),
+      col("lang"),
+      sort_array(transform(TF.charShingles(col("text"), 5), x => xxhash64(x))).as("h"))
+    graft.operators.Pairs.allPairs(sh, "doc_id", Seq("lang"), buckets = 8)
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        graft.expressions.VectorExpressions.jaccardSorted(col("a.h"), col("b.h")).as("_j"))
+      .filter(col("_j") >= 0.5)
+      .select(col("id_a"), col("id_b"), rnd(col("_j"), 4).as("jac"))
+      .orderBy(col("jac").desc, col("id_a"), col("id_b"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -906,7 +948,9 @@ object SparkEntry {
     "q41_lang_id" -> langIdCounts,
     "q42_chapter_split" -> chapterBook,
     "q43_stream_dedup" -> streamDedup,
-    "q44_redaction" -> redactionStats)
+    "q44_redaction" -> redactionStats,
+    "q45_ann_ivf" -> annIvf,
+    "q46_ngram_jaccard" -> ngramJaccardPairs)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1459,5 +1503,49 @@ object SparkEntry {
         |  count(CASE WHEN clean LIKE '%<URL>%' THEN 1 END) AS n_url,
         |  count(CASE WHEN clean LIKE '%<PHONE>%' THEN 1 END) AS n_phone,
         |  count(CASE WHEN clean <> text2 THEN 1 END) AS n_redacted
-        |FROM red GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM red GROUP BY lang ORDER BY lang""".stripMargin,
+    // q45 probes ALL cells (nProbe == nCells) so the IVF pipeline is exact
+    // and brute-force top-k is its value oracle (same SQL shape as q14).
+    "q45_ann_ivf" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        |  FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.q_id, c.vec_id AS c_id,
+        |    list_dot_product(q.q_vec, c.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+        |         * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim
+        |  FROM q, embeddings c
+        |  WHERE q.q_id != c.vec_id
+        |), ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, c_id, round(sim + 1e-9, 6) AS sim, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    // q46 recomputes Jaccard on the raw shingle STRING sets (list_distinct /
+    // list_intersect); the Spark side's 64-bit shingle hashing is injective
+    // at this cardinality so the ratios agree exactly.
+    "q46_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)])
+        |    END AS s
+        |  FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) AS j
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, round(j + 1e-9, 4) AS jac
+        |FROM pairs WHERE j >= 0.5
+        |ORDER BY jac DESC, id_a, id_b""".stripMargin)
 }

@@ -106,4 +106,20 @@ class PlanSpec extends AnyFunSuite {
     val exchangeInputs = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchangeInputs.contains("text"), s"document payload in a shuffle:\n$p")
   }
+
+  test("IVF ANN candidate join is an equi-join with bounded top-k, no window") {
+    val p = plan(SparkEntry.queries("q45_ann_ivf")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in IVF plan:\n$p")
+    assert(!p.contains("Window"), s"window ranking in IVF plan:\n$p")
+    assert(p.contains("top_k_by_sim") || p.contains("ObjectHashAggregate"),
+      s"expected bounded top-k aggregation:\n$p")
+  }
+
+  test("blocked Jaccard pair join never plans a cartesian or single-key shuffle") {
+    val p = plan(SparkEntry.queries("q46_ngram_jaccard")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in pair join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in pair join:\n$p")
+    // the equi-join key must include the triangle group, not just `lang`
+    assert(p.contains("_g"), s"triangle salt missing from join key:\n$p")
+  }
 }
