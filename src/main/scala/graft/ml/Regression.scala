@@ -51,7 +51,11 @@ object Regression {
     * the per-fold validation frame (fold, cut, rmse).
     *
     * Driver-side loop by design (SURVEY.md §4.2) — each fit is itself a
-    * distributed job; the loop only steers.
+    * distributed job; the loop only steers. The k folds are independent, so
+    * they're submitted CONCURRENTLY (Spark's scheduler interleaves the jobs
+    * across the executor cores) — a single fold's fit never saturates the
+    * cluster, so serializing them wastes ~k× wall-clock. The input is
+    * persisted for the duration so k folds scan it once, not 2k times.
     */
   def rollingOriginCv(
       df: DataFrame,
@@ -63,18 +67,34 @@ object Regression {
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bounds = df.select(min(col(orderCol)).cast("double"), max(col(orderCol)).cast("double")).head()
-    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
-    val cuts = (1 to k).map(i => lo + (hi - lo) * i / (k + 1).toDouble)
-    val ev = new RegressionEvaluator()
-      .setLabelCol(labelCol).setPredictionCol("prediction").setMetricName("rmse")
-    val rows = cuts.zipWithIndex.map { case (cut, i) =>
-      val next = if (i + 1 < cuts.length) cuts(i + 1) else hi + 1
-      val train = df.filter(col(orderCol).cast("double") <= cut)
-      val valid = df.filter(col(orderCol).cast("double") > cut && col(orderCol).cast("double") <= next)
-      val model = fit(train)
-      (i + 1, cut, ev.evaluate(model.transform(valid)))
-    }
-    rows.toDF("fold", "cut", "rmse")
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds =
+        cached.select(min(col(orderCol)).cast("double"), max(col(orderCol)).cast("double")).head()
+      val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+      val cuts = (1 to k).map(i => lo + (hi - lo) * i / (k + 1).toDouble)
+      val ev = new RegressionEvaluator()
+        .setLabelCol(labelCol).setPredictionCol("prediction").setMetricName("rmse")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(k, 8))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val rows =
+        try {
+          val futures = cuts.zipWithIndex.map { case (cut, i) =>
+            scala.concurrent.Future {
+              val next = if (i + 1 < cuts.length) cuts(i + 1) else hi + 1
+              val train = cached.filter(col(orderCol).cast("double") <= cut)
+              val valid = cached.filter(
+                col(orderCol).cast("double") > cut && col(orderCol).cast("double") <= next)
+              val model = fit(train)
+              (i + 1, cut, ev.evaluate(model.transform(valid)))
+            }
+          }
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(futures),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      rows.toDF("fold", "cut", "rmse")
+    } finally cached.unpersist()
   }
 }
