@@ -903,6 +903,23 @@ object SparkEntry {
       .orderBy(col("jac").desc, col("id_a"), col("id_b"))
   }
 
+  // q47 — confusion matrix of the kNN classifier (A12/M9 through the oracle
+  // gate): q18's deterministic predictions joined back to the true labels,
+  // contingency counts per (label, prediction). The reference's
+  // classification_report / confusion_matrix (乳腺癌预测.py:159,190-199) compose
+  // from exactly this table.
+  private def knnConfusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val train = emb.filter(col("vec_id") >= 50)
+    val preds = Classification
+      .knnClassify(queries, train, "q_id", "q_vec", "vec_id", "embedding", "label", k = 5)
+      .withColumnRenamed("predicted", "prediction")
+    val truth = emb.filter(col("vec_id") < 50).select(col("vec_id").as("q_id"), col("label"))
+    Classification.confusion(preds.join(truth, "q_id"), "label")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -950,7 +967,8 @@ object SparkEntry {
     "q43_stream_dedup" -> streamDedup,
     "q44_redaction" -> redactionStats,
     "q45_ann_ivf" -> annIvf,
-    "q46_ngram_jaccard" -> ngramJaccardPairs)
+    "q46_ngram_jaccard" -> ngramJaccardPairs,
+    "q47_knn_confusion" -> knnConfusion)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1547,5 +1565,36 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, round(j + 1e-9, 4) AS jac
         |FROM pairs WHERE j >= 0.5
-        |ORDER BY jac DESC, id_a, id_b""".stripMargin)
+        |ORDER BY jac DESC, id_a, id_b""".stripMargin,
+    // q47 reuses q18's deterministic vote (sim desc, id asc; count desc,
+    // label asc) and contingency-counts it against the true labels.
+    "q47_knn_confusion" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 50
+        |), t AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS tv
+        |  FROM embeddings WHERE vec_id >= 50
+        |), scored AS (
+        |  SELECT q.q_id, t.vec_id, t.label,
+        |    list_dot_product(q.qv, t.tv)
+        |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(t.tv, t.tv))) AS sim
+        |  FROM q, t
+        |), ranked AS (
+        |  SELECT q_id, label,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM scored
+        |), votes AS (
+        |  SELECT q_id, label, count(*) AS c FROM ranked WHERE rn <= 5 GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT q_id, label AS prediction FROM (
+        |    SELECT q_id, label,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, label ASC) AS vr
+        |    FROM votes
+        |  ) WHERE vr = 1
+        |)
+        |SELECT e.label AS label, p.prediction, count(*) AS n
+        |FROM pred p JOIN embeddings e ON e.vec_id = p.q_id
+        |GROUP BY 1, 2
+        |ORDER BY label, prediction""".stripMargin)
 }

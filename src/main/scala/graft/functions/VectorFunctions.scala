@@ -104,7 +104,11 @@ object VectorFunctions {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 
     val corpusVec = corpus.withColumn("_fv", array_to_vector(col(cVec).cast("array<double>")))
-    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("_fv").fit(corpusVec)
+    // the quantizer only PARTITIONS the corpus — recall comes from nProbe,
+    // and correctness from exact in-cell scoring — so a loosely converged
+    // clustering is as good as a tight one; 10 iterations, not the default 20
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("_fv").fit(corpusVec)
     val assigned = km.transform(corpusVec).withColumnRenamed("prediction", "_cell").drop("_fv")
 
     // centroid table is tiny (nCells rows) — broadcast to rank cells per query
