@@ -920,6 +920,32 @@ object SparkEntry {
     Classification.confusion(preds.join(truth, "q_id"), "label")
   }
 
+  // q48 — stream-static enrichment (phase E × J1): the replayed events
+  // stream joins the static customer→nation dimension (broadcast — no
+  // per-batch shuffle of the unbounded side) and aggregates per nation.
+  // Must equal the batch 3-way join the oracle runs. The value sum rides
+  // decimals on both sides: float summation order across micro-batches is
+  // not deterministic enough for 4-decimal rounding.
+  private def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .join(
+        t(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    replayStream(s, dir, "complete") { ev =>
+      graft.streaming.StreamOps.enrich(ev, dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("_tv"))
+    }
+      .select(
+        col("n_name"),
+        col("n_events"),
+        round(col("_tv"), 4).cast("double").as("total_value"))
+      .orderBy(col("n_name"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -968,7 +994,8 @@ object SparkEntry {
     "q44_redaction" -> redactionStats,
     "q45_ann_ivf" -> annIvf,
     "q46_ngram_jaccard" -> ngramJaccardPairs,
-    "q47_knn_confusion" -> knnConfusion)
+    "q47_knn_confusion" -> knnConfusion,
+    "q48_stream_enrich" -> streamEnrich)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1596,5 +1623,13 @@ object SparkEntry {
         |SELECT e.label AS label, p.prediction, count(*) AS n
         |FROM pred p JOIN embeddings e ON e.vec_id = p.q_id
         |GROUP BY 1, 2
-        |ORDER BY label, prediction""".stripMargin)
+        |ORDER BY label, prediction""".stripMargin,
+    "q48_stream_enrich" ->
+      """SELECT n.n_name, count(*) AS n_events,
+        |  CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin)
 }

@@ -70,6 +70,17 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("_digest")
       .drop("_digest")
 
+  /** Stream-static enrichment join: each micro-batch joins against a static
+    * dimension snapshot — the streaming leg of the star join (J1). The
+    * static side is explicitly broadcast: a dimension small enough to
+    * snapshot per batch is small enough to ship to every executor, and the
+    * alternative (shuffling every micro-batch on the join key) adds a
+    * per-batch exchange on the unbounded side. Inner stream-static joins are
+    * stateless — no watermark needed.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, joinExpr: org.apache.spark.sql.Column): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), joinExpr)
+
   /** Streaming trend detection (the VEG adjacent-period comparison as a
     * stateful operator): per (event_type) group, compare each micro-batch's
     * day-average against the previous day's retained in state and emit

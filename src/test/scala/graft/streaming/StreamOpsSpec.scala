@@ -34,6 +34,24 @@ class StreamOpsSpec extends AnyFunSuite {
     spark.table(name)
   }
 
+  test("stream-static enrich equals the batch join and broadcasts the dim") {
+    val dim = Seq((0L, "alpha"), (1L, "beta")).toDF("key", "segment")
+    val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
+    val enriched = StreamOps.enrich(
+      stream, dim, col("user_id") % 2 === col("key"))
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+    val got = runStream(enriched, "enrich_t", "complete")
+      .orderBy("segment").collect().toSeq
+    val want = batch.join(dim, col("user_id") % 2 === col("key"))
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      .orderBy("segment").collect().toSeq
+    assert(got == want)
+    // static side must broadcast: no shuffle of the unbounded side per batch
+    val plan = StreamOps.enrich(batch, dim, col("user_id") % 2 === col("key"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("windowed type stats equal the batch group-by") {
     val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
     val got = runStream(StreamOps.windowedTypeStats(stream), "win_stats", "complete")
