@@ -887,7 +887,10 @@ object SparkEntry {
   // the join onto 5 reducers. The DuckDB oracle recomputes Jaccard on the
   // raw shingle STRING sets: hashing is injective in practice (64-bit, ~1e5
   // shingles), so values match exactly.
-  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Shared by q46/q49: all within-lang doc pairs with exact char-5-gram
+    * Jaccard >= `threshold`, as (id_a, id_b, _j).
+    */
+  private def jaccardPairsAbove(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     val docs = t(s, dir, "documents")
     val sh = docs.select(
       col("doc_id"),
@@ -898,10 +901,23 @@ object SparkEntry {
         col("a.doc_id").as("id_a"),
         col("b.doc_id").as("id_b"),
         graft.expressions.VectorExpressions.jaccardSorted(col("a.h"), col("b.h")).as("_j"))
-      .filter(col("_j") >= 0.5)
+      .filter(col("_j") >= threshold)
+  }
+
+  private def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsAbove(s, dir, 0.5)
       .select(col("id_a"), col("id_b"), rnd(col("_j"), 4).as("jac"))
       .orderBy(col("jac").desc, col("id_a"), col("id_b"))
-  }
+
+  // q49 — near-dup CLUSTERS (the dedup step after pair generation): q46's
+  // exact Jaccard pairs grouped into connected components by iterative
+  // min-label propagation; every clustered doc labeled with its component's
+  // canonical (min) id — the keep/drop decision of a dedup pass. The DuckDB
+  // oracle computes the same transitive closure with a recursive CTE.
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .connectedComponents(jaccardPairsAbove(s, dir, 0.5), "id_a", "id_b", idOut = "doc_id")
+      .orderBy(col("doc_id"))
 
   // q47 — confusion matrix of the kNN classifier (A12/M9 through the oracle
   // gate): q18's deterministic predictions joined back to the true labels,
@@ -995,7 +1011,8 @@ object SparkEntry {
     "q45_ann_ivf" -> annIvf,
     "q46_ngram_jaccard" -> ngramJaccardPairs,
     "q47_knn_confusion" -> knnConfusion,
-    "q48_stream_enrich" -> streamEnrich)
+    "q48_stream_enrich" -> streamEnrich,
+    "q49_dedup_clusters" -> dedupClusters)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1631,5 +1648,33 @@ object SparkEntry {
         |JOIN customer c ON e.user_id = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name
-        |ORDER BY n.n_name""".stripMargin)
+        |ORDER BY n.n_name""".stripMargin,
+    // q49 reproduces the q46 pair set, then computes each doc's component as
+    // the least id reachable through the pair graph (recursive CTE).
+    "q49_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)])
+        |    END AS s
+        |  FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |          / len(list_distinct(a.s || b.s)) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |)
+        |SELECT a AS doc_id, least(a, min(b)) AS component
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)
 }

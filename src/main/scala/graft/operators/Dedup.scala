@@ -89,4 +89,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
   }
+
+  /** Connected components over an undirected pair list — the clustering step
+    * that turns near-dup PAIRS (MinHash/SimHash/Jaccard/cosine candidates)
+    * into dedup GROUPS, so a canonical representative (the min id, which is
+    * what every component label converges to) can be kept per group.
+    *
+    * Iterative min-label propagation to fixpoint: each round every node
+    * takes the min of its own and its neighbors' labels — one equi-join +
+    * partial-agg min per round, converging in O(component diameter) rounds.
+    * Near-dup components are shallow (dup clusters are cliques-ish), so
+    * rounds stay single-digit at any corpus size; pathological chain graphs
+    * would want the large-star/small-star variant instead. localCheckpoint
+    * per round truncates lineage — persist alone leaves the logical plan
+    * growing per iteration until planning dominates (same pattern as
+    * DBSCAN's propagation, ml/Dbscan.scala).
+    *
+    * Returns (`idCol`, "component") for every id appearing in `pairs`.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      idOut: String = "id",
+      maxIters: Int = 50): DataFrame = {
+    val sym = pairs
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(pairs.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      // every node in `sym` has >= 1 neighbor, so the inner join keeps all
+      val propagated = sym
+        .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nc")).as("newc"))
+      val next = labels
+        .join(propagated, Seq("id"))
+        .select(col("id"), least(col("component"), col("newc")).as("component"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("id", idOut)
+  }
 }

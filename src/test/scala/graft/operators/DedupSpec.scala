@@ -62,6 +62,29 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains((3L, 103L)), "d=4 pair must be filtered by maxHamming=3")
   }
 
+  test("connectedComponents labels every node with its component's min id") {
+    // components: chain {1-2-3-4}, triangle {10,11,12}, pair {20,21};
+    // 30 never appears in a pair and must not appear in the output
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b", idOut = "doc")
+      .orderBy("doc").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2 rounds)") {
+    val n = 33L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b")
+    assert(got.select("component").distinct().count() == 1)
+    assert(got.count() == n)
+  }
+
   test("simhash near-dup finds an edited document end-to-end") {
     import graft.functions.{TextFunctions => TF}
     val docs = Seq(
