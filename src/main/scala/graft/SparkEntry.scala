@@ -962,6 +962,31 @@ object SparkEntry {
       .orderBy(col("n_name"))
   }
 
+  // q50 — point-in-interval range join (RangeJoin.pointInInterval): ten
+  // 3-day windows tiled from the first event day, each event joined into
+  // its containing window(s) by binned equi-join (binWidth 2 days, so
+  // windows genuinely span multiple bins), then per-window stats. Spark's
+  // native plan for the bare range predicate would be a nested-loop join;
+  // the oracle computes that naive form directly. The window table derives
+  // deterministically from min(event date) on both sides. Windows overlap
+  // nothing here, but the operator supports overlap — see RangeJoinSpec.
+  private def rangeJoinWindows(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val ev = t(s, dir, "events")
+      .select(datediff(to_date(col("ts")), epoch).cast("long").as("d"), col("value"))
+    // driver-side scalar (one-row agg): the windows anchor
+    val day0 = ev.agg(min(col("d"))).head().getLong(0)
+    import s.implicits._
+    val windows = (0 until 10)
+      .map(k => (k.toLong, day0 + 3L * k, day0 + 3L * k + 3L))
+      .toDF("w_id", "w_start", "w_end")
+    graft.operators.RangeJoin
+      .pointInInterval(ev, "d", windows, "w_start", "w_end", binWidth = 2L)
+      .groupBy(col("w_id"))
+      .agg(count(lit(1)).as("n_events"), rnd(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("w_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1012,7 +1037,8 @@ object SparkEntry {
     "q46_ngram_jaccard" -> ngramJaccardPairs,
     "q47_knn_confusion" -> knnConfusion,
     "q48_stream_enrich" -> streamEnrich,
-    "q49_dedup_clusters" -> dedupClusters)
+    "q49_dedup_clusters" -> dedupClusters,
+    "q50_range_join" -> rangeJoinWindows)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1676,5 +1702,20 @@ object SparkEntry {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS component
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // q50's oracle runs the naive range-predicate join over epoch-day
+    // points and the same derived 3-day windows.
+    "q50_range_join" ->
+      """WITH ev AS (
+        |  SELECT datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS d, value
+        |  FROM events
+        |), anchor AS (
+        |  SELECT min(d) AS day0 FROM ev
+        |), w AS (
+        |  SELECT k::BIGINT AS w_id, day0 + 3 * k AS w_start, day0 + 3 * k + 3 AS w_end
+        |  FROM anchor, range(0, 10) r(k)
+        |)
+        |SELECT w_id, count(*) AS n_events, round(avg(value) + 1e-9, 4) AS avg_value
+        |FROM ev JOIN w ON ev.d >= w.w_start AND ev.d < w.w_end
+        |GROUP BY w_id ORDER BY w_id""".stripMargin)
 }
