@@ -85,28 +85,31 @@ object TextFunctions {
   def winnowingFingerprints(hashes: Column, w: Int): Column =
     graft.expressions.HashExpressions.winnowingFingerprints(hashes, w)
 
+  /** Expression-level "let": binds `c` once via a single-element `transform`
+    * so `body` can reference it many times without Catalyst re-evaluating
+    * the whole subtree per reference (higher-order-function lambdas are
+    * interpreted and re-run outer expressions each time — measured 25×
+    * slower on the shingle path before binding).
+    */
+  private def bindOnce(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), body), 1)
+
   /** Character n-gram shingles of the normalized text (lowercased, whitespace
-    * collapsed). Building block for MinHash / Jaccard near-dup.
-    *
-    * The normalization is bound once via a single-element `transform` (a
-    * "let" at the expression level): referencing it directly inside the
-    * per-shingle lambda would re-run the regex for every shingle — measured
-    * 25× slower on the sf0.1 corpus.
+    * collapsed). Building block for MinHash / Jaccard near-dup. The
+    * normalization is `bindOnce`-bound: the per-shingle lambda would re-run
+    * the regex for every shingle otherwise.
     */
   def charShingles(text: Column, n: Int): Column = {
     val norm = lower(regexp_replace(trim(text), "\\s+", " "))
-    element_at(
-      transform(
-        array(norm),
-        nm =>
-          // guard: sequence(1, 0) in Spark is DESCENDING [1,0], not empty —
-          // texts shorter than n must yield an empty shingle set explicitly.
-          when(length(nm) < n, array().cast("array<string>"))
-            .otherwise(
-              transform(
-                sequence(lit(1), length(nm) - (n - 1)),
-                i => nm.substr(i, lit(n))))),
-      1)
+    bindOnce(norm) { nm =>
+      // guard: sequence(1, 0) in Spark is DESCENDING [1,0], not empty —
+      // texts shorter than n must yield an empty shingle set explicitly.
+      when(length(nm) < n, array().cast("array<string>"))
+        .otherwise(
+          transform(
+            sequence(lit(1), length(nm) - (n - 1)),
+            i => nm.substr(i, lit(n))))
+    }
   }
 
   /** Word n-gram shingles (joined with a space). */
@@ -183,14 +186,11 @@ object TextFunctions {
       profiles: Map[String, Seq[String]],
       unknownLabel: String = "und"): Column = {
     val best = bestLangStruct(text, profiles)
-    // "let"-bind the scored struct once via a 1-element transform — naming
-    // it b prevents the full profile-scoring tree from being evaluated
-    // twice (once for the score test, once for the lang projection)
-    element_at(
-      transform(
-        array(best),
-        b => when(b.getField("score") <= 0.0, lit(unknownLabel)).otherwise(b.getField("lang"))),
-      1)
+    // bindOnce the scored struct: the full profile-scoring tree would
+    // otherwise evaluate twice (score test + lang projection)
+    bindOnce(best) { b =>
+      when(b.getField("score") <= 0.0, lit(unknownLabel)).otherwise(b.getField("lang"))
+    }
   }
 
   private def bestLangStruct(text: Column, profiles: Map[String, Seq[String]]): Column = {

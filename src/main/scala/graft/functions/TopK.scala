@@ -109,9 +109,10 @@ object TopK {
     val fn = udaf(new TopKBySim(k), Encoders.product[ScoredEntry])
     scored
       // null similarity (cosine's null-vector/zero-norm contract) can never
-      // rank; the non-nullable ScoredEntry encoder would otherwise throw on
-      // it — match the old window ranking, where nulls sorted last
-      .filter(sim.isNotNull && id.isNotNull)
+      // rank, and the non-nullable ScoredEntry encoder would throw on any
+      // null field (sim, id, or tag) — match the old window ranking, where
+      // nulls sorted last; null-tag rows are likewise unrepresentable
+      .filter(sim.isNotNull && id.isNotNull && tag.isNotNull)
       .groupBy(col(keyCol))
       .agg(fn(sim, id, tag).as("_tk"))
       .select(

@@ -176,15 +176,26 @@ object Classification {
       labelCol: String,
       k: Int): DataFrame = {
     import graft.functions.{TopK, VectorFunctions}
+    // integral-id contract enforced, not just documented: a non-numeric id
+    // would cast to null and be silently dropped by the top-k null guard
+    val tIdType = train.schema(tId).dataType
+    require(
+      Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(tIdType),
+      s"knnClassify train id column '$tId' must be integral, got ${tIdType.catalogString}")
+    // null labels cannot vote (they would encode to the -1 sentinel, which
+    // outranks every real label in the count-tie ordering)
+    val votable = train.filter(col(labelCol).isNotNull)
     // The aggregator's payload slot is a Long; a raw cast would truncate
     // fractional labels (1.5 and 1.0 merge) or null out strings. Instead
     // labels ride through dense codes assigned in label-ascending order
     // (code asc == label asc, so the vote tiebreak survives). The distinct
     // label set is contract-small (it is a classification target), so the
     // dictionary is a driver-side when-chain — no join, no window.
-    val labels = train.select(col(labelCol).as("_lab")).distinct()
+    val labels = votable.select(col(labelCol).as("_lab")).distinct()
       .orderBy(col("_lab")).collect().map(_.get(0))
-    require(labels.nonEmpty, "knnClassify: train has no labels")
+    require(labels.nonEmpty, "knnClassify: train has no non-null labels")
     val encode = labels.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (l, i)) =>
       when(col(labelCol) === lit(l), lit((i + 1).toLong)).otherwise(acc)
     }
@@ -192,7 +203,7 @@ object Classification {
     val decode = labels.zipWithIndex.foldLeft(lit(null).cast(labelType)) { case (acc, (l, i)) =>
       when(col("_w.l") === lit((i + 1).toLong), lit(l)).otherwise(acc)
     }
-    val scored = train
+    val scored = votable
       .withColumn("_code", encode)
       .crossJoin(broadcast(queries))
       .withColumn("_sim", VectorFunctions.cosine(col(qVec), col(tVec)))

@@ -65,6 +65,7 @@ object Regression {
       k: Int,
       fit: DataFrame => org.apache.spark.ml.Model[_] with org.apache.spark.ml.Transformer)
       : DataFrame = {
+    require(k > 0, s"rollingOriginCv needs at least one fold, got k=$k")
     val spark = df.sparkSession
     import spark.implicits._
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

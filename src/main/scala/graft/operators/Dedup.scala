@@ -122,22 +122,31 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      // every node in `sym` has >= 1 neighbor, so the inner join keeps all
+      // every node in `sym` has >= 1 neighbor, so the inner join keeps all.
+      // The pre-update label rides along as _old so convergence is read off
+      // the already-checkpointed result — a second labels-vs-next join per
+      // round would double the per-iteration shuffle work.
       val propagated = sym
         .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("newc"))
       val next = labels
         .join(propagated, Seq("id"))
-        .select(col("id"), least(col("component"), col("newc")).as("component"))
+        .select(
+          col("id"),
+          col("component").as("_old"),
+          least(col("component"), col("newc")).as("component"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("component") =!= col("_old")).count()
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     sym.unpersist()
+    // a partially-propagated labeling splits real components and would make
+    // a dedup pass silently keep duplicates — refuse to return one
+    require(changed == 0L,
+      s"connectedComponents did not converge in $maxIters rounds (component " +
+        s"diameter exceeds maxIters); raise maxIters or use a star-contraction variant")
     labels.withColumnRenamed("id", idOut)
   }
 }
