@@ -44,7 +44,8 @@ object Bench {
     "q43_stream_dedup" -> 3.358, "q44_redaction" -> 1.271,
     "q45_ann_ivf" -> 3.952, "q46_ngram_jaccard" -> 3.557,
     "q47_knn_confusion" -> 2.006, "q48_stream_enrich" -> 2.277,
-    "q49_dedup_clusters" -> 4.529, "q50_range_join" -> 1.273)
+    "q49_dedup_clusters" -> 4.529, "q50_range_join" -> 1.273,
+    "q51_bm25_search" -> 1.897)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

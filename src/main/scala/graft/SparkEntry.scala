@@ -987,6 +987,42 @@ object SparkEntry {
       .orderBy(col("w_id"))
   }
 
+  // q51 — BM25 full-text ranking (corpus-curation / retrieval capability):
+  // score every document against a fixed term query with Okapi BM25
+  // (k1=1.2, b=0.75) and return the top 15. Pure relational shape: explode
+  // tokens → (doc, term) tf counts and doc lengths (both partial-agg'd),
+  // per-term df by filtered count, idf/score as column arithmetic, top-k by
+  // TakeOrderedAndProject. N and avgdl ride a broadcast one-row aggregate —
+  // no driver scalar, the plan stays fully distributed. The oracle computes
+  // the identical formula (DuckDB `ln`, not `log` = log10).
+  private def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("join", "window", "stream")
+    // BM25 constants appear as the same decimal literals on both engines
+    // (k1=1.2, k1+1=2.2, 1-b=0.25, b=0.75) — a Scala-computed k1+1 could
+    // differ from the SQL literal 2.2 by one ulp and flip a rank boundary
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(avg(col("dl")).as("avgdl")))
+    tf.join(broadcast(termDf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn(
+        "score_t",
+        col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum(col("score_t")).as("_s"), count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), rnd(col("_s"), 4).as("score"), col("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(15)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1038,7 +1074,8 @@ object SparkEntry {
     "q47_knn_confusion" -> knnConfusion,
     "q48_stream_enrich" -> streamEnrich,
     "q49_dedup_clusters" -> dedupClusters,
-    "q50_range_join" -> rangeJoinWindows)
+    "q50_range_join" -> rangeJoinWindows,
+    "q51_bm25_search" -> bm25Search)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1717,5 +1754,32 @@ object SparkEntry {
         |)
         |SELECT w_id, count(*) AS n_events, round(avg(value) + 1e-9, 4) AS avg_value
         |FROM ev JOIN w ON ev.d >= w.w_start AND ev.d < w.w_end
-        |GROUP BY w_id ORDER BY w_id""".stripMargin)
+        |GROUP BY w_id ORDER BY w_id""".stripMargin,
+    // q51: identical Okapi BM25 formula with identical decimal literals;
+    // DuckDB `ln` (its `log` is base-10). The trim-nonempty guard mirrors
+    // tokens()'s empty-doc convention (regexp_split on '' yields ['']).
+    "q51_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('join', 'window', 'stream') GROUP BY doc_id, term
+        |), tdf AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), corpus AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |         (SELECT avg(dl) FROM dl) AS avgdl
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS score_t
+        |  FROM tf JOIN tdf USING (term) JOIN dl ON tf.doc_id = dl.doc_id, corpus
+        |)
+        |SELECT doc_id, round(sum(score_t) + 1e-9, 4) AS score,
+        |  count(*) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)
 }

@@ -107,6 +107,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchangeInputs.contains("text"), s"document payload in a shuffle:\n$p")
   }
 
+  test("BM25 ranking plans distributed top-k and partial aggregation") {
+    val p = plan(SparkEntry.queries("q51_bm25_search")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-15:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"expected partial aggregation:\n$p")
+  }
+
   test("IVF ANN candidate join is an equi-join with bounded top-k, no window") {
     val p = plan(SparkEntry.queries("q45_ann_ivf")(spark, sf))
     assert(!p.contains("CartesianProduct"), s"cartesian in IVF plan:\n$p")
