@@ -45,7 +45,7 @@ object Bench {
     "q45_ann_ivf" -> 3.952, "q46_ngram_jaccard" -> 3.557,
     "q47_knn_confusion" -> 2.006, "q48_stream_enrich" -> 2.277,
     "q49_dedup_clusters" -> 4.529, "q50_range_join" -> 1.273,
-    "q51_bm25_search" -> 1.897)
+    "q51_bm25_search" -> 1.897, "q52_top_per_group" -> 1.352)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1023,6 +1023,29 @@ object SparkEntry {
       .limit(15)
   }
 
+  // q52 — grouped top-N on relational data through the bounded-heap top-k
+  // aggregator (TopK.topKPerKey): top-3 orders by total price per nation.
+  // The aggregator generalizes beyond similarity search — any (key, metric,
+  // id) triple ranks map-side to ≤ 2k rows per key before the exchange,
+  // where the `row_number` window idiom would shuffle every order row onto
+  // n_nation reducers. The oracle computes the window form.
+  private def topOrdersPerNation(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val scored = ord
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+    graft.functions.TopK
+      .topKPerKey(scored, "n_name", col("o_totalprice"), col("o_orderkey"), lit(0L), 3)
+      .select(
+        col("n_name"),
+        col("rank"),
+        col("id").as("o_orderkey"),
+        rnd(col("sim"), 2).as("o_totalprice"))
+      .orderBy(col("n_name"), col("rank"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1075,7 +1098,8 @@ object SparkEntry {
     "q48_stream_enrich" -> streamEnrich,
     "q49_dedup_clusters" -> dedupClusters,
     "q50_range_join" -> rangeJoinWindows,
-    "q51_bm25_search" -> bm25Search)
+    "q51_bm25_search" -> bm25Search,
+    "q52_top_per_group" -> topOrdersPerNation)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1781,5 +1805,19 @@ object SparkEntry {
         |SELECT doc_id, round(sum(score_t) + 1e-9, 4) AS score,
         |  count(*) AS n_terms
         |FROM scored GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "q52_top_per_group" ->
+      """WITH scored AS (
+        |  SELECT n.n_name, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (
+        |      PARTITION BY n.n_name
+        |      ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rank
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |)
+        |SELECT n_name, rank, o_orderkey,
+        |  round(o_totalprice + 1e-9, 2) AS o_totalprice
+        |FROM scored WHERE rank <= 3
+        |ORDER BY n_name, rank""".stripMargin)
 }
