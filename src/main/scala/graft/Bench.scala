@@ -87,6 +87,13 @@ object Bench {
       def once(): Double = {
         val dt = time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         spark.catalog.clearCache()
+        // streaming queries register memory-sink temp views (graft_stream_N)
+        // whose buffered rows live in DRIVER memory until dropped — across a
+        // 50-query sweep with multiple samples each, the accumulation turns
+        // into GC pressure that inflates later samples several-fold
+        spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
         dt
       }
       val two = Seq(once(), once())
