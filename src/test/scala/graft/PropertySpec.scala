@@ -66,4 +66,79 @@ class PropertySpec extends AnyFunSuite {
       assert(bad == 0)
     }
   }
+
+  private val pairRowsGen: Gen[List[(Long, String)]] =
+    Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(0L, 40L)
+      block <- Gen.oneOf("x", "y", "z")
+    } yield (id, block)).map(_.distinctBy(_._1))
+
+  test("allPairs equals the naive within-block pair set for random inputs") {
+    samples(pairRowsGen, 6).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("id", "blk")
+      val buckets = 1 + (i % 5) * 3 // 1, 4, 7, 10, 13 — exercise many widths
+      val got = graft.operators.Pairs.allPairs(df, "id", Seq("blk"), buckets)
+        .select(col("a.id"), col("b.id")).as[(Long, Long)].collect()
+      val want = (for {
+        x <- rows; y <- rows
+        if x._1 < y._1 && x._2 == y._2
+      } yield (x._1, y._1)).toSet
+      assert(got.length == got.toSet.size, s"dup pairs (sample $i, buckets=$buckets)")
+      assert(got.toSet == want, s"pair mismatch (sample $i, buckets=$buckets)")
+    }
+  }
+
+  private val intervalsGen: Gen[(List[Long], List[(Long, Long, Long)])] = for {
+    pts <- Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L))
+    ivs <- Gen.nonEmptyListOf(for {
+      s <- Gen.chooseNum(-60L, 60L)
+      len <- Gen.chooseNum(-5L, 30L) // negative/empty spans included
+    } yield (s, s + len))
+  } yield (pts, ivs.zipWithIndex.map { case ((s, e), k) => (k.toLong, s, e) })
+
+  test("range join equals the naive range filter for random inputs") {
+    samples(intervalsGen, 6).zipWithIndex.foreach { case ((pts, ivs), i) =>
+      val points = pts.zipWithIndex.map { case (p, j) => (j.toLong, p) }.toDF("pid", "p")
+      val intervals = ivs.toDF("iid", "s", "e")
+      val binWidth = 1L + (i % 4) * 6 // 1, 7, 13, 19
+      val got = graft.operators.RangeJoin
+        .pointInInterval(points, "p", intervals, "s", "e", binWidth)
+        .select("pid", "iid").as[(Long, Long)].collect()
+      val want = (for {
+        (p, j) <- pts.zipWithIndex
+        (k, s, e) <- ivs
+        if p >= s && p < e
+      } yield (j.toLong, k)).toSet
+      assert(got.length == got.toSet.size, s"dup matches (sample $i, binWidth=$binWidth)")
+      assert(got.toSet == want, s"match mismatch (sample $i, binWidth=$binWidth)")
+    }
+  }
+
+  test("connectedComponents matches a driver-side union-find on random graphs") {
+    val edgesGen = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0L, 25L)
+      b <- Gen.chooseNum(0L, 25L)
+      if a != b
+    } yield (a, b))
+    samples(edgesGen, 5).foreach { edges =>
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // driver union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      // canonical component id = min node id in the component
+      val want = nodes.groupBy(find).flatMap { case (_, ns) =>
+        val m = ns.min; ns.map(_ -> m)
+      }.toMap
+      assert(got == want)
+    }
+  }
 }
