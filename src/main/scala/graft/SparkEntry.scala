@@ -989,36 +989,49 @@ object SparkEntry {
 
   // q51 — BM25 full-text ranking (corpus-curation / retrieval capability):
   // score every document against a fixed term query with Okapi BM25
-  // (k1=1.2, b=0.75) and return the top 15. Pure relational shape: explode
-  // tokens → (doc, term) tf counts and doc lengths (both partial-agg'd),
-  // per-term df by filtered count, idf/score as column arithmetic, top-k by
-  // TakeOrderedAndProject. N and avgdl ride a broadcast one-row aggregate —
-  // no driver scalar, the plan stays fully distributed. The oracle computes
-  // the identical formula (DuckDB `ln`, not `log` = log10).
+  // (k1=1.2, b=0.75) and return the top 15. Shape: ONE projection computes
+  // per-doc length and per-term tf from a let-bound token array (no explode,
+  // so no token-level shuffle and no doc×term join); the corpus-wide stats
+  // (N, avgdl, per-term df) reduce to a ONE-ROW aggregate broadcast back;
+  // ranking is TakeOrderedAndProject. Two scans of `documents` total — the
+  // explode/join formulation re-scanned it once per derived table. The
+  // oracle computes the identical formula (DuckDB `ln`, not `log` = log10).
+  // BM25 constants appear as the same decimal literals on both engines
+  // (k1=1.2, k1+1=2.2, 1-b=0.25, b=0.75) — a Scala-computed k1+1 could
+  // differ from the SQL literal 2.2 by one ulp and flip a rank boundary.
   private def bm25Search(s: SparkSession, dir: String): DataFrame = {
     val qTerms = Seq("join", "window", "stream")
-    // BM25 constants appear as the same decimal literals on both engines
-    // (k1=1.2, k1+1=2.2, 1-b=0.25, b=0.75) — a Scala-computed k1+1 could
-    // differ from the SQL literal 2.2 by one ulp and flip a rank boundary
     val docs = t(s, dir, "documents")
-    val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val tf = toks.filter(col("term").isin(qTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val corpus = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(dl.agg(avg(col("dl")).as("avgdl")))
-    tf.join(broadcast(termDf), "term")
-      .join(dl, "doc_id")
+    val withStats = docs.select(
+      col("doc_id"),
+      TF.bindOnce(TF.tokens(col("text"))) { tk =>
+        struct(
+          size(tk).as("dl") +:
+            qTerms.zipWithIndex.map { case (qt, i) =>
+              size(filter(tk, x => x === lit(qt))).as(s"tf$i")
+            }: _*)
+      }.as("st"))
+    val corpus = withStats.agg(
+      count(lit(1)).as("n_docs"),
+      (avg(when(col("st.dl") > 0, col("st.dl")).cast("long")).as("avgdl") +:
+        qTerms.indices.map(i =>
+          sum((col(s"st.tf$i") > 0).cast("long")).as(s"df$i"))): _*)
+    def idf(i: Int): Column =
+      log((col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1)
+    def termScore(i: Int): Column =
+      when(
+        col(s"st.tf$i") > 0,
+        idf(i) * (col(s"st.tf$i") * 2.2) /
+          (col(s"st.tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("st.dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    val nTerms = qTerms.indices.map(i => (col(s"st.tf$i") > 0).cast("long")).reduce(_ + _)
+    withStats
       .crossJoin(broadcast(corpus))
-      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
-      .withColumn(
-        "score_t",
-        col("idf") * (col("tf") * 2.2) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id")
-      .agg(sum(col("score_t")).as("_s"), count(lit(1)).as("n_terms"))
-      .select(col("doc_id"), rnd(col("_s"), 4).as("score"), col("n_terms"))
+      .filter(nTerms > 0)
+      .select(
+        col("doc_id"),
+        rnd(qTerms.indices.map(termScore).reduce(_ + _), 4).as("score"),
+        nTerms.as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(15)
   }

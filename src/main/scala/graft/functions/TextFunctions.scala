@@ -91,7 +91,7 @@ object TextFunctions {
     * interpreted and re-run outer expressions each time — measured 25×
     * slower on the shingle path before binding).
     */
-  private def bindOnce(c: Column)(body: Column => Column): Column =
+  private[graft] def bindOnce(c: Column)(body: Column => Column): Column =
     element_at(transform(array(c), body), 1)
 
   /** Character n-gram shingles of the normalized text (lowercased, whitespace

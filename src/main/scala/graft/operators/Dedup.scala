@@ -141,12 +141,25 @@ object Dedup {
       labels = next.select(col("id"), col("component"))
       iter += 1
     }
-    sym.unpersist()
     // a partially-propagated labeling splits real components and would make
-    // a dedup pass silently keep duplicates — refuse to return one
-    require(changed == 0L,
-      s"connectedComponents did not converge in $maxIters rounds (component " +
-        s"diameter exceeds maxIters); raise maxIters or use a star-contraction variant")
+    // a dedup pass silently keep duplicates — refuse to return one. The
+    // loop's own `changed` cannot distinguish "converged ON the last
+    // permitted round" from "still propagating" (convergence is only proven
+    // by a zero-change round), so the boundary case runs one residual
+    // measurement round instead of throwing on a correct labeling.
+    if (changed > 0) {
+      val residual = sym
+        .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nc")).as("newc"))
+        .join(labels, Seq("id"))
+        .filter(col("newc") < col("component"))
+        .count()
+      require(residual == 0L,
+        s"connectedComponents did not converge in $maxIters rounds (component " +
+          s"diameter exceeds maxIters); raise maxIters or use a star-contraction variant")
+    }
+    sym.unpersist()
     labels.withColumnRenamed("id", idOut)
   }
 }

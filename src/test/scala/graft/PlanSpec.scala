@@ -107,11 +107,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!exchangeInputs.contains("text"), s"document payload in a shuffle:\n$p")
   }
 
-  test("BM25 ranking plans distributed top-k and partial aggregation") {
+  test("BM25 ranking plans distributed top-k, partial stats agg, no explode") {
     val p = plan(SparkEntry.queries("q51_bm25_search")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-15:\n$p")
-    assert(p.contains("partial_count") || p.contains("partial_sum") || p.contains("HashAggregate"),
+    // the one-row corpus-stats aggregate must have a map-side partial phase
+    // (assert the partial_* functions specifically — a bare HashAggregate
+    // string also matches final-mode aggregates and would never fail)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"expected partial aggregation:\n$p")
+    // per-doc tf/dl come from one projection over the token array — an
+    // Expand/Generate (explode) would mean the token-level shuffle returned
+    assert(!p.contains("Generate"), s"unexpected explode in BM25 plan:\n$p")
   }
 
   test("IVF ANN candidate join is an equi-join with bounded top-k, no window") {
