@@ -19,9 +19,11 @@ object Clustering {
 
   /** M19 with the reference's n_init semantics (红楼梦作者分析.py:176-178,
     * sklearn KMeans(n_init=10)): fit `nInit` seeded inits and keep the one
-    * with the lowest within-cluster SSE (trainingCost). Fits are sequential
-    * driver-steered jobs over the (caller-cached) frame — same shape as
-    * sklearn's loop, each fit itself distributed.
+    * with the lowest within-cluster SSE (trainingCost). The inits are
+    * independent, so they submit as CONCURRENT Spark jobs (a single fit
+    * never saturates the executors — same reasoning as rollingOriginCv);
+    * results come back in seed order, so the min-cost selection (first
+    * winner on ties) is identical to the sequential loop's.
     */
   def kmeansBestOf(
       df: DataFrame,
@@ -29,9 +31,23 @@ object Clustering {
       nInit: Int,
       baseSeed: Long = 42L,
       featuresCol: String = "features"): DataFrame = {
-    val best = (0 until nInit)
-      .map(i => new KMeans().setK(k).setSeed(baseSeed + i).setFeaturesCol(featuresCol).fit(df))
-      .minBy(_.summary.trainingCost)
+    require(nInit > 0, s"kmeansBestOf needs at least one init, got $nInit")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(nInit, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val best =
+      try {
+        val fits = (0 until nInit).map { i =>
+          scala.concurrent.Future {
+            new KMeans().setK(k).setSeed(baseSeed + i).setFeaturesCol(featuresCol).fit(df)
+          }
+        }
+        scala.concurrent.Await
+          .result(
+            scala.concurrent.Future.sequence(fits),
+            scala.concurrent.duration.Duration.Inf)
+          .minBy(_.summary.trainingCost)
+      } finally pool.shutdown()
     best.transform(df)
   }
 
