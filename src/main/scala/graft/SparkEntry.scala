@@ -361,10 +361,25 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
       .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
     val clustered = Clustering.kmeans(emb, k = 2, seed = 42L).cache()
-    val sil = Clustering.silhouette(clustered)
-    val cons = Clustering.consistency(clustered.withColumn("g", col("label") >= 5), "g")
-    val sizes = clustered.groupBy("prediction").count()
-      .orderBy("count").select("count").collect().map(_.getLong(0))
+    clustered.count() // materialize once; the three evaluations below share it
+    // silhouette / consistency / sizes are independent passes over the
+    // cached frame — run them as concurrent jobs
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.Future
+    val (sil, cons, sizes) =
+      try {
+        val fSil = Future(Clustering.silhouette(clustered))
+        val fCons =
+          Future(Clustering.consistency(clustered.withColumn("g", col("label") >= 5), "g"))
+        val fSizes = Future(
+          clustered.groupBy("prediction").count()
+            .orderBy("count").select("count").collect().map(_.getLong(0)))
+        scala.concurrent.Await.result(
+          fSil.zip(fCons).zip(fSizes).map { case ((a, b), c) => (a, b, c) },
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     import s.implicits._
     Seq((math.round(sil * 10000) / 10000.0, math.round(cons * 10000) / 10000.0,
       sizes.head, sizes.last))

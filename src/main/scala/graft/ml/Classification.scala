@@ -116,18 +116,31 @@ object Classification {
     val withFold = train
       .withColumn("_fold", pmod(xxhash64(col(idCol), lit(seed)), lit(numFolds)))
       .cache()
+    // the grid×fold fits are independent — submit them as concurrent Spark
+    // jobs (spark.ml's own CrossValidator.parallelism pattern; fit(ds, pm)
+    // copies the estimator per call, so sharing it across threads is safe);
+    // results return in (param, fold) order, identical to the loop's
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val combos = for { pm <- grid.toSeq; f <- 0 until numFolds } yield (pm, f)
     val rows =
       try {
-        for {
-          pm <- grid.toSeq
-          f <- 0 until numFolds
-        } yield {
-          val tr = withFold.filter(col("_fold") =!= f).drop("_fold")
-          val te = withFold.filter(col("_fold") === f).drop("_fold")
-          val model = estimator.fit(tr, pm)
-          (pm.toString, f, evaluator.evaluate(model.transform(te)))
+        val futures = combos.map { case (pm, f) =>
+          scala.concurrent.Future {
+            val tr = withFold.filter(col("_fold") =!= f).drop("_fold")
+            val te = withFold.filter(col("_fold") === f).drop("_fold")
+            val model = estimator.fit(tr, pm)
+            (pm.toString, f, evaluator.evaluate(model.transform(te)))
+          }
         }
-      } finally withFold.unpersist()
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf)
+      } finally {
+        pool.shutdown()
+        withFold.unpersist()
+      }
     val spark = train.sparkSession
     import spark.implicits._
     val perFold = rows.toDF("params", "fold", "metric")
