@@ -31,7 +31,9 @@ object Bench {
     "q23_revenue_rollup" -> 6.215, "q24_sessionize" -> 2.062,
     "q25_props_extract" -> 0.527, "q26_word_frequency" -> 0.351,
     "q27_stream_daily_counts" -> 1.979, "q28_stream_sessions" -> 1.765,
-    "q29_embedding_neardups" -> 0.528, "q30_monthly_stats" -> 2.015,
+    // q29's r1 number (0.528) timed the O(n²) crossJoin the judge asked to
+    // replace; the baseline is the scale-safe LSH plan's own clean r2 floor
+    "q29_embedding_neardups" -> 1.000, "q30_monthly_stats" -> 2.015,
     "q31_pricing_cube" -> 1.260, "q32_brand_revenue" -> 2.596,
     "q33_supplier_balance" -> 0.516, "q34_price_quartiles" -> 1.801,
     // q35+ first measured in round 2 (clean run, BASELINE.md §3a); q29's r1
@@ -45,7 +47,9 @@ object Bench {
     "q45_ann_ivf" -> 3.952, "q46_ngram_jaccard" -> 3.557,
     "q47_knn_confusion" -> 2.006, "q48_stream_enrich" -> 2.277,
     "q49_dedup_clusters" -> 4.529, "q50_range_join" -> 1.273,
-    "q51_bm25_search" -> 1.897, "q52_top_per_group" -> 1.352)
+    "q51_bm25_search" -> 1.897, "q52_top_per_group" -> 1.352,
+    "q53_rule_metrics" -> 2.961, "q54_forecast_metrics" -> 0.837,
+    "q55_roc_auc" -> 1.041)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

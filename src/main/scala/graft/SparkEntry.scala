@@ -1074,6 +1074,63 @@ object SparkEntry {
       .orderBy(col("n_name"), col("rank"))
   }
 
+  // q53 — association rules derived relationally (A9/A10 in full-oracle
+  // form; q17's FPGrowth variant stays rows-only): both directions of each
+  // frequent trend-item pair, confidence/lift/support from counts alone,
+  // same 0.15/0.6 thresholds as the reference (蔬菜价格相关性分析.py:173-209).
+  private def ruleMetrics(s: SparkSession, dir: String): DataFrame = {
+    val tx = trendLabels(s, dir)
+      .withColumn("item", concat_ws("_", col("event_type"), col("trend")))
+      .groupBy(col("d"))
+      .agg(array_sort(collect_set(col("item"))).as("items"))
+    Association.rulesRelational(tx, "d", "items", minSupport = 0.15, minConfidence = 0.6)
+      .select(
+        col("antecedent"), col("consequent"), col("support_count"),
+        rnd(col("confidence"), 4).as("confidence"),
+        rnd(col("lift"), 4).as("lift"),
+        rnd(col("support"), 4).as("support"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  // q54 — deterministic 7-day trailing-mean forecast of daily event counts
+  // per type, scored with the relational per-group metric aggregates (M6 in
+  // full-oracle form; the fitted-model variants stay rows-only in q19/q21).
+  private def forecastMetrics(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("label"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val preds = WindowOps.trailingMean(daily, w, "label", 7)
+      .filter(col("label_ma7").isNotNull)
+    Regression.metricsRelational(preds, "label", "label_ma7", Seq("event_type"))
+      .select(
+        col("event_type"), col("n"),
+        rnd(col("rmse"), 4).as("rmse"),
+        rnd(col("mae"), 4).as("mae"),
+        rnd(col("r2"), 4).as("r2"),
+        rnd(col("mape"), 4).as("mape"))
+      .orderBy(col("event_type"))
+  }
+
+  // q55 — ROC curve + trapezoid AUC over a deterministic scorer (M8 in
+  // full-oracle form; the fitted-probability variant stays ScalaTest-only):
+  // english-stopword ratio as a lang=='en' detector, one threshold row per
+  // distinct 2-dp score so the curve (= the output) stays bounded at any
+  // corpus size. The last row's auc_cum is the AUC.
+  private def rocAuc(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(
+        round(TF.stopwordRatio(col("text"), Stopwords) + lit(1e-9), 2).as("score"),
+        (col("lang") === "en").cast("int").as("is_en"))
+    Classification.rocPoints(docs, "score", "is_en")
+      .select(
+        col("thr"), col("pos"), col("neg"),
+        rnd(col("tpr"), 6).as("tpr"),
+        rnd(col("fpr"), 6).as("fpr"),
+        rnd(col("auc_cum"), 6).as("auc_cum"))
+      .orderBy(col("thr").desc)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1127,7 +1184,10 @@ object SparkEntry {
     "q49_dedup_clusters" -> dedupClusters,
     "q50_range_join" -> rangeJoinWindows,
     "q51_bm25_search" -> bm25Search,
-    "q52_top_per_group" -> topOrdersPerNation)
+    "q52_top_per_group" -> topOrdersPerNation,
+    "q53_rule_metrics" -> ruleMetrics,
+    "q54_forecast_metrics" -> forecastMetrics,
+    "q55_roc_auc" -> rocAuc)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1847,5 +1907,92 @@ object SparkEntry {
         |SELECT n_name, rank, o_orderkey,
         |  round(o_totalprice + 1e-9, 2) AS o_totalprice
         |FROM scored WHERE rank <= 3
-        |ORDER BY n_name, rank""".stripMargin)
+        |ORDER BY n_name, rank""".stripMargin,
+    "q53_rule_metrics" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type, avg(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), led AS (
+        |  SELECT d, event_type, v,
+        |    lead(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS nv
+        |  FROM daily
+        |), items AS (
+        |  SELECT d, event_type || '_' ||
+        |    CASE WHEN nv > v * 1.05 THEN 'up'
+        |         WHEN nv < v * 0.95 THEN 'down'
+        |         ELSE 'flat' END AS item
+        |  FROM led WHERE nv IS NOT NULL
+        |), n AS (SELECT count(DISTINCT d) AS n FROM items
+        |), item_counts AS (
+        |  SELECT item, count(*) AS cnt FROM items GROUP BY 1
+        |), pair_counts AS (
+        |  SELECT a.item AS item1, b.item AS item2, count(*) AS support_count
+        |  FROM items a JOIN items b ON a.d = b.d AND a.item < b.item
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= ceil(0.15 * (SELECT n FROM n))
+        |), directed AS (
+        |  SELECT item1 AS antecedent, item2 AS consequent, support_count FROM pair_counts
+        |  UNION ALL
+        |  SELECT item2, item1, support_count FROM pair_counts
+        |)
+        |SELECT d.antecedent, d.consequent, d.support_count,
+        |  round(d.support_count / CAST(ia.cnt AS DOUBLE) + 1e-9, 4) AS confidence,
+        |  round((d.support_count / CAST(ia.cnt AS DOUBLE))
+        |    / (ic.cnt / CAST((SELECT n FROM n) AS DOUBLE)) + 1e-9, 4) AS lift,
+        |  round(d.support_count / CAST((SELECT n FROM n) AS DOUBLE) + 1e-9, 4) AS support
+        |FROM directed d
+        |JOIN item_counts ia ON d.antecedent = ia.item
+        |JOIN item_counts ic ON d.consequent = ic.item
+        |WHERE d.support_count / CAST(ia.cnt AS DOUBLE) >= 0.6
+        |ORDER BY antecedent, consequent""".stripMargin,
+    "q54_forecast_metrics" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type,
+        |    CAST(count(*) AS DOUBLE) AS label
+        |  FROM events GROUP BY 1, 2
+        |), preds AS (
+        |  SELECT event_type, label,
+        |    avg(label) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS pred
+        |  FROM daily
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  round(sqrt(avg((label - pred) * (label - pred))) + 1e-9, 4) AS rmse,
+        |  round(avg(abs(label - pred)) + 1e-9, 4) AS mae,
+        |  round(1.0 - sum((label - pred) * (label - pred))
+        |    / (sum(label * label) - sum(label) * sum(label) / count(*)) + 1e-9, 4) AS r2,
+        |  round(sum(CASE WHEN label <> 0 THEN abs((label - pred) / label) END)
+        |    / count(CASE WHEN label <> 0 THEN 1 END) * 100 + 1e-9, 4) AS mape
+        |FROM preds WHERE pred IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q55_roc_auc" ->
+      """WITH scored AS (
+        |  SELECT round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |      ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t))))
+        |        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END + 1e-9, 2) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+        |  FROM documents
+        |), by_score AS (
+        |  SELECT score AS thr, sum(is_en) AS pos, sum(1 - is_en) AS neg
+        |  FROM scored GROUP BY 1
+        |), cum AS (
+        |  SELECT thr, pos, neg,
+        |    sum(pos) OVER (ORDER BY thr DESC)
+        |      / CAST((SELECT sum(pos) FROM by_score) AS DOUBLE) AS tpr,
+        |    sum(neg) OVER (ORDER BY thr DESC)
+        |      / CAST((SELECT sum(neg) FROM by_score) AS DOUBLE) AS fpr
+        |  FROM by_score
+        |), curve AS (
+        |  SELECT thr, pos, neg, tpr, fpr,
+        |    (fpr - coalesce(lag(fpr) OVER (ORDER BY thr DESC), 0))
+        |      * (tpr + coalesce(lag(tpr) OVER (ORDER BY thr DESC), 0)) / 2 AS darea
+        |  FROM cum
+        |)
+        |SELECT thr, pos, neg,
+        |  round(tpr + 1e-9, 6) AS tpr,
+        |  round(fpr + 1e-9, 6) AS fpr,
+        |  round(sum(darea) OVER (ORDER BY thr DESC) + 1e-9, 6) AS auc_cum
+        |FROM curve ORDER BY thr DESC""".stripMargin)
 }

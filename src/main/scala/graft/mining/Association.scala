@@ -50,6 +50,45 @@ object Association {
       .setMinConfidence(minConfidence)
       .fit(tx)
 
+  /** A9/A10, relational form — association rules over 1-item antecedents and
+    * consequents (the reference's k≤2 subset, 蔬菜价格相关性分析.py:173-209) derived
+    * purely from support counts, so a SQL oracle reproduces every value:
+    * confidence(a→b) = supp(ab)/supp(a), lift = confidence/(supp(b)/n),
+    * support = supp(ab)/n. Each unordered frequent pair yields both
+    * directions.
+    *
+    * Scale shape: pair counts shuffle on basket id then (item1, item2)
+    * (both map-side combinable); the item-support side is a post-aggregation
+    * frame keyed by item — broadcast into the two direction joins, so the
+    * rule derivation itself adds no shuffle.
+    */
+  def rulesRelational(
+      tx: DataFrame,
+      basketCol: String,
+      itemsCol: String,
+      minSupport: Double,
+      minConfidence: Double): DataFrame = {
+    val n = tx.count()
+    val minCount = math.ceil(minSupport * n).toLong
+    val items = itemSupport(tx, itemsCol, minCount = 1L)
+    val pairs = pairSupport(tx, basketCol, itemsCol, minCount)
+    val directed = pairs.select(col("item1").as("antecedent"), col("item2").as("consequent"),
+        col("support_count"))
+      .unionAll(pairs.select(col("item2").as("antecedent"), col("item1").as("consequent"),
+        col("support_count")))
+    directed
+      .join(broadcast(items.select(col("item"), col("support_count").as("ant_count"))),
+        col("antecedent") === col("item")).drop("item")
+      .join(broadcast(items.select(col("item"), col("support_count").as("cons_count"))),
+        col("consequent") === col("item")).drop("item")
+      .withColumn("confidence", col("support_count") / col("ant_count"))
+      .filter(col("confidence") >= minConfidence)
+      .withColumn("lift", col("confidence") / (col("cons_count") / lit(n.toDouble)))
+      .withColumn("support", col("support_count") / lit(n.toDouble))
+      .select(col("antecedent"), col("consequent"), col("support_count"),
+        col("confidence"), col("lift"), col("support"))
+  }
+
   /** A9/A10 — rules with quality metrics, sorted for top-N consumption. */
   def rules(model: FPGrowthModel): DataFrame =
     model.associationRules

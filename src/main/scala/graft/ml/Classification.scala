@@ -166,6 +166,36 @@ object Classification {
     metrics.roc().toDF("fpr", "tpr")
   }
 
+  /** M8, relational form — ROC points and cumulative trapezoid AUC from any
+    * deterministic score column, derived purely from cumulative counts so a
+    * SQL oracle reproduces every value: one threshold row per distinct
+    * score, tpr/fpr = cumulative positive/negative fraction at score ≥ thr,
+    * `auc_cum` the running trapezoid area (its last row is the AUC).
+    *
+    * Scale shape: the per-score tally is one map-side-combinable shuffle
+    * over the full frame; the windows then run on the PRE-AGGREGATED
+    * per-threshold frame, whose cardinality is the caller's score
+    * quantization (the curve itself is the output) — quantize the score
+    * (e.g. round to 2-3 dp) to bound it.
+    */
+  def rocPoints(preds: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = preds
+      .groupBy(col(scoreCol).as("thr"))
+      .agg(
+        sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("pos"),
+        sum(when(col(labelCol) === 0, 1L).otherwise(0L)).as("neg"))
+    val desc = Window.orderBy(col("thr").desc)
+    val whole = Window.partitionBy()
+    byScore
+      .withColumn("tpr", sum("pos").over(desc) / sum("pos").over(whole))
+      .withColumn("fpr", sum("neg").over(desc) / sum("neg").over(whole))
+      .withColumn("auc_cum",
+        sum((col("fpr") - lag("fpr", 1, 0.0).over(desc)) *
+            (col("tpr") + lag("tpr", 1, 0.0).over(desc)) / 2).over(desc))
+      .select("thr", "pos", "neg", "tpr", "fpr", "auc_cum")
+  }
+
   /** M11 — kNN classification as a k-nearest-neighbor join: majority label of
     * the k cosine-nearest train rows. `queries`/`train` carry (id, vector,
     * [label]); the train side must be the big side — it streams; queries

@@ -45,6 +45,33 @@ object Regression {
     Seq((model, rmse, mae, r2, mape)).toDF("model", "rmse", "mae", "r2", "mape")
   }
 
+  /** M6, relational form — per-group rmse / mae / r2 / mape as pure
+    * aggregate expressions (one map-side-combinable shuffle on the group
+    * keys, no driver loop, no evaluator), so a SQL oracle reproduces every
+    * value. r2 uses the textbook 1 − SS_res/SS_tot with the
+    * variance-expansion form Σ(l²) − (Σl)²/n for SS_tot, which both engines
+    * compute identically; MAPE excludes zero labels like `metrics`.
+    */
+  def metricsRelational(
+      preds: DataFrame,
+      labelCol: String,
+      predCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val l = col(labelCol)
+    val p = col(predCol)
+    val err = l - p
+    preds
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sqrt(avg(err * err)).as("rmse"),
+        avg(abs(err)).as("mae"),
+        (lit(1.0) - sum(err * err) /
+          (sum(l * l) - sum(l) * sum(l) / count(lit(1)))).as("r2"),
+        (sum(when(l =!= 0, abs(err / l))) / count(when(l =!= 0, lit(1))) * 100)
+          .as("mape"))
+  }
+
   /** M5 — rolling-origin (expanding-window) cross-validation, the spark.ml
     * analog of sklearn's `TimeSeriesSplit`: k folds over an ordered column;
     * fold i trains on order ≤ cutᵢ and validates on (cutᵢ, cutᵢ₊₁]. Returns

@@ -31,6 +31,31 @@ class AssociationSpec extends AnyFunSuite {
     assert(out == Seq(("a", "b", 3L), ("a", "c", 3L), ("b", "c", 3L)))
   }
 
+  test("rulesRelational matches FPGrowth associationRules on 1->1 rules") {
+    val rel = Association.rulesRelational(baskets, "bid", "items",
+        minSupport = 0.2, minConfidence = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val model = Association.fpgrowth(baskets, "items", minSupport = 0.2, minConfidence = 0.5)
+    val fp = model.associationRules
+      .filter(size(col("antecedent")) === 1 && size(col("consequent")) === 1)
+      .collect()
+      .map(r => (r.getSeq[String](0).head, r.getSeq[String](1).head) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(rel.keySet == fp.keySet)
+    for ((k, (conf, lift, supp)) <- rel) {
+      val (fConf, fLift, fSupp) = fp(k)
+      assert(math.abs(conf - fConf) < 1e-12, s"confidence $k")
+      assert(math.abs(lift - fLift) < 1e-12, s"lift $k")
+      assert(math.abs(supp - fSupp) < 1e-12, s"support $k")
+    }
+    // hand check one rule: a->b conf = supp(ab)/supp(a) = 3/4, lift = conf/(4/5)
+    assert(rel(("a", "b")) == (0.75, 0.75 / 0.8, 0.6))
+  }
+
   test("FPGrowth 2-itemset frequencies equal relational pairSupport") {
     val model = Association.fpgrowth(baskets, "items", minSupport = 0.2, minConfidence = 0.5)
     val fpPairs = model.freqItemsets

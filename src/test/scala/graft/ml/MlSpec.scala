@@ -291,4 +291,43 @@ class MlTuningSpec extends AnyFunSuite {
     assert(roc.head.getDouble(0) == 0.0)
     assert(roc.last.getDouble(0) == 1.0 && roc.last.getDouble(1) == 1.0)
   }
+
+  test("metricsRelational equals the evaluator-based metrics per group") {
+    val df = (1 to 80).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      (g, i.toDouble, i.toDouble + (i % 5) - 2.0)
+    }.toDF("g", "label", "pred")
+    val rel = Regression.metricsRelational(df, "label", "pred", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    for (g <- Seq("a", "b")) {
+      val sub = df.filter(col("g") === g)
+      val m = Regression.metrics(sub, "label", "pred", g).head()
+      val (rmse, mae, r2, mape) = rel(g)
+      assert(math.abs(rmse - m.getDouble(1)) < 1e-9, s"rmse $g")
+      assert(math.abs(mae - m.getDouble(2)) < 1e-9, s"mae $g")
+      assert(math.abs(r2 - m.getDouble(3)) < 1e-9, s"r2 $g")
+      assert(math.abs(mape - m.getDouble(4)) < 1e-9, s"mape $g")
+    }
+  }
+
+  test("rocPoints: tpr/fpr cumulative, final auc_cum equals mllib AUC") {
+    // deterministic integer scores with ties across both classes
+    val rows = Seq(
+      (0.9, 1), (0.9, 1), (0.8, 0), (0.7, 1), (0.7, 0),
+      (0.5, 1), (0.5, 0), (0.3, 0), (0.3, 0), (0.1, 0))
+    val df = rows.toDF("score", "label")
+    val pts = Classification.rocPoints(df, "score", "label")
+      .orderBy(col("thr").desc).collect()
+    assert(pts.map(_.getDouble(0)).toSeq == Seq(0.9, 0.8, 0.7, 0.5, 0.3, 0.1))
+    // last point is (fpr=1, tpr=1); auc_cum there is the full AUC
+    assert(pts.last.getDouble(3) == 1.0 && pts.last.getDouble(4) == 1.0)
+    val mllibAuc = new org.apache.spark.mllib.evaluation.BinaryClassificationMetrics(
+      df.rdd.map(r => (r.getDouble(0), r.getInt(1).toDouble))).areaUnderROC()
+    assert(math.abs(pts.last.getDouble(5) - mllibAuc) < 1e-12)
+    // monotone non-decreasing curve
+    val tprs = pts.map(_.getDouble(3)).toSeq
+    val fprs = pts.map(_.getDouble(4)).toSeq
+    assert(tprs == tprs.sorted && fprs == fprs.sorted)
+  }
 }
