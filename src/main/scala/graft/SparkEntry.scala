@@ -1131,6 +1131,27 @@ object SparkEntry {
       .orderBy(col("thr").desc)
   }
 
+  // q56 — stream-stream interval self-join (phase E, oracle-checked): each
+  // purchase pairs with the same user's clicks in the preceding hour,
+  // watermarks on both sides bounding the join state. The per-purchase
+  // tally aggregates the DRAINED sink table (batch side); the join itself
+  // runs inside the stream and must equal the batch join the oracle runs.
+  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val pairs = replayStream(s, dir, "append") { ev =>
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      graft.streaming.StreamOps.intervalJoin(
+        purchases, "p_user", "p_ts", clicks, "c_user", "c_ts",
+        before = "1 hour", watermark = "1 day")
+    }
+    pairs
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_clicks"), max(col("c_id")).as("last_click_id"))
+      .orderBy(col("p_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1187,7 +1208,8 @@ object SparkEntry {
     "q52_top_per_group" -> topOrdersPerNation,
     "q53_rule_metrics" -> ruleMetrics,
     "q54_forecast_metrics" -> forecastMetrics,
-    "q55_roc_auc" -> rocAuc)
+    "q55_roc_auc" -> rocAuc,
+    "q56_stream_join" -> streamJoin)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1994,5 +2016,20 @@ object SparkEntry {
         |  round(tpr + 1e-9, 6) AS tpr,
         |  round(fpr + 1e-9, 6) AS fpr,
         |  round(sum(darea) OVER (ORDER BY thr DESC) + 1e-9, 6) AS auc_cum
-        |FROM curve ORDER BY thr DESC""".stripMargin)
+        |FROM curve ORDER BY thr DESC""".stripMargin,
+    "q56_stream_join" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts, event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts, event_id
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id AS p_id, count(*) AS n_clicks,
+        |  max(c.event_id) AS last_click_id
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        |  AND c.c_ts <= p.p_ts
+        |GROUP BY p.event_id
+        |ORDER BY p_id""".stripMargin)
 }

@@ -81,6 +81,33 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, joinExpr: org.apache.spark.sql.Column): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), joinExpr)
 
+  /** Stream-stream inner interval join (the J-family × phase E): each left
+    * row pairs with right rows of the same key whose event time falls in
+    * [leftTs − before, leftTs]. Both sides carry watermarks AND the join
+    * condition bounds the two event times against each other — together
+    * they let Spark expire join state (a right row is dropped once the
+    * left watermark passes rightTs + before), so state stays bounded on an
+    * unbounded stream. Append-mode only, per the stream-stream contract.
+    *
+    * `before` is a SQL interval literal body, e.g. "1 hour".
+    */
+  def intervalJoin(
+      left: DataFrame,
+      leftKey: String,
+      leftTs: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTs: String,
+      before: String,
+      watermark: String): DataFrame =
+    left
+      .withWatermark(leftTs, watermark)
+      .join(
+        right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+          col(rightTs) <= col(leftTs))
+
   /** Streaming trend detection (the VEG adjacent-period comparison as a
     * stateful operator): per (event_type) group, compare each micro-batch's
     * day-average against the previous day's retained in state and emit

@@ -244,4 +244,79 @@ class StreamIncrementalSpec extends AnyFunSuite {
     assert(seen.get() == distinctAll,
       s"stream emitted ${seen.get()} unique rows, batch distinct is $distinctAll")
   }
+
+  test("stream-stream interval join retains state across micro-batches") {
+    val all = Engine.table(spark, TestSpark.Sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    // time-ordered arrival split AT a joining purchase's timestamp, derived
+    // from the data: its click lands in batch 1, the purchase in batch 2 —
+    // the pair can only form if batch 1's click survives in join state
+    val pAll = all.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val cAll = all.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val cut = pAll.join(cAll,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 hour") &&
+          col("c_ts") < col("p_ts"))
+      .agg(min(col("p_ts"))).head().getTimestamp(0)
+    val dir = Files.createTempDirectory("events-join").toString
+    val streamDir = Files.createTempDirectory("events-join-stream").toString
+    def addBatch(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+      val sub = dir + s"/b$n"
+      df.write.mode("overwrite").parquet(sub)
+      new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          val tmp = java.nio.file.Paths.get(streamDir, s".batch${n}_$i.parquet.tmp")
+          java.nio.file.Files.copy(f.toPath, tmp)
+          java.nio.file.Files.move(tmp,
+            java.nio.file.Paths.get(streamDir, s"batch${n}_$i.parquet"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+    }
+    val ckpt = Files.createTempDirectory("events-join-ckpt").toString
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def runBatch(): Unit = {
+      val stream = spark.readStream.schema(all.schema).parquet(streamDir)
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      val q = StreamOps.intervalJoin(
+          purchases, "p_user", "p_ts", clicks, "c_user", "c_ts",
+          before = "1 hour", watermark = "365 days")
+        .select(col("p_id"), col("c_id"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => acc.add((r.getLong(0), r.getLong(1)))); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    addBatch(all.filter(col("ts") < lit(cut)), 1)
+    runBatch()
+    addBatch(all.filter(col("ts") >= lit(cut)), 2)
+    runBatch()
+
+    import scala.jdk.CollectionConverters._
+    val got = acc.asScala.toSeq.sorted
+    val (p, c) = (pAll, cAll)
+    val want = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 hour") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(want.nonEmpty, "fixture must produce at least one join pair")
+    // at least one pair must straddle the batch cut (else the test is vacuous)
+    val cutPairs = p.filter(col("p_ts") >= lit(cut))
+      .join(c.filter(col("c_ts") < lit(cut)),
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 hour") &&
+          col("c_ts") <= col("p_ts"))
+      .count()
+    assert(cutPairs > 0, "no pair straddles the cut; pick a different cut")
+    assert(got == want, s"stream join emitted ${got.size} pairs, batch has ${want.size}")
+  }
 }
