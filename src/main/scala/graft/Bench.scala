@@ -49,7 +49,8 @@ object Bench {
     "q49_dedup_clusters" -> 4.529, "q50_range_join" -> 1.273,
     "q51_bm25_search" -> 1.897, "q52_top_per_group" -> 1.352,
     "q53_rule_metrics" -> 2.961, "q54_forecast_metrics" -> 0.837,
-    "q55_roc_auc" -> 1.041, "q56_stream_join" -> 7.436)
+    "q55_roc_auc" -> 1.041, "q56_stream_join" -> 7.436,
+    "q57_heavy_shingles" -> 1.660)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

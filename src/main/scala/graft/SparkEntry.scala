@@ -1152,6 +1152,23 @@ object SparkEntry {
       .orderBy(col("p_id"))
   }
 
+  // q57 — exact φ-heavy-hitters over 5-char shingles via the Misra–Gries
+  // sketch → prune → recount path (the 100-TB shape for frequent items:
+  // the full-vocabulary groupBy the oracle runs would shuffle every
+  // distinct key; the sketch caps shuffled state at m ≈ 2/φ candidates per
+  // map partition and the recount only aggregates candidate rows). At
+  // sf0.01 the shingle vocabulary (~2000) genuinely exceeds the sketch
+  // capacity (m=667), so the pruning regime is exercised, not just the
+  // degenerate everything-fits case. Deterministic despite the sketch's
+  // order-dependence: the exact recount filter removes any sub-threshold
+  // survivor, so output = the oracle's plain GROUP BY ... HAVING.
+  private def heavyShingles(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(explode(TF.charShingles(col("text"), 5)).as("sh"))
+    graft.functions.HeavyHitters.frequentItems(sh, "sh", phi = 0.003)
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1209,7 +1226,8 @@ object SparkEntry {
     "q53_rule_metrics" -> ruleMetrics,
     "q54_forecast_metrics" -> forecastMetrics,
     "q55_roc_auc" -> rocAuc,
-    "q56_stream_join" -> streamJoin)
+    "q56_stream_join" -> streamJoin,
+    "q57_heavy_shingles" -> heavyShingles)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2031,5 +2049,18 @@ object SparkEntry {
         |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
         |  AND c.c_ts <= p.p_ts
         |GROUP BY p.event_id
-        |ORDER BY p_id""".stripMargin)
+        |ORDER BY p_id""".stripMargin,
+    "q57_heavy_shingles" ->
+      """WITH nm AS (
+        |  SELECT lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), s AS (
+        |  SELECT unnest([substr(t, CAST(i AS INT), 5)
+        |    for i in range(1, CAST(length(t) AS BIGINT) - 3)]) AS item
+        |  FROM nm WHERE length(t) >= 5
+        |), tot AS (SELECT count(*) AS n FROM s)
+        |SELECT item, count(*) AS cnt
+        |FROM s GROUP BY item
+        |HAVING count(*) >= ceil(0.003 * (SELECT n FROM tot))
+        |ORDER BY cnt DESC, item""".stripMargin)
 }
