@@ -128,6 +128,41 @@ class PlanSpec extends AnyFunSuite {
       s"expected bounded top-k aggregation:\n$p")
   }
 
+  test("relational rules broadcast the item-support side (no extra shuffle)") {
+    val df = SparkEntry.queries("q53_rule_metrics")(spark, sf)
+    val p = plan(df)
+    // the two direction joins against the per-item support table must be
+    // broadcasts — rule derivation adds no hash exchange beyond the pair
+    // and item aggregations themselves
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected both item-support joins broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rule join fell back to sort-merge:\n$p")
+  }
+
+  test("ROC curve pre-aggregates per score before its single-partition window") {
+    val df = SparkEntry.queries("q55_roc_auc")(spark, sf)
+    val p = plan(df)
+    // the windows may legally run single-partition ONLY because the
+    // per-threshold tally shrank the frame first: a partial aggregate must
+    // appear, and the window input must be the aggregated (thr,pos,neg) frame
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected partial per-score aggregation before the curve windows:\n$p")
+    assert(p.contains("Window"), s"expected window operators:\n$p")
+  }
+
+  test("MG heavy-hitters sketch plans with a map-side partial phase") {
+    val sh = Engine.table(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.charShingles(col("text"), 5)).as("sh"))
+    val sketch = udaf(new graft.functions.MisraGries(100),
+      org.apache.spark.sql.Encoders.STRING)
+    val p = plan(sh.agg(sketch(col("sh"))))
+    // typed Aggregator => ObjectHashAggregate; the partial phase bounds what
+    // reaches the exchange at m counters per map partition
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash aggregate:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final sketch phases:\n$p")
+  }
+
   test("blocked Jaccard pair join never plans a cartesian or single-key shuffle") {
     val p = plan(SparkEntry.queries("q46_ngram_jaccard")(spark, sf))
     assert(!p.contains("CartesianProduct"), s"cartesian in pair join:\n$p")
