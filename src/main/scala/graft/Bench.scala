@@ -49,7 +49,7 @@ object Bench {
     "q49_dedup_clusters" -> 4.529, "q50_range_join" -> 1.273,
     "q51_bm25_search" -> 1.897, "q52_top_per_group" -> 1.352,
     "q53_rule_metrics" -> 2.961, "q54_forecast_metrics" -> 0.837,
-    "q55_roc_auc" -> 1.041, "q56_stream_join" -> 7.436,
+    "q55_roc_auc" -> 1.041, "q56_stream_join" -> 3.410,
     "q57_heavy_shingles" -> 1.660)
 
   def main(args: Array[String]): Unit = {
@@ -91,14 +91,9 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val dt = time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        // (streaming queries' memory-sink views are dropped inside
+        // replayStream itself — the result is localCheckpoint-detached)
         spark.catalog.clearCache()
-        // streaming queries register memory-sink temp views (graft_stream_N)
-        // whose buffered rows live in DRIVER memory until dropped — across a
-        // 50-query sweep with multiple samples each, the accumulation turns
-        // into GC pressure that inflates later samples several-fold
-        spark.catalog.listTables().collect()
-          .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
-          .foreach(t => spark.catalog.dropTempView(t.name))
         dt
       }
       val two = Seq(once(), once())

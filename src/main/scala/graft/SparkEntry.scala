@@ -504,6 +504,14 @@ object SparkEntry {
       mode: String)(build: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     Engine.tune(s)
+    // isolated child session (shared SparkContext, own conf/catalog): the
+    // replay's stateful operators pay per-state-store-partition overhead
+    // (HDFS-backed checkpoint files per partition per batch), which at this
+    // replay size dwarfs the compute — 8 partitions, not the session's 32.
+    // On a real cluster the replay wouldn't exist (the stream is the input);
+    // state-store partition sizing is a per-query knob either way.
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -515,14 +523,19 @@ object SparkEntry {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val raw = s.readStream.schema(schema).parquet(streamDir.toString)
+    val raw = ss.readStream.schema(schema).parquet(streamDir.toString)
       // exact integer ns→µs division — same floor semantics as Engine.table
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_stream_${streamSeq.incrementAndGet()}"
     val q = build(raw).writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    s.table(name)
+    // detach the result from the memory sink (localCheckpoint materializes
+    // the rows), then drop the sink view — its buffered rows live in driver
+    // memory and would otherwise accumulate across a 50+-query sweep
+    val out = ss.table(name).localCheckpoint(eager = true)
+    ss.catalog.dropTempView(name)
+    out
   }
 
   // q27 — Structured Streaming windowed aggregation (phase E, oracle-checked):
