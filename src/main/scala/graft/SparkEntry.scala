@@ -1182,6 +1182,25 @@ object SparkEntry {
       .orderBy(col("cnt").desc, col("item"))
   }
 
+  // q58 — salted equi-join (§2.3 skewed-join row, oracle-checked): events
+  // fact side salted over 16 buckets against a 16×-replicated customer
+  // side, then per-segment stats. Salting only re-partitions — results are
+  // identical to the plain join the oracle runs; this is the explicit form
+  // for a skewed key against a right side too big to broadcast (AQE's
+  // skew splitting handles the broadcastable cases at runtime). Value sums
+  // ride decimals so the two engines' summation order cannot diverge.
+  private def saltedJoinSegments(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    val ev = t(s, dir, "events").select(col("user_id").as("c_custkey"), col("value"))
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    Skew.saltedJoin(ev, cust, "c_custkey", buckets = 16)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("value_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1240,7 +1259,8 @@ object SparkEntry {
     "q54_forecast_metrics" -> forecastMetrics,
     "q55_roc_auc" -> rocAuc,
     "q56_stream_join" -> streamJoin,
-    "q57_heavy_shingles" -> heavyShingles)
+    "q57_heavy_shingles" -> heavyShingles,
+    "q58_salted_join" -> saltedJoinSegments)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2075,5 +2095,12 @@ object SparkEntry {
         |SELECT item, count(*) AS cnt
         |FROM s GROUP BY item
         |HAVING count(*) >= ceil(0.003 * (SELECT n FROM tot))
-        |ORDER BY cnt DESC, item""".stripMargin)
+        |ORDER BY cnt DESC, item""".stripMargin,
+    "q58_salted_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+        |  CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 4) AS DOUBLE) AS value_sum
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin)
 }
