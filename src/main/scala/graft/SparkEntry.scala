@@ -510,7 +510,10 @@ object SparkEntry {
     // replay size dwarfs the compute — 8 partitions, not the session's 32.
     // On a real cluster the replay wouldn't exist (the stream is the input);
     // state-store partition sizing is a per-query knob either way.
-    val ss = s.newSession()
+    // newSession inherits only BUILDER-time conf (SparkConf), not runtime
+    // spark.conf.set calls — re-tune explicitly (UTC, nanosAsLong, ANSI off)
+    // so replay semantics don't depend on which entry point built the parent
+    val ss = Engine.tune(s.newSession())
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),

@@ -61,6 +61,10 @@ object Association {
     * (both map-side combinable); the item-support side is a post-aggregation
     * frame keyed by item — broadcast into the two direction joins, so the
     * rule derivation itself adds no shuffle.
+    *
+    * Baskets must carry DISTINCT items (build with `collect_set`) — support
+    * here means per-basket presence, and duplicated items would inflate
+    * both the item and pair counts.
     */
   def rulesRelational(
       tx: DataFrame,
