@@ -105,7 +105,7 @@ object Bench {
       // query's own standing baseline, settle and buy two more — min-of-k
       // is the standard contention-robust throughput estimate
       val t =
-        if (BaselineSec.get(name).exists(b => t0 > 1.4 * b)) {
+        if (BaselineSec.get(name).exists(b => math.max(t0, 1.0) > 1.4 * math.max(b, 1.0))) {
           System.gc(); Thread.sleep(500)
           (Seq(t0) ++ Seq(once(), once())).min
         } else t0

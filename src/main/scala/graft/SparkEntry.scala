@@ -379,7 +379,9 @@ object SparkEntry {
         scala.concurrent.Await.result(
           fSil.zip(fCons).zip(fSizes).map { case ((a, b), c) => (a, b, c) },
           scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
+        // shutdownNow: if one evaluation fails, don't leave the others
+        // running as zombies (no-op on the happy path — all futures done)
+      } finally pool.shutdownNow()
     import s.implicits._
     Seq((math.round(sil * 10000) / 10000.0, math.round(cons * 10000) / 10000.0,
       sizes.head, sizes.last))
@@ -1136,7 +1138,7 @@ object SparkEntry {
   private def rocAuc(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(
-        round(TF.stopwordRatio(col("text"), Stopwords) + lit(1e-9), 2).as("score"),
+        rnd(TF.stopwordRatio(col("text"), Stopwords), 2).as("score"),
         (col("lang") === "en").cast("int").as("is_en"))
     Classification.rocPoints(docs, "score", "is_en")
       .select(

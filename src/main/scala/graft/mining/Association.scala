@@ -72,6 +72,10 @@ object Association {
       itemsCol: String,
       minSupport: Double,
       minConfidence: Double): DataFrame = {
+    // tx feeds three jobs (count, item supports, pair supports) — cache it
+    // so the upstream pipeline runs once; the count() materializes the cache
+    // (callers' bench/verify harnesses clear caches between queries)
+    tx.persist()
     val n = tx.count()
     val minCount = math.ceil(minSupport * n).toLong
     val items = itemSupport(tx, itemsCol, minCount = 1L)

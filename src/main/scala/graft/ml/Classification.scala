@@ -138,7 +138,11 @@ object Classification {
           scala.concurrent.Future.sequence(futures),
           scala.concurrent.duration.Duration.Inf)
       } finally {
-        pool.shutdown()
+        // shutdownNow, not shutdown: on a failed fit, Future.sequence fails
+        // fast but graceful shutdown would let the queued/running fits keep
+        // burning the cluster (against a just-unpersisted input) as zombies;
+        // on the happy path all tasks are already done and this is a no-op
+        pool.shutdownNow()
         withFold.unpersist()
       }
     val spark = train.sparkSession
