@@ -50,7 +50,8 @@ object Bench {
     "q51_bm25_search" -> 1.897, "q52_top_per_group" -> 1.352,
     "q53_rule_metrics" -> 2.961, "q54_forecast_metrics" -> 0.837,
     "q55_roc_auc" -> 1.041, "q56_stream_join" -> 3.410,
-    "q57_heavy_shingles" -> 1.660, "q58_salted_join" -> 1.364)
+    "q57_heavy_shingles" -> 1.660, "q58_salted_join" -> 1.364,
+    "q59_quantized_knn" -> 1.808)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1206,6 +1206,23 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  // q59 — kNN over int8-quantized embeddings (similarity-search memory
+  // story, oracle-checked): quantize → dequantize → exact top-5 cosine.
+  // Quantization arithmetic (per-vector affine min/scale, half-up codes) is
+  // plain expressions mirrored in the DuckDB oracle, so the LOSSY pipeline
+  // is still value-exact across engines; recall vs the unquantized exact
+  // ranking is asserted in VectorFunctionsSpec.
+  private def quantizedKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("deq", VF.dequantize(VF.quantizeInt8(col("embedding"))))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("deq").as("q_vec"))
+    val corpus = emb.select(col("vec_id"), col("deq"))
+    VF.bruteForceTopK(queries, corpus, "q_id", "vec_id", "q_vec", "deq", k = 5)
+      .withColumnRenamed("vec_id", "c_id")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1265,7 +1282,8 @@ object SparkEntry {
     "q55_roc_auc" -> rocAuc,
     "q56_stream_join" -> streamJoin,
     "q57_heavy_shingles" -> heavyShingles,
-    "q58_salted_join" -> saltedJoinSegments)
+    "q58_salted_join" -> saltedJoinSegments,
+    "q59_quantized_knn" -> quantizedKnn)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2107,5 +2125,34 @@ object SparkEntry {
         |FROM events e
         |JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c.c_mktsegment
-        |ORDER BY c.c_mktsegment""".stripMargin)
+        |ORDER BY c.c_mktsegment""".stripMargin,
+    "q59_quantized_knn" ->
+      """WITH params AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_min(embedding::DOUBLE[]) AS mn,
+        |    greatest((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0,
+        |      1e-12) AS sc
+        |  FROM embeddings
+        |), deq AS (
+        |  SELECT vec_id,
+        |    list_transform(
+        |      list_transform(e, x -> CAST(round((x - mn) / sc + 1e-9, 0) AS INT)),
+        |      c -> c * sc + mn) AS v
+        |  FROM params
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS qv FROM deq WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.q_id, c.vec_id AS c_id,
+        |    list_dot_product(q.qv, c.v)
+        |      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM q, deq c
+        |  WHERE q.q_id != c.vec_id
+        |), ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, c_id, round(sim + 1e-9, 6) AS sim, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin)
 }

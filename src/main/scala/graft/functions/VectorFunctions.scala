@@ -266,4 +266,53 @@ object VectorFunctions {
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }
+
+  /** Int8 scalar quantization of a float/double vector: per-vector affine
+    * codes — `round((x − min)/scale)` ∈ [0, 255] with
+    * `scale = (max − min)/255` — the standard 4×-at-rest memory trade for
+    * billion-scale ANN corpora (a 128-dim float32 vector is 512 B; codes +
+    * two doubles are ~144 B, and the int codes dictionary/bit-pack further
+    * in parquet). Per-component reconstruction error ≤ scale/2.
+    *
+    * Returns struct(qmin double, qscale double, q array<int>). This is the
+    * INGEST path (one pass), so interpreted HOFs are fine — the struct is
+    * built through a single-element `transform` so min/scale are bound once
+    * per row, not re-evaluated per element (the bindOnce pattern).
+    */
+  def quantizeInt8(v: Column): Column = {
+    val d = transform(v, x => x.cast("double"))
+    element_at(
+      transform(
+        array(struct(
+          d.as("v"),
+          array_min(d).as("mn"),
+          greatest((array_max(d) - array_min(d)) / lit(255.0), lit(1e-12)).as("sc"))),
+        s =>
+          struct(
+            s.getField("mn").as("qmin"),
+            s.getField("sc").as("qscale"),
+            transform(
+              s.getField("v"),
+              // +1e-9 before the half-up round: pins boundary codes to the
+              // same side as the SQL oracle's round()
+              x => round((x - s.getField("mn")) / s.getField("sc") + lit(1e-9), 0)
+                .cast("int")).as("q"))),
+      1)
+  }
+
+  /** Inverse of `quantizeInt8`: the (lossy) reconstructed double vector
+    * `code · scale + min`, directly usable by `cosine`/`bruteForceTopK`.
+    * The quantized struct is bound once per row (not per element) — if the
+    * optimizer collapses projections, an unbound reference would re-evaluate
+    * the whole quantization expression per component.
+    */
+  def dequantize(qs: Column): Column =
+    element_at(
+      transform(
+        array(qs),
+        s =>
+          transform(
+            s.getField("q"),
+            c => c.cast("double") * s.getField("qscale") + s.getField("qmin"))),
+      1)
 }

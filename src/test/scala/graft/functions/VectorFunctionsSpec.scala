@@ -86,6 +86,43 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian product at scale:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join at scale:\n$plan")
   }
+
+  test("quantizeInt8: codes in [0,255], reconstruction error <= scale/2") {
+    val emb = graft.Engine.table(spark, TestSpark.Sf, "embeddings")
+      .withColumn("qs", VF.quantizeInt8(col("embedding")))
+      .withColumn("deq", VF.dequantize(col("qs")))
+    val checked = emb.select(
+      aggregate(col("qs.q"), lit(true),
+        (acc, c) => acc && c >= 0 && c <= 255).as("codes_ok"),
+      // max |x - x̂| over components vs scale/2 (+ tiny fp slack)
+      aggregate(
+        zip_with(transform(col("embedding"), x => x.cast("double")), col("deq"),
+          (x, d) => abs(x - d)),
+        lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"),
+      (col("qs.qscale") / 2 + lit(1e-9)).as("bound"))
+    assert(checked.filter(!col("codes_ok")).count() == 0)
+    assert(checked.filter(col("max_err") > col("bound")).count() == 0)
+  }
+
+  test("quantized kNN keeps high recall vs the exact unquantized ranking") {
+    val emb = graft.Engine.table(spark, TestSpark.Sf, "embeddings")
+    val deq = emb.withColumn("deq", VF.dequantize(VF.quantizeInt8(col("embedding"))))
+    def topIds(df: org.apache.spark.sql.DataFrame, vecCol: String): Map[Long, Set[Long]] = {
+      val q = df.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col(vecCol).as("q_vec"))
+      VF.bruteForceTopK(q, df.select(col("vec_id"), col(vecCol)), "q_id", "vec_id",
+          "q_vec", vecCol, k = 10)
+        .select("q_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    }
+    val exact = topIds(emb, "embedding")
+    val quant = topIds(deq, "deq")
+    val recalls = exact.map { case (qid, ids) =>
+      (ids intersect quant(qid)).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 after int8 quantization: $mean")
+  }
 }
 
 class VectorExpressionsSpec extends org.scalatest.funsuite.AnyFunSuite {
