@@ -51,7 +51,9 @@ object Bench {
     "q53_rule_metrics" -> 2.961, "q54_forecast_metrics" -> 0.837,
     "q55_roc_auc" -> 1.041, "q56_stream_join" -> 3.410,
     "q57_heavy_shingles" -> 1.660, "q58_salted_join" -> 1.364,
-    "q59_quantized_knn" -> 1.808)
+    "q59_quantized_knn" -> 1.808, "q60_funnel" -> 0.894,
+    "q61_retention" -> 0.727, "q62_surprisal" -> 0.868,
+    "q63_decontaminate" -> 1.025, "q64_stream_sliding" -> 0.909)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

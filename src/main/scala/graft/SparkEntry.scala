@@ -1223,6 +1223,109 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // q60 — time-bounded conversion funnel (sequential-pattern analytics over
+  // the event log): first 'view' → first 'click' within 4 h of it → first
+  // 'purchase' within 48 h of that click. Each stage is an equi-join on
+  // user_id against the previous (strictly shrinking) stage frame plus a
+  // user-keyed min — one shuffle per stage on the join key, never a window
+  // or self-join over the full log, so the plan is unchanged at 1000
+  // executors. Stage counts union lazily into a single 3-row job.
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 4 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 48 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    stage("S1_view", s1)
+      .unionByName(stage("S2_click_4h", s2))
+      .unionByName(stage("S3_purchase_48h", s3))
+      .orderBy(col("stage"))
+  }
+
+  // q61 — cohort retention triangle: cohort = a user's first active day
+  // (any event), activity = purchase days, offset in whole weeks. Two
+  // shuffles total — user-keyed min, then (cohort, offset) distinct-count —
+  // the scale shape for retention (no per-day self-join over the log).
+  private def retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val first = ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("cohort_day"))
+    val act = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    act.join(first, "user_id")
+      .groupBy(
+        col("cohort_day"),
+        floor(datediff(col("d"), col("cohort_day")) / 7).cast("long").as("offset_w"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort_day"), col("offset_w"))
+  }
+
+  // q62 — unigram-LM surprisal (training-data quality signal): fit a
+  // corpus-wide unigram model (token → count / total), score each doc by
+  // mean -ln p(token), roll up per lang. Vocabulary stays distributed (the
+  // tokens⋈vocab equi-join shuffles on the token — at 100 TB the vocab is
+  // itself too big to broadcast); the only driver-sized frame is the final
+  // per-lang rollup. Tokenization = TF.tokens on lowercased text, mirrored
+  // exactly in the oracle.
+  private def surprisal(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+    val tok = docs.select(
+      col("doc_id"), col("lang"), explode(TF.tokens(lower(col("text")))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum(col("c")).as("n_total"))
+    val p = vocab.crossJoin(broadcast(tot))
+    tok.join(p, "w")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(avg(-log(col("c") / col("n_total"))).as("sur"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), rnd(avg(col("sur")), 4).as("avg_surprisal"))
+      .orderBy(col("lang"))
+  }
+
+  // q63 — n-gram decontamination sweep (the benchmark-leakage check every
+  // training corpus needs): flag corpus docs sharing any word 3-gram with a
+  // holdout set (here doc_id % 50 == 0). Corpus grams collapse to xxhash64
+  // before the exchange (8-byte keys, not gram strings); the holdout side is
+  // tiny by construction and broadcast, so the whole sweep is one scan + one
+  // broadcast equi-join — no shuffle of the corpus at all. The string-vs-
+  // hash distinct counts agree unless xxhash64 collides (~2⁻⁶⁴ per pair;
+  // the oracle run would catch one).
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+    val grams = docs
+      .select(col("doc_id"), explode(TF.wordShingles(lower(col("text")), 3)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .distinct()
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_doc"), col("h"))
+    val corpus = grams.filter(col("doc_id") % 50 =!= 0)
+    corpus.join(broadcast(bench), "h")
+      .groupBy(col("bench_doc"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_contaminated"),
+        countDistinct(col("h")).as("n_shared_grams"))
+      .orderBy(col("bench_doc"))
+  }
+
+  // q64 — sliding-window streaming counts (phase E): 7-day windows sliding
+  // 1 day over the replayed event stream, counts per (window, type). Each
+  // event lands in exactly 7 windows (epoch-aligned UTC midnights — same
+  // boundaries the oracle derives as date - k for k in 0..6). Complements
+  // q27's tumbling windows; same watermarked stateful-agg machinery.
+  private def streamSliding(s: SparkSession, dir: String): DataFrame =
+    replayStream(s, dir, "complete") { ev =>
+      graft.streaming.StreamOps.slidingTypeCounts(ev, "7 days", "1 day", "7 days")
+    }
+      .select(to_date(col("window_start")).as("window_day"), col("event_type"), col("n"))
+      .orderBy(col("window_day"), col("event_type"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1283,7 +1386,12 @@ object SparkEntry {
     "q56_stream_join" -> streamJoin,
     "q57_heavy_shingles" -> heavyShingles,
     "q58_salted_join" -> saltedJoinSegments,
-    "q59_quantized_knn" -> quantizedKnn)
+    "q59_quantized_knn" -> quantizedKnn,
+    "q60_funnel" -> funnel,
+    "q61_retention" -> retention,
+    "q62_surprisal" -> surprisal,
+    "q63_decontaminate" -> decontaminate,
+    "q64_stream_sliding" -> streamSliding)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2154,5 +2262,73 @@ object SparkEntry {
         |)
         |SELECT q_id, c_id, round(sim + 1e-9, 6) AS sim, rank
         |FROM ranked WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin)
+        |ORDER BY q_id, rank""".stripMargin,
+    "q60_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 4 HOUR
+        |  GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 AND ts <= t2 + INTERVAL 48 HOUR
+        |  GROUP BY 1
+        |)
+        |SELECT 'S1_view' AS stage, count(*) AS users FROM s1
+        |UNION ALL SELECT 'S2_click_4h', count(*) FROM s2
+        |UNION ALL SELECT 'S3_purchase_48h', count(*) FROM s3
+        |ORDER BY stage""".stripMargin,
+    "q61_retention" ->
+      """WITH first AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+        |), act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT cohort_day, (d - cohort_day) // 7 AS offset_w,
+        |  count(DISTINCT user_id) AS users
+        |FROM act JOIN first USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, offset_w""".stripMargin,
+    "q62_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE trim(text) <> ''
+        |), vocab AS (
+        |  SELECT w, count(*) AS c FROM tok GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(c) AS n_total FROM vocab
+        |), docsur AS (
+        |  SELECT doc_id, lang, avg(-ln(c / n_total)) AS sur
+        |  FROM tok JOIN vocab USING (w), tot
+        |  GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*) AS n_docs, round(avg(sur) + 1e-9, 4) AS avg_surprisal
+        |FROM docsur GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q63_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS g
+        |  FROM tok, unnest(range(1, len(toks) - 1)) t(i)
+        |), bench AS (
+        |  SELECT doc_id AS bench_doc, g FROM grams WHERE doc_id % 50 = 0
+        |), corp AS (
+        |  SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0
+        |)
+        |SELECT bench_doc, count(DISTINCT corp.doc_id) AS n_contaminated,
+        |  count(DISTINCT g) AS n_shared_grams
+        |FROM bench JOIN corp USING (g)
+        |GROUP BY 1 ORDER BY bench_doc""".stripMargin,
+    "q64_stream_sliding" ->
+      """SELECT CAST(ts AS DATE) - CAST(k AS INT) AS window_day, event_type,
+        |  count(*) AS n
+        |FROM events, range(0, 7) t(k)
+        |GROUP BY 1, 2
+        |ORDER BY window_day, event_type""".stripMargin)
 }

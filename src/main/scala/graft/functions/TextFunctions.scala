@@ -112,14 +112,18 @@ object TextFunctions {
     }
   }
 
-  /** Word n-gram shingles (joined with a space). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // same sequence(1,0)-is-descending guard as charShingles
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(sequence(lit(1), size(toks) - (n - 1)), i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  /** Word n-gram shingles (joined with a space). The token split is
+    * `bindOnce`-bound: referenced bare inside the transform lambda it would
+    * re-split the text once per output gram (interpreted HOFs re-run outer
+    * expressions per element).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    bindOnce(tokens(text)) { toks =>
+      // same sequence(1,0)-is-descending guard as charShingles
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(
+          transform(sequence(lit(1), size(toks) - (n - 1)), i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
 
   /** 64-bit document fingerprint: xxhash64 over the normalized text. Same
     * normalization as `charShingles`, so near-identical whitespace variants

@@ -23,6 +23,21 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("avg_value"))
 
+  /** Sliding-window per-type counts: each event lands in window_/slide
+    * windows (epoch-aligned). Same watermarked stateful-agg machinery as
+    * the tumbling form above, multiplied state ∝ window_/slide.
+    */
+  def slidingTypeCounts(
+      events: DataFrame,
+      window_ : String = "7 days",
+      slide: String = "1 day",
+      watermark: String = "7 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
   case class Event(user_id: Long, ts: Timestamp, event_id: Long)
   case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
   case class SessionState(lastTs: Long, sessions: Long, events: Long)

@@ -27,6 +27,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(df.select(TF.charShingles(col("t"), 5)).as[Seq[String]].head().isEmpty)
   }
 
+  test("wordShingles slides over tokens, joined by single spaces") {
+    val df = Seq("the  quick brown fox").toDF("t")
+    val out = df.select(TF.wordShingles(col("t"), 3).as("s")).as[Seq[String]].head()
+    assert(out == Seq("the quick brown", "quick brown fox"))
+  }
+
+  test("wordShingles with fewer tokens than n yields empty array") {
+    val df = Seq("one two", "", "   ").toDF("t")
+    val out = df.select(TF.wordShingles(col("t"), 3).as("s")).as[Seq[String]].collect()
+    assert(out.forall(_.isEmpty))
+  }
+
   test("jaccard exact on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(TF.jaccard(col("x"), col("y"))).as[Double].head()
