@@ -1326,6 +1326,38 @@ object SparkEntry {
       .select(to_date(col("window_start")).as("window_day"), col("event_type"), col("n"))
       .orderBy(col("window_day"), col("event_type"))
 
+  // q65 — deterministic hash-based train/val/test assignment (M2/M3 at
+  // corpus scale): split membership from the id alone via Features.hashSplit
+  // (Knuth multiplicative hash, exact int64) — unlike randomSplit/sampleBy
+  // it is independent of partition layout and rerun, and the oracle derives
+  // the SAME assignment from the same arithmetic, which no RNG-based split
+  // can offer. Output: per (split, lang) document counts.
+  private def hashSplitCounts(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    docs
+      .withColumn("split", Features.hashSplit(
+        col("doc_id"), Seq(("train", 80), ("val", 90), ("test", 100))))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  // q66 — per-label embedding centroids via Summarizer.mean (one agg pass
+  // over the vectors — partial sums per partition, one shuffle on the
+  // label, NOT a posexplode of n·d rows). The oracle averages the same
+  // elements relationally; the first four dims are the declared scalars.
+  private def embeddingCentroids(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val emb = t(s, dir, "embeddings")
+      .withColumn("v", array_to_vector(col("embedding").cast("array<double>")))
+    val cents = Clustering.centroids(emb, "label", "v")
+      .withColumn("c", vector_to_array(col("centroid")))
+    cents.select(
+      Seq(col("label"), col("n")) ++
+        (0 until 4).map(i => rnd(element_at(col("c"), i + 1), 6).as(s"c$i")): _*)
+      .orderBy(col("label"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1391,7 +1423,9 @@ object SparkEntry {
     "q61_retention" -> retention,
     "q62_surprisal" -> surprisal,
     "q63_decontaminate" -> decontaminate,
-    "q64_stream_sliding" -> streamSliding)
+    "q64_stream_sliding" -> streamSliding,
+    "q65_hash_split" -> hashSplitCounts,
+    "q66_embedding_centroids" -> embeddingCentroids)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2330,5 +2364,26 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events, range(0, 7) t(k)
         |GROUP BY 1, 2
-        |ORDER BY window_day, event_type""".stripMargin)
+        |ORDER BY window_day, event_type""".stripMargin,
+    "q65_hash_split" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    (((doc_id * 2654435761) % 4294967296) * 100) >> 32 AS bucket
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, count(*) AS n
+        |FROM b GROUP BY 1, 2
+        |ORDER BY split, lang""".stripMargin,
+    "q66_embedding_centroids" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(CAST(embedding[1] AS DOUBLE)) + 1e-9, 6) AS c0,
+        |  round(avg(CAST(embedding[2] AS DOUBLE)) + 1e-9, 6) AS c1,
+        |  round(avg(CAST(embedding[3] AS DOUBLE)) + 1e-9, 6) AS c2,
+        |  round(avg(CAST(embedding[4] AS DOUBLE)) + 1e-9, 6) AS c3
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin)
 }

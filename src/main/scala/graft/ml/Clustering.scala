@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Per-group mean vector (class centroids / per-lang embedding means) via
+    * `Summarizer.mean` — a single aggregation pass whatever the dimension
+    * (partial per-partition sums, one shuffle on the group key), where the
+    * posexplode-then-avg alternative shuffles n·d rows. Returns
+    * (groupCol, n, centroid: vector).
+    */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.ml.stat.Summarizer
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), Summarizer.mean(col(vecCol)).as("centroid"))
+  }
+
   def kmeans(df: DataFrame, k: Int, seed: Long, featuresCol: String = "features"): DataFrame =
     new KMeans().setK(k).setSeed(seed).setFeaturesCol(featuresCol)
       .fit(df).transform(df)

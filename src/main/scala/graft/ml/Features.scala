@@ -47,6 +47,30 @@ object Features {
     (train, test)
   }
 
+  /** Deterministic hash split (the 100-TB splitting idiom): assign each row
+    * a named split from its id alone via a Knuth multiplicative hash —
+    * unlike `randomSplit`/`sampleBy`, the assignment is independent of
+    * partition layout, run, engine, and Spark version, so train/val/test
+    * membership is stable across the lifetime of a corpus (and re-derivable
+    * by any other system from the id). All arithmetic is exact int64:
+    * bucket = ((id * 2654435761) mod 2³²) * buckets >> 32.
+    *
+    * `cuts` are (name, upperBoundExclusive) pairs over [0, buckets),
+    * ascending, last bound == buckets — e.g. Seq(("train",80), ("val",90),
+    * ("test",100)).
+    */
+  def hashSplit(
+      id: org.apache.spark.sql.Column,
+      cuts: Seq[(String, Int)],
+      buckets: Int = 100): org.apache.spark.sql.Column = {
+    require(cuts.nonEmpty && cuts.last._2 == buckets && cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must ascend to $buckets")
+    val bucket = shiftright(pmod(id * lit(2654435761L), lit(4294967296L)) * lit(buckets), 32)
+    cuts.init.foldRight(lit(cuts.last._1)) { case ((name, hi), rest) =>
+      when(bucket < hi, lit(name)).otherwise(rest)
+    }
+  }
+
   /** M2 (exact form) — stratified split with sklearn's EXACT per-class
     * counts (`train_test_split(stratify=y)` takes ⌈n_c·frac⌉ per class, not
     * a Bernoulli sample): rows are ranked per label by a seeded hash of the

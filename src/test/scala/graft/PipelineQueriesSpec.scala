@@ -72,6 +72,31 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("hashSplit: assignment is independent of partition layout, fractions near cuts") {
+    import graft.ml.Features
+    val cuts = Seq(("train", 80), ("val", 90), ("test", 100))
+    val docs = Engine.table(spark, sf, "documents").select("doc_id")
+    val a = docs.withColumn("s", Features.hashSplit(col("doc_id"), cuts))
+    val b = docs.repartition(7).withColumn("s", Features.hashSplit(col("doc_id"), cuts))
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    val n = docs.count().toDouble
+    val byS = a.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.values.sum == n)
+    assert(math.abs(byS("train") / n - 0.8) < 0.1)
+  }
+
+  test("centroids: Summarizer mean equals a per-element average") {
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.ml.Clustering
+    val df = Seq((0, Seq(1.0, 3.0)), (0, Seq(3.0, 5.0)), (1, Seq(2.0, 2.0)))
+      .toDF("g", "arr").withColumn("v", array_to_vector(col("arr")))
+    val out = Clustering.centroids(df, "g", "v")
+      .orderBy("g").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getAs[org.apache.spark.ml.linalg.Vector](2).toArray.toSeq))
+    assert(out.toSeq == Seq((0, 2L, Seq(2.0, 4.0)), (1, 1L, Seq(2.0, 2.0))))
+  }
+
   test("sliding windows: every event lands in exactly window/slide windows (batch form)") {
     val ev = Engine.table(spark, sf, "events")
     val total = ev.count()
