@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-catalog physical-plan audit: every declared batch query is planned
+  * at sf0.001 and swept for the two operators that do not survive a 100×
+  * scale-up — CartesianProduct and BroadcastNestedLoopJoin — so a future
+  * query (or a join-condition typo that silently degrades an equi-join)
+  * fails here before it ships. Streaming queries are skipped: building
+  * their DataFrame executes the replay, and their stateful plans are
+  * asserted separately in StreamOpsSpec.
+  *
+  * Allowlisted BroadcastNestedLoopJoin uses, each deliberate:
+  *  - brute-force kNN family (q14/q18/q47/q59): broadcast query side ×
+  *    STREAMED corpus — the corpus is never shuffled or materialized, which
+  *    is the correct exact-baseline shape (VERDICT r1 §LLM table);
+  *  - q29: the size-gated exact path engages below the LSH cutover at this
+  *    tiny sf (the sf0.1 declared plan is the bucketed equi-join, asserted
+  *    in PlanSpec);
+  *  - q45/q51/q62: a crossJoin binding one broadcast 1-ROW aggregate frame
+  *    (IVF cell count / BM25 corpus stats / unigram total) — a scalar
+  *    bind, not a pairwise product.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.Sf
+
+  private val nljAllowed = Set(
+    "q14_knn_bruteforce", "q18_knn_classify", "q47_knn_confusion",
+    "q59_quantized_knn", "q29_embedding_neardups",
+    "q45_ann_ivf", "q51_bm25_search", "q62_surprisal")
+
+  test("no declared batch query plans a CartesianProduct or unexpected nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot(_._1.contains("stream"))
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+        val nlj =
+          if (plan.contains("BroadcastNestedLoopJoin") && !nljAllowed(name))
+            Seq(s"$name: BroadcastNestedLoopJoin")
+          else Nil
+        cart ++ nlj
+      }
+    assert(offenders.isEmpty, s"scale-killer plans: ${offenders.mkString("; ")}")
+  }
+}
