@@ -54,7 +54,8 @@ object Bench {
     "q59_quantized_knn" -> 1.808, "q60_funnel" -> 0.894,
     "q61_retention" -> 0.727, "q62_surprisal" -> 0.868,
     "q63_decontaminate" -> 1.025, "q64_stream_sliding" -> 0.909,
-    "q65_hash_split" -> 0.399, "q66_embedding_centroids" -> 0.416)
+    "q65_hash_split" -> 0.399, "q66_embedding_centroids" -> 0.416,
+    "q67_stream_trends" -> 1.382)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

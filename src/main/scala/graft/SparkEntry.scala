@@ -531,16 +531,40 @@ object SparkEntry {
     val raw = ss.readStream.schema(schema).parquet(streamDir.toString)
       // exact integer ns→µs division — same floor semantics as Engine.table
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    drainToTable(ss, build(raw), mode)
+  }
+
+  /** Run a streaming frame to a memory sink, block until drained, return
+    * the materialized result. localCheckpoint detaches the rows so the
+    * sink view can be dropped immediately — its buffered rows live in
+    * driver memory and would otherwise accumulate across a 60+-query sweep.
+    */
+  private def drainToTable(ss: SparkSession, out: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${streamSeq.incrementAndGet()}"
-    val q = build(raw).writeStream.outputMode(mode).format("memory").queryName(name).start()
+    val q = out.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    // detach the result from the memory sink (localCheckpoint materializes
-    // the rows), then drop the sink view — its buffered rows live in driver
-    // memory and would otherwise accumulate across a 50+-query sweep
-    val out = ss.table(name).localCheckpoint(eager = true)
+    val res = ss.table(name).localCheckpoint(eager = true)
     ss.catalog.dropTempView(name)
-    out
+    res
+  }
+
+  /** Replay an arbitrary (small, pre-aggregated) batch frame as a stream —
+    * the "upstream stage feeds a downstream stateful consumer" pipeline
+    * split: write it to a temp parquet dir, stream it back in the same
+    * right-sized child session replayStream uses.
+    */
+  private def replayFrame(
+      s: SparkSession,
+      frame: DataFrame,
+      mode: String)(build: (SparkSession, DataFrame) => DataFrame): DataFrame = {
+    val ss = Engine.tune(s.newSession())
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val dirTmp = java.nio.file.Files.createTempDirectory("graft-frame-stream")
+    dirTmp.toFile.deleteOnExit()
+    frame.write.mode("overwrite").parquet(dirTmp.toString)
+    val raw = ss.readStream.schema(frame.schema).parquet(dirTmp.toString)
+    drainToTable(ss, build(ss, raw), mode)
   }
 
   // q27 — Structured Streaming windowed aggregation (phase E, oracle-checked):
@@ -1358,6 +1382,28 @@ object SparkEntry {
       .orderBy(col("label"))
   }
 
+  // q67 — streaming trend detection (phase E: the VEG adjacent-period
+  // comparison in streaming form, previously test-only): per-type daily
+  // avg-value stats replayed as a stream through the
+  // flatMapGroupsWithState trend labeler (state = last day's avg per
+  // type). The upstream daily aggregation runs as its own batch stage —
+  // the standard pipeline split, since chaining agg→fMGWS inside one
+  // streaming query is restricted. Labels (±5% band, emitted at the
+  // TO-day) must equal the batch lag-window labeling the oracle runs.
+  private def streamTrends(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg(col("value")).as("avg_value"))
+    replayFrame(s, daily, "update") { (ss, stream) =>
+      import ss.implicits._
+      graft.streaming.StreamOps
+        .trendDetect(ss, stream.as[graft.streaming.StreamOps.DayStat])
+        .toDF()
+    }
+      .select(col("day"), col("event_type"), col("trend"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1425,7 +1471,8 @@ object SparkEntry {
     "q63_decontaminate" -> decontaminate,
     "q64_stream_sliding" -> streamSliding,
     "q65_hash_split" -> hashSplitCounts,
-    "q66_embedding_centroids" -> embeddingCentroids)
+    "q66_embedding_centroids" -> embeddingCentroids,
+    "q67_stream_trends" -> streamTrends)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2385,5 +2432,20 @@ object SparkEntry {
         |  round(avg(CAST(embedding[4] AS DOUBLE)) + 1e-9, 6) AS c3
         |FROM embeddings
         |GROUP BY label
-        |ORDER BY label""".stripMargin)
+        |ORDER BY label""".stripMargin,
+    "q67_stream_trends" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), lagged AS (
+        |  SELECT event_type, day, v,
+        |    lag(v) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM daily
+        |)
+        |SELECT day, event_type,
+        |  CASE WHEN v > prev * 1.05 THEN 'up'
+        |       WHEN v < prev * 0.95 THEN 'down'
+        |       ELSE 'flat' END AS trend
+        |FROM lagged WHERE prev IS NOT NULL
+        |ORDER BY day, event_type""".stripMargin)
 }
