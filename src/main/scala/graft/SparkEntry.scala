@@ -524,14 +524,20 @@ object SparkEntry {
     // the streaming file source requires a DIRECTORY; expose the single
     // events.parquet through a temp dir symlink
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    streamDir.toFile.deleteOnExit()
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val raw = ss.readStream.schema(schema).parquet(streamDir.toString)
-      // exact integer ns→µs division — same floor semantics as Engine.table
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    drainToTable(ss, build(raw), mode)
+    try {
+      val raw = ss.readStream.schema(schema).parquet(streamDir.toString)
+        // exact integer ns→µs division — same floor semantics as Engine.table
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      drainToTable(ss, build(raw), mode)
+    } finally {
+      // deleteOnExit is a no-op on a non-empty directory — drop the
+      // symlink (not its target) and the dir once the replay has drained
+      java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(streamDir)
+    }
   }
 
   /** Run a streaming frame to a memory sink, block until drained, return
@@ -561,10 +567,18 @@ object SparkEntry {
     val ss = Engine.tune(s.newSession())
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val dirTmp = java.nio.file.Files.createTempDirectory("graft-frame-stream")
-    dirTmp.toFile.deleteOnExit()
-    frame.write.mode("overwrite").parquet(dirTmp.toString)
-    val raw = ss.readStream.schema(frame.schema).parquet(dirTmp.toString)
-    drainToTable(ss, build(ss, raw), mode)
+    try {
+      frame.write.mode("overwrite").parquet(dirTmp.toString)
+      val raw = ss.readStream.schema(frame.schema).parquet(dirTmp.toString)
+      drainToTable(ss, build(ss, raw), mode)
+    } finally {
+      // deleteOnExit is a no-op on a non-empty directory — remove the
+      // replay's parquet tree explicitly (the result is already
+      // localCheckpoint-detached, so nothing references these files)
+      import java.nio.file.{Files => F}
+      import scala.jdk.CollectionConverters._
+      F.walk(dirTmp).iterator().asScala.toSeq.reverse.foreach(p => F.deleteIfExists(p))
+    }
   }
 
   // q27 — Structured Streaming windowed aggregation (phase E, oracle-checked):
@@ -1323,13 +1337,16 @@ object SparkEntry {
   // the oracle run would catch one).
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
-    val grams = docs
+    def grams(side: DataFrame) = side
       .select(col("doc_id"), explode(TF.wordShingles(lower(col("text")), 3)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    // only the TINY holdout side dedups before the broadcast; the corpus
+    // side stays shuffle-free (duplicate grams just add join rows, and the
+    // countDistinct aggregates below already collapse them)
+    val bench = grams(docs.filter(col("doc_id") % 50 === 0))
       .distinct()
-    val bench = grams.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("bench_doc"), col("h"))
-    val corpus = grams.filter(col("doc_id") % 50 =!= 0)
+    val corpus = grams(docs.filter(col("doc_id") % 50 =!= 0))
     corpus.join(broadcast(bench), "h")
       .groupBy(col("bench_doc"))
       .agg(
