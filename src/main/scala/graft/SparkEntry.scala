@@ -1421,6 +1421,93 @@ object SparkEntry {
       .orderBy(col("day"), col("event_type"))
   }
 
+  // q68 — deterministic per-lang corpus sample (the 100-TB sampling idiom):
+  // first 20 docs per lang in Knuth-multiplicative-hash order of the id —
+  // partition-layout/run/engine-independent (the oracle re-derives the SAME
+  // sample from the same exact-int64 arithmetic, which no RNG sample can
+  // offer). Ranking rides the bounded-heap top-k aggregator: map-side
+  // partial top-n per lang, no full-corpus window shuffle.
+  private def deterministicSample(s: SparkSession, dir: String): DataFrame =
+    Features.deterministicSample(t(s, dir, "documents"), "lang", "doc_id", 20)
+      .orderBy(col("lang"), col("rank"))
+
+  // q69 — declarative data-quality expectations (the ingest contract check):
+  // five constraint kinds over events evaluated in ONE aggregate pass
+  // (single scan, map-side partials; the unique constraint's count-distinct
+  // shares the same scan via Expand). Driver-sized report regardless of
+  // input scale. InRange/InSet bounds chosen to exercise real violations.
+  private def expectationsReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    import graft.operators.Expectations._
+    Expectations.check(
+      t(s, dir, "events"),
+      Seq(
+        NotNull("user_id"),
+        Unique("event_id"),
+        InRange("value", 0.0, 100.0),
+        InSet("event_type", Seq("click", "view", "purchase")),
+        Matches("props", "\\{\"k\": [0-9]+\\}")))
+  }
+
+  // q70 — quality-decile curriculum binning: exact decile cut points from
+  // one percentile aggregation (sort-based, single pass), then a broadcast
+  // of the 9 cuts assigns each doc value-based (decile = 1 + #cuts below the
+  // score — deterministic under score ties, unlike rank-based ntile which
+  // would also need a global single-partition sort). Per-decile stats out.
+  private def qualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(
+        col("doc_id"), col("n_chars"),
+        TF.qualityScore(col("text"), Stopwords).as("q"))
+    // exact interpolated percentile (type-7, same definition as DuckDB's
+    // quantile_cont) — percentile_approx would return raw elements instead
+    val cuts = scored.agg(
+      percentile(col("q"), array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+    scored
+      .crossJoin(broadcast(cuts))
+      .withColumn(
+        "decile",
+        (lit(1) + size(filter(col("cuts"), c => c < col("q")))).cast("int"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        rnd(avg(col("q")), 6).as("avg_quality"),
+        rnd(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("decile"))
+  }
+
+  // q71 — sliding token-window chunking (LLM pre-training document
+  // splitter): 32-token windows, stride 24, per-chunk md5 so the oracle
+  // verifies chunk CONTENT exactly, not just counts. Pure codegen'd
+  // expression per row + explode — narrow, scan-parallel, no shuffle
+  // before the final (tiny) sort.
+  private def docChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+    docs
+      .select(col("doc_id"), explode(TF.tokenChunks(lower(col("text")), 32, 24)).as("c"))
+      .select(
+        col("doc_id"),
+        col("c.start").as("start"),
+        col("c.n_tok").as("n_tok"),
+        md5(col("c.chunk").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("start"))
+  }
+
+  // q72 — exponentially-weighted moving average over per-type daily values
+  // (pandas ewm(alpha=0.3, adjust=True).mean() semantics, the smoothing
+  // every monitoring/trend pipeline wants): closed-form ratio of two
+  // running window sums — no recursion, stays codegen'd, oracle-exact.
+  // Partitioned by event_type: parallel across series, never a global sort.
+  private def ewmaDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg(col("value")).as("v"))
+    WindowOps
+      .ewma(daily, WindowOps.spec(Seq("event_type"), Seq(col("day"))), "v", 0.3)
+      .select(col("event_type"), col("day"), rnd(col("v_ewma"), 4).as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1489,7 +1576,12 @@ object SparkEntry {
     "q64_stream_sliding" -> streamSliding,
     "q65_hash_split" -> hashSplitCounts,
     "q66_embedding_centroids" -> embeddingCentroids,
-    "q67_stream_trends" -> streamTrends)
+    "q67_stream_trends" -> streamTrends,
+    "q68_deterministic_sample" -> deterministicSample,
+    "q69_expectations" -> expectationsReport,
+    "q70_quality_deciles" -> qualityDeciles,
+    "q71_doc_chunks" -> docChunks,
+    "q72_ewma" -> ewmaDaily)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2464,5 +2556,98 @@ object SparkEntry {
         |       WHEN v < prev * 0.95 THEN 'down'
         |       ELSE 'flat' END AS trend
         |FROM lagged WHERE prev IS NOT NULL
-        |ORDER BY day, event_type""".stripMargin)
+        |ORDER BY day, event_type""".stripMargin,
+    "q68_deterministic_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rank
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(rank AS INT) AS rank, doc_id
+        |FROM r WHERE rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
+    "q69_expectations" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+        |    CAST(sum(CASE WHEN value IS NOT NULL
+        |      AND (value < 0.0 OR value > 100.0) THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN event_type IS NOT NULL
+        |      AND event_type NOT IN ('click','view','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN props IS NOT NULL
+        |      AND NOT regexp_full_match(props, '\{"k": [0-9]+\}') THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        |  FROM events
+        |)
+        |SELECT * FROM (
+        |  SELECT 0 AS ord, 'not_null' AS "constraint", 'user_id' AS "column",
+        |    c0 AS violations, n AS n_rows, c0 = 0 AS passed FROM s
+        |  UNION ALL
+        |  SELECT 1, 'unique', 'event_id',
+        |    (n - nn1 - c1) + greatest(nn1 - 1, 0), n,
+        |    (n - nn1 - c1) + greatest(nn1 - 1, 0) = 0 FROM s
+        |  UNION ALL
+        |  SELECT 2, 'in_range', 'value', c2, n, c2 = 0 FROM s
+        |  UNION ALL
+        |  SELECT 3, 'in_set', 'event_type', c3, n, c3 = 0 FROM s
+        |  UNION ALL
+        |  SELECT 4, 'matches', 'props', c4, n, c4 = 0 FROM s
+        |)
+        |ORDER BY ord""".stripMargin,
+    "q70_quality_deciles" ->
+      """WITH scored AS (
+        |  SELECT doc_id, n_chars,
+        |    round(
+        |      least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.4 +
+        |      greatest(0.0, 1.0 -
+        |        ((length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
+        |          / CAST(length(text) AS DOUBLE)) * 4) * 0.3 +
+        |      least((len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t))))
+        |        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)) * 5, 1.0) * 0.3
+        |      + 1e-9, 6) AS q
+        |  FROM documents
+        |), cuts AS (
+        |  SELECT quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs FROM scored
+        |)
+        |SELECT CAST(1 + len(list_filter(cs, c -> c < q)) AS INT) AS decile,
+        |  count(*) AS n_docs,
+        |  round(avg(q) + 1e-9, 6) AS avg_quality,
+        |  round(avg(n_chars) + 1e-9, 2) AS avg_chars
+        |FROM scored, cuts
+        |GROUP BY 1
+        |ORDER BY decile""".stripMargin,
+    "q71_doc_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''
+        |), st AS (
+        |  SELECT doc_id, toks, CAST(i AS INT) AS start
+        |  FROM tok, unnest(range(1, greatest(len(toks) - (32 - 24), 1) + 1, 24)) t(i)
+        |)
+        |SELECT doc_id, start,
+        |  CAST(least(32, len(toks) - start + 1) AS INT) AS n_tok,
+        |  md5(array_to_string(toks[start:start + 31], ' ')) AS chunk_md5
+        |FROM st
+        |ORDER BY doc_id, start""".stripMargin,
+    "q72_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), idx AS (
+        |  SELECT event_type, day, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE) AS i
+        |  FROM daily
+        |), wtd AS (
+        |  SELECT event_type, day,
+        |    sum(v * pow(0.7, -i)) OVER w / sum(pow(0.7, -i)) OVER w AS e
+        |  FROM idx
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day, round(e + 1e-9, 4) AS ewma
+        |FROM wtd ORDER BY event_type, day""".stripMargin)
 }

@@ -125,6 +125,31 @@ object TextFunctions {
           transform(sequence(lit(1), size(toks) - (n - 1)), i => concat_ws(" ", slice(toks, i, lit(n)))))
     }
 
+  /** Sliding token-window chunking — the standard LLM-pretraining document
+    * splitter: windows of `chunkSize` whitespace tokens advancing by
+    * `stride` (stride < chunkSize ⇒ overlapping context). Returns
+    * array<struct<start,n_tok,chunk>> with 1-based token offsets. Start
+    * positions run to (nTok − chunkSize + stride) so the final window always
+    * reaches the last token without emitting a fully-contained tail window.
+    * Pure codegen'd expression — per-row work is O(nTok), no shuffle; the
+    * caller explodes it into chunk rows (narrow, scan-parallel).
+    */
+  def tokenChunks(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"bad chunking: size=$chunkSize stride=$stride")
+    bindOnce(tokens(text)) { toks =>
+      when(size(toks) === 0, array().cast("array<struct<start:int,n_tok:int,chunk:string>>"))
+        .otherwise(
+          transform(
+            sequence(lit(1), greatest(size(toks) - (chunkSize - stride), lit(1)), lit(stride)),
+            start =>
+              struct(
+                start.cast("int").as("start"),
+                least(lit(chunkSize), size(toks) - start + 1).cast("int").as("n_tok"),
+                concat_ws(" ", slice(toks, start, lit(chunkSize))).as("chunk"))))
+    }
+  }
+
   /** 64-bit document fingerprint: xxhash64 over the normalized text. Same
     * normalization as `charShingles`, so near-identical whitespace variants
     * collide — the cheap exact-near-dup key.

@@ -71,6 +71,38 @@ object Features {
     }
   }
 
+  /** Deterministic per-group sample: the first `n` rows of each group in
+    * Knuth-multiplicative-hash order of the id (same exact-int64 hash as
+    * `hashSplit`). Unlike `sampleBy` the selection is independent of
+    * partition layout, run, and engine — the sample is a stable property of
+    * the data, re-derivable by any system from the ids — and unlike a
+    * Bernoulli sample the per-group count is exact.
+    *
+    * Ranking rides the bounded-heap top-k aggregator (map-side partial
+    * top-n per group before the exchange), NOT a row_number window — the
+    * shuffle carries O(groups · n · map_partitions) rows, not every row.
+    * Returns (groupCol, rank, id) with rank 1..n in hash order.
+    */
+  def deterministicSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    // TopK ranks by sim DESC; negate the hash so the smallest hash wins.
+    // Hash values are < 2^32 — exact in double. Ties (same hash) break by
+    // ascending id inside the aggregator.
+    val h = pmod(col(idCol) * lit(2654435761L), lit(4294967296L))
+    graft.functions.TopK
+      .topKPerKey(
+        df.select(col(groupCol), col(idCol)),
+        groupCol,
+        -h.cast("double"),
+        col(idCol),
+        lit(0L),
+        n)
+      .select(col(groupCol), col("rank"), col("id").as(idCol))
+  }
+
   /** M2 (exact form) — stratified split with sklearn's EXACT per-class
     * counts (`train_test_split(stratify=y)` takes ⌈n_c·frac⌉ per class, not
     * a Bernoulli sample): rows are ranked per label by a seeded hash of the

@@ -55,6 +55,28 @@ object WindowOps {
   def ordinal(df: DataFrame, w: WindowSpec, name: String = "seq"): DataFrame =
     df.withColumn(name, row_number().over(w))
 
+  /** Exponentially-weighted moving average, pandas `ewm(alpha,
+    * adjust=True).mean()` semantics: ewma_t = Σ_{i≤t} (1−α)^{t−i}·x_i /
+    * Σ_{i≤t} (1−α)^{t−i}, row-based (gaps in the order column do not decay
+    * extra). Computed with the closed form ewma_t = Σ(x_i·r^{−i}) / Σ(r^{−i})
+    * (r = 1−α; the r^t factor cancels in the ratio) — two running window
+    * sums, no recursion, so it stays a plain codegen'd window aggregate and
+    * an exact SQL oracle can reproduce it bit-for-bit. r^{−i} grows ~e.g.
+    * 1e23 at i=150 for α=0.3 — far inside double range, and numerator/
+    * denominator share the scale so the ratio is well-conditioned.
+    */
+  def ewma(df: DataFrame, w: WindowSpec, c: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha out of (0,1): $alpha")
+    val r = 1.0 - alpha
+    val i = row_number().over(w).cast("double")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_wi", pow(lit(r), -i))
+      .withColumn(
+        s"${c}_ewma",
+        sum(col(c) * col("_wi")).over(run) / sum(col("_wi")).over(run))
+      .drop("_wi")
+  }
+
   /** W5 + P14 — adjacent-row trend discretization (蔬菜价格相关性分析.py:94-99):
     * compare the NEXT row's value against the current one and emit
     * "up" (> 1+band), "down" (< 1−band), or "flat". Rows with no successor
