@@ -55,7 +55,11 @@ object Bench {
     "q61_retention" -> 0.727, "q62_surprisal" -> 0.868,
     "q63_decontaminate" -> 1.025, "q64_stream_sliding" -> 0.909,
     "q65_hash_split" -> 0.399, "q66_embedding_centroids" -> 0.416,
-    "q67_stream_trends" -> 1.382)
+    "q67_stream_trends" -> 1.382,
+    // q68+ first measured mid-round-2 (clean sf0.1 run, 72-query sweep)
+    "q68_deterministic_sample" -> 0.476, "q69_expectations" -> 0.732,
+    "q70_quality_deciles" -> 0.508, "q71_doc_chunks" -> 0.515,
+    "q72_ewma" -> 0.689)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
