@@ -1508,6 +1508,86 @@ object SparkEntry {
       .orderBy(col("event_type"), col("day"))
   }
 
+  // q73 — multi-touch conversion attribution over the event log: every
+  // purchase is credited to a channel (event_type of the attributed touch)
+  // under TWO models in one report. Last-touch = backward as-of join on
+  // user_id (AsOf.asofBackward, q38's operator at payload level); first-
+  // touch = the user's earliest non-purchase event (one min-struct agg —
+  // the global first is the first at-or-before the purchase whenever one
+  // exists at all), joined back on user_id. No event-log self-join by time
+  // range anywhere; both sides are single-shuffle equi-joins.
+  private def attribution(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOf
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    // dedup touches to one per (user, ts) — max event_id — so the as-of
+    // match is deterministic under time ties (q38's discipline)
+    val touches = Dedup.keepLast(
+      ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts").as("tts"), col("event_id").as("touch_id"),
+          col("event_type").as("channel")),
+      Seq("user_id", "tts"), Seq(col("touch_id")))
+      .withColumn("tts2", col("tts"))
+    val lastTouch = AsOf.asofBackward(purchases, touches, Seq("user_id"), "ts", "tts")
+      .select(
+        lit("last_touch").as("model"),
+        coalesce(col("channel"), lit("none")).as("channel"),
+        ((col("ts").cast("long") - col("tts2").cast("long")) / 60.0).as("gap_min"))
+    val firstEv = ev.filter(col("event_type") =!= "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"))
+      .select(col("user_id"), col("f.ts").as("fts"), col("f.event_type").as("fchannel"))
+    val firstTouch = purchases.join(firstEv, Seq("user_id"), "left")
+      .select(
+        lit("first_touch").as("model"),
+        when(col("fts").isNotNull && col("fts") <= col("ts"), col("fchannel"))
+          .otherwise(lit("none")).as("channel"),
+        when(col("fts").isNotNull && col("fts") <= col("ts"),
+          (col("ts").cast("long") - col("fts").cast("long")) / 60.0).as("gap_min"))
+    lastTouch.unionByName(firstTouch)
+      .groupBy(col("model"), col("channel"))
+      .agg(count(lit(1)).as("n"), rnd(avg(col("gap_min")), 2).as("avg_gap_min"))
+      .orderBy(col("model"), col("channel"))
+  }
+
+  // q74 — trailing 14-day rolling correlation between two event series
+  // (click vs purchase daily volume): the co-movement diagnostic pandas
+  // rolling(14).corr() gives. Runs AFTER the per-day aggregation has
+  // shrunk the log to one row per day — the single-series window is the
+  // documented q04 pattern (tiny frame), not a scan-scale sort.
+  private def rollingCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+    val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    // Spark's corr yields NaN on 1-point / zero-variance frames where SQL
+    // engines yield NULL — normalize to the SQL convention
+    val c = corr(col("clicks"), col("purchases")).over(w)
+    daily
+      .withColumn("corr_14d", rnd(when(isnan(c), lit(null)).otherwise(c), 4))
+      .select(col("day"), col("clicks"), col("purchases"), col("corr_14d"))
+      .orderBy(col("day"))
+  }
+
+  // q75 — key-skew diagnostics (Skew.keyDistributionReport): per event
+  // type, the user-key distribution's concentration — entropy, Herfindahl
+  // Σp², hottest-key share. The report that decides whether q39/q58's
+  // salting is warranted. Two map-side-combinable aggregations; only
+  // (key, count) pairs cross the wire.
+  private def keySkew(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew
+      .keyDistributionReport(t(s, dir, "events"), "event_type", "user_id")
+      .select(
+        col("event_type"), col("n_rows"), col("n_keys"),
+        rnd(col("entropy"), 4).as("entropy"),
+        rnd(col("hhi"), 6).as("hhi"),
+        rnd(col("top_share"), 6).as("top_share"))
+      .orderBy(col("event_type"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1581,7 +1661,10 @@ object SparkEntry {
     "q69_expectations" -> expectationsReport,
     "q70_quality_deciles" -> qualityDeciles,
     "q71_doc_chunks" -> docChunks,
-    "q72_ewma" -> ewmaDaily)
+    "q72_ewma" -> ewmaDaily,
+    "q73_attribution" -> attribution,
+    "q74_rolling_corr" -> rollingCorr,
+    "q75_key_skew" -> keySkew)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2649,5 +2732,68 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |)
         |SELECT event_type, day, round(e + 1e-9, 4) AS ewma
-        |FROM wtd ORDER BY event_type, day""".stripMargin)
+        |FROM wtd ORDER BY event_type, day""".stripMargin,
+    "q73_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'
+        |), t0 AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, event_type AS channel,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type <> 'purchase'
+        |), tch AS (SELECT user_id, tts, channel FROM t0 WHERE rn = 1),
+        |lt AS (
+        |  SELECT 'last_touch' AS model,
+        |    coalesce(tch.channel, 'none') AS channel,
+        |    (CAST(floor(epoch(p.ts)) AS BIGINT)
+        |      - CAST(floor(epoch(tch.tts)) AS BIGINT)) / 60.0 AS gap_min
+        |  FROM p ASOF LEFT JOIN tch ON p.user_id = tch.user_id AND p.ts >= tch.tts
+        |), fe AS (
+        |  SELECT user_id, tts AS fts, channel AS fchannel,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY tts) AS rn
+        |  FROM tch
+        |), f1 AS (SELECT user_id, fts, fchannel FROM fe WHERE rn = 1),
+        |ft AS (
+        |  SELECT 'first_touch' AS model,
+        |    CASE WHEN f1.fts IS NOT NULL AND f1.fts <= p.ts
+        |         THEN f1.fchannel ELSE 'none' END AS channel,
+        |    CASE WHEN f1.fts IS NOT NULL AND f1.fts <= p.ts
+        |         THEN (CAST(floor(epoch(p.ts)) AS BIGINT)
+        |           - CAST(floor(epoch(f1.fts)) AS BIGINT)) / 60.0 END AS gap_min
+        |  FROM p LEFT JOIN f1 ON p.user_id = f1.user_id
+        |)
+        |SELECT model, channel, count(*) AS n,
+        |  round(avg(gap_min) + 1e-9, 2) AS avg_gap_min
+        |FROM (SELECT * FROM lt UNION ALL SELECT * FROM ft)
+        |GROUP BY model, channel
+        |ORDER BY model, channel""".stripMargin,
+    "q74_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1
+        |)
+        |SELECT day, CAST(clicks AS BIGINT) AS clicks,
+        |  CAST(purchases AS BIGINT) AS purchases,
+        |  round(corr(clicks, purchases) OVER (ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS corr_14d
+        |FROM daily
+        |ORDER BY day""".stripMargin,
+    "q75_key_skew" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4) AS entropy,
+        |  round(sum(c * c) / (sum(c) * sum(c)) + 1e-9, 6) AS hhi,
+        |  round(max(c) / CAST(sum(c) AS DOUBLE) + 1e-9, 6) AS top_share
+        |FROM c
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
 }

@@ -55,4 +55,33 @@ object Skew {
     val expandedRight = right.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     saltedLeft.join(expandedRight, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** Key-distribution skew report — the diagnostic that decides WHETHER the
+    * mitigations above are needed: for each group, the sub-key distribution's
+    * concentration stats. Emits per group: n rows, distinct sub-keys, Shannon
+    * entropy (nats) of the sub-key frequencies, Herfindahl concentration
+    * index Σp² (1 = all rows on one key), and the hottest key's share.
+    *
+    * Two chained aggregations — count per (group, subKey), then the
+    * distribution stats per group — both with map-side partials; no row-level
+    * data survives the first shuffle, so the report costs two exchanges of
+    * key-count pairs regardless of input size.
+    */
+  def keyDistributionReport(df: DataFrame, groupCol: String, subKeyCol: String): DataFrame = {
+    val counts = df
+      .groupBy(col(groupCol), col(subKeyCol))
+      .agg(count(lit(1)).as("_c"))
+    counts
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("_c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("_c")).as("_max"),
+        sum(col("_c") * col("_c")).as("_sq"),
+        sum(col("_c") * log(col("_c"))).as("_clogc"))
+      .withColumn("entropy", log(col("n_rows")) - col("_clogc") / col("n_rows"))
+      .withColumn("hhi", col("_sq").cast("double") / (col("n_rows") * col("n_rows")))
+      .withColumn("top_share", col("_max").cast("double") / col("n_rows"))
+      .drop("_max", "_sq", "_clogc")
+  }
 }
