@@ -1449,20 +1449,26 @@ object SparkEntry {
         Matches("props", "\\{\"k\": [0-9]+\\}")))
   }
 
-  // q70 — quality-decile curriculum binning: exact decile cut points from
-  // one percentile aggregation (sort-based, single pass), then a broadcast
-  // of the 9 cuts assigns each doc value-based (decile = 1 + #cuts below the
-  // score — deterministic under score ties, unlike rank-based ntile which
-  // would also need a global single-partition sort). Per-decile stats out.
+  // q70 — quality-decile curriculum binning: decile cut points from one
+  // percentile aggregation, then a broadcast of the 9 cuts assigns each doc
+  // value-based (decile = 1 + #cuts below the score — deterministic under
+  // score ties, unlike rank-based ntile which would also need a global
+  // single-partition sort). Size-gated like q29: the EXACT interpolated
+  // percentile (type-7, = DuckDB quantile_cont; what the oracle checks)
+  // buffers every value in the aggregation state, so it is only declared
+  // under the gate; above it the cuts come from percentile_approx — the
+  // KLL-style mergeable sketch with bounded state, the honest 100-TB path
+  // (cut error moves bin boundaries only; assignment stays value-exact).
   private def qualityDeciles(s: SparkSession, dir: String): DataFrame = {
     val scored = t(s, dir, "documents")
       .select(
         col("doc_id"), col("n_chars"),
         TF.qualityScore(col("text"), Stopwords).as("q"))
-    // exact interpolated percentile (type-7, same definition as DuckDB's
-    // quantile_cont) — percentile_approx would return raw elements instead
-    val cuts = scored.agg(
-      percentile(col("q"), array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+    val pcts = array((1 to 9).map(i => lit(i / 10.0)): _*)
+    val cutExpr =
+      if (scored.count() <= 100000L) percentile(col("q"), pcts)
+      else percentile_approx(col("q"), pcts, lit(10000))
+    val cuts = scored.agg(cutExpr.as("cuts"))
     scored
       .crossJoin(broadcast(cuts))
       .withColumn(
@@ -1588,6 +1594,37 @@ object SparkEntry {
         rnd(col("top_share"), 6).as("top_share"))
       .orderBy(col("event_type"))
 
+  // q76 — SCD-2 state intervals (gaps-and-islands by value change): pack
+  // each user's event stream into runs of consecutive equal event_type and
+  // emit versioned validity intervals (valid_from, valid_to = next run's
+  // start, null while current) — the CDC-changes→dimension-snapshot
+  // transform. One shuffle on user_id for the change-flag window; the
+  // run-pack groupBy and the lead() window ride the same key. Determinism
+  // under time ties via (ts, event_id) ordering.
+  private def scd2(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val packed = ev
+      .withColumn(
+        "chg",
+        when(lag(col("event_type"), 1).over(w) === col("event_type"), 0L).otherwise(1L))
+      .withColumn("seg", sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(
+        min(col("event_type")).as("state"),
+        min(col("ts")).as("valid_from"),
+        max(col("ts")).as("last_seen"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    packed
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .select(
+        col("user_id"), col("state"), col("valid_from"), col("valid_to"),
+        col("last_seen"), col("n_events"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1664,7 +1701,8 @@ object SparkEntry {
     "q72_ewma" -> ewmaDaily,
     "q73_attribution" -> attribution,
     "q74_rolling_corr" -> rollingCorr,
-    "q75_key_skew" -> keySkew)
+    "q75_key_skew" -> keySkew,
+    "q76_scd2" -> scd2)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2795,5 +2833,28 @@ object SparkEntry {
         |  round(max(c) / CAST(sum(c) AS DOUBLE) + 1e-9, 6) AS top_share
         |FROM c
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+    "q76_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events
+        |), lagged AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) = event_type
+        |    THEN 0 ELSE 1 END AS chg
+        |  FROM e
+        |), seg AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM lagged
+        |), packed AS (
+        |  SELECT user_id, s, min(event_type) AS state, min(ts) AS valid_from,
+        |    max(ts) AS last_seen, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM seg GROUP BY user_id, s
+        |)
+        |SELECT user_id, state, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+        |  last_seen, n_events
+        |FROM packed
+        |ORDER BY user_id, valid_from""".stripMargin)
 }
