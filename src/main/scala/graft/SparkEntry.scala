@@ -1625,6 +1625,67 @@ object SparkEntry {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  // q77 — cumulative distinct users per day, the "running nunique" that is
+  // NOT computed as a distinct-over-expanding-window (which would shuffle
+  // every (day, user) pair into one reducer): each user reduces to a
+  // first-seen day (one agg), days reduce to new-user counts (second agg,
+  // both map-side combinable), and only the ~n_days-row frame rides the
+  // single-partition running sum — the q04 post-shrink pattern.
+  private def cumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val firstDay = ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+    val newPerDay = firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val days = ev.select(to_date(col("ts")).as("day")).distinct()
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    days
+      .join(newPerDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
+  // q78 — snapshot diff (Diff.snapshotDiff): the dataset regression check
+  // between two corpus versions. Both snapshots derive deterministically
+  // from `documents` (removals, additions, and an uppercase mutation on a
+  // slice), so the oracle reconstructs the identical comparison with a
+  // FULL OUTER JOIN. One key-shuffle per side; no payload comparison
+  // before key alignment.
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Diff
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 17 =!= 3)
+    val neu = docs.filter(col("doc_id") % 19 =!= 5)
+      .withColumn(
+        "text",
+        when(col("doc_id") % 23 === 7, upper(col("text"))).otherwise(col("text")))
+    Diff.snapshotDiff(old, neu, Seq("doc_id"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("change_type"))
+  }
+
+  // q79 — fixed-width histogram of a numeric column (profiling op): min/max
+  // reduce to a ONE-ROW broadcast bind (same scalar-bind class as q51/q70),
+  // then binning is a pure map + one combinable count agg. Bin boundaries
+  // are derived identically on both engines (same IEEE double arithmetic),
+  // so even edge values land in the same bin.
+  private def valueHistogram(s: SparkSession, dir: String): DataFrame = {
+    val nBins = 20
+    val ev = t(s, dir, "events").select(col("value")).filter(col("value").isNotNull)
+    val stats = ev.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    ev.crossJoin(broadcast(stats))
+      .withColumn(
+        "bin",
+        least(floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / nBins)),
+          lit(nBins - 1)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        rnd(min(col("mn")) + col("bin") * ((min(col("mx")) - min(col("mn"))) / nBins), 4).as("lo"),
+        rnd(min(col("mn")) + (col("bin") + 1) * ((min(col("mx")) - min(col("mn"))) / nBins), 4).as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy(col("bin"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1702,7 +1763,10 @@ object SparkEntry {
     "q73_attribution" -> attribution,
     "q74_rolling_corr" -> rollingCorr,
     "q75_key_skew" -> keySkew,
-    "q76_scd2" -> scd2)
+    "q76_scd2" -> scd2,
+    "q77_cumulative_users" -> cumulativeUsers,
+    "q78_snapshot_diff" -> snapshotDiff,
+    "q79_histogram" -> valueHistogram)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2856,5 +2920,54 @@ object SparkEntry {
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
         |  last_seen, n_events
         |FROM packed
-        |ORDER BY user_id, valid_from""".stripMargin)
+        |ORDER BY user_id, valid_from""".stripMargin,
+    "q77_cumulative_users" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+        |), npd AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1
+        |), d AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        |)
+        |SELECT d.day, coalesce(new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY d.day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM d LEFT JOIN npd ON d.day = npd.day
+        |ORDER BY d.day""".stripMargin,
+    "q78_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT * FROM documents WHERE doc_id % 17 <> 3
+        |), n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 23 = 7 THEN upper(text) ELSE text END AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 19 <> 5
+        |), d AS (
+        |  SELECT CASE
+        |    WHEN o.doc_id IS NULL THEN 'added'
+        |    WHEN n.doc_id IS NULL THEN 'removed'
+        |    WHEN o.text IS NOT DISTINCT FROM n.text
+        |      AND o.lang IS NOT DISTINCT FROM n.lang
+        |      AND o.source IS NOT DISTINCT FROM n.source
+        |      AND o.n_chars IS NOT DISTINCT FROM n.n_chars THEN 'unchanged'
+        |    ELSE 'changed' END AS change_type
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |)
+        |SELECT change_type, count(*) AS n
+        |FROM d GROUP BY 1 ORDER BY change_type""".stripMargin,
+    "q79_histogram" ->
+      """WITH v AS (
+        |  SELECT value FROM events WHERE value IS NOT NULL
+        |), s AS (
+        |  SELECT min(value) AS mn, max(value) AS mx FROM v
+        |)
+        |SELECT CAST(least(floor((value - mn) / ((mx - mn) / 20)), 19) AS INT) AS bin,
+        |  round(mn + CAST(least(floor((value - mn) / ((mx - mn) / 20)), 19) AS INT)
+        |    * ((mx - mn) / 20) + 1e-9, 4) AS lo,
+        |  round(mn + (CAST(least(floor((value - mn) / ((mx - mn) / 20)), 19) AS INT) + 1)
+        |    * ((mx - mn) / 20) + 1e-9, 4) AS hi,
+        |  count(*) AS n
+        |FROM v, s
+        |GROUP BY 1, 2, 3
+        |ORDER BY bin""".stripMargin)
 }

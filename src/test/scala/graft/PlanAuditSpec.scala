@@ -17,9 +17,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - q29: the size-gated exact path engages below the LSH cutover at this
   *    tiny sf (the sf0.1 declared plan is the bucketed equi-join, asserted
   *    in PlanSpec);
-  *  - q45/q51/q62/q70: a crossJoin binding one broadcast 1-ROW aggregate
-  *    frame (IVF cell count / BM25 corpus stats / unigram total / decile
-  *    cuts) — a scalar bind, not a pairwise product.
+  *  - q45/q51/q62/q70/q79: a crossJoin binding one broadcast 1-ROW
+  *    aggregate frame (IVF cell count / BM25 corpus stats / unigram total /
+  *    decile cuts / histogram min-max) — a scalar bind, not a pairwise
+  *    product.
   */
 class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -28,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val nljAllowed = Set(
     "q14_knn_bruteforce", "q18_knn_classify", "q47_knn_confusion",
     "q59_quantized_knn", "q29_embedding_neardups",
-    "q45_ann_ivf", "q51_bm25_search", "q62_surprisal", "q70_quality_deciles")
+    "q45_ann_ivf", "q51_bm25_search", "q62_surprisal", "q70_quality_deciles",
+    "q79_histogram")
 
   test("no declared batch query plans a CartesianProduct or unexpected nested-loop join") {
     val offenders = SparkEntry.queries.toSeq
