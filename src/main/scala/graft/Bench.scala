@@ -61,7 +61,8 @@ object Bench {
     "q70_quality_deciles" -> 0.508, "q71_doc_chunks" -> 0.515,
     "q72_ewma" -> 0.689, "q73_attribution" -> 1.740,
     "q74_rolling_corr" -> 0.477, "q75_key_skew" -> 0.895,
-    "q76_scd2" -> 1.615)
+    "q76_scd2" -> 1.615, "q77_cumulative_users" -> 1.336,
+    "q78_snapshot_diff" -> 1.098, "q79_histogram" -> 0.726)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
