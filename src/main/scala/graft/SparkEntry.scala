@@ -1686,6 +1686,21 @@ object SparkEntry {
       .orderBy(col("bin"))
   }
 
+  // q80 — melt/unpivot (the inverse reshape, pandas melt): q06's wide pivot
+  // stacked back to long (day, event_type, avg_value) rows via the `stack`
+  // expression — a pure per-row expansion, no shuffle beyond the pivot's
+  // own aggregation. NULL cells (day×type combos absent from the log)
+  // survive the round trip, matching the oracle's left join.
+  private def meltDaily(s: SparkSession, dir: String): DataFrame = {
+    val wide = dailyTypePivot(s, dir)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    graft.operators.Reshape
+      .unpivot(wide, "d", types.map(tp => s"avg_$tp"), "metric", "avg_value")
+      .withColumn("event_type", expr("substring(metric, 5)"))
+      .select(col("d"), col("event_type"), col("avg_value"))
+      .orderBy(col("d"), col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1766,7 +1781,8 @@ object SparkEntry {
     "q76_scd2" -> scd2,
     "q77_cumulative_users" -> cumulativeUsers,
     "q78_snapshot_diff" -> snapshotDiff,
-    "q79_histogram" -> valueHistogram)
+    "q79_histogram" -> valueHistogram,
+    "q80_melt" -> meltDaily)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2969,5 +2985,18 @@ object SparkEntry {
         |  count(*) AS n
         |FROM v, s
         |GROUP BY 1, 2, 3
-        |ORDER BY bin""".stripMargin)
+        |ORDER BY bin""".stripMargin,
+    "q80_melt" ->
+      """WITH agg AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type,
+        |    round(avg(value) + 1e-9, 4) AS avg_value
+        |  FROM events GROUP BY 1, 2
+        |), days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+        |types AS (
+        |  SELECT unnest(['click','error','purchase','signup','view']) AS event_type
+        |)
+        |SELECT days.d, types.event_type, agg.avg_value
+        |FROM days CROSS JOIN types
+        |LEFT JOIN agg ON agg.d = days.d AND agg.event_type = types.event_type
+        |ORDER BY days.d, types.event_type""".stripMargin)
 }
