@@ -1509,7 +1509,7 @@ object SparkEntry {
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(avg(col("value")).as("v"))
     WindowOps
-      .ewma(daily, WindowOps.spec(Seq("event_type"), Seq(col("day"))), "v", 0.3)
+      .ewma(daily, Seq("event_type"), Seq("day"), "v", 0.3)
       .select(col("event_type"), col("day"), rnd(col("v_ewma"), 4).as("ewma"))
       .orderBy(col("event_type"), col("day"))
   }
@@ -1540,10 +1540,14 @@ object SparkEntry {
         lit("last_touch").as("model"),
         coalesce(col("channel"), lit("none")).as("channel"),
         ((col("ts").cast("long") - col("tts2").cast("long")) / 60.0).as("gap_min"))
-    val firstEv = ev.filter(col("event_type") =!= "purchase")
+    // first touch derives from the SAME deduped per-(user, ts) touches as
+    // last touch — computing it from raw events would use the opposite
+    // tie-break (min event_id) than the dedup (max event_id) at a tied
+    // earliest timestamp and diverge from the oracle
+    val firstEv = touches
       .groupBy(col("user_id"))
-      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"))
-      .select(col("user_id"), col("f.ts").as("fts"), col("f.event_type").as("fchannel"))
+      .agg(min(struct(col("tts"), col("channel"))).as("f"))
+      .select(col("user_id"), col("f.tts").as("fts"), col("f.channel").as("fchannel"))
     val firstTouch = purchases.join(firstEv, Seq("user_id"), "left")
       .select(
         lit("first_touch").as("model"),
@@ -2725,7 +2729,8 @@ object SparkEntry {
     "q65_hash_split" ->
       """WITH b AS (
         |  SELECT lang,
-        |    (((doc_id * 2654435761) % 4294967296) * 100) >> 32 AS bucket
+        |    (CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)
+        |      * 100) >> 32 AS bucket
         |  FROM documents
         |)
         |SELECT CASE WHEN bucket < 80 THEN 'train'
@@ -2763,7 +2768,8 @@ object SparkEntry {
         |  SELECT lang, doc_id,
         |    row_number() OVER (
         |      PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rank
+        |      ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296,
+        |        doc_id) AS rank
         |  FROM documents
         |)
         |SELECT lang, CAST(rank AS INT) AS rank, doc_id

@@ -21,16 +21,23 @@ object Diff {
     val compareCols = old.columns.filterNot(keys.contains).toSeq
     require(compareCols.toSet == neu.columns.filterNot(keys.contains).toSet,
       "snapshots must share non-key columns")
+    // key-only diffs (no payload) still need a non-empty side marker struct
+    // for the added/removed classification — struct() with zero fields is
+    // not constructible
+    def payload(of: Seq[Column]): Column =
+      if (of.isEmpty) struct(lit(0).as("_present")) else struct(of: _*)
     val l = old.select(
       struct(keys.map(col): _*).as("_k"),
-      struct(compareCols.map(col): _*).as("_lv"))
+      payload(compareCols.map(col)).as("_lv"))
     val r = neu.select(
       struct(keys.map(col): _*).as("_k"),
-      struct(compareCols.map(col): _*).as("_rv"))
+      payload(compareCols.map(col)).as("_rv"))
     val joined = l.join(r, Seq("_k"), "full_outer")
+    // key-only diff (no payload columns) degrades cleanly: present-in-both
+    // is 'unchanged', so only added/removed can occur
     val allEqual = compareCols
       .map(c => col(s"_lv.`$c`") <=> col(s"_rv.`$c`"))
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _)
     joined
       .withColumn(
         "change_type",

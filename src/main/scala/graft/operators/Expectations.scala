@@ -63,12 +63,15 @@ object Expectations {
     val aggs: Seq[Column] = Seq(count(lit(1)).as("_n")) ++
       constraints.zipWithIndex.map {
         case (Unique(c), i) => count_distinct(col(c)).as(s"_c$i")
-        case (c, i)         => sum(when(violationExpr(c), 1L).otherwise(0L)).as(s"_c$i")
+        // coalesce: sum over ZERO rows is null, and an empty ingest batch
+        // must report 0 violations / passed=true, not null/null
+        case (c, i) =>
+          coalesce(sum(when(violationExpr(c), 1L).otherwise(0L)), lit(0L)).as(s"_c$i")
       } ++
       // Unique is null-blind in count_distinct; carry per-column null counts
       // through the same pass so its violation formula can see them
       constraints.zipWithIndex.collect { case (Unique(c), i) =>
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn$i")
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"_nn$i")
       }
     val summary = df.agg(aggs.head, aggs.tail: _*)
     val rows = constraints.zipWithIndex.map { case (c, i) =>

@@ -77,10 +77,13 @@ object Skew {
         sum(col("_c")).as("n_rows"),
         count(lit(1)).as("n_keys"),
         max(col("_c")).as("_max"),
-        sum(col("_c") * col("_c")).as("_sq"),
+        // double, not int64: a hot key past ~3e9 rows would silently wrap
+        // _c*_c in non-ANSI mode — in exactly the regime this report exists
+        // to diagnose
+        sum(col("_c").cast("double") * col("_c")).as("_sq"),
         sum(col("_c") * log(col("_c"))).as("_clogc"))
       .withColumn("entropy", log(col("n_rows")) - col("_clogc") / col("n_rows"))
-      .withColumn("hhi", col("_sq").cast("double") / (col("n_rows") * col("n_rows")))
+      .withColumn("hhi", col("_sq") / (col("n_rows").cast("double") * col("n_rows")))
       .withColumn("top_share", col("_max").cast("double") / col("n_rows"))
       .drop("_max", "_sq", "_clogc")
   }

@@ -58,23 +58,58 @@ object WindowOps {
   /** Exponentially-weighted moving average, pandas `ewm(alpha,
     * adjust=True).mean()` semantics: ewma_t = Σ_{i≤t} (1−α)^{t−i}·x_i /
     * Σ_{i≤t} (1−α)^{t−i}, row-based (gaps in the order column do not decay
-    * extra). Computed with the closed form ewma_t = Σ(x_i·r^{−i}) / Σ(r^{−i})
-    * (r = 1−α; the r^t factor cancels in the ratio) — two running window
-    * sums, no recursion, so it stays a plain codegen'd window aggregate and
-    * an exact SQL oracle can reproduce it bit-for-bit. r^{−i} grows ~e.g.
-    * 1e23 at i=150 for α=0.3 — far inside double range, and numerator/
-    * denominator share the scale so the ratio is well-conditioned.
+    * extra). Computed with the numerically stable online recursion
+    * s_t = x_t + r·s_{t−1}, w_t = 1 + r·w_{t−1}, ewma_t = s_t/w_t (r = 1−α)
+    * via a per-group sequential scan — the closed-form
+    * Σ(x_i·r^{−i})/Σ(r^{−i}) ratio of running window sums overflows r^{−i}
+    * to ±Inf on long partitions (α=0.3 dies near row 2000, α=0.99 near row
+    * 155) and poisons every later row with NaN; the recursion is exact at
+    * any length. Each group buffers and sorts in memory — the same cost
+    * shape as WindowExec's partition buffer; the typed scan trades codegen
+    * for unconditional numerical correctness. Null values emit null ewma
+    * and leave the state unchanged (pandas ignore_na=True).
     */
-  def ewma(df: DataFrame, w: WindowSpec, c: String, alpha: Double): DataFrame = {
+  def ewma(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      orderBy: Seq[String],
+      c: String,
+      alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha out of (0,1): $alpha")
+    require(orderBy.nonEmpty, "ewma needs an ordering column")
     val r = 1.0 - alpha
-    val i = row_number().over(w).cast("double")
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_wi", pow(lit(r), -i))
-      .withColumn(
-        s"${c}_ewma",
-        sum(col(c) * col("_wi")).over(run) / sum(col("_wi")).over(run))
-      .drop("_wi")
+    val schema = df.schema
+    val outSchema = schema.add(s"${c}_ewma", org.apache.spark.sql.types.DoubleType)
+    val keyIdx = partitionBy.map(schema.fieldIndex)
+    val ordIdx = orderBy.map(schema.fieldIndex)
+    val valIdx = schema.fieldIndex(c)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.groupByKey { row: org.apache.spark.sql.Row =>
+      keyIdx.map(i => String.valueOf(row.get(i))).mkString("\u0000")
+    }(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.toArray
+        java.util.Arrays.sort(
+          rows,
+          (a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) =>
+            ordIdx.iterator
+              .map(i => a.get(i).asInstanceOf[Comparable[Any]].compareTo(b.get(i)))
+              .find(_ != 0)
+              .getOrElse(0))
+        var s = 0.0
+        var w = 0.0
+        rows.iterator.map { row =>
+          val v = row.get(valIdx)
+          val e: Any =
+            if (v == null) null
+            else {
+              s = v.asInstanceOf[Number].doubleValue() + r * s
+              w = 1.0 + r * w
+              s / w
+            }
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ e)
+        }
+      }(rowEnc)
   }
 
   /** W5 + P14 — adjacent-row trend discretization (蔬菜价格相关性分析.py:94-99):

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
@@ -22,7 +21,7 @@ class EwmaSpec extends AnyFunSuite {
     val df = xs.zipWithIndex.map { case (v, i) => ("a", i, v) }.toDF("g", "i", "v")
       .union(xs.reverse.zipWithIndex.map { case (v, i) => ("b", i, v) }.toDF("g", "i", "v"))
     val out = WindowOps
-      .ewma(df, WindowOps.spec(Seq("g"), Seq(col("i"))), "v", 0.3)
+      .ewma(df, Seq("g"), Seq("i"), "v", 0.3)
       .orderBy("g", "i")
       .select("g", "v_ewma")
       .as[(String, Double)]
@@ -34,12 +33,38 @@ class EwmaSpec extends AnyFunSuite {
     gb.map(_._2).zip(expB).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12, s"$g vs $e") }
   }
 
-  test("first row's ewma is the value itself; alpha=0.999... approaches last value") {
+  test("first row's ewma is the value itself; alpha near 1 approaches last value") {
     val df = Seq(("a", 0, 5.0), ("a", 1, 100.0)).toDF("g", "i", "v")
     val out = WindowOps
-      .ewma(df, WindowOps.spec(Seq("g"), Seq(col("i"))), "v", 0.999)
+      .ewma(df, Seq("g"), Seq("i"), "v", 0.999)
       .orderBy("i").select("v_ewma").as[Double].collect()
     assert(out(0) == 5.0)
     assert(math.abs(out(1) - 100.0) < 0.2) // weight on x0 is (1-α)=0.001
+  }
+
+  test("long series and aggressive alpha stay finite (overflow regression)") {
+    // the closed-form pow(r, -i) formulation overflowed to Inf/NaN here:
+    // alpha=0.99 dies near row 155, alpha=0.3 near row 2000
+    for (alpha <- Seq(0.3, 0.99)) {
+      val n = 3000
+      val df = (0 until n).map(i => ("g", i, 50.0 + (i % 7))).toDF("g", "i", "v")
+      val out = WindowOps.ewma(df, Seq("g"), Seq("i"), "v", alpha)
+        .orderBy("i").select("v_ewma").as[Double].collect()
+      assert(out.length == n)
+      assert(out.forall(e => !e.isNaN && !e.isInfinite), s"alpha=$alpha produced NaN/Inf")
+      // every ewma of values in [50, 56] stays in [50, 56]
+      assert(out.forall(e => e >= 50.0 && e <= 56.0))
+    }
+  }
+
+  test("null values emit null ewma and leave the state unchanged") {
+    val df = Seq(
+      ("a", 0, Some(10.0)), ("a", 1, None), ("a", 2, Some(10.0))
+    ).toDF("g", "i", "v")
+    val out = WindowOps.ewma(df, Seq("g"), Seq("i"), "v", 0.5)
+      .orderBy("i").select("v_ewma").as[Option[Double]].collect()
+    assert(out(0).contains(10.0))
+    assert(out(1).isEmpty)
+    assert(out(2).contains(10.0)) // constant series, gap skipped
   }
 }
