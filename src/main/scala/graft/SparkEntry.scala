@@ -1705,6 +1705,26 @@ object SparkEntry {
       .orderBy(col("d"), col("event_type"))
   }
 
+  // q81 — CHAINED stateful streaming (Spark 3.5+ multi-stateful support):
+  // exactly-once dedup → daily windowed counts in ONE streaming query (no
+  // intermediate sink between the two state stores). The input is the
+  // event stream UNIONED WITH ITSELF, so the dedup stage is load-bearing —
+  // without it every count would double. Append mode emits only windows
+  // the watermark (max event time − 1 h) has closed; the oracle applies
+  // the same closure predicate arithmetically. Complements q43 (dedup
+  // alone) and q27 (windowed agg alone).
+  private def streamDedupCounts(s: SparkSession, dir: String): DataFrame =
+    replayStream(s, dir, "append") { ev =>
+      ev.unionByName(ev)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(Seq("event_id"))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    }
+      .select(to_date(col("ws")).as("day"), col("event_type"), col("n"))
+      .orderBy(col("day"), col("event_type"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1786,7 +1806,8 @@ object SparkEntry {
     "q77_cumulative_users" -> cumulativeUsers,
     "q78_snapshot_diff" -> snapshotDiff,
     "q79_histogram" -> valueHistogram,
-    "q80_melt" -> meltDaily)
+    "q80_melt" -> meltDaily,
+    "q81_stream_dedup_counts" -> streamDedupCounts)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3004,5 +3025,16 @@ object SparkEntry {
         |SELECT days.d, types.event_type, agg.avg_value
         |FROM days CROSS JOIN types
         |LEFT JOIN agg ON agg.d = days.d AND agg.event_type = types.event_type
-        |ORDER BY days.d, types.event_type""".stripMargin)
+        |ORDER BY days.d, types.event_type""".stripMargin,
+    "q81_stream_dedup_counts" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+        |), daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT day, event_type, n
+        |FROM daily, mx
+        |WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+        |ORDER BY day, event_type""".stripMargin)
 }
