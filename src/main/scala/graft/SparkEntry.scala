@@ -1725,6 +1725,68 @@ object SparkEntry {
       .select(to_date(col("ws")).as("day"), col("event_type"), col("n"))
       .orderBy(col("day"), col("event_type"))
 
+  // q82 — grouped exact percentiles (the latency-report shape: p50/p90/p99
+  // per key): one percentile aggregation per group, map-side partial
+  // buffers per (group) — exact interpolated type-7 cuts, matching DuckDB
+  // quantile_cont. Exact per-group percentile state holds the group's
+  // values; the declared groups are low-cardinality types (bounded state).
+  // For high-cardinality keys at 100 TB the approx sketch is the swap-in
+  // (same gate discipline as q70).
+  private def groupPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      .select(
+        col("event_type"),
+        rnd(element_at(col("p"), 1), 4).as("p50"),
+        rnd(element_at(col("p"), 2), 4).as("p90"),
+        rnd(element_at(col("p"), 3), 4).as("p99"))
+      .orderBy(col("event_type"))
+
+  // q83 — tokenizer vocabulary build (LLM-prep): top-1000 tokens by corpus
+  // frequency get contiguous ids in (count desc, token asc) order — the
+  // deterministic vocab-assignment step before BPE merging. The heavy part
+  // (token counting) is one map-side-combinable agg; the ranked id
+  // assignment happens on the driver-sized top-N only (TakeOrderedAndProject
+  // feeds a single-partition window over 1000 rows, not the corpus).
+  private def vocabBuild(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(explode(TF.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("token")).limit(1000)
+    top
+      .withColumn(
+        "token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))) - 1)
+      .select(col("token_id"), col("token"), col("n"))
+      .orderBy(col("token_id"))
+  }
+
+  // q84 — event-transition matrix (clickstream Markov chain): counts and
+  // row-normalized probabilities of each (prev_type → next_type) adjacent
+  // pair within a user's ordered stream. One lag window over the user key
+  // (single shuffle), then a combinable pair-count agg; the probability
+  // normalization joins against per-prev totals derived from the SAME
+  // counts frame (tiny, broadcast).
+  private def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+    pairs
+      .join(broadcast(totals), Seq("prev_type"))
+      .select(
+        col("prev_type"), col("next_type"), col("n"),
+        rnd(col("n") / col("tot"), 6).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1807,7 +1869,10 @@ object SparkEntry {
     "q78_snapshot_diff" -> snapshotDiff,
     "q79_histogram" -> valueHistogram,
     "q80_melt" -> meltDaily,
-    "q81_stream_dedup_counts" -> streamDedupCounts)
+    "q81_stream_dedup_counts" -> streamDedupCounts,
+    "q82_group_percentiles" -> groupPercentiles,
+    "q83_vocab_build" -> vocabBuild,
+    "q84_transitions" -> transitionMatrix)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3036,5 +3101,42 @@ object SparkEntry {
         |SELECT day, event_type, n
         |FROM daily, mx
         |WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
-        |ORDER BY day, event_type""".stripMargin)
+        |ORDER BY day, event_type""".stripMargin,
+    "q82_group_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+        |  round(quantile_cont(value, 0.9) + 1e-9, 4) AS p90,
+        |  round(quantile_cont(value, 0.99) + 1e-9, 4) AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q83_vocab_build" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) <> ''
+        |), counts AS (
+        |  SELECT token, count(*) AS n FROM tok GROUP BY 1
+        |), ranked AS (
+        |  SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+        |  FROM counts
+        |)
+        |SELECT CAST(token_id AS INT) AS token_id, token, n
+        |FROM ranked WHERE token_id < 1000
+        |ORDER BY token_id""".stripMargin,
+    "q84_transitions" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM ordered WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) + 1e-9, 6) AS p
+        |FROM pairs
+        |ORDER BY prev_type, next_type""".stripMargin)
 }
