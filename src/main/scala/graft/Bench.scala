@@ -63,7 +63,9 @@ object Bench {
     "q74_rolling_corr" -> 0.477, "q75_key_skew" -> 0.895,
     "q76_scd2" -> 1.615, "q77_cumulative_users" -> 1.336,
     "q78_snapshot_diff" -> 1.098, "q79_histogram" -> 0.726,
-    "q80_melt" -> 1.135, "q81_stream_dedup_counts" -> 2.217)
+    "q80_melt" -> 1.135, "q81_stream_dedup_counts" -> 2.217,
+    "q82_group_percentiles" -> 0.617, "q83_vocab_build" -> 0.519,
+    "q84_transitions" -> 0.902)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
