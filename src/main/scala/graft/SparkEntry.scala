@@ -1787,6 +1787,57 @@ object SparkEntry {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  // q85 — IQR outlier fence (the Tukey 1.5×IQR rule, the standard EDA
+  // outlier screen): per-type quartiles from one exact percentile agg, the
+  // 5-row fence table broadcast back, outliers counted in one combinable
+  // pass. Fence arithmetic is identical IEEE double ops on both engines,
+  // so boundary values bin the same way.
+  private def outlierFence(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    val fences = ev
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), array(lit(0.25), lit(0.75))).as("p"))
+      .select(
+        col("event_type"),
+        (element_at(col("p"), 1) - (element_at(col("p"), 2) - element_at(col("p"), 1)) * 1.5).as("lo"),
+        (element_at(col("p"), 2) + (element_at(col("p"), 2) - element_at(col("p"), 1)) * 1.5).as("hi"))
+    ev.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        rnd(min(col("lo")), 4).as("fence_lo"),
+        rnd(min(col("hi")), 4).as("fence_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  // q86 — canonical selection over near-dup clusters (corpus curation's
+  // keep/drop decision, upgraded from q40's min-id rule): q49's connected
+  // components joined with q13's quality scores; each cluster keeps its
+  // best-quality member (ties → min doc_id, via one max-struct aggregate —
+  // no per-cluster sort). The composition of three already-verified
+  // operators, checked end-to-end by the oracle's recursive-CTE closure +
+  // arg-max reconstruction.
+  private def canonicalSelection(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.operators.Dedup
+      .connectedComponents(jaccardPairsAbove(s, dir, 0.5), "id_a", "id_b", idOut = "doc_id")
+    val quality = t(s, dir, "documents")
+      .select(col("doc_id"), TF.qualityScore(col("text"), Stopwords).as("q"))
+    clusters
+      .join(quality, Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(
+        col("component"),
+        (-col("best.nid")).cast("long").as("kept_doc"),
+        col("n_members"),
+        rnd(col("best.q"), 6).as("best_quality"))
+      .orderBy(col("component"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1872,7 +1923,9 @@ object SparkEntry {
     "q81_stream_dedup_counts" -> streamDedupCounts,
     "q82_group_percentiles" -> groupPercentiles,
     "q83_vocab_build" -> vocabBuild,
-    "q84_transitions" -> transitionMatrix)
+    "q84_transitions" -> transitionMatrix,
+    "q85_outlier_fence" -> outlierFence,
+    "q86_canonical_selection" -> canonicalSelection)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3138,5 +3191,73 @@ object SparkEntry {
         |SELECT prev_type, next_type, n,
         |  round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) + 1e-9, 6) AS p
         |FROM pairs
-        |ORDER BY prev_type, next_type""".stripMargin)
+        |ORDER BY prev_type, next_type""".stripMargin,
+    "q85_outlier_fence" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1
+        |), fences AS (
+        |  SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+        |  FROM f
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN e.value < lo OR e.value > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(min(lo) + 1e-9, 4) AS fence_lo,
+        |  round(min(hi) + 1e-9, 4) AS fence_hi
+        |FROM events e JOIN fences USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+    "q86_canonical_selection" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)])
+        |    END AS s
+        |  FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |          / len(list_distinct(a.s || b.s)) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a
+        |), scored AS (
+        |  SELECT doc_id,
+        |    round(
+        |      least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.4 +
+        |      greatest(0.0, 1.0 -
+        |        ((length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
+        |          / CAST(length(text) AS DOUBLE)) * 4) * 0.3 +
+        |      least((len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t))))
+        |        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)) * 5, 1.0) * 0.3
+        |      + 1e-9, 6) AS q
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT comp.component, comp.doc_id, scored.q,
+        |    row_number() OVER (PARTITION BY comp.component
+        |      ORDER BY scored.q DESC, comp.doc_id) AS rn
+        |  FROM comp JOIN scored ON comp.doc_id = scored.doc_id
+        |)
+        |SELECT component,
+        |  min(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+        |  count(*) AS n_members,
+        |  round(max(q) + 1e-9, 6) AS best_quality
+        |FROM ranked
+        |GROUP BY component
+        |ORDER BY component""".stripMargin)
 }
