@@ -103,6 +103,41 @@ object Features {
       .select(col(groupCol), col("rank"), col("id").as(idCol))
   }
 
+  /** Weighted deterministic sample without replacement (Efraimidis–Spirakis
+    * A-ES): rank rows per group by key = u^(1/w) descending, where u ∈ (0,1)
+    * derives from the id's Knuth hash — P(row in a size-1 sample) is exactly
+    * w_i/Σw, and larger samples remain weight-proportional without
+    * replacement. Deterministic from (id, weight) alone, like
+    * `deterministicSample` (the unweighted special case w ≡ const).
+    * Rides the same bounded-heap top-k aggregator — map-side partial top-n,
+    * no full-group window shuffle. Rows with weight <= 0 are excluded.
+    * Returns (groupCol, rank, id).
+    */
+  def weightedSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      n: Int): DataFrame = {
+    // u in (0,1) from xxhash64, NOT the Knuth multiplicative hash: the
+    // latter is linear in the id (h(id+1) − h(id) ≡ const mod 2^32), so
+    // consecutive ids' u values are perfectly correlated and the A-ES
+    // inclusion law breaks; xxhash64 avalanches. +0.5 keeps u strictly
+    // positive so pow(u, 1/w) never collapses to 0
+    val u = (pmod(xxhash64(col(idCol)), lit(4294967296L)) + lit(0.5)) /
+      lit(4294967296.0)
+    val key = pow(u, lit(1.0) / col(weightCol))
+    graft.functions.TopK
+      .topKPerKey(
+        df.filter(col(weightCol) > 0).select(col(groupCol), col(idCol), col(weightCol)),
+        groupCol,
+        key,
+        col(idCol),
+        lit(0L),
+        n)
+      .select(col(groupCol), col("rank"), col("id").as(idCol))
+  }
+
   /** M2 (exact form) — stratified split with sklearn's EXACT per-class
     * counts (`train_test_split(stratify=y)` takes ⌈n_c·frac⌉ per class, not
     * a Bernoulli sample): rows are ranked per label by a seeded hash of the

@@ -41,4 +41,29 @@ class DeterministicSampleSpec extends AnyFunSuite {
     assert(got.map(_._1) == Seq("x", "x", "y"))
     assert(got.map(_._2) == Seq(1, 2, 1))
   }
+
+  test("weightedSample picks proportionally to weight (A-ES, n=1 exact law)") {
+    // 2000 groups, each with two candidates: weight 3 vs weight 1 ->
+    // P(heavy wins) = 3/4 exactly under A-ES with a uniform u
+    val df = (0 until 2000).flatMap { g =>
+      Seq((s"g$g", g * 2L + 1, 3.0), (s"g$g", g * 2L + 2, 1.0))
+    }.toDF("g", "id", "w")
+    val picked = Features.weightedSample(df, "g", "id", "w", 1)
+    val heavyWins = picked.filter($"id" % 2 === 1).count().toDouble
+    val share = heavyWins / 2000.0
+    // binomial(2000, 0.75) std ~ 0.0097; allow 4 sigma
+    assert(math.abs(share - 0.75) < 0.04, s"heavy share $share, expected ~0.75")
+  }
+
+  test("weightedSample is deterministic and excludes non-positive weights") {
+    val df = Seq(
+      ("a", 1L, 2.0), ("a", 2L, 1.0), ("a", 3L, 0.0), ("a", 4L, -1.0)
+    ).toDF("g", "id", "w")
+    val a = Features.weightedSample(df, "g", "id", "w", 10)
+      .orderBy("rank").as[(String, Int, Long)].collect().toSeq
+    val b = Features.weightedSample(df.repartition(7), "g", "id", "w", 10)
+      .orderBy("rank").as[(String, Int, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.map(_._3).toSet == Set(1L, 2L)) // zero/negative weights excluded
+  }
 }
