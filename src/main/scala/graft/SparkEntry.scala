@@ -1838,6 +1838,42 @@ object SparkEntry {
       .orderBy(col("component"))
   }
 
+  // q87 — incremental rollup maintenance: the history partition's PARTIAL
+  // aggregates (count/sum/min/max — all mergeable) merge with the last-7-
+  // days delta's partials into the exact full rollup, the pattern that
+  // lets a 100-TB pipeline maintain aggregates without ever re-scanning
+  // history. The oracle computes the full aggregate directly — the check
+  // IS the merge-equals-recompute identity. avg derives from merged
+  // sum/count (avg itself is not mergeable). The day cutoff is a
+  // driver-side scalar (one cheap max; same driver-steered contract as
+  // q21's CV loop).
+  private def incrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("day", to_date(col("ts")))
+    val maxDay = ev.agg(max(col("day"))).collect()(0).getDate(0)
+    val cut = java.sql.Date.valueOf(maxDay.toLocalDate.minusDays(7))
+    def partial(part: DataFrame) = part
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("s"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+    partial(ev.filter(col("day") < lit(cut)))
+      .unionByName(partial(ev.filter(col("day") >= lit(cut))))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("s")).as("s"),
+        min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+      .select(
+        col("event_type"), col("n"),
+        rnd(col("s") / col("n"), 4).as("avg_value"),
+        rnd(col("mn"), 4).as("min_value"),
+        rnd(col("mx"), 4).as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1925,7 +1961,8 @@ object SparkEntry {
     "q83_vocab_build" -> vocabBuild,
     "q84_transitions" -> transitionMatrix,
     "q85_outlier_fence" -> outlierFence,
-    "q86_canonical_selection" -> canonicalSelection)
+    "q86_canonical_selection" -> canonicalSelection,
+    "q87_incremental_rollup" -> incrementalRollup)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3259,5 +3296,13 @@ object SparkEntry {
         |  round(max(q) + 1e-9, 6) AS best_quality
         |FROM ranked
         |GROUP BY component
-        |ORDER BY component""".stripMargin)
+        |ORDER BY component""".stripMargin,
+    "q87_incremental_rollup" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value) / count(*) + 1e-9, 4) AS avg_value,
+        |  round(min(value) + 1e-9, 4) AS min_value,
+        |  round(max(value) + 1e-9, 4) AS max_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
 }
