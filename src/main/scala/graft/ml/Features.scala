@@ -105,10 +105,12 @@ object Features {
 
   /** Weighted deterministic sample without replacement (Efraimidis–Spirakis
     * A-ES): rank rows per group by key = u^(1/w) descending, where u ∈ (0,1)
-    * derives from the id's Knuth hash — P(row in a size-1 sample) is exactly
+    * derives from xxhash64 of the id — P(row in a size-1 sample) is exactly
     * w_i/Σw, and larger samples remain weight-proportional without
-    * replacement. Deterministic from (id, weight) alone, like
-    * `deterministicSample` (the unweighted special case w ≡ const).
+    * replacement. Deterministic from (id, weight) alone: any system
+    * implementing xxhash64 re-derives the same membership. NOTE: this is a
+    * DIFFERENT ordering than `deterministicSample` (which ranks by smallest
+    * Knuth hash) — equal weights here do NOT reproduce that sample.
     * Rides the same bounded-heap top-k aggregator — map-side partial top-n,
     * no full-group window shuffle. Rows with weight <= 0 are excluded.
     * Returns (groupCol, rank, id).

@@ -17,9 +17,13 @@ class ChainedStatefulSpec extends AnyFunSuite {
   import spark.implicits._
 
   private lazy val streamDir: String = {
-    val d = Files.createTempDirectory("events-chain").toString
-    Engine.table(spark, TestSpark.Sf, "events").write.mode("overwrite").parquet(d)
-    d
+    val d = Files.createTempDirectory("events-chain")
+    // deleteOnExit on dir + contents: a full parquet copy per run would
+    // otherwise accumulate in /tmp (same concern as replayStream's cleanup)
+    d.toFile.deleteOnExit()
+    Engine.table(spark, TestSpark.Sf, "events").write.mode("overwrite").parquet(d.toString)
+    d.toFile.listFiles().foreach(_.deleteOnExit())
+    d.toString
   }
   private lazy val batch = spark.read.parquet(streamDir)
 
