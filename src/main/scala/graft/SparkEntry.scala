@@ -1874,6 +1874,23 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  // q88 — Zipf-law fit over the vocabulary (corpus health diagnostic: a
+  // natural-language corpus shows slope ≈ −1 in log-rank/log-freq space;
+  // a synthetic or template-heavy one deviates): OLS via the standard
+  // regr_* aggregates (closed-form co-moments, map-side combinable) on
+  // q83's ranked vocab — the regression itself costs one tiny agg over
+  // the driver-sized top-N.
+  private def zipfFit(s: SparkSession, dir: String): DataFrame =
+    vocabBuild(s, dir)
+      .select(
+        log(col("token_id") + 1).as("lr"),
+        log(col("n").cast("double")).as("lf"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        rnd(regr_slope(col("lf"), col("lr")), 6).as("slope"),
+        rnd(regr_intercept(col("lf"), col("lr")), 6).as("intercept"),
+        rnd(regr_r2(col("lf"), col("lr")), 6).as("r2"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1962,7 +1979,8 @@ object SparkEntry {
     "q84_transitions" -> transitionMatrix,
     "q85_outlier_fence" -> outlierFence,
     "q86_canonical_selection" -> canonicalSelection,
-    "q87_incremental_rollup" -> incrementalRollup)
+    "q87_incremental_rollup" -> incrementalRollup,
+    "q88_zipf_fit" -> zipfFit)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3304,5 +3322,23 @@ object SparkEntry {
         |  round(max(value) + 1e-9, 4) AS max_value
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+    "q88_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) <> ''
+        |), counts AS (
+        |  SELECT token, count(*) AS n FROM tok GROUP BY 1
+        |), ranked AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+        |  FROM counts
+        |), pts AS (
+        |  SELECT ln(token_id + 1) AS lr, ln(CAST(n AS DOUBLE)) AS lf
+        |  FROM ranked WHERE token_id < 1000
+        |)
+        |SELECT count(*) AS n_points,
+        |  round(regr_slope(lf, lr) + 1e-9, 6) AS slope,
+        |  round(regr_intercept(lf, lr) + 1e-9, 6) AS intercept,
+        |  round(regr_r2(lf, lr) + 1e-9, 6) AS r2
+        |FROM pts""".stripMargin)
 }
