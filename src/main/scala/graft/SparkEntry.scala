@@ -1891,6 +1891,58 @@ object SparkEntry {
         rnd(regr_intercept(col("lf"), col("lr")), 6).as("intercept"),
         rnd(regr_r2(col("lf"), col("lr")), 6).as("r2"))
 
+  // q89 — typed JSON column parsing (semi-structured surface): from_json
+  // with an explicit schema (not regex like q25/q39) — malformed documents
+  // parse to null and are ACCOUNTED, the tolerant-ingest contract.
+  // from_json is a per-row expression: scan-parallel, no shuffle before
+  // the final combinable agg.
+  private def jsonStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+      .getField("k")
+    ev.withColumn("k", k)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("k_nulls"),
+        countDistinct(col("k")).as("k_distinct"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        rnd(avg(col("k")), 4).as("k_avg"))
+      .orderBy(col("event_type"))
+  }
+
+  // q90 — per-source corpus profile ("corpus card"): the one-page summary
+  // a training-data team publishes per source — volume, language spread
+  // (distinct + entropy), quality, token budget, empty-doc rate. Pure
+  // composition of verified pieces (quality q13, tokens q12, entropy q75)
+  // in two combinable aggregation passes (doc-level stats, then the
+  // lang-distribution rollup joined back — both tiny by source).
+  private def corpusProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(
+        col("source"), col("lang"),
+        TF.qualityScore(col("text"), Stopwords).as("q"),
+        TF.tokenCount(col("text")).cast("long").as("toks"),
+        (trim(col("text")) === "").cast("long").as("empty"))
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      rnd(avg(col("q")), 6).as("avg_quality"),
+      sum(col("toks")).as("total_tokens"),
+      rnd(percentile(col("toks"), lit(0.5)), 1).as("median_tokens"),
+      sum(col("empty")).as("n_empty"))
+    val langEntropy = docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(rnd(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 4)
+        .as("lang_entropy"))
+    base.join(langEntropy, Seq("source"))
+      .orderBy(col("source"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -1980,7 +2032,9 @@ object SparkEntry {
     "q85_outlier_fence" -> outlierFence,
     "q86_canonical_selection" -> canonicalSelection,
     "q87_incremental_rollup" -> incrementalRollup,
-    "q88_zipf_fit" -> zipfFit)
+    "q88_zipf_fit" -> zipfFit,
+    "q89_json_stats" -> jsonStats,
+    "q90_corpus_profile" -> corpusProfile)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3340,5 +3394,53 @@ object SparkEntry {
         |  round(regr_slope(lf, lr) + 1e-9, 6) AS slope,
         |  round(regr_intercept(lf, lr) + 1e-9, 6) AS intercept,
         |  round(regr_r2(lf, lr) + 1e-9, 6) AS r2
-        |FROM pts""".stripMargin)
+        |FROM pts""".stripMargin,
+    "q89_json_stats" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS k_distinct,
+        |  min(k) AS k_min, max(k) AS k_max,
+        |  round(avg(k) + 1e-9, 4) AS k_avg
+        |FROM p
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q90_corpus_profile" ->
+      """WITH d AS (
+        |  SELECT source, lang,
+        |    round(
+        |      least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.4 +
+        |      greatest(0.0, 1.0 -
+        |        ((length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
+        |          / CAST(length(text) AS DOUBLE)) * 4) * 0.3 +
+        |      least((len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t))))
+        |        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)) * 5, 1.0) * 0.3
+        |      + 1e-9, 6) AS q,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |    CASE WHEN trim(text) = '' THEN 1 ELSE 0 END AS empty
+        |  FROM documents
+        |), base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    round(avg(q) + 1e-9, 6) AS avg_quality,
+        |    CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |    round(quantile_cont(toks, 0.5) + 1e-9, 1) AS median_tokens,
+        |    CAST(sum(empty) AS BIGINT) AS n_empty
+        |  FROM d GROUP BY source
+        |), lc AS (
+        |  SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2
+        |), le AS (
+        |  SELECT source,
+        |    round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4) AS lang_entropy
+        |  FROM lc GROUP BY source
+        |)
+        |SELECT base.*, le.lang_entropy
+        |FROM base JOIN le USING (source)
+        |ORDER BY source""".stripMargin)
 }
