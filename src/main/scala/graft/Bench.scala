@@ -67,7 +67,8 @@ object Bench {
     "q82_group_percentiles" -> 0.617, "q83_vocab_build" -> 0.519,
     "q84_transitions" -> 0.902, "q85_outlier_fence" -> 0.877,
     "q86_canonical_selection" -> 3.612, "q87_incremental_rollup" -> 1.044,
-    "q88_zipf_fit" -> 0.670)
+    "q88_zipf_fit" -> 0.670, "q89_json_stats" -> 0.627,
+    "q90_corpus_profile" -> 0.760)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
