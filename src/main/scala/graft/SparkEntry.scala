@@ -1943,6 +1943,30 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  // q91 — trailing z-score anomaly detection on daily volumes (the
+  // monitoring primitive): each (type, day) count scored against the
+  // TRAILING 7-day window EXCLUDING the current day (no self-leakage).
+  // Runs after the per-day aggregation shrinks the log; windows are
+  // per-type (parallel across series). Degenerate windows (fewer than 2
+  // prior days, or zero variance) are excluded on both engines.
+  private def anomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-7, -1)
+    val mean = avg(col("n")).over(w)
+    val sd = stddev_samp(col("n")).over(w)
+    daily
+      .withColumn("sd", sd)
+      .withColumn("z", (col("n") - mean) / col("sd"))
+      .filter(col("sd").isNotNull && col("sd") > 0)
+      .select(
+        col("event_type"), col("day"), col("n"),
+        rnd(col("z"), 4).as("z"),
+        (abs(col("z")) > 2.0).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2034,7 +2058,8 @@ object SparkEntry {
     "q87_incremental_rollup" -> incrementalRollup,
     "q88_zipf_fit" -> zipfFit,
     "q89_json_stats" -> jsonStats,
-    "q90_corpus_profile" -> corpusProfile)
+    "q90_corpus_profile" -> corpusProfile,
+    "q91_anomaly_days" -> anomalyDays)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3442,5 +3467,22 @@ object SparkEntry {
         |)
         |SELECT base.*, le.lang_entropy
         |FROM base JOIN le USING (source)
-        |ORDER BY source""".stripMargin)
+        |ORDER BY source""".stripMargin,
+    "q91_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT event_type, day, n,
+        |    avg(n) OVER w AS m, stddev_samp(n) OVER w AS sd
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, day, n,
+        |  round((n - m) / sd + 1e-9, 4) AS z,
+        |  abs((n - m) / sd) > 2.0 AS is_anomaly
+        |FROM scored
+        |WHERE sd IS NOT NULL AND sd > 0
+        |ORDER BY event_type, day""".stripMargin)
 }
