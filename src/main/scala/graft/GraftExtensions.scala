@@ -41,8 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   private def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    // the full 9-arg form is the one non-deprecated ExpressionInfo ctor
     def info(name: String, usage: String) =
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+      new ExpressionInfo(
+        classOf[GraftExtensions].getName, null, name, usage,
+        "", "", "", "", "", "", "built-in")
     Seq(
       (FunctionIdentifier("simhash64"),
         info("simhash64", "simhash64(array<string>) - 64-bit SimHash of the elements"),
