@@ -1967,6 +1967,23 @@ object SparkEntry {
       .orderBy(col("event_type"), col("day"))
   }
 
+  // q92 — set operations (§2.7 as a declared query, not just internal
+  // plumbing): customers who ordered but never urgently (EXCEPT) and
+  // customers who did both (INTERSECT), with SQL set-distinct semantics.
+  // Both plan as aggregated anti/semi joins — one shuffle per side on the
+  // key, no materialized distinct lists.
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val all = o.select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val never = all.except(urgent).withColumn("relation", lit("never_urgent"))
+    val both = all.intersect(urgent).withColumn("relation", lit("ordered_urgent"))
+    never.unionByName(both)
+      .groupBy(col("relation"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("o_custkey")).as("custkey_sum"))
+      .orderBy(col("relation"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2059,7 +2076,8 @@ object SparkEntry {
     "q88_zipf_fit" -> zipfFit,
     "q89_json_stats" -> jsonStats,
     "q90_corpus_profile" -> corpusProfile,
-    "q91_anomaly_days" -> anomalyDays)
+    "q91_anomaly_days" -> anomalyDays,
+    "q92_set_ops" -> setOps)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3484,5 +3502,24 @@ object SparkEntry {
         |  abs((n - m) / sd) > 2.0 AS is_anomaly
         |FROM scored
         |WHERE sd IS NOT NULL AND sd > 0
-        |ORDER BY event_type, day""".stripMargin)
+        |ORDER BY event_type, day""".stripMargin,
+    "q92_set_ops" ->
+      """WITH never AS (
+        |  SELECT o_custkey FROM orders
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |), both_rel AS (
+        |  SELECT o_custkey FROM orders
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |), tagged AS (
+        |  SELECT 'never_urgent' AS relation, o_custkey FROM never
+        |  UNION ALL
+        |  SELECT 'ordered_urgent', o_custkey FROM both_rel
+        |)
+        |SELECT relation, count(*) AS n_customers,
+        |  CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+        |FROM tagged
+        |GROUP BY relation
+        |ORDER BY relation""".stripMargin)
 }
