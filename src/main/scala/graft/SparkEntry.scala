@@ -1984,6 +1984,28 @@ object SparkEntry {
       .orderBy(col("relation"))
   }
 
+  // q93 — dedup burden by source (the curation-dashboard rollup): how much
+  // of each source is near-duplicate weight. Per source: docs, docs in any
+  // near-dup cluster, distinct clusters represented, and droppable docs
+  // (clustered − one representative per cluster per source — a component
+  // spanning sources keeps one doc in EACH source by this accounting,
+  // identically on both engines). Left join of the (small) cluster frame
+  // onto docs, then one combinable rollup.
+  private def dedupBurden(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.operators.Dedup
+      .connectedComponents(jaccardPairsAbove(s, dir, 0.5), "id_a", "id_b", idOut = "doc_id")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    docs
+      .join(clusters, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("component").isNotNull.cast("long")).as("n_clustered"),
+        countDistinct(col("component")).as("n_clusters"))
+      .withColumn("n_droppable", col("n_clustered") - col("n_clusters"))
+      .orderBy(col("source"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2077,7 +2099,8 @@ object SparkEntry {
     "q89_json_stats" -> jsonStats,
     "q90_corpus_profile" -> corpusProfile,
     "q91_anomaly_days" -> anomalyDays,
-    "q92_set_ops" -> setOps)
+    "q92_set_ops" -> setOps,
+    "q93_dedup_burden" -> dedupBurden)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3521,5 +3544,41 @@ object SparkEntry {
         |  CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
         |FROM tagged
         |GROUP BY relation
-        |ORDER BY relation""".stripMargin)
+        |ORDER BY relation""".stripMargin,
+    "q93_dedup_burden" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)])
+        |    END AS s
+        |  FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |          / len(list_distinct(a.s || b.s)) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), comp AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a
+        |)
+        |SELECT docs.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN comp.component IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clustered,
+        |  CAST(count(DISTINCT comp.component) AS BIGINT) AS n_clusters,
+        |  CAST(sum(CASE WHEN comp.component IS NOT NULL THEN 1 ELSE 0 END)
+        |    - count(DISTINCT comp.component) AS BIGINT) AS n_droppable
+        |FROM documents docs LEFT JOIN comp ON docs.doc_id = comp.doc_id
+        |GROUP BY docs.source
+        |ORDER BY docs.source""".stripMargin)
 }
