@@ -41,7 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   private def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
-    // the full 9-arg form is the one non-deprecated ExpressionInfo ctor
+    // the full 11-arg form (className, db, name, usage, arguments, examples,
+    // note, group, since, deprecated, source) is the one non-deprecated
+    // ExpressionInfo ctor
     def info(name: String, usage: String) =
       new ExpressionInfo(
         classOf[GraftExtensions].getName, null, name, usage,

@@ -1945,15 +1945,19 @@ object SparkEntry {
 
   // q91 — trailing z-score anomaly detection on daily volumes (the
   // monitoring primitive): each (type, day) count scored against the
-  // TRAILING 7-day window EXCLUDING the current day (no self-leakage).
-  // Runs after the per-day aggregation shrinks the log; windows are
-  // per-type (parallel across series). Degenerate windows (fewer than 2
-  // prior days, or zero variance) are excluded on both engines.
+  // trailing 7 CALENDAR days excluding the current day (a RANGE frame
+  // over the epoch-day ordinal — a ROWS frame would silently stretch the
+  // baseline across gap days with no events, scoring a post-gap spike
+  // against stale history). Runs after the per-day aggregation shrinks
+  // the log; windows are per-type (parallel across series). Degenerate
+  // windows (fewer than 2 prior days, or zero variance) are excluded on
+  // both engines.
   private def anomalyDays(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-7, -1)
+      .withColumn("day_ord", datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_ord")).rangeBetween(-7, -1)
     val mean = avg(col("n")).over(w)
     val sd = stddev_samp(col("n")).over(w)
     daily
@@ -2101,6 +2105,57 @@ object SparkEntry {
     "q91_anomaly_days" -> anomalyDays,
     "q92_set_ops" -> setOps,
     "q93_dedup_burden" -> dedupBurden)
+
+  /** Shared oracle fragment: the document quality score (q13's formula),
+    * guarded for empty/whitespace-only docs — DuckDB's bare formula
+    * diverges there (split of '' has len 1; length 0 divides by zero and
+    * greatest() drops the NULL), while TF.qualityScore returns exactly 0.3
+    * (len 0, punct 1.0, stop 0). ONE definition interpolated into every
+    * query that scores quality, so the weights/threshold can never drift
+    * between copies.
+    */
+  private def qualitySqlExpr(textCol: String): String =
+    s"""CASE WHEN trim($textCol) = '' THEN 0.3 ELSE round(
+       |      least(len(regexp_split_to_array(trim($textCol), '\\s+')) / 50.0, 1.0) * 0.4 +
+       |      greatest(0.0, 1.0 -
+       |        ((length($textCol) - length(regexp_replace($textCol, '[^\\p{L}\\p{N}\\s]', '', 'g')))
+       |          / CAST(length($textCol) AS DOUBLE)) * 4) * 0.3 +
+       |      least((len(list_filter(regexp_split_to_array(trim($textCol), '\\s+'),
+       |          t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t))))
+       |        / CAST(len(regexp_split_to_array(trim($textCol), '\\s+')) AS DOUBLE)) * 5, 1.0) * 0.3
+       |      + 1e-9, 6) END""".stripMargin
+
+  /** Shared oracle fragment: the 5-gram Jaccard near-dup transitive closure
+    * (q46's pair predicate + q49's recursive reachability), ending in a
+    * `comp(doc_id, component)` CTE. One definition for q49/q86/q93.
+    */
+  private val ClosureCtes: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+      |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)])
+      |    END AS s
+      |  FROM d
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |          / len(list_distinct(a.s || b.s)) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION
+      |  SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS component
+      |  FROM reach GROUP BY a
+      |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2259,20 +2314,9 @@ object SparkEntry {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
     "q13_doc_quality" ->
-      """WITH scored AS (
-        |  SELECT doc_id,
-        |    least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) AS len_score,
-        |    greatest(0.0, 1.0 -
-        |      ((length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
-        |        / CAST(length(text) AS DOUBLE)) * 4) AS punct_score,
-        |    least((len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |        t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t))))
-        |      / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)) * 5, 1.0) AS stop_score
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  round(len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3 + 1e-9, 6) AS quality
-        |FROM scored
+      s"""SELECT doc_id,
+        |  ${qualitySqlExpr("text")} AS quality
+        |FROM documents
         |ORDER BY quality DESC, doc_id
         |LIMIT 20""".stripMargin,
     "q14_knn_bruteforce" ->
@@ -2566,21 +2610,13 @@ object SparkEntry {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q40_corpus_curation" ->
-      """WITH keep AS (
+      raw"""WITH keep AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
         |), scored AS (
         |  SELECT d.lang,
         |    CASE WHEN trim(d.text) = '' THEN 0
         |      ELSE len(regexp_split_to_array(trim(d.text), '\s+')) END AS n_tokens,
-        |    round(
-        |      least(len(regexp_split_to_array(trim(d.text), '\s+')) / 50.0, 1.0) * 0.4
-        |      + greatest(0.0, 1.0 -
-        |          ((length(d.text) - length(regexp_replace(d.text, '[^\p{L}\p{N}\s]', '', 'g')))
-        |            / CAST(length(d.text) AS DOUBLE)) * 4) * 0.3
-        |      + least((len(list_filter(regexp_split_to_array(trim(d.text), '\s+'),
-        |            t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t))))
-        |          / CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS DOUBLE)) * 5, 1.0) * 0.3
-        |      + 1e-9, 6) AS quality
+        |    ${qualitySqlExpr("d.text")} AS quality
         |  FROM documents d JOIN keep k ON d.doc_id = k.doc_id
         |)
         |SELECT lang, count(*) AS n_docs,
@@ -2740,31 +2776,8 @@ object SparkEntry {
     // q49 reproduces the q46 pair set, then computes each doc's component as
     // the least id reachable through the pair graph (recursive CTE).
     "q49_dedup_clusters" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, lang,
-        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
-        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)])
-        |    END AS s
-        |  FROM d
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |          / len(list_distinct(a.s || b.s)) >= 0.5
-        |), edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION
-        |  SELECT id_b, id_a FROM pairs
-        |), reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        |)
-        |SELECT a AS doc_id, least(a, min(b)) AS component
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+      s"""$ClosureCtes
+        |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
     // q50's oracle runs the naive range-predicate join over epoch-day
     // points and the same derived 3-day windows.
     "q50_range_join" ->
@@ -3119,17 +3132,9 @@ object SparkEntry {
         |)
         |ORDER BY ord""".stripMargin,
     "q70_quality_deciles" ->
-      """WITH scored AS (
+      s"""WITH scored AS (
         |  SELECT doc_id, n_chars,
-        |    round(
-        |      least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.4 +
-        |      greatest(0.0, 1.0 -
-        |        ((length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
-        |          / CAST(length(text) AS DOUBLE)) * 4) * 0.3 +
-        |      least((len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |          t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t))))
-        |        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)) * 5, 1.0) * 0.3
-        |      + 1e-9, 6) AS q
+        |    ${qualitySqlExpr("text")} AS q
         |  FROM documents
         |), cuts AS (
         |  SELECT quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs FROM scored
@@ -3385,42 +3390,9 @@ object SparkEntry {
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,
     "q86_canonical_selection" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, lang,
-        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
-        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)])
-        |    END AS s
-        |  FROM d
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |          / len(list_distinct(a.s || b.s)) >= 0.5
-        |), edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION
-        |  SELECT id_b, id_a FROM pairs
-        |), reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        |), comp AS (
-        |  SELECT a AS doc_id, least(a, min(b)) AS component
-        |  FROM reach GROUP BY a
-        |), scored AS (
+      s"""$ClosureCtes, scored AS (
         |  SELECT doc_id,
-        |    round(
-        |      least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.4 +
-        |      greatest(0.0, 1.0 -
-        |        ((length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
-        |          / CAST(length(text) AS DOUBLE)) * 4) * 0.3 +
-        |      least((len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |          t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t))))
-        |        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)) * 5, 1.0) * 0.3
-        |      + 1e-9, 6) AS q
+        |    ${qualitySqlExpr("text")} AS q
         |  FROM documents
         |), ranked AS (
         |  SELECT comp.component, comp.doc_id, scored.q,
@@ -3464,7 +3436,12 @@ object SparkEntry {
     "q89_json_stats" ->
       """WITH p AS (
         |  SELECT event_type,
-        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |    -- json_type guard mirrors from_json's STRICT typing: a quoted
+        |    -- "12" or a float is null on the Spark side, and DuckDB's bare
+        |    -- TRY_CAST would happily parse the quoted form
+        |    CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k')
+        |           IN ('BIGINT', 'UBIGINT', 'INTEGER')
+        |         THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
         |  FROM events
         |)
         |SELECT event_type, count(*) AS n,
@@ -3476,17 +3453,9 @@ object SparkEntry {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q90_corpus_profile" ->
-      """WITH d AS (
+      raw"""WITH d AS (
         |  SELECT source, lang,
-        |    round(
-        |      least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0) * 0.4 +
-        |      greatest(0.0, 1.0 -
-        |        ((length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
-        |          / CAST(length(text) AS DOUBLE)) * 4) * 0.3 +
-        |      least((len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |          t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t))))
-        |        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)) * 5, 1.0) * 0.3
-        |      + 1e-9, 6) AS q,
+        |    ${qualitySqlExpr("text")} AS q,
         |    CASE WHEN trim(text) = '' THEN 0
         |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
         |    CASE WHEN trim(text) = '' THEN 1 ELSE 0 END AS empty
@@ -3513,12 +3482,14 @@ object SparkEntry {
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
         |  FROM events GROUP BY 1, 2
+        |), orded AS (
+        |  SELECT *, datediff('day', DATE '1970-01-01', day) AS day_ord FROM daily
         |), scored AS (
         |  SELECT event_type, day, n,
         |    avg(n) OVER w AS m, stddev_samp(n) OVER w AS sd
-        |  FROM daily
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |  FROM orded
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day_ord
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
         |)
         |SELECT event_type, day, n,
         |  round((n - m) / sd + 1e-9, 4) AS z,
@@ -3546,32 +3517,7 @@ object SparkEntry {
         |GROUP BY relation
         |ORDER BY relation""".stripMargin,
     "q93_dedup_burden" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, lang,
-        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
-        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)])
-        |    END AS s
-        |  FROM d
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |          / len(list_distinct(a.s || b.s)) >= 0.5
-        |), edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION
-        |  SELECT id_b, id_a FROM pairs
-        |), reach AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        |), comp AS (
-        |  SELECT a AS doc_id, least(a, min(b)) AS component
-        |  FROM reach GROUP BY a
-        |)
+      s"""$ClosureCtes
         |SELECT docs.source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN comp.component IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_clustered,

@@ -59,24 +59,24 @@ class ReconPropertySpec extends AnyFunSuite {
     } yield (a.distinctBy(_._1), b.distinctBy(_._1))
 
   test("Diff classification equals the naive keyed comparison on random snapshots") {
+    // no non-empty guard: all-added (empty old) and all-removed (empty new)
+    // are exactly the edge cases worth covering
     samples(snapGen, 6).foreach { case (a, b) =>
-      if (a.nonEmpty && b.nonEmpty) {
-        val old = a.toDF("id", "s")
-        val neu = b.toDF("id", "s")
-        val got = Diff.snapshotDiff(old, neu, Seq("id"))
-          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-        val am = a.toMap
-        val bm = b.toMap
-        val exp = (am.keySet ++ bm.keySet).map { k =>
-          k -> ((am.get(k), bm.get(k)) match {
-            case (None, Some(_))            => "added"
-            case (Some(_), None)            => "removed"
-            case (Some(x), Some(y)) if x == y => "unchanged"
-            case _                          => "changed"
-          })
-        }.toMap
-        assert(got == exp, s"a=$a b=$b")
-      }
+      val old = a.toDF("id", "s")
+      val neu = b.toDF("id", "s")
+      val got = Diff.snapshotDiff(old, neu, Seq("id"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val am = a.toMap
+      val bm = b.toMap
+      val exp = (am.keySet ++ bm.keySet).map { k =>
+        k -> ((am.get(k), bm.get(k)) match {
+          case (None, Some(_))              => "added"
+          case (Some(_), None)              => "removed"
+          case (Some(x), Some(y)) if x == y => "unchanged"
+          case _                            => "changed"
+        })
+      }.toMap
+      assert(got == exp, s"a=$a b=$b")
     }
   }
 }
