@@ -53,4 +53,80 @@ class ChainedStatefulSpec extends AnyFunSuite {
     assert(got.except(expEmitted).isEmpty && expEmitted.except(got).isEmpty)
     spark.sql("DROP VIEW IF EXISTS chain")
   }
+
+  test("chained dedup+window state recovers across a query restart with cross-batch dups") {
+    import org.apache.spark.sql.functions._
+    val all = batch
+    val cut = all.agg(min(to_date(col("ts")))).collect()(0).getDate(0)
+      .toLocalDate.plusDays(19)
+    val cutD = java.sql.Date.valueOf(cut)
+    val b1 = all.filter(to_date(col("ts")) <= lit(cutD))
+    val b2 = all.filter(to_date(col("ts")) > lit(cutD))
+    // cross-batch duplicates: batch 2 replays batch 1's LAST day (inside
+    // the 2-day watermark horizon, so the dedup state is still live)
+    val dupTail = b1.filter(to_date(col("ts")) === lit(cutD))
+
+    val arrivals = java.nio.file.Files.createTempDirectory("chain-restart").toString
+    val streamDir = java.nio.file.Files.createTempDirectory("chain-restart-stream").toString
+    def addBatch(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
+      val sub = s"$arrivals/b$n"
+      df.write.mode("overwrite").parquet(sub)
+      new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(
+            f.toPath,
+            java.nio.file.Paths.get(streamDir, s"batch${n}_$i.parquet"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+    }
+
+    val stream = spark.readStream.schema(all.schema).parquet(streamDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("chain-restart-ckpt").toString
+    val appended = scala.collection.mutable.ArrayBuffer[(java.sql.Date, String, Long)]()
+    def runBatch(): Unit = {
+      val out = stream
+        .unionByName(stream) // in-batch duplicates too: dedup is load-bearing
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(Seq("event_id"))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(to_date(col("window.start")).as("day"), col("event_type"), col("n"))
+      val q = out.writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          appended.synchronized {
+            appended ++= df.collect().map(r =>
+              (r.getDate(0), r.getString(1), r.getLong(2)))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    addBatch(b1.unionByName(b1), 1)
+    runBatch()
+    addBatch(b2.unionByName(b2).unionByName(dupTail), 2)
+    runBatch()
+
+    // expected: distinct events per (day, type) for windows the FINAL
+    // watermark (max ts - 2 days) has closed
+    val maxTs = all.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val horizon = java.sql.Date.valueOf(
+      maxTs.toLocalDateTime.minusDays(2).toLocalDate.minusDays(1))
+    val exp = all
+      .dropDuplicates("event_id")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("day") <= lit(horizon))
+      .collect().map(r => (r.getDate(0), r.getString(1), r.getLong(2))).toSet
+    val got = appended.toSet
+    // every emitted window must be exactly the batch-distinct count (no
+    // double-emission across the restart, no duplicate survived the dedup)
+    assert(got.size == appended.size, "a window was emitted twice across the restart")
+    assert(exp.subsetOf(got), s"missing closed windows: ${exp -- got}")
+    got.foreach { case (d, t, n) =>
+      assert(exp.contains((d, t, n)) || d.toLocalDate.isAfter(horizon.toLocalDate),
+        s"wrong count for ($d, $t): $n")
+    }
+  }
 }
