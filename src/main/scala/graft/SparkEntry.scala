@@ -2010,6 +2010,54 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  // q94 — per-user behavioral feature table (the feature-store build every
+  // downstream model starts from): volume, variety, tenure, monetary, and
+  // recency features in ONE combinable aggregation over the log, with
+  // recency anchored to the corpus max timestamp (one-row broadcast bind).
+  // Output is capped to the first 200 users by id — the driver-compare
+  // contract — while the aggregation itself is full-corpus.
+  private def userFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val maxTs = ev.agg(max(col("ts")).as("max_ts"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(to_date(col("ts"))).as("days_active"),
+        rnd(avg(col("value")), 4).as("avg_value"),
+        sum((col("event_type") === "purchase").cast("long")).as("n_purchases"),
+        max(col("ts")).as("last_ts"))
+      .crossJoin(broadcast(maxTs))
+      .select(
+        col("user_id"), col("n_events"), col("n_types"), col("days_active"),
+        col("avg_value"), col("n_purchases"),
+        // second-floor longs, not double casts (which keep sub-second
+        // micros the oracle's floor(epoch()) drops) — q38's ns-vs-µs parity
+        rnd((col("max_ts").cast("long") - col("last_ts").cast("long")) / 86400.0, 4)
+          .as("recency_days"))
+      .filter(col("user_id") < 200)
+      .orderBy(col("user_id"))
+  }
+
+  // q95 — lag-1 autocorrelation of each type's daily series (the
+  // persistence diagnostic that separates trending metrics from noise):
+  // lag window to pair (x_t, x_{t−1}), then the corr aggregate per type.
+  // Two tiny per-type passes after the per-day shrink.
+  private def autocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev", lag(col("n"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        rnd(corr(col("n"), col("prev")), 6).as("acf1"))
+      .orderBy(col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2104,7 +2152,9 @@ object SparkEntry {
     "q90_corpus_profile" -> corpusProfile,
     "q91_anomaly_days" -> anomalyDays,
     "q92_set_ops" -> setOps,
-    "q93_dedup_burden" -> dedupBurden)
+    "q93_dedup_burden" -> dedupBurden,
+    "q94_user_features" -> userFeatures,
+    "q95_autocorr" -> autocorr)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -3526,5 +3576,38 @@ object SparkEntry {
         |    - count(DISTINCT comp.component) AS BIGINT) AS n_droppable
         |FROM documents docs LEFT JOIN comp ON docs.doc_id = comp.doc_id
         |GROUP BY docs.source
-        |ORDER BY docs.source""".stripMargin)
+        |ORDER BY docs.source""".stripMargin,
+    "q94_user_features" ->
+      """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events),
+        |f AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active,
+        |    round(avg(value) + 1e-9, 4) AS avg_value,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_purchases,
+        |    max(CAST(ts AS TIMESTAMP)) AS last_ts
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, n_events, n_types, days_active, avg_value, n_purchases,
+        |  round((CAST(floor(epoch(max_ts)) AS BIGINT)
+        |    - CAST(floor(epoch(last_ts)) AS BIGINT)) / 86400.0 + 1e-9, 4) AS recency_days
+        |FROM f, mx
+        |WHERE user_id < 200
+        |ORDER BY user_id""".stripMargin,
+    "q95_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2
+        |), lagged AS (
+        |  SELECT event_type, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM daily
+        |)
+        |SELECT event_type, count(*) AS n_pairs,
+        |  round(corr(n, prev) + 1e-9, 6) AS acf1
+        |FROM lagged WHERE prev IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
 }
