@@ -69,7 +69,8 @@ object Bench {
     "q86_canonical_selection" -> 3.612, "q87_incremental_rollup" -> 1.044,
     "q88_zipf_fit" -> 0.670, "q89_json_stats" -> 0.627,
     "q90_corpus_profile" -> 0.760, "q91_anomaly_days" -> 0.840,
-    "q92_set_ops" -> 1.253, "q93_dedup_burden" -> 3.551)
+    "q92_set_ops" -> 1.253, "q93_dedup_burden" -> 3.551,
+    "q94_user_features" -> 0.843, "q95_autocorr" -> 0.759)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
