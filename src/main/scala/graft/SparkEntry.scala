@@ -2058,6 +2058,51 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  // q96 — session-length distribution (q24's sessionization rolled to
+  // per-session rows, then ONE distribution summary row): events per
+  // session (mean/median/max) and session duration minutes — the
+  // engagement profile behind every session metric. Exact median via one
+  // percentile pass over the session-level frame (already shrunk to one
+  // row per session).
+  private def sessionStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = ev
+      .withColumn("_prev", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "_brk",
+        when(col("_prev").isNull ||
+          (col("ts").cast("double") - col("_prev").cast("double")) > 1800.0, 1L)
+          .otherwise(0L))
+      .withColumn("_sess", sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("_sess"))
+      .agg(
+        count(lit(1)).as("n_ev"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("dur_s"))
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      rnd(avg(col("n_ev")), 4).as("avg_events"),
+      rnd(percentile(col("n_ev"), lit(0.5)), 1).as("median_events"),
+      max(col("n_ev")).as("max_events"),
+      rnd(avg(col("dur_s")) / 60.0, 4).as("avg_duration_min"))
+  }
+
+  // q97 — weekday seasonality profile: avg daily volume per (type,
+  // ISO weekday) — the seasonal fingerprint trend models subtract first.
+  // Two combinable aggs after the per-day shrink. ISO dayofweek (Mon=1)
+  // derived identically on both engines.
+  private def weekdayProfile(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .withColumn("iso_dow", dayofweek(col("day"))) // Sun=1..Sat=7 (both engines mapped below)
+      .withColumn("dow", when(col("iso_dow") === 1, 7).otherwise(col("iso_dow") - 1))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), rnd(avg(col("n")), 4).as("avg_volume"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2154,7 +2199,9 @@ object SparkEntry {
     "q92_set_ops" -> setOps,
     "q93_dedup_burden" -> dedupBurden,
     "q94_user_features" -> userFeatures,
-    "q95_autocorr" -> autocorr)
+    "q95_autocorr" -> autocorr,
+    "q96_session_stats" -> sessionStats,
+    "q97_weekday_profile" -> weekdayProfile)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -3609,5 +3656,42 @@ object SparkEntry {
         |  round(corr(n, prev) + 1e-9, 6) AS acf1
         |FROM lagged WHERE prev IS NOT NULL
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+    "q96_session_stats" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL OR epoch(ts - prev) > 1800.0 THEN 1 ELSE 0 END AS brk
+        |  FROM lagged
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged
+        |), per_session AS (
+        |  SELECT user_id, sess_id, count(*) AS n_ev,
+        |    CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT)
+        |      - CAST(floor(epoch(min(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS dur_s
+        |  FROM sess GROUP BY user_id, sess_id
+        |)
+        |SELECT count(*) AS n_sessions,
+        |  round(avg(n_ev) + 1e-9, 4) AS avg_events,
+        |  round(quantile_cont(n_ev, 0.5) + 1e-9, 1) AS median_events,
+        |  max(n_ev) AS max_events,
+        |  round(avg(dur_s) / 60.0 + 1e-9, 4) AS avg_duration_min
+        |FROM per_session""".stripMargin,
+    "q97_weekday_profile" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, CAST(isodow(day) AS INT) AS dow,
+        |  count(*) AS n_days,
+        |  round(avg(n) + 1e-9, 4) AS avg_volume
+        |FROM daily
+        |GROUP BY 1, 2
+        |ORDER BY event_type, dow""".stripMargin)
 }
