@@ -2103,6 +2103,34 @@ object SparkEntry {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  // q98 — containment pairs (ASYMMETRIC near-dup: |A∩B|/|A| spots a doc
+  // quoted or embedded inside a larger one where symmetric Jaccard stays
+  // low — the boilerplate/quotation detector Jaccard-based dedup misses).
+  // Same lang-blocked triangle-salted pair join as q46; the metric is
+  // max-directional containment over DISTINCT 5-gram shingle-hash sets,
+  // with the smaller doc reported as the contained side. Degenerate empty
+  // shingle sets drop on both engines (NaN/NULL both fail the threshold).
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = docs.select(
+      col("doc_id"), col("lang"),
+      array_distinct(transform(TF.charShingles(col("text"), 5), x => xxhash64(x))).as("h"))
+    graft.operators.Pairs.allPairs(sh, "doc_id", Seq("lang"), buckets = 8)
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        size(array_intersect(col("a.h"), col("b.h"))).cast("double").as("i"),
+        size(col("a.h")).as("na"),
+        size(col("b.h")).as("nb"))
+      .withColumn("containment", greatest(col("i") / col("na"), col("i") / col("nb")))
+      .filter(col("containment") >= 0.6)
+      .select(
+        col("id_a"), col("id_b"),
+        rnd(col("containment"), 6).as("containment"),
+        when(col("na") <= col("nb"), col("id_a")).otherwise(col("id_b")).as("contained_id"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2201,7 +2229,8 @@ object SparkEntry {
     "q94_user_features" -> userFeatures,
     "q95_autocorr" -> autocorr,
     "q96_session_stats" -> sessionStats,
-    "q97_weekday_profile" -> weekdayProfile)
+    "q97_weekday_profile" -> weekdayProfile,
+    "q98_containment_pairs" -> containmentPairs)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -3693,5 +3722,27 @@ object SparkEntry {
         |  round(avg(n) + 1e-9, 4) AS avg_volume
         |FROM daily
         |GROUP BY 1, 2
-        |ORDER BY event_type, dow""".stripMargin)
+        |ORDER BY event_type, dow""".stripMargin,
+    "q98_containment_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)])
+        |    END AS s
+        |  FROM d
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE AS i,
+        |    len(a.s) AS na, len(b.s) AS nb
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b,
+        |  round(greatest(i / na, i / nb) + 1e-9, 6) AS containment,
+        |  CASE WHEN na <= nb THEN id_a ELSE id_b END AS contained_id
+        |FROM p
+        |WHERE greatest(i / na, i / nb) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin)
 }
