@@ -2138,6 +2138,56 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // q99 — repetition stats (the Gopher-family duplicate-token signal):
+  // per-doc duplicate-token fraction 1 − distinct/total, rolled per lang
+  // with the share of docs above the 0.3 repetition gate. Pure per-row
+  // expressions + one combinable agg; mirrors the duplicate-content
+  // quality screens production corpus filters run.
+  private def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+    val toks = TF.tokens(lower(col("text")))
+    docs
+      .select(
+        col("lang"),
+        (lit(1.0) -
+          size(array_distinct(toks)).cast("double") / size(toks)).as("rep"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        rnd(avg(col("rep")), 6).as("avg_repetition"),
+        rnd(avg((col("rep") > 0.3).cast("double")), 6).as("frac_repetitive"))
+      .orderBy(col("lang"))
+  }
+
+  // q100 — reason-coded quality filter (the Gopher-rules shape: each doc
+  // either passes or is dropped with its FIRST failing rule as the reason
+  // — the accounting a curation pipeline publishes alongside the kept
+  // corpus). Rules, in precedence order: too_short (< 15 tokens),
+  // too_repetitive (> 0.3 duplicate-token fraction), too_symbolic
+  // (> 0.1 punctuation ratio), no_stopwords (zero stopword hits). All
+  // per-row arithmetic over already-verified functions; one combinable
+  // rollup per (lang, verdict).
+  private def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+    val toks = TF.tokens(lower(col("text")))
+    val nTok = size(toks)
+    val rep = lit(1.0) - size(array_distinct(toks)).cast("double") / nTok
+    val punct = TF.punctRatio(col("text"))
+    val stopHits = TF.stopwordRatio(col("text"), Stopwords)
+    docs
+      .select(
+        col("lang"),
+        when(nTok < 15, "too_short")
+          .when(rep > 0.3, "too_repetitive")
+          .when(punct > 0.1, "too_symbolic")
+          .when(stopHits === 0.0, "no_stopwords")
+          .otherwise("kept")
+          .as("verdict"))
+      .groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("verdict"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2237,7 +2287,9 @@ object SparkEntry {
     "q95_autocorr" -> autocorr,
     "q96_session_stats" -> sessionStats,
     "q97_weekday_profile" -> weekdayProfile,
-    "q98_containment_pairs" -> containmentPairs)
+    "q98_containment_pairs" -> containmentPairs,
+    "q99_repetition_stats" -> repetitionStats,
+    "q100_quality_filter" -> qualityFilter)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -3751,5 +3803,41 @@ object SparkEntry {
         |  CASE WHEN na <= nb THEN id_a ELSE id_b END AS contained_id
         |FROM p
         |WHERE greatest(i / na, i / nb) >= 0.6
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q99_repetition_stats" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    1.0 - len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))::DOUBLE
+        |      / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS rep
+        |  FROM documents WHERE trim(text) <> ''
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(rep) + 1e-9, 6) AS avg_repetition,
+        |  round(avg(CASE WHEN rep > 0.3 THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+        |    AS frac_repetitive
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q100_quality_filter" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    (length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))
+        |      / CAST(length(text) AS DOUBLE) AS punct,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], t)))
+        |      AS stop_hits
+        |  FROM documents WHERE trim(text) <> ''
+        |), v AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN len(toks) < 15 THEN 'too_short'
+        |      WHEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks) > 0.3
+        |        THEN 'too_repetitive'
+        |      WHEN punct > 0.1 THEN 'too_symbolic'
+        |      WHEN stop_hits = 0 THEN 'no_stopwords'
+        |      ELSE 'kept' END AS verdict
+        |  FROM d
+        |)
+        |SELECT lang, verdict, count(*) AS n
+        |FROM v GROUP BY lang, verdict
+        |ORDER BY lang, verdict""".stripMargin)
 }
