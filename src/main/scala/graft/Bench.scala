@@ -72,7 +72,8 @@ object Bench {
     "q92_set_ops" -> 1.253, "q93_dedup_burden" -> 3.551,
     "q94_user_features" -> 0.843, "q95_autocorr" -> 0.759,
     "q96_session_stats" -> 1.077, "q97_weekday_profile" -> 0.866,
-    "q98_containment_pairs" -> 2.602)
+    "q98_containment_pairs" -> 2.602, "q99_repetition_stats" -> 0.448,
+    "q100_quality_filter" -> 0.592)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
