@@ -439,24 +439,30 @@ object SparkEntry {
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
   }
 
-  // q24 — sessionization (gap > 30 min), the classic stateful window
-  // pipeline: lag → break flag → running sum = session id → per-user stats.
-  private def sessionize(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
+  /** Shared sessionization core (q24 + q96): lag → break flag → running
+    * sum = `_sess` id per user, gap > `gapSeconds`, (ts, event_id)
+    * tie-break. ONE definition so the gap threshold and ordering can never
+    * desynchronize between the per-user stats and the session-length
+    * distribution (each oracle CTE mirrors this same pipeline).
+    */
+  private def withSessionIds(ev: DataFrame, gapSeconds: Double = 1800.0): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val withBreaks = ev
-      .withColumn("_prev", lag(col("ts"), 1).over(w))
+    ev.withColumn("_prev", lag(col("ts"), 1).over(w))
       .withColumn(
         "_brk",
         when(col("_prev").isNull ||
-          (col("ts").cast("double") - col("_prev").cast("double")) > 1800.0, 1L)
+          (col("ts").cast("double") - col("_prev").cast("double")) > gapSeconds, 1L)
           .otherwise(0L))
       .withColumn("_sess", sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    withBreaks
+  }
+
+  // q24 — sessionization (gap > 30 min), the classic stateful window
+  // pipeline: lag → break flag → running sum = session id → per-user stats.
+  private def sessionize(s: SparkSession, dir: String): DataFrame =
+    withSessionIds(t(s, dir, "events"))
       .groupBy(col("user_id"))
       .agg(max(col("_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
-  }
 
   // q25 — string/JSON extraction (F-ops): pull the numeric k out of the
   // props JSON with a regex, aggregate per event type.
@@ -2065,16 +2071,7 @@ object SparkEntry {
   // percentile pass over the session-level frame (already shrunk to one
   // row per session).
   private def sessionStats(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val sessions = ev
-      .withColumn("_prev", lag(col("ts"), 1).over(w))
-      .withColumn(
-        "_brk",
-        when(col("_prev").isNull ||
-          (col("ts").cast("double") - col("_prev").cast("double")) > 1800.0, 1L)
-          .otherwise(0L))
-      .withColumn("_sess", sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val sessions = withSessionIds(t(s, dir, "events"))
       .groupBy(col("user_id"), col("_sess"))
       .agg(
         count(lit(1)).as("n_ev"),
@@ -2145,12 +2142,8 @@ object SparkEntry {
   // quality screens production corpus filters run.
   private def repetitionStats(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
-    val toks = TF.tokens(lower(col("text")))
     docs
-      .select(
-        col("lang"),
-        (lit(1.0) -
-          size(array_distinct(toks)).cast("double") / size(toks)).as("rep"))
+      .select(col("lang"), TF.duplicateTokenFraction(col("text")).as("rep"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -2169,9 +2162,8 @@ object SparkEntry {
   // rollup per (lang, verdict).
   private def qualityFilter(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
-    val toks = TF.tokens(lower(col("text")))
-    val nTok = size(toks)
-    val rep = lit(1.0) - size(array_distinct(toks)).cast("double") / nTok
+    val nTok = size(TF.tokens(lower(col("text"))))
+    val rep = TF.duplicateTokenFraction(col("text"))
     val punct = TF.punctRatio(col("text"))
     val stopHits = TF.stopwordRatio(col("text"), Stopwords)
     docs

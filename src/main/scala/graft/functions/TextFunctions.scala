@@ -47,6 +47,18 @@ object TextFunctions {
         size(filter(toks, t => array_contains(stops, lower(t)))).cast("double") / size(toks))
   }
 
+  /** Duplicate-token fraction 1 − distinct/total (the Gopher-family
+    * repetition signal): 0 for all-unique docs, →1 as tokens repeat. Null
+    * for empty docs (callers filter those first). ONE definition shared by
+    * the repetition-stats and quality-filter queries so the reported metric
+    * can never diverge from the gate that filters on it.
+    */
+  def duplicateTokenFraction(text: Column): Column =
+    bindOnce(tokens(lower(text))) { toks =>
+      when(size(toks) === 0, lit(null).cast("double"))
+        .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+    }
+
   /** Heuristic document quality score in [0,1]: rewards moderate length,
     * low punctuation, and a natural stopword rate — the standard cheap
     * pre-filter shape for LLM corpus curation. Deterministic arithmetic only,

@@ -68,6 +68,8 @@ class ChainedStatefulSpec extends AnyFunSuite {
 
     val arrivals = java.nio.file.Files.createTempDirectory("chain-restart").toString
     val streamDir = java.nio.file.Files.createTempDirectory("chain-restart-stream").toString
+    val tmpDirs = scala.collection.mutable.ArrayBuffer(arrivals, streamDir)
+    try {
     def addBatch(df: org.apache.spark.sql.DataFrame, n: Int): Unit = {
       val sub = s"$arrivals/b$n"
       df.write.mode("overwrite").parquet(sub)
@@ -82,6 +84,7 @@ class ChainedStatefulSpec extends AnyFunSuite {
 
     val stream = spark.readStream.schema(all.schema).parquet(streamDir)
     val ckpt = java.nio.file.Files.createTempDirectory("chain-restart-ckpt").toString
+    tmpDirs += ckpt
     val appended = scala.collection.mutable.ArrayBuffer[(java.sql.Date, String, Long)]()
     def runBatch(): Unit = {
       val out = stream
@@ -109,10 +112,12 @@ class ChainedStatefulSpec extends AnyFunSuite {
     runBatch()
 
     // expected: distinct events per (day, type) for windows the FINAL
-    // watermark (max ts - 2 days) has closed
-    val maxTs = all.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-    val horizon = java.sql.Date.valueOf(
-      maxTs.toLocalDateTime.minusDays(2).toLocalDate.minusDays(1))
+    // watermark (max ts - 2 days) has closed. Horizon derived in SESSION
+    // time (UTC) via Spark itself — Timestamp.toLocalDateTime would apply
+    // the JVM default timezone and shift the boundary day off-UTC hosts
+    val horizon = all
+      .agg(date_sub(to_date(max(col("ts")) - expr("INTERVAL 2 DAYS")), 1).as("h"))
+      .collect()(0).getDate(0)
     val exp = all
       .dropDuplicates("event_id")
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
@@ -127,6 +132,9 @@ class ChainedStatefulSpec extends AnyFunSuite {
     got.foreach { case (d, t, n) =>
       assert(exp.contains((d, t, n)) || d.toLocalDate.isAfter(horizon.toLocalDate),
         s"wrong count for ($d, $t): $n")
+    }
+    } finally tmpDirs.foreach { d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
     }
   }
 }
