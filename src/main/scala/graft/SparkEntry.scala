@@ -3078,7 +3078,11 @@ object SparkEntry {
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
         |  FROM documents
         |), by_score AS (
-        |  SELECT score AS thr, sum(is_en) AS pos, sum(1 - is_en) AS neg
+        |  -- CAST: DuckDB sum(INT) is HUGEINT, which pandas converts to
+        |  -- float64 — the driver's exact-hash compare then sees 5.0 vs
+        |  -- Spark's int64 5 (the r2 q55 hash mismatch). BIGINT keeps int64.
+        |  SELECT score AS thr, CAST(sum(is_en) AS BIGINT) AS pos,
+        |    CAST(sum(1 - is_en) AS BIGINT) AS neg
         |  FROM scored GROUP BY 1
         |), cum AS (
         |  SELECT thr, pos, neg,

@@ -33,6 +33,13 @@ for name, sql in sorted(oracle.items()):
     ok = True
     for c in gc:
         a, b = g[c], e[c]
+        # The driver's compare is an exact hash over stringified values, so an
+        # int64-vs-float64 dtype split (e.g. DuckDB sum(INT) -> HUGEINT ->
+        # pandas float64) fails it even when every value is equal. Flag it.
+        if a.dtype.kind != b.dtype.kind and {a.dtype.kind, b.dtype.kind} <= {'i', 'u', 'f'} \
+                and 'f' in {a.dtype.kind, b.dtype.kind}:
+            print(f"DTYPE {name}.{c}: spark {a.dtype} vs oracle {b.dtype} (hash-compare hazard)")
+            ok = False; break
         try:
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                 import numpy as np
