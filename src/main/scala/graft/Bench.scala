@@ -134,22 +134,41 @@ object Bench {
         } else t0
       name -> t
     }
+    // 1-second noise floor on both sides: sub-second queries are
+    // JVM/scheduler-overhead-bound (±0.3 s run-to-run on an idle host),
+    // so their raw ratios flap; a genuine sub-second -> multi-second
+    // regression still flags because the numerator escapes the floor
+    def ratio(k: String, v: Double): Option[Double] =
+      BaselineSec.get(k).map(b => math.max(v, 1.0) / math.max(b, 1.0))
+
+    // The stdout contract is ONE parseable JSON line, and the harness that
+    // reads it keeps only a bounded tail of the run's output: with 100
+    // full-name query keys plus a same-size vs_baseline map the line grew
+    // past that window and r2's bench recorded parsed:null. Keep the line
+    // compact — short `qNN` keys (the name up to the first '_'; BASELINE.md
+    // §3/3a maps them back) and only the REGRESSED ratios — and write the
+    // full long-form detail to BENCH_DETAIL.json alongside.
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    val ratios = results
+    val regressions = results
       .flatMap { case (k, v) =>
-        // 1-second noise floor on both sides: sub-second queries are
-        // JVM/scheduler-overhead-bound (±0.3 s run-to-run on an idle host),
-        // so their raw ratios flap; a genuine sub-second -> multi-second
-        // regression still flags because the numerator escapes the floor
-        BaselineSec.get(k).map(b =>
-          "\"" + k + "\":" + f"${math.max(v, 1.0) / math.max(b, 1.0)}%.2f")
+        ratio(k, v).filter(_ > 1.4).map(r => "\"" + k + "\":" + f"$r%.2f")
+      }
+      .mkString("{", ",", "}")
+    val detail = results
+      .map { case (k, v) =>
+        val r = ratio(k, v).map(r => f",\"vs_baseline\":$r%.2f").getOrElse("")
+        "\"" + k + "\":" + f"""{"sec":$v%.3f$r}"""
       }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries":$detail}"""
+        .getBytes("UTF-8"))
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"vs_baseline":$ratios,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"regressions":$regressions,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

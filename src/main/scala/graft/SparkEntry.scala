@@ -3341,22 +3341,31 @@ object SparkEntry {
         |FROM st
         |ORDER BY doc_id, start""".stripMargin,
     "q72_ewma" ->
-      """WITH daily AS (
+      // Mirrors WindowOps.ewma's overflow-safe recursion s_t = x_t + r*s_{t-1},
+      // w_t = 1 + r*w_{t-1} step for step (same double ops in the same order).
+      // The earlier closed-form pow(0.7, -i) oracle overflows to Inf near row
+      // ~2000 per series — the exact failure the Spark side was rewritten to
+      // avoid — so the oracle now runs the same stable recursion via a
+      // recursive CTE advancing one row number per iteration within each series.
+      """WITH RECURSIVE daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS v
         |  FROM events GROUP BY 1, 2
         |), idx AS (
         |  SELECT event_type, day, v,
-        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE) AS i
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
         |  FROM daily
-        |), wtd AS (
-        |  SELECT event_type, day,
-        |    sum(v * pow(0.7, -i)) OVER w / sum(pow(0.7, -i)) OVER w AS e
-        |  FROM idx
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), rec AS (
+        |  -- the seed fixes the CTE's column types: an uncast 1.0 makes w a
+        |  -- DECIMAL(2,1) and every iteration's weight silently rounds to 1dp
+        |  SELECT event_type, day, i, v AS s, CAST(1.0 AS DOUBLE) AS w
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.day, idx.i,
+        |    idx.v + 0.7 * rec.s, 1.0 + 0.7 * rec.w
+        |  FROM idx JOIN rec ON idx.event_type = rec.event_type AND idx.i = rec.i + 1
         |)
-        |SELECT event_type, day, round(e + 1e-9, 4) AS ewma
-        |FROM wtd ORDER BY event_type, day""".stripMargin,
+        |SELECT event_type, day, round(s / w + 1e-9, 4) AS ewma
+        |FROM rec ORDER BY event_type, day""".stripMargin,
     "q73_attribution" ->
       """WITH p AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts

@@ -84,16 +84,31 @@ object WindowOps {
     val ordIdx = orderBy.map(schema.fieldIndex)
     val valIdx = schema.fieldIndex(c)
     val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    // Group on the key VALUES (a Row through its own encoder), not a
+    // delimiter-joined string: the string form collided a null key with the
+    // literal "null" and merged distinct multi-column keys whose rendered
+    // parts happened to concatenate equal - silently mixing EWMA state.
+    val keySchema = org.apache.spark.sql.types.StructType(keyIdx.map(schema(_)))
+    val keyEnc = org.apache.spark.sql.Encoders.row(keySchema)
     df.groupByKey { row: org.apache.spark.sql.Row =>
-      keyIdx.map(i => String.valueOf(row.get(i))).mkString("\u0000")
-    }(org.apache.spark.sql.Encoders.STRING)
-      .flatMapGroups { (_: String, it: Iterator[org.apache.spark.sql.Row]) =>
+      org.apache.spark.sql.Row.fromSeq(keyIdx.map(row.get))
+    }(keyEnc)
+      .flatMapGroups { (_: org.apache.spark.sql.Row, it: Iterator[org.apache.spark.sql.Row]) =>
         val rows = it.toArray
         java.util.Arrays.sort(
           rows,
           (a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) =>
             ordIdx.iterator
-              .map(i => a.get(i).asInstanceOf[Comparable[Any]].compareTo(b.get(i)))
+              .map { i =>
+                // nulls-first ordering (Spark's ASC default) instead of the
+                // NPE the bare Comparable call threw on null order values
+                (a.get(i), b.get(i)) match {
+                  case (null, null) => 0
+                  case (null, _) => -1
+                  case (_, null) => 1
+                  case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+                }
+              }
               .find(_ != 0)
               .getOrElse(0))
         var s = 0.0
