@@ -73,7 +73,10 @@ object Bench {
     "q94_user_features" -> 0.843, "q95_autocorr" -> 0.759,
     "q96_session_stats" -> 1.077, "q97_weekday_profile" -> 0.866,
     "q98_containment_pairs" -> 2.602, "q99_repetition_stats" -> 0.448,
-    "q100_quality_filter" -> 0.592)
+    "q100_quality_filter" -> 0.592,
+    // q101+ first measured in round 3 (clean sf0.1 run, BASELINE.md §3b)
+    "q101_corr_matrix" -> 0.840, "q102_chi_square" -> 0.690,
+    "q103_ols_trend" -> 0.660, "q104_mad_outliers" -> 0.890)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cleaning, Dedup, Reshape, WindowOps}
+import graft.operators.{Cleaning, Dedup, Reshape, Stats, WindowOps}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.mining.Association
 import graft.ml.{Classification, Clustering, Features, Regression}
@@ -2180,6 +2180,72 @@ object SparkEntry {
       .orderBy(col("lang"), col("verdict"))
   }
 
+  // ======== round-3 extensions (q101+): statistical diagnostics =========
+
+  // q101 — pairwise Pearson correlation matrix over lineitem's numeric
+  // measures, melted to long form (the pandas df.corr() step of
+  // 蔬菜价格相关性分析.py, distributed). All 6 pairwise corrs ride ONE
+  // map-side-combinable aggregation pass (Stats.corrMatrix) — a single
+  // scan, a 1-row aggregate, a driver-sized melt.
+  private def corrMatrixQuery(s: SparkSession, dir: String): DataFrame =
+    Stats
+      .corrMatrix(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .select(col("col_a"), col("col_b"), rnd(col("corr"), 6).as("corr"))
+      .orderBy(col("col_a"), col("col_b"))
+
+  // q102 — chi-square test of independence (order priority × status) with
+  // Cramér's V: the contingency-analysis shape, computed from marginals of
+  // ONE grouped count — the R×C grid is a product of two aggregate frames
+  // (≤ tens of rows), never of the input.
+  private def chiSquareQuery(s: SparkSession, dir: String): DataFrame =
+    Stats
+      .chiSquareIndependence(t(s, dir, "orders"), "o_orderpriority", "o_orderstatus")
+      .select(
+        col("n"),
+        col("n_rows"),
+        col("n_cols"),
+        col("dof"),
+        rnd(col("chi2"), 6).as("chi2"),
+        rnd(col("cramers_v"), 6).as("cramers_v"))
+
+  // q103 — per-event-type OLS trend of daily volume vs day index (the
+  // np.polyfit per-series trend fit, distributed): closed-form slope /
+  // intercept / r² from sufficient statistics in one grouped pass over the
+  // (already tiny) daily aggregate.
+  private def olsTrendQuery(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01")).cast("double"))
+    Stats
+      .olsFit(daily, Seq("event_type"), "x", "y")
+      .select(
+        col("event_type"),
+        col("n"),
+        rnd(col("slope"), 6).as("slope"),
+        rnd(col("intercept"), 6).as("intercept"),
+        rnd(col("r2"), 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  // q104 — robust outlier report per event type via the MAD rule
+  // (modified z-score, Iglewicz–Hoaglin): the robust companion to q85's
+  // IQR fence. Exact medians via `percentile` (matches DuckDB
+  // quantile_cont); only the group key is ever shuffled.
+  private def madOutlierQuery(s: SparkSession, dir: String): DataFrame =
+    Stats
+      .madOutliers(t(s, dir, "events"), Seq("event_type"), "value", cutoff = 3.5)
+      .select(
+        col("event_type"),
+        col("n"),
+        rnd(col("med"), 6).as("med"),
+        rnd(col("mad"), 6).as("mad"),
+        col("n_outliers"),
+        rnd(col("max_abs_z"), 6).as("max_abs_z"))
+      .orderBy(col("event_type"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2281,7 +2347,11 @@ object SparkEntry {
     "q97_weekday_profile" -> weekdayProfile,
     "q98_containment_pairs" -> containmentPairs,
     "q99_repetition_stats" -> repetitionStats,
-    "q100_quality_filter" -> qualityFilter)
+    "q100_quality_filter" -> qualityFilter,
+    "q101_corr_matrix" -> corrMatrixQuery,
+    "q102_chi_square" -> chiSquareQuery,
+    "q103_ols_trend" -> olsTrendQuery,
+    "q104_mad_outliers" -> madOutlierQuery)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -3844,5 +3914,92 @@ object SparkEntry {
         |)
         |SELECT lang, verdict, count(*) AS n
         |FROM v GROUP BY lang, verdict
-        |ORDER BY lang, verdict""".stripMargin)
+        |ORDER BY lang, verdict""".stripMargin,
+    "q101_corr_matrix" ->
+      """WITH c AS (
+        |  SELECT corr(l_quantity, l_extendedprice) AS qe,
+        |    corr(l_quantity, l_discount) AS qd, corr(l_quantity, l_tax) AS qt,
+        |    corr(l_extendedprice, l_discount) AS ed,
+        |    corr(l_extendedprice, l_tax) AS et, corr(l_discount, l_tax) AS dt
+        |  FROM lineitem
+        |), long AS (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, qe AS v FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', qd FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', qt FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', ed FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', et FROM c
+        |  UNION ALL SELECT 'l_discount', 'l_tax', dt FROM c
+        |)
+        |SELECT col_a, col_b, round(v + 1e-9, 6) AS corr
+        |FROM long ORDER BY col_a, col_b""".stripMargin,
+    "q102_chi_square" ->
+      """WITH obs AS (
+        |  SELECT o_orderpriority AS r, o_orderstatus AS c, count(*) AS o
+        |  FROM orders GROUP BY 1, 2
+        |), rt AS (SELECT r, sum(o) AS rtot FROM obs GROUP BY r),
+        |ct AS (SELECT c, sum(o) AS ctot FROM obs GROUP BY c),
+        |tot AS (SELECT sum(o) AS n FROM obs),
+        |grid AS (
+        |  SELECT rt.r, ct.c, rt.rtot, ct.ctot, tot.n,
+        |    coalesce(obs.o, 0) AS o
+        |  FROM rt CROSS JOIN ct CROSS JOIN tot
+        |  LEFT JOIN obs ON obs.r = rt.r AND obs.c = ct.c
+        |), s AS (
+        |  SELECT max(n) AS n, count(DISTINCT r) AS n_rows,
+        |    count(DISTINCT c) AS n_cols,
+        |    sum(pow(o - rtot * ctot / CAST(n AS DOUBLE), 2)
+        |        / (rtot * ctot / CAST(n AS DOUBLE))) AS chi2
+        |  FROM grid
+        |)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_cols AS BIGINT) AS n_cols,
+        |  CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+        |  round(chi2 + 1e-9, 6) AS chi2,
+        |  round(sqrt(chi2 / (n * least(n_rows - 1, n_cols - 1))) + 1e-9, 6)
+        |    AS cramers_v
+        |FROM s""".stripMargin,
+    "q103_ols_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2
+        |), xy AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', day) AS DOUBLE) AS x, y
+        |  FROM daily
+        |), s AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |    sum(y * y) AS syy
+        |  FROM xy GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |    + 1e-9, 6) AS intercept,
+        |  round(pow(n * sxy - sx * sy, 2)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 6) AS r2
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q104_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type
+        |), dev AS (
+        |  SELECT e.event_type, e.value, m.med
+        |  FROM events e JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM dev GROUP BY event_type
+        |), z AS (
+        |  SELECT d.event_type, d.med, m.mad,
+        |    CASE WHEN m.mad <> 0
+        |      THEN abs(d.value - d.med) * 0.6745 / m.mad END AS az
+        |  FROM dev d JOIN mad m USING (event_type)
+        |)
+        |SELECT event_type, count(*) AS n, round(max(med) + 1e-9, 6) AS med,
+        |  round(max(mad) + 1e-9, 6) AS mad,
+        |  CAST(sum(CASE WHEN az > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(max(az) + 1e-9, 6) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

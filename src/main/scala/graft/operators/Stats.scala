@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical diagnostics over distributed data (north-star EDA suite:
+  * the reference's correlation / contingency / trend analyses re-expressed
+  * as aggregate-only Spark plans).
+  *
+  * Every operator here reduces to sufficient statistics computed in ONE
+  * map-side-combinable aggregation pass wherever the math allows (corr
+  * matrix, OLS fit) — no per-row UDFs, no driver-side loops over data, so
+  * each survives a 100× scale-up as a single shuffle of group keys.
+  */
+object Stats {
+
+  /** Pairwise Pearson correlation matrix over `cols`, melted to long form
+    * (col_a, col_b, corr) with col_a < col_b by input order.
+    *
+    * All n·(n−1)/2 `corr` aggregates ride ONE aggregation pass over the
+    * input (a single scan + a 1-row result) — the pandas `df.corr()` shape
+    * (reference: 蔬菜价格相关性分析.py's price-correlation step) without n²
+    * separate jobs. The melt happens on the 1-row aggregate frame, so the
+    * stack is driver-sized regardless of input size.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs >= 2 columns, got ${cols.size}")
+    val pairs = for {
+      i <- cols.indices
+      j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs
+      .map { case (a, b) => s"'$a', '$b', `${a}__${b}`" }
+      .mkString(", ")
+    wide.selectExpr(s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr)")
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns, plus Cramér's V effect size. Returns ONE row:
+    * (n, n_rows, n_cols, dof, chi2, cramers_v).
+    *
+    * Zero-observed cells still contribute their expected count (the full
+    * R×C grid is materialized from the row/column marginals). The grid is
+    * the product of two AGGREGATE frames (R and C category rows) — a
+    * deliberate tiny product, never a product over the input.
+    */
+  def chiSquareIndependence(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val obs = df.groupBy(col(rowCol).as("_r"), col(colCol).as("_c"))
+      .agg(count(lit(1)).as("_o"))
+    val rowTot = obs.groupBy(col("_r")).agg(sum(col("_o")).as("_rt"))
+    val colTot = obs.groupBy(col("_c")).agg(sum(col("_o")).as("_ct"))
+    val tot = obs.agg(sum(col("_o")).as("_n"))
+    val grid = rowTot
+      .crossJoin(broadcast(colTot))
+      .crossJoin(broadcast(tot))
+      .join(obs, Seq("_r", "_c"), "left")
+      .withColumn("_o0", coalesce(col("_o"), lit(0L)).cast("double"))
+      .withColumn("_e", col("_rt").cast("double") * col("_ct") / col("_n"))
+    grid
+      .agg(
+        first(col("_n")).as("n"),
+        countDistinct(col("_r")).as("n_rows"),
+        countDistinct(col("_c")).as("n_cols"),
+        sum(pow(col("_o0") - col("_e"), 2) / col("_e")).as("_chi2"))
+      .select(
+        col("n"),
+        col("n_rows"),
+        col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"),
+        col("_chi2").as("chi2"),
+        sqrt(
+          col("_chi2") / (col("n") * least(col("n_rows") - 1, col("n_cols") - 1)))
+          .as("cramers_v"))
+  }
+
+  /** Per-group simple-OLS fit y ~ slope·x + intercept from sufficient
+    * statistics: one groupBy pass computing (n, Σx, Σy, Σxy, Σx², Σy²),
+    * then the closed forms
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    * Entirely codegen'd aggregates — the distributed version of the
+    * reference's per-series scipy/np.polyfit trend fits. Degenerate groups
+    * (constant x) yield null slope/intercept/r².
+    */
+  def olsFit(df: DataFrame, groupCols: Seq[String], xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val agged = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("double").as("_n"),
+        sum(x).as("_sx"),
+        sum(y).as("_sy"),
+        sum(x * y).as("_sxy"),
+        sum(x * x).as("_sxx"),
+        sum(y * y).as("_syy"))
+    val num = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val denX = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val denY = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    val slope = when(denX =!= 0.0, num / denX)
+    agged.select(
+      groupCols.map(col) ++ Seq(
+        col("_n").cast("long").as("n"),
+        slope.as("slope"),
+        when(denX =!= 0.0, (col("_sy") - (num / denX) * col("_sx")) / col("_n"))
+          .as("intercept"),
+        when(denX =!= 0.0 && denY =!= 0.0, (num * num) / (denX * denY)).as("r2")): _*)
+  }
+
+  /** Per-group robust outlier report via the MAD rule: modified z-score
+    * z_i = 0.6745·(x_i − median) / MAD, outlier when |z| > `cutoff`
+    * (Iglewicz–Hoaglin, the robust companion to the q85 IQR fence).
+    * Returns per group: (n, med, mad, n_outliers, max_abs_z).
+    *
+    * Exact medians via `percentile` — two grouped percentile passes (values,
+    * then absolute deviations) + one final rollup, all shuffling only the
+    * group key. Degenerate groups (MAD = 0) report null z and 0 outliers.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      cutoff: Double = 3.5): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, lit(0.5)).as("_med"))
+    val withMed = df.join(broadcast(med), groupCols)
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(percentile(abs(v - col("_med")), lit(0.5)).as("_mad"))
+    val z = when(col("_mad") =!= 0.0, abs(v - col("_med")) * 0.6745 / col("_mad"))
+    withMed
+      .join(broadcast(mad), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("_med")).as("med"),
+        first(col("_mad")).as("mad"),
+        sum(when(z > cutoff, 1L).otherwise(0L)).as("n_outliers"),
+        max(z).as("max_abs_z"))
+  }
+}
