@@ -76,7 +76,9 @@ object Bench {
     "q100_quality_filter" -> 0.592,
     // q101+ first measured in round 3 (clean sf0.1 run, BASELINE.md §3b)
     "q101_corr_matrix" -> 0.840, "q102_chi_square" -> 0.690,
-    "q103_ols_trend" -> 0.660, "q104_mad_outliers" -> 0.890)
+    "q103_ols_trend" -> 0.660, "q104_mad_outliers" -> 0.890,
+    "q105_type_entropy" -> 0.880, "q106_tfidf_terms" -> 1.420,
+    "q107_typo_variants" -> 0.800, "q108_langid_kappa" -> 1.150)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2246,6 +2246,123 @@ object SparkEntry {
         rnd(col("max_abs_z"), 6).as("max_abs_z"))
       .orderBy(col("event_type"))
 
+  // q105 — per-day event-type mix diversity: Shannon entropy + Gini
+  // impurity of the daily type distribution, computed from the identities
+  //   H = ln(N) − Σ nᵢ·ln(nᵢ)/N,  G = 1 − Σ nᵢ²/N²
+  // so the whole thing is sufficient statistics over the (day, type)
+  // counts — two combinable aggregation levels, no window, no p-vector.
+  private def typeEntropy(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    daily
+      .groupBy(col("day"))
+      .agg(
+        sum(col("cnt")).cast("long").as("n_events"),
+        count(lit(1)).as("n_types"),
+        rnd(
+          log(sum(col("cnt"))) - sum(col("cnt") * log(col("cnt"))) / sum(col("cnt")),
+          6).as("entropy"),
+        rnd(
+          lit(1.0) - sum(col("cnt") * col("cnt")) / (sum(col("cnt")) * sum(col("cnt"))),
+          6).as("gini"))
+      .orderBy(col("day"))
+  }
+
+  // q106 — corpus-level TF-IDF salient terms per language: tf = term count
+  // within the lang, df = docs containing the term corpus-wide,
+  // score = tf·ln(N/df). Explode → two combinable aggregations → a window
+  // over the AGGREGATE (vocab-sized) frame for the top 5 per lang; the
+  // 1-row doc count binds via broadcast.
+  private def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+    val toks = docs.select(
+      col("doc_id"),
+      col("lang"),
+      explode(TF.tokens(lower(col("text")))).as("term"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(
+        col("lang"),
+        col("rank"),
+        col("term"),
+        col("tf"),
+        col("df"),
+        rnd(col("score"), 6).as("score"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  // q107 — vocabulary typo clustering via SymSpell deletion-neighborhood
+  // blocking: explode each ASCII term's deletion keys, equi-join on the
+  // key (NO pairwise product), then exact-verify candidates at Levenshtein
+  // distance 1. Canonical = the more frequent spelling (ties: lexicographic
+  // smaller). The candidate space is vocabulary-sized — bounded regardless
+  // of corpus size, the spell-correction shape that survives 100 TB.
+  // The synthetic wordlist has no misspellings, so (q44-redaction
+  // precedent) the query plants deterministic typos of three corpus words —
+  // insertion 'querry', deletion 'filtr', substitution 'merje' — on doc_id
+  // modulo rules, mirrored exactly in the oracle.
+  private def typoVariants(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(
+        concat(
+          col("text"),
+          when(col("doc_id") % 7 === 0, lit(" querry")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" filtr")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" merje")).otherwise(lit(""))).as("text"))
+    val vocab = docs
+      .select(explode(TF.tokens(lower(col("text")))).as("term"))
+      .filter(col("term").rlike("^[a-z]{3,}$"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+    val keyed = vocab.select(
+      col("term"),
+      col("n"),
+      explode(TF.deletionNeighborhood(col("term"))).as("key"))
+    val a = keyed.select(col("key"), col("term").as("term_a"), col("n").as("n_a"))
+    val b = keyed.select(col("key"), col("term").as("term_b"), col("n").as("n_b"))
+    val aFirst = col("n_a") > col("n_b") ||
+      (col("n_a") === col("n_b") && col("term_a") < col("term_b"))
+    a.join(b, "key")
+      .filter(col("term_a") < col("term_b"))
+      .select(col("term_a"), col("n_a"), col("term_b"), col("n_b"))
+      .distinct()
+      .filter(levenshtein(col("term_a"), col("term_b")) === 1)
+      .select(
+        when(aFirst, col("term_a")).otherwise(col("term_b")).as("canonical"),
+        when(aFirst, col("term_b")).otherwise(col("term_a")).as("variant"),
+        when(aFirst, col("n_a")).otherwise(col("n_b")).as("canon_n"),
+        when(aFirst, col("n_b")).otherwise(col("n_a")).as("var_n"))
+      .orderBy(col("canonical"), col("variant"))
+  }
+
+  // q108 — Cohen's kappa of the lang-ID heuristic against the labeled
+  // lang: the chance-corrected agreement summary on top of q41's
+  // contingency. Marginal-sized aggregates only (Classification.cohensKappa).
+  private def langIdKappa(s: SparkSession, dir: String): DataFrame =
+    Classification
+      .cohensKappa(
+        t(s, dir, "documents")
+          .select(col("lang"), TF.langIdWithUnknown(col("text"), LangProfiles).as("predicted")),
+        "lang",
+        "predicted")
+      .select(
+        col("n"),
+        rnd(col("po"), 6).as("po"),
+        rnd(col("pe"), 6).as("pe"),
+        rnd(col("kappa"), 6).as("kappa"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2351,7 +2468,11 @@ object SparkEntry {
     "q101_corr_matrix" -> corrMatrixQuery,
     "q102_chi_square" -> chiSquareQuery,
     "q103_ols_trend" -> olsTrendQuery,
-    "q104_mad_outliers" -> madOutlierQuery)
+    "q104_mad_outliers" -> madOutlierQuery,
+    "q105_type_entropy" -> typeEntropy,
+    "q106_tfidf_terms" -> tfidfTerms,
+    "q107_typo_variants" -> typoVariants,
+    "q108_langid_kappa" -> langIdKappa)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -4001,5 +4122,116 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN az > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers,
         |  round(max(az) + 1e-9, 6) AS max_abs_z
-        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q105_type_entropy" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT day, CAST(sum(cnt) AS BIGINT) AS n_events,
+        |  count(*) AS n_types,
+        |  round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt) + 1e-9, 6)
+        |    AS entropy,
+        |  round(1.0 - sum(cnt * cnt) / (sum(cnt) * sum(cnt)) + 1e-9, 6)
+        |    AS gini
+        |FROM daily GROUP BY day ORDER BY day""".stripMargin,
+    "q106_tfidf_terms" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE trim(text) <> ''
+        |), tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM docs
+        |), tf AS (
+        |  SELECT lang, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM tok GROUP BY 1
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
+        |scored AS (
+        |  SELECT tf.lang, tf.term, tf.tf, df.df,
+        |    tf.tf * ln(n.n_docs / df.df) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT lang, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, term)
+        |      AS rank
+        |  FROM scored
+        |)
+        |SELECT lang, CAST(rank AS INT) AS rank, term, tf, df,
+        |  round(score + 1e-9, 6) AS score
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+    "q107_typo_variants" ->
+      """WITH planted AS (
+        |  SELECT text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' querry' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' filtr' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' merje' ELSE '' END AS text
+        |  FROM documents WHERE trim(text) <> ''
+        |), tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM planted
+        |), vocab AS (
+        |  SELECT term, count(*) AS n FROM tok
+        |  WHERE regexp_matches(term, '^[a-z]{3,}$')
+        |  GROUP BY 1 HAVING count(*) >= 5
+        |), keyed AS (
+        |  SELECT term, n,
+        |    unnest(list_distinct(list_append(
+        |      [substr(term, 1, i - 1) || substr(term, i + 1, length(term))
+        |        FOR i IN range(1, length(term) + 1)],
+        |      term))) AS key
+        |  FROM vocab
+        |), cand AS (
+        |  SELECT DISTINCT a.term AS term_a, a.n AS n_a,
+        |    b.term AS term_b, b.n AS n_b
+        |  FROM keyed a JOIN keyed b
+        |    ON a.key = b.key AND a.term < b.term
+        |), verified AS (
+        |  SELECT term_a, n_a, term_b, n_b,
+        |    (n_a > n_b OR (n_a = n_b AND term_a < term_b)) AS a_first
+        |  FROM cand WHERE levenshtein(term_a, term_b) = 1
+        |)
+        |SELECT
+        |  CASE WHEN a_first THEN term_a ELSE term_b END AS canonical,
+        |  CASE WHEN a_first THEN term_b ELSE term_a END AS variant,
+        |  CAST(CASE WHEN a_first THEN n_a ELSE n_b END AS BIGINT) AS canon_n,
+        |  CAST(CASE WHEN a_first THEN n_b ELSE n_a END AS BIGINT) AS var_n
+        |FROM verified
+        |ORDER BY canonical, variant""".stripMargin,
+    "q108_langid_kappa" ->
+      """WITH toks AS (
+        |  SELECT lang, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+        |), r AS (
+        |  SELECT lang,
+        |    len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_en,
+        |    len(list_filter(tk, t -> list_contains(['der','die','das','und','ein','zu','mit','ist','auf','nicht'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_de,
+        |    len(list_filter(tk, t -> list_contains(['el','la','que','y','en','un','por','con','los','una'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_es,
+        |    len(list_filter(tk, t -> list_contains(['le','les','et','des','une','du','dans','est','pour','au'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_fr,
+        |    len(list_filter(tk, t -> list_contains(['的','了','是','在','我','有','和','就','不','人'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_zh
+        |  FROM toks
+        |), conf AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+        |         WHEN s_zh >= greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+        |         WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+        |         WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+        |         WHEN s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS predicted
+        |  FROM r
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CASE WHEN lang = predicted THEN 1 ELSE 0 END) AS agree
+        |  FROM conf
+        |), rm AS (SELECT lang AS k, count(*) AS nr FROM conf GROUP BY 1),
+        |cm AS (SELECT predicted AS k, count(*) AS nc FROM conf GROUP BY 1),
+        |pe AS (SELECT sum(nr * nc) AS s FROM rm JOIN cm USING (k))
+        |SELECT n,
+        |  round(agree / CAST(n AS DOUBLE) + 1e-9, 6) AS po,
+        |  round(s / CAST(n AS DOUBLE) / n + 1e-9, 6) AS pe,
+        |  round((agree / CAST(n AS DOUBLE) - s / CAST(n AS DOUBLE) / n)
+        |    / (1 - s / CAST(n AS DOUBLE) / n) + 1e-9, 6) AS kappa
+        |FROM tot, pe""".stripMargin)
 }

@@ -47,6 +47,24 @@ object TextFunctions {
         size(filter(toks, t => array_contains(stops, lower(t)))).cast("double") / size(toks))
   }
 
+  /** SymSpell deletion-neighborhood keys: the term itself plus every
+    * single-character deletion of it, deduplicated. Two terms within
+    * Levenshtein distance 1 ALWAYS share at least one key (a substitution
+    * shares a common deletion; an insert/delete shares the shorter term
+    * itself), so exploding these keys and equi-joining on them generates
+    * all candidate pairs WITHOUT any pairwise product — the scale-safe
+    * blocking for vocabulary typo clustering. Candidates still need an
+    * exact `levenshtein` verify (key sharing is necessary, not
+    * sufficient — e.g. transpositions share keys at distance 2).
+    */
+  def deletionNeighborhood(term: Column): Column = {
+    val dels = transform(
+      sequence(lit(1), length(term)),
+      i => concat(term.substr(lit(1), i - 1), term.substr(i + 1, length(term))))
+    when(length(term) === 0, array(term))
+      .otherwise(array_union(array(term), dels))
+  }
+
   /** Duplicate-token fraction 1 − distinct/total (the Gopher-family
     * repetition signal): 0 for all-unique docs, →1 as tokens repeat. Null
     * for empty docs (callers filter those first). ONE definition shared by

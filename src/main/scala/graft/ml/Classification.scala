@@ -55,6 +55,36 @@ object Classification {
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "prediction")
 
+  /** Cohen's kappa — chance-corrected agreement between a label and a
+    * prediction column (the inter-rater / classifier-agreement statistic
+    * that accompanies a confusion matrix). One row:
+    * (n, po, pe, kappa) where po = observed agreement, pe = expected
+    * agreement from the row/column marginals, kappa = (po−pe)/(1−pe).
+    *
+    * Scale shape: two grouped counts (marginals) + one total — everything
+    * after the input scan is label-cardinality-sized; the final combine is
+    * a broadcast of two tiny aggregate frames. Degenerate pe = 1 (both
+    * sides constant and equal) yields null kappa.
+    */
+  def cohensKappa(preds: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val pairs = preds.select(col(labelCol).as("_l"), col(predCol).as("_p"))
+    val tot = pairs.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("_l") === col("_p"), 1L).otherwise(0L)).as("_agree"))
+    val rowMarg = pairs.groupBy(col("_l").as("_k")).agg(count(lit(1)).as("_nr"))
+    val colMarg = pairs.groupBy(col("_p").as("_k")).agg(count(lit(1)).as("_nc"))
+    val cross = rowMarg.join(colMarg, "_k").agg(sum(col("_nr") * col("_nc")).as("_s"))
+    val po = col("_agree") / col("n")
+    val pe = col("_s") / col("n") / col("n")
+    tot
+      .crossJoin(broadcast(cross))
+      .select(
+        col("n"),
+        po.as("po"),
+        pe.as("pe"),
+        when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
   /** GOLDEN-shaped scored output (乳腺癌预测.py:203-219 / 神经网络预测结果.csv):
     * per-sample id, truth, prediction, per-class probability, correctness.
     */

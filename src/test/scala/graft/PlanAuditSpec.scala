@@ -17,10 +17,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - q29: the size-gated exact path engages below the LSH cutover at this
   *    tiny sf (the sf0.1 declared plan is the bucketed equi-join, asserted
   *    in PlanSpec);
-  *  - q45/q51/q62/q70/q79/q94: a crossJoin binding one broadcast 1-ROW
-  *    aggregate frame (IVF cell count / BM25 corpus stats / unigram total /
-  *    decile cuts / histogram min-max / recency anchor) — a scalar bind,
-  *    not a pairwise product;
+  *  - q45/q51/q62/q70/q79/q94/q106/q108: a crossJoin binding one broadcast
+  *    1-ROW aggregate frame (IVF cell count / BM25 corpus stats / unigram
+  *    total / decile cuts / histogram min-max / recency anchor / TF-IDF doc
+  *    count / kappa marginal product) — a scalar bind, not a pairwise
+  *    product;
   *  - q102: the chi-square R×C expected-count grid is the product of two
   *    AGGREGATE frames (row/column marginals, ≤ tens of rows each) plus a
   *    1-row total bind — bounded by category cardinalities, not input size.
@@ -33,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q14_knn_bruteforce", "q18_knn_classify", "q47_knn_confusion",
     "q59_quantized_knn", "q29_embedding_neardups",
     "q45_ann_ivf", "q51_bm25_search", "q62_surprisal", "q70_quality_deciles",
-    "q79_histogram", "q94_user_features", "q102_chi_square")
+    "q79_histogram", "q94_user_features", "q102_chi_square",
+    "q106_tfidf_terms", "q108_langid_kappa")
 
   test("no declared batch query plans a CartesianProduct or unexpected nested-loop join") {
     val offenders = SparkEntry.queries.toSeq

@@ -166,4 +166,26 @@ class TokenizerSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(got(i) == want, s"case $i: arr=$a w=$w")
     }
   }
+
+  test("deletionNeighborhood emits the term plus each single deletion, deduped") {
+    val df = Seq("cat", "aa", "x", "").toDF("t")
+    val out = df.select(TF.deletionNeighborhood(col("t")).as("k"))
+      .as[Seq[String]].collect().toSeq
+    assert(out(0).toSet == Set("cat", "at", "ct", "ca"))
+    assert(out(1).toSet == Set("aa", "a")) // both deletions collapse
+    assert(out(2).toSet == Set("x", ""))
+    assert(out(3) == Seq("")) // empty term guarded, no sequence(1,0)
+  }
+
+  test("deletionNeighborhood keys intersect exactly for levenshtein<=1 pairs") {
+    def keys(t: String): Set[String] =
+      Seq(t).toDF("t").select(TF.deletionNeighborhood(col("t")).as("k"))
+        .as[Seq[String]].head().toSet
+    // substitution, insertion, deletion all share a key
+    assert((keys("cat") & keys("cut")).nonEmpty)
+    assert((keys("cat") & keys("cart")).nonEmpty)
+    assert((keys("cat") & keys("at")).nonEmpty)
+    // distance-2 pair with no shared key stays unblocked
+    assert((keys("cat") & keys("dog")).isEmpty)
+  }
 }

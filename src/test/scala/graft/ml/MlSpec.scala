@@ -330,4 +330,26 @@ class MlTuningSpec extends AnyFunSuite {
     val fprs = pts.map(_.getDouble(4)).toSeq
     assert(tprs == tprs.sorted && fprs == fprs.sorted)
   }
+
+  test("cohensKappa matches the hand-computed 2x2 agreement table") {
+    // raters: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no (classic example)
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Classification.cohensKappa(rows.toDF("a", "b"), "a", "b").head()
+    val n = 50.0
+    val po = 35.0 / n
+    val pe = (25.0 * 30.0 + 25.0 * 20.0) / (n * n)
+    assert(r.getLong(0) == 50L)
+    assert(math.abs(r.getDouble(1) - po) < 1e-12)
+    assert(math.abs(r.getDouble(2) - pe) < 1e-12)
+    assert(math.abs(r.getDouble(3) - (po - pe) / (1 - pe)) < 1e-12)
+  }
+
+  test("cohensKappa: perfect agreement 1.0, constant-equal raters null") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("l", "p")
+    val k1 = Classification.cohensKappa(perfect, "l", "p").head()
+    assert(math.abs(k1.getDouble(3) - 1.0) < 1e-12)
+    val degen = Seq(("a", "a"), ("a", "a")).toDF("l", "p")
+    assert(Classification.cohensKappa(degen, "l", "p").head().isNullAt(3))
+  }
 }
