@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cleaning, Dedup, Reshape, Stats, WindowOps}
+import graft.operators.{Cleaning, Dedup, Graph, Reshape, Stats, WindowOps}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.mining.Association
 import graft.ml.{Classification, Clustering, Features, Regression}
@@ -2363,6 +2363,94 @@ object SparkEntry {
         rnd(col("pe"), 6).as("pe"),
         rnd(col("kappa"), 6).as("kappa"))
 
+  // q109 — GROUPING SETS with a mixed dimension list — ((flag, status),
+  // (ship_year), ()) — the shape CUBE (q31) and ROLLUP (q23) cannot
+  // express. Spark 4's Dataset.groupingSets keeps it one declarative agg
+  // (Expand + single shuffle); money sums ride the exact-decimal path.
+  private def groupingSetsQuery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .groupingSets(
+        Seq(
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_year")),
+          Seq()),
+        col("l_returnflag"),
+        col("l_linestatus"),
+        col("ship_year"))
+      .agg(count(lit(1)).as("n"), moneyRound(sum(dec2("l_quantity"))).as("sum_qty"))
+      .orderBy(
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first,
+        col("ship_year").asc_nulls_first)
+
+  // q110 — frequent event-type trigrams over per-user sequences (the
+  // PrefixSpan-lite sequential-pattern shape): two leads over the
+  // (user, time) window, one combinable count, distributed top-20 via
+  // TakeOrderedAndProject. Ties broken lexicographically.
+  private def eventTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(
+        col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  // q111 — higher-moment distribution summary per event type: population
+  // skewness and excess kurtosis from raw power sums (Σx..Σx⁴) in ONE
+  // combinable pass — closed forms mirrored exactly in the oracle, rather
+  // than each engine's own skewness()/kurtosis() (their bias corrections
+  // differ). Scale-free ratios, so float-sum noise stays ~1e-14.
+  private def momentStats(s: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    val agged = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("_n"),
+        sum(v).as("_s1"),
+        sum(v * v).as("_s2"),
+        sum(v * v * v).as("_s3"),
+        sum(v * v * v * v).as("_s4"))
+    val mu = col("_s1") / col("_n")
+    val m2 = col("_s2") / col("_n") - mu * mu
+    val m3 = col("_s3") / col("_n") - lit(3.0) * mu * col("_s2") / col("_n") +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("_s4") / col("_n") - lit(4.0) * mu * col("_s3") / col("_n") +
+      lit(6.0) * mu * mu * col("_s2") / col("_n") - lit(3.0) * mu * mu * mu * mu
+    agged.select(
+      col("event_type"),
+      col("_n").cast("long").as("n"),
+      rnd(mu, 4).as("mean"),
+      rnd(m2, 4).as("variance"),
+      rnd(when(m2 > 0.0, m3 / pow(m2, 1.5)), 6).as("skewness"),
+      rnd(when(m2 > 0.0, m4 / (m2 * m2) - 3.0), 6).as("kurtosis"))
+      .orderBy(col("event_type"))
+  }
+
+  // q112 — PageRank over the event-type transition graph: the edge list is
+  // the q84 transition aggregation (heavy scan reduced to a
+  // category-cardinality frame), then 5 unrolled power iterations with
+  // damping 0.85 (Graph.pageRank, dangling mass not redistributed —
+  // formulation mirrored in the oracle's chained CTEs).
+  private def pageRankTypes(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = t(s, dir, "events")
+      .select(col("event_type").as("next_type"), lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    Graph
+      .pageRank(edges, "prev_type", "next_type", "n", iters = 5, damping = 0.85)
+      .select(col("node"), rnd(col("pr"), 6).as("pr"))
+      .orderBy(col("node"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2472,7 +2560,11 @@ object SparkEntry {
     "q105_type_entropy" -> typeEntropy,
     "q106_tfidf_terms" -> tfidfTerms,
     "q107_typo_variants" -> typoVariants,
-    "q108_langid_kappa" -> langIdKappa)
+    "q108_langid_kappa" -> langIdKappa,
+    "q109_grouping_sets" -> groupingSetsQuery,
+    "q110_event_trigrams" -> eventTrigrams,
+    "q111_moment_stats" -> momentStats,
+    "q112_pagerank" -> pageRankTypes)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -4233,5 +4325,88 @@ object SparkEntry {
         |  round(s / CAST(n AS DOUBLE) / n + 1e-9, 6) AS pe,
         |  round((agree / CAST(n AS DOUBLE) - s / CAST(n AS DOUBLE) / n)
         |    / (1 - s / CAST(n AS DOUBLE) / n) + 1e-9, 6) AS kappa
-        |FROM tot, pe""".stripMargin)
+        |FROM tot, pe""".stripMargin,
+    "q109_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+        |  ship_year NULLS FIRST""".stripMargin,
+    "q110_event_trigrams" ->
+      """WITH seq AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |), tri AS (
+        |  SELECT e1, e2, e3, count(*) AS n FROM seq
+        |  WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+        |)
+        |SELECT e1, e2, e3, n FROM tri
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+    "q111_moment_stats" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(value) AS s1,
+        |    sum(value * value) AS s2, sum(value * value * value) AS s3,
+        |    sum(value * value * value * value) AS s4
+        |  FROM events GROUP BY 1
+        |), m AS (
+        |  SELECT event_type, n, s1 / n AS mu,
+        |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3 * (s1 / n) * s2 / n
+        |      + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4 * (s1 / n) * s3 / n
+        |      + 6 * (s1 / n) * (s1 / n) * s2 / n
+        |      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM s
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(mu + 1e-9, 4) AS mean, round(m2 + 1e-9, 4) AS variance,
+        |  round(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END + 1e-9, 6)
+        |    AS skewness,
+        |  round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END + 1e-9, 6)
+        |    AS kurtosis
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q112_pagerank" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events
+        |), e AS (
+        |  SELECT prev_type AS s, event_type AS d,
+        |    CAST(count(*) AS DOUBLE) AS w
+        |  FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |), norm AS (
+        |  SELECT s, d, w / sum(w) OVER (PARTITION BY s) AS w FROM e
+        |), nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |p0 AS (SELECT node, 1.0 / nn.n AS p FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT norm.d AS node, sum(p0.p * norm.w) AS c
+        |  FROM p0 JOIN norm ON norm.s = p0.node GROUP BY 1),
+        |p1 AS (SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c1.c, 0) AS p
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node),
+        |c2 AS (SELECT norm.d AS node, sum(p1.p * norm.w) AS c
+        |  FROM p1 JOIN norm ON norm.s = p1.node GROUP BY 1),
+        |p2 AS (SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c2.c, 0) AS p
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node),
+        |c3 AS (SELECT norm.d AS node, sum(p2.p * norm.w) AS c
+        |  FROM p2 JOIN norm ON norm.s = p2.node GROUP BY 1),
+        |p3 AS (SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c3.c, 0) AS p
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node),
+        |c4 AS (SELECT norm.d AS node, sum(p3.p * norm.w) AS c
+        |  FROM p3 JOIN norm ON norm.s = p3.node GROUP BY 1),
+        |p4 AS (SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c4.c, 0) AS p
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c4 ON c4.node = nodes.node),
+        |c5 AS (SELECT norm.d AS node, sum(p4.p * norm.w) AS c
+        |  FROM p4 JOIN norm ON norm.s = p4.node GROUP BY 1),
+        |p5 AS (SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c5.c, 0) AS p
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c5 ON c5.node = nodes.node)
+        |SELECT node, round(p + 1e-9, 6) AS pr FROM p5 ORDER BY node""".stripMargin)
 }
