@@ -80,7 +80,9 @@ object Bench {
     "q105_type_entropy" -> 0.880, "q106_tfidf_terms" -> 1.420,
     "q107_typo_variants" -> 0.800, "q108_langid_kappa" -> 1.150,
     "q109_grouping_sets" -> 0.890, "q110_event_trigrams" -> 0.590,
-    "q111_moment_stats" -> 0.390, "q112_pagerank" -> 2.590)
+    "q111_moment_stats" -> 0.390, "q112_pagerank" -> 2.590,
+    "q113_seasonal_decomp" -> 0.730, "q114_decile_migration" -> 0.690,
+    "q115_calibration" -> 0.400, "q116_psi_drift" -> 0.660)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

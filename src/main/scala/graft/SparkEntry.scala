@@ -2451,6 +2451,113 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  // q113 — classical seasonal decomposition of the daily event series:
+  // trend = centered 7-day moving average (edge days average their partial
+  // frame — ROWS semantics identical on both engines), seasonal = weekday
+  // mean of the detrended series, resid = n − trend − seasonal. The series
+  // is pre-aggregated to ~30 rows BEFORE any window touches it (q04
+  // single-series precedent), so the global window is aggregate-sized.
+  private def seasonalDecomp(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val detr = daily
+      .withColumn("trend", avg(col("n")).over(w7))
+      .withColumn("detrended", col("n") - col("trend"))
+      .withColumn("dow", dayofweek(col("day")))
+    val seasonal = detr.groupBy(col("dow")).agg(avg(col("detrended")).as("seasonal"))
+    detr
+      .join(broadcast(seasonal), "dow")
+      .select(
+        col("day"),
+        col("n").cast("long").as("n_events"),
+        rnd(col("trend"), 4).as("trend"),
+        rnd(col("seasonal"), 4).as("seasonal"),
+        rnd(col("n") - col("trend") - col("seasonal"), 4).as("resid"))
+      .orderBy(col("day"))
+  }
+
+  // q114 — decile migration matrix: each user's spend decile in the first
+  // half of the month vs the second (the rank-churn / customer-movement
+  // report). ONE conditional-aggregation pass builds both period totals;
+  // ntile runs on the aggregate user frame; ties broken by user_id so the
+  // bucketing is deterministic on both engines.
+  private def decileMigration(s: SparkSession, dir: String): DataFrame = {
+    val mid = lit("2024-01-15").cast("date")
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(to_date(col("ts")) <= mid, col("value")).otherwise(lit(0.0))).as("v1"),
+        sum(when(to_date(col("ts")) > mid, col("value")).otherwise(lit(0.0))).as("v2"))
+    val d1 = Window.orderBy(col("v1").desc, col("user_id"))
+    val d2 = Window.orderBy(col("v2").desc, col("user_id"))
+    perUser
+      .withColumn("decile_p1", ntile(10).over(d1))
+      .withColumn("decile_p2", ntile(10).over(d2))
+      .groupBy(col("decile_p1"), col("decile_p2"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("decile_p1"), col("decile_p2"))
+  }
+
+  // q115 — calibration table for the q55 deterministic scorer (stopword
+  // ratio vs is-English): per score bin, volume, mean score, and observed
+  // positive rate — the reliability-diagram input every model monitor
+  // publishes. One combinable pass after the per-row score.
+  private def calibrationBins(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(
+        rnd(TF.stopwordRatio(col("text"), Stopwords), 2).as("score"),
+        (col("lang") === "en").cast("int").as("is_en"))
+    scored
+      .withColumn(
+        "bin",
+        least(floor(col("score") * 10 + lit(1e-9)), lit(9.0)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(avg(col("score")), 6).as("avg_score"),
+        rnd(avg(col("is_en")), 6).as("pos_rate"))
+      .orderBy(col("bin"))
+  }
+
+  // q116 — population stability index (PSI) of `value` between the two
+  // month halves: bins = strict-inequality deciles of the FIRST period
+  // (q70 cut convention), both periods counted in one conditional pass,
+  // per-bin PSI term (p−q)·ln(p/q). The drift metric a production scorer
+  // monitors; the 1-row cut array binds via broadcast.
+  private def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val mid = lit("2024-01-15").cast("date")
+    val ev = t(s, dir, "events").select(to_date(col("ts")).as("day"), col("value"))
+    val cuts = ev
+      .filter(col("day") <= mid)
+      .agg(
+        percentile(
+          col("value"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cs"))
+    val binned = ev
+      .crossJoin(broadcast(cuts))
+      .select(
+        (size(filter(col("cs"), c => c < col("value"))) + 1).as("bin"),
+        col("day"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("day") <= mid, 1L).otherwise(0L)).as("n_p1"),
+        sum(when(col("day") > mid, 1L).otherwise(0L)).as("n_p2"))
+    val wAll = Window.partitionBy()
+    val p = col("n_p1") / sum(col("n_p1")).over(wAll)
+    val q = col("n_p2") / sum(col("n_p2")).over(wAll)
+    binned
+      .select(
+        col("bin"),
+        col("n_p1"),
+        col("n_p2"),
+        rnd(p, 6).as("frac_p1"),
+        rnd(q, 6).as("frac_p2"),
+        rnd(when(p > 0.0 && q > 0.0, (p - q) * log(p / q)), 6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2564,7 +2671,11 @@ object SparkEntry {
     "q109_grouping_sets" -> groupingSetsQuery,
     "q110_event_trigrams" -> eventTrigrams,
     "q111_moment_stats" -> momentStats,
-    "q112_pagerank" -> pageRankTypes)
+    "q112_pagerank" -> pageRankTypes,
+    "q113_seasonal_decomp" -> seasonalDecomp,
+    "q114_decile_migration" -> decileMigration,
+    "q115_calibration" -> calibrationBins,
+    "q116_psi_drift" -> psiDrift)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -4408,5 +4519,78 @@ object SparkEntry {
         |  FROM p4 JOIN norm ON norm.s = p4.node GROUP BY 1),
         |p5 AS (SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c5.c, 0) AS p
         |  FROM nodes CROSS JOIN nn LEFT JOIN c5 ON c5.node = nodes.node)
-        |SELECT node, round(p + 1e-9, 6) AS pr FROM p5 ORDER BY node""".stripMargin)
+        |SELECT node, round(p + 1e-9, 6) AS pr FROM p5 ORDER BY node""".stripMargin,
+    "q113_seasonal_decomp" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1
+        |), detr AS (
+        |  SELECT day, n,
+        |    avg(n) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+        |    isodow(day) AS dow
+        |  FROM daily
+        |), det2 AS (SELECT day, n, trend, dow, n - trend AS detrended FROM detr),
+        |seas AS (SELECT dow, avg(detrended) AS seasonal FROM det2 GROUP BY dow)
+        |SELECT day, CAST(n AS BIGINT) AS n_events,
+        |  round(trend + 1e-9, 4) AS trend,
+        |  round(seasonal + 1e-9, 4) AS seasonal,
+        |  round(n - trend - seasonal + 1e-9, 4) AS resid
+        |FROM det2 JOIN seas USING (dow) ORDER BY day""".stripMargin,
+    "q114_decile_migration" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN value ELSE 0 END) AS v1,
+        |    sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+        |      THEN value ELSE 0 END) AS v2
+        |  FROM events GROUP BY user_id
+        |), ranked AS (
+        |  SELECT ntile(10) OVER (ORDER BY v1 DESC, user_id) AS decile_p1,
+        |    ntile(10) OVER (ORDER BY v2 DESC, user_id) AS decile_p2
+        |  FROM pu
+        |)
+        |SELECT CAST(decile_p1 AS INT) AS decile_p1,
+        |  CAST(decile_p2 AS INT) AS decile_p2, count(*) AS n_users
+        |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q115_calibration" ->
+      """WITH scored AS (
+        |  SELECT round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |      ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t))))
+        |        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) END + 1e-9, 2) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+        |  FROM documents
+        |)
+        |SELECT CAST(least(floor(score * 10 + 1e-9), 9) AS INT) AS bin,
+        |  count(*) AS n,
+        |  round(avg(score) + 1e-9, 6) AS avg_score,
+        |  round(avg(is_en) + 1e-9, 6) AS pos_rate
+        |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q116_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, value FROM events
+        |), cuts AS (
+        |  SELECT quantile_cont(value,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+        |  FROM ev WHERE day <= DATE '2024-01-15'
+        |), binned AS (
+        |  SELECT CAST(1 + len(list_filter(cs, c -> c < value)) AS INT) AS bin,
+        |    CAST(sum(CASE WHEN day <= DATE '2024-01-15' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_p1,
+        |    CAST(sum(CASE WHEN day > DATE '2024-01-15' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_p2
+        |  FROM ev, cuts GROUP BY 1
+        |), fr AS (
+        |  SELECT bin, n_p1, n_p2,
+        |    n_p1 / CAST(sum(n_p1) OVER () AS DOUBLE) AS p,
+        |    n_p2 / CAST(sum(n_p2) OVER () AS DOUBLE) AS q
+        |  FROM binned
+        |)
+        |SELECT bin, n_p1, n_p2,
+        |  round(p + 1e-9, 6) AS frac_p1,
+        |  round(q + 1e-9, 6) AS frac_p2,
+        |  round(CASE WHEN p > 0 AND q > 0 THEN (p - q) * ln(p / q) END
+        |    + 1e-9, 6) AS psi_term
+        |FROM fr ORDER BY bin""".stripMargin)
 }
