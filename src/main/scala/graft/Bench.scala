@@ -82,7 +82,9 @@ object Bench {
     "q109_grouping_sets" -> 0.890, "q110_event_trigrams" -> 0.590,
     "q111_moment_stats" -> 0.390, "q112_pagerank" -> 2.590,
     "q113_seasonal_decomp" -> 0.730, "q114_decile_migration" -> 0.690,
-    "q115_calibration" -> 0.400, "q116_psi_drift" -> 0.660)
+    "q115_calibration" -> 0.400, "q116_psi_drift" -> 0.660,
+    "q117_bigram_surprisal" -> 1.560, "q118_pareto_frontier" -> 0.540,
+    "q119_ab_test" -> 0.640, "q120_spend_gini" -> 0.640)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2558,6 +2558,123 @@ object SparkEntry {
       .orderBy(col("bin"))
   }
 
+  // q117 — bigram language-model surprisal per language (the n-gram step
+  // up from q62's unigram): add-one-smoothed P(w2|w1) with c1 = full
+  // corpus unigram count and V = distinct unigrams (convention stated so
+  // the oracle mirrors it exactly). Bigrams form IN-ROW via zip_with over
+  // the token array — no per-token shuffle — then join the two
+  // vocabulary-sized count frames; the 1-row V binds via broadcast.
+  private def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toked = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), col("lang"), TF.tokens(lower(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bigrams = toked
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(
+          zip_with(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = toked
+      .select(explode(col("tk")).as("w1"))
+      .groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val perDoc = bigrams
+      .join(c2, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        (-log2((col("c2") + 1) / (col("c1") + col("v")))).as("sup"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(avg(col("sup")).as("m"))
+    perDoc
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), rnd(avg(col("m")), 6).as("avg_surprisal"))
+      .orderBy(col("lang"))
+  }
+
+  // q118 — 2-D Pareto frontier (skyline) of parts over (retail price,
+  // size): collapse to one row per price (max size — same-price domination
+  // resolved by the aggregate), then a strict-predecessor running max over
+  // the price-ordered AGGREGATE frame; a price survives iff its best size
+  // beats every strictly-higher price's. Window rides the
+  // distinct-price-sized frame, never the input.
+  private def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = t(s, dir, "part")
+      .groupBy(col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("best_size"), count(lit(1)).as("n_parts"))
+    val wPrev = Window.orderBy(col("price").desc).rowsBetween(Window.unboundedPreceding, -1)
+    byPrice
+      .withColumn("prev_max", max(col("best_size")).over(wPrev))
+      .filter(col("prev_max").isNull || col("best_size") > col("prev_max"))
+      .select(col("price"), col("best_size"), col("n_parts"))
+      .orderBy(col("price").desc)
+  }
+
+  // q119 — two-proportion A/B test: users assigned to arms by the exact
+  // Knuth-multiplicative hash split (q65's Features.hashSplit — stable
+  // across runs, partitions, and engines), conversion = any purchase
+  // event; pooled z-statistic with the 1.96 two-sided significance gate.
+  // Everything after the scan is a user-sized then 2-row aggregate.
+  private def abTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+      .withColumn("arm", Features.hashSplit(col("user_id"), Seq(("a", 50), ("b", 100))))
+    val row = perUser.agg(
+      sum(when(col("arm") === "a", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "b", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "a", col("converted")).otherwise(0)).as("conv_a"),
+      sum(when(col("arm") === "b", col("converted")).otherwise(0)).as("conv_b"))
+    val p1 = col("conv_a") / col("n_a")
+    val p2 = col("conv_b") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
+    val z = (p1 - p2) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    row.select(
+      col("n_a"),
+      col("n_b"),
+      rnd(p1, 6).as("rate_a"),
+      rnd(p2, 6).as("rate_b"),
+      rnd(when(pp > 0.0 && pp < 1.0, z), 4).as("z"),
+      when(pp > 0.0 && pp < 1.0, (abs(z) > 1.96).cast("int"))
+        .otherwise(lit(null))
+        .as("significant"))
+  }
+
+  // q120 — Gini coefficient of user spend concentration (the Lorenz-curve
+  // inequality summary): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over spends
+  // sorted ascending, user_id tiebreak. The ranking window rides the
+  // user-sized AGGREGATE frame; result is tie-order-invariant because
+  // tied spends contribute the same rank-sum either way.
+  private def spendGini(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value")).as("spend"))
+    val w = Window.orderBy(col("spend"), col("user_id"))
+    perUser
+      .withColumn("i", row_number().over(w))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("spend")).as("_tot"),
+        sum(col("i") * col("spend")).as("_wsum"))
+      .select(
+        col("n_users"),
+        rnd(col("_tot"), 2).as("total_spend"),
+        rnd(
+          lit(2.0) * col("_wsum") / (col("n_users") * col("_tot")) -
+            (col("n_users") + lit(1.0)) / col("n_users"),
+          6).as("gini"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2675,7 +2792,11 @@ object SparkEntry {
     "q113_seasonal_decomp" -> seasonalDecomp,
     "q114_decile_migration" -> decileMigration,
     "q115_calibration" -> calibrationBins,
-    "q116_psi_drift" -> psiDrift)
+    "q116_psi_drift" -> psiDrift,
+    "q117_bigram_surprisal" -> bigramSurprisal,
+    "q118_pareto_frontier" -> paretoFrontier,
+    "q119_ab_test" -> abTest,
+    "q120_spend_gini" -> spendGini)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -4592,5 +4713,97 @@ object SparkEntry {
         |  round(q + 1e-9, 6) AS frac_p2,
         |  round(CASE WHEN p > 0 AND q > 0 THEN (p - q) * ln(p / q) END
         |    + 1e-9, 6) AS psi_term
-        |FROM fr ORDER BY bin""".stripMargin)
+        |FROM fr ORDER BY bin""".stripMargin,
+    "q117_bigram_surprisal" ->
+      """WITH toked AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''
+        |), t2 AS (SELECT * FROM toked WHERE len(tk) >= 2),
+        |uni AS (
+        |  SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(tk) AS w1 FROM t2) GROUP BY 1
+        |), v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |bgf AS (
+        |  SELECT doc_id, lang, z[1] AS w1, z[2] AS w2
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_zip(tk[1:len(tk) - 1], tk[2:len(tk)])) AS z
+        |    FROM t2
+        |  )
+        |), c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgf GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT bgf.doc_id, bgf.lang,
+        |    avg(-log2((c2.c2 + 1) / (uni.c1 + v.v))) AS m
+        |  FROM bgf JOIN c2 USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |  GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(m) + 1e-9, 6) AS avg_surprisal
+        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
+    "q118_pareto_frontier" ->
+      """WITH by_price AS (
+        |  SELECT p_retailprice AS price, CAST(max(p_size) AS INT) AS best_size,
+        |    count(*) AS n_parts
+        |  FROM part GROUP BY 1
+        |), flagged AS (
+        |  SELECT price, best_size, n_parts,
+        |    max(best_size) OVER (ORDER BY price DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM by_price
+        |)
+        |SELECT price, best_size, n_parts FROM flagged
+        |WHERE prev_max IS NULL OR best_size > prev_max
+        |ORDER BY price DESC""".stripMargin,
+    "q119_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id
+        |), armed AS (
+        |  SELECT conv,
+        |    CASE WHEN (CAST((CAST(user_id AS HUGEINT) * 2654435761)
+        |        % 4294967296 AS BIGINT) * 100) >> 32 < 50
+        |      THEN 'a' ELSE 'b' END AS arm
+        |  FROM pu
+        |), agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM armed
+        |), st AS (
+        |  SELECT n_a, n_b,
+        |    conv_a / CAST(n_a AS DOUBLE) AS p1,
+        |    conv_b / CAST(n_b AS DOUBLE) AS p2,
+        |    (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS pp
+        |  FROM agg
+        |)
+        |SELECT n_a, n_b,
+        |  round(p1 + 1e-9, 6) AS rate_a,
+        |  round(p2 + 1e-9, 6) AS rate_b,
+        |  round(CASE WHEN pp > 0 AND pp < 1 THEN
+        |    (p1 - p2) / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)) END
+        |    + 1e-9, 4) AS z,
+        |  CASE WHEN pp > 0 AND pp < 1 THEN
+        |    CAST(abs((p1 - p2)
+        |      / sqrt(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS INT)
+        |  END AS significant
+        |FROM st""".stripMargin,
+    "q120_spend_gini" ->
+      """WITH pu AS (
+        |  SELECT user_id, sum(value) AS spend FROM events GROUP BY user_id
+        |), ranked AS (
+        |  SELECT spend,
+        |    row_number() OVER (ORDER BY spend, user_id) AS i
+        |  FROM pu
+        |)
+        |SELECT count(*) AS n_users,
+        |  round(sum(spend) + 1e-9, 2) AS total_spend,
+        |  round(2.0 * sum(i * spend) / (count(*) * sum(spend))
+        |    - (count(*) + 1.0) / count(*) + 1e-9, 6) AS gini
+        |FROM ranked""".stripMargin)
 }
