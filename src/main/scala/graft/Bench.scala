@@ -84,7 +84,9 @@ object Bench {
     "q113_seasonal_decomp" -> 0.730, "q114_decile_migration" -> 0.690,
     "q115_calibration" -> 0.400, "q116_psi_drift" -> 0.660,
     "q117_bigram_surprisal" -> 1.560, "q118_pareto_frontier" -> 0.540,
-    "q119_ab_test" -> 0.640, "q120_spend_gini" -> 0.640)
+    "q119_ab_test" -> 0.640, "q120_spend_gini" -> 0.640,
+    "q121_benford" -> 0.480, "q122_rfm_segments" -> 1.020,
+    "q123_readability" -> 0.420, "q124_overlap_matrix" -> 1.440)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

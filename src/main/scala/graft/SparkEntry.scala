@@ -2675,6 +2675,124 @@ object SparkEntry {
           6).as("gini"))
   }
 
+  // q121 — Benford first-digit audit of order totals (the forensic
+  // data-quality screen): digit extracted from the DECIMAL(18,2) string
+  // form — identical on both engines, immune to the floor(log10(x))
+  // 1-ulp hazard at exact powers of ten — vs the Benford expectation
+  // log10(1 + 1/d). One combinable digit count.
+  private def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+      .cast("int")
+    val wAll = Window.partitionBy()
+    t(s, dir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac", col("n") / sum(col("n")).over(wAll))
+      .select(
+        col("digit"),
+        col("n"),
+        rnd(col("frac"), 6).as("frac"),
+        rnd(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6).as("expected"),
+        rnd(col("frac") - log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("deviation"))
+      .orderBy(col("digit"))
+  }
+
+  // q122 — RFM segmentation: per-user recency (vs the global max
+  // timestamp, q94 anchor pattern), frequency, monetary in ONE pass;
+  // quintile scores via ntile on the user-sized aggregate (user_id
+  // tiebreaks); segment code = 100·R + 10·F + M. The marketing
+  // segmentation every events warehouse ships.
+  private def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("freq"),
+        sum(col("value")).as("monetary"))
+    val anchor = perUser.agg(max(col("last_ts")).as("max_ts"))
+    val rec = perUser
+      .crossJoin(broadcast(anchor))
+      .withColumn(
+        "recency_days",
+        (floor(unix_timestamp(col("max_ts"))) - floor(unix_timestamp(col("last_ts")))) / 86400.0)
+    val scored = rec
+      .withColumn(
+        "r_score",
+        ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id"))))
+      .withColumn(
+        "f_score",
+        ntile(5).over(Window.orderBy(col("freq"), col("user_id"))))
+      .withColumn(
+        "m_score",
+        ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))))
+    scored
+      .groupBy(
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("segment"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        rnd(avg(col("recency_days")), 4).as("avg_recency_days"),
+        rnd(avg(col("freq")), 4).as("avg_freq"),
+        rnd(avg(col("monetary")), 2).as("avg_monetary"))
+      .orderBy(col("segment"))
+  }
+
+  // q123 — Flesch-style readability profile per language: words =
+  // whitespace tokens, sentences = terminator runs (floored at 1),
+  // syllables ≈ vowel-group count — every piece a codegen'd regexp over
+  // the scan, one combinable rollup. A heuristic (zh scores off the
+  // scale) but a deterministic, documented one.
+  private def readability(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+    val words = size(TF.tokens(col("text"))).cast("double")
+    val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("double")
+    val syllables = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("double")
+    val wps = words / sentences
+    val spw = syllables / words
+    val flesch = lit(206.835) - lit(1.015) * wps - lit(84.6) * spw
+    docs
+      .select(col("lang"), wps.as("wps"), spw.as("spw"), flesch.as("fl"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        rnd(avg(col("wps")), 4).as("avg_words_per_sentence"),
+        rnd(avg(col("spw")), 4).as("avg_syllables_per_word"),
+        rnd(avg(col("fl")), 4).as("avg_flesch"))
+      .orderBy(col("lang"))
+  }
+
+  // q124 — audience overlap matrix between event types: distinct
+  // (user, type) presence, self-joined on user (type_a < type_b), overlap
+  // coefficient |A∩B| / min(|A|,|B|) and Jaccard — the
+  // cross-feature-adoption report. The presence frame is
+  // users×categories-sized; the join key is the user id.
+  private def overlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    val presence = t(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val sizes = presence.groupBy(col("event_type")).agg(count(lit(1)).as("sz"))
+    val a = presence.select(col("user_id"), col("event_type").as("type_a"))
+    val b = presence.select(col("user_id"), col("event_type").as("type_b"))
+    val both = a
+      .join(b, "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_a").withColumnRenamed("sz", "n_a")), "type_a")
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_b").withColumnRenamed("sz", "n_b")), "type_b")
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_both"),
+        rnd(col("n_both") / least(col("n_a"), col("n_b")), 6).as("overlap"),
+        rnd(col("n_both") / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2796,7 +2914,11 @@ object SparkEntry {
     "q117_bigram_surprisal" -> bigramSurprisal,
     "q118_pareto_frontier" -> paretoFrontier,
     "q119_ab_test" -> abTest,
-    "q120_spend_gini" -> spendGini)
+    "q120_spend_gini" -> spendGini,
+    "q121_benford" -> benfordDigits,
+    "q122_rfm_segments" -> rfmSegments,
+    "q123_readability" -> readability,
+    "q124_overlap_matrix" -> overlapMatrix)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -4805,5 +4927,78 @@ object SparkEntry {
         |  round(sum(spend) + 1e-9, 2) AS total_spend,
         |  round(2.0 * sum(i * spend) / (count(*) * sum(spend))
         |    - (count(*) + 1.0) / count(*) + 1e-9, 6) AS gini
-        |FROM ranked""".stripMargin)
+        |FROM ranked""".stripMargin,
+    "q121_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice > 0
+        |), c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |f AS (
+        |  SELECT digit, n, n / CAST(sum(n) OVER () AS DOUBLE) AS frac FROM c
+        |)
+        |SELECT digit, n, round(frac + 1e-9, 6) AS frac,
+        |  round(log10(1 + 1.0 / digit) + 1e-9, 6) AS expected,
+        |  round(frac - log10(1 + 1.0 / digit) + 1e-9, 6) AS deviation
+        |FROM f ORDER BY digit""".stripMargin,
+    "q122_rfm_segments" ->
+      """WITH pu AS (
+        |  SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts,
+        |    count(*) AS freq, sum(value) AS monetary
+        |  FROM events GROUP BY user_id
+        |), mx AS (SELECT max(last_ts) AS max_ts FROM pu),
+        |rec AS (
+        |  SELECT user_id, freq, monetary,
+        |    (CAST(floor(epoch(max_ts)) AS BIGINT)
+        |      - CAST(floor(epoch(last_ts)) AS BIGINT)) / 86400.0 AS recency_days
+        |  FROM pu, mx
+        |), scored AS (
+        |  SELECT recency_days, freq, monetary,
+        |    ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+        |  FROM rec
+        |)
+        |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment,
+        |  count(*) AS n_users,
+        |  round(avg(recency_days) + 1e-9, 4) AS avg_recency_days,
+        |  round(avg(freq) + 1e-9, 4) AS avg_freq,
+        |  round(avg(monetary) + 1e-9, 2) AS avg_monetary
+        |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin,
+    "q123_readability" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |      AS words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS DOUBLE) AS sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |      AS syllables
+        |  FROM documents WHERE trim(text) <> ''
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(words / sentences) + 1e-9, 4) AS avg_words_per_sentence,
+        |  round(avg(syllables / words) + 1e-9, 4) AS avg_syllables_per_word,
+        |  round(avg(206.835 - 1.015 * (words / sentences)
+        |    - 84.6 * (syllables / words)) + 1e-9, 4) AS avg_flesch
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q124_overlap_matrix" ->
+      """WITH presence AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, count(*) AS sz FROM presence GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM presence a JOIN presence b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, sa.sz AS n_a, sb.sz AS n_b, n_both,
+        |  round(n_both / CAST(least(sa.sz, sb.sz) AS DOUBLE) + 1e-9, 6)
+        |    AS overlap,
+        |  round(n_both / CAST(sa.sz + sb.sz - n_both AS DOUBLE) + 1e-9, 6)
+        |    AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.event_type = pairs.type_a
+        |JOIN sizes sb ON sb.event_type = pairs.type_b
+        |ORDER BY type_a, type_b""".stripMargin)
 }
