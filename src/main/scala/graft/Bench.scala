@@ -86,7 +86,9 @@ object Bench {
     "q117_bigram_surprisal" -> 1.560, "q118_pareto_frontier" -> 0.540,
     "q119_ab_test" -> 0.640, "q120_spend_gini" -> 0.640,
     "q121_benford" -> 0.480, "q122_rfm_segments" -> 1.020,
-    "q123_readability" -> 0.420, "q124_overlap_matrix" -> 1.440)
+    "q123_readability" -> 0.420, "q124_overlap_matrix" -> 1.440,
+    "q125_ks_drift" -> 0.860, "q126_holt_forecast" -> 0.860,
+    "q127_cohort_ltv" -> 1.210, "q128_changepoint" -> 0.600)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

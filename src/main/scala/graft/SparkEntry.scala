@@ -2793,6 +2793,138 @@ object SparkEntry {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  // q125 — two-sample Kolmogorov–Smirnov drift test between the month
+  // halves of `value`, exact on the floor(value·10) grid (floor is
+  // 1-ulp-safe where round-half is not; quantization documented — the D
+  // statistic is exact for the binned distributions). ECDFs via cumulative
+  // windows over the bin-cardinality aggregate frame; 1.358·√((n1+n2)/n1n2)
+  // is the α=0.05 critical value.
+  private def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val mid = lit("2024-01-15").cast("date")
+    val binned = t(s, dir, "events")
+      .select(
+        floor(col("value") * 10).as("bin"),
+        (to_date(col("ts")) <= mid).as("p1"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("p1"), 1L).otherwise(0L)).as("n2"))
+    val wCum = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val ecdf = binned
+      .withColumn("t1", sum(col("n1")).over(wAll))
+      .withColumn("t2", sum(col("n2")).over(wAll))
+      .withColumn("d", abs(
+        sum(col("n1")).over(wCum) / col("t1") -
+          sum(col("n2")).over(wCum) / col("t2")))
+    ecdf
+      .agg(first(col("t1")).as("n_p1"), first(col("t2")).as("n_p2"), max(col("d")).as("_d"))
+      .select(
+        col("n_p1"),
+        col("n_p2"),
+        rnd(col("_d"), 6).as("d_stat"),
+        rnd(
+          lit(1.358) * sqrt((col("n_p1") + col("n_p2")) / (col("n_p1") * col("n_p2")).cast("double")),
+          6).as("crit_05"),
+        (col("_d") > lit(1.358) * sqrt(
+          (col("n_p1") + col("n_p2")) / (col("n_p1") * col("n_p2")).cast("double")))
+          .cast("int").as("drifted"))
+  }
+
+  // q126 — Holt double-exponential forecast per event type (α=0.3, β=0.2):
+  // the trend-aware step up from q72's EWMA, run as the same typed
+  // per-group scan (WindowOps.holt) over the pre-aggregated ~30-row daily
+  // series; 7-day-ahead forecast ŷ = l + 7b. The oracle replays the exact
+  // recursion as a recursive CTE with (1 − α)-by-subtraction literals.
+  private def holtForecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("y"))
+    WindowOps
+      .holt(daily, Seq("event_type"), Seq("day"), "y", alpha = 0.3, beta = 0.2)
+      .select(
+        col("event_type"),
+        col("n").as("n_days"),
+        rnd(col("level"), 4).as("level"),
+        rnd(col("trend"), 4).as("trend"),
+        rnd(col("level") + lit(7.0) * col("trend"), 4).as("forecast_7d"))
+      .orderBy(col("event_type"))
+  }
+
+  // q127 — cohort LTV triangle: users grouped by first-seen day, purchase
+  // revenue rolled up per (cohort, week offset), cumulative LTV per user
+  // via a running window over the cohort-sized aggregate — q61's retention
+  // triangle upgraded from presence counts to money.
+  private def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val first = ev
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val cohortSize = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_users"))
+    val rev = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      .join(first, "user_id")
+      .groupBy(
+        col("cohort_day"),
+        floor(datediff(col("d"), col("cohort_day")) / 7).cast("long").as("offset_w"))
+      .agg(sum(col("value")).as("revenue"))
+    val wCum = Window
+      .partitionBy(col("cohort_day"))
+      .orderBy(col("offset_w"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev
+      .join(broadcast(cohortSize), "cohort_day")
+      .withColumn("cum_rev", sum(col("revenue")).over(wCum))
+      .select(
+        col("cohort_day"),
+        col("offset_w"),
+        col("cohort_users"),
+        rnd(col("revenue"), 2).as("revenue"),
+        rnd(col("cum_rev") / col("cohort_users"), 4).as("cum_ltv_per_user"))
+      .orderBy(col("cohort_day"), col("offset_w"))
+  }
+
+  // q128 — single changepoint detection on the daily value mean: for every
+  // split point of the 30-row daily aggregate, a Welch-style statistic
+  // |m₁−m₂| / √(v₁/n₁ + v₂/n₂) from cumulative sufficient statistics
+  // (running n, Σx, Σx² — no per-split rescan); the argmax split is the
+  // detected shift. Ties break on the earlier day.
+  private def changepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("value")).as("sx"),
+        sum(col("value") * col("value")).as("sxx"))
+    val wCum = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val cum = daily
+      .withColumn("cn", sum(col("n")).over(wCum))
+      .withColumn("cs", sum(col("sx")).over(wCum))
+      .withColumn("css", sum(col("sxx")).over(wCum))
+      .withColumn("tn", sum(col("n")).over(wAll))
+      .withColumn("ts", sum(col("sx")).over(wAll))
+      .withColumn("tss", sum(col("sxx")).over(wAll))
+      .filter(col("cn") < col("tn"))
+    val m1 = col("cs") / col("cn")
+    val m2 = (col("ts") - col("cs")) / (col("tn") - col("cn"))
+    val v1 = col("css") / col("cn") - m1 * m1
+    val v2 = (col("tss") - col("css")) / (col("tn") - col("cn")) - m2 * m2
+    val stat = abs(m1 - m2) / sqrt(v1 / col("cn") + v2 / (col("tn") - col("cn")))
+    cum
+      .select(
+        col("day").as("change_day"),
+        stat.as("t"),
+        m1.as("mb"),
+        m2.as("ma"))
+      .orderBy(col("t").desc, col("change_day"))
+      .limit(1)
+      .select(
+        col("change_day"),
+        rnd(col("t"), 4).as("t_stat"),
+        rnd(col("mb"), 4).as("mean_before"),
+        rnd(col("ma"), 4).as("mean_after"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -2918,7 +3050,11 @@ object SparkEntry {
     "q121_benford" -> benfordDigits,
     "q122_rfm_segments" -> rfmSegments,
     "q123_readability" -> readability,
-    "q124_overlap_matrix" -> overlapMatrix)
+    "q124_overlap_matrix" -> overlapMatrix,
+    "q125_ks_drift" -> ksDrift,
+    "q126_holt_forecast" -> holtForecast,
+    "q127_cohort_ltv" -> cohortLtv,
+    "q128_changepoint" -> changepoint)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -5000,5 +5136,106 @@ object SparkEntry {
         |FROM pairs
         |JOIN sizes sa ON sa.event_type = pairs.type_a
         |JOIN sizes sb ON sb.event_type = pairs.type_b
-        |ORDER BY type_a, type_b""".stripMargin)
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q125_ks_drift" ->
+      """WITH binned AS (
+        |  SELECT CAST(floor(value * 10) AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM events GROUP BY 1
+        |), e AS (
+        |  SELECT
+        |    sum(n1) OVER () AS t1, sum(n2) OVER () AS t2,
+        |    abs(sum(n1) OVER (ORDER BY bin) / CAST(sum(n1) OVER () AS DOUBLE)
+        |      - sum(n2) OVER (ORDER BY bin) / CAST(sum(n2) OVER () AS DOUBLE))
+        |      AS d
+        |  FROM binned
+        |)
+        |SELECT CAST(max(t1) AS BIGINT) AS n_p1, CAST(max(t2) AS BIGINT) AS n_p2,
+        |  round(max(d) + 1e-9, 6) AS d_stat,
+        |  round(1.358 * sqrt((max(t1) + max(t2))
+        |    / CAST(max(t1) * max(t2) AS DOUBLE)) + 1e-9, 6) AS crit_05,
+        |  CAST(max(d) > 1.358 * sqrt((max(t1) + max(t2))
+        |    / CAST(max(t1) * max(t2) AS DOUBLE)) AS INT) AS drifted
+        |FROM e""".stripMargin,
+    "q126_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2
+        |), idx AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM daily
+        |), h AS (
+        |  -- seed b must be DOUBLE: a bare 0.0 types as DECIMAL(2,1) and the
+        |  -- recursive union then rounds the trend to one decimal per step
+        |  SELECT event_type, i, y AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.i,
+        |    0.3 * d.y + (1 - 0.3) * (h.l + h.b),
+        |    0.2 * ((0.3 * d.y + (1 - 0.3) * (h.l + h.b)) - h.l)
+        |      + (1 - 0.2) * h.b
+        |  FROM h JOIN idx d ON d.event_type = h.event_type AND d.i = h.i + 1
+        |), fin AS (SELECT event_type, max(i) AS n FROM h GROUP BY 1)
+        |SELECT h.event_type, CAST(fin.n AS BIGINT) AS n_days,
+        |  round(h.l + 1e-9, 4) AS level,
+        |  round(h.b + 1e-9, 4) AS trend,
+        |  round(h.l + 7.0 * h.b + 1e-9, 4) AS forecast_7d
+        |FROM h JOIN fin ON h.event_type = fin.event_type AND h.i = fin.n
+        |ORDER BY h.event_type""".stripMargin,
+    "q127_cohort_ltv" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id
+        |), cs AS (
+        |  SELECT cohort_day, count(*) AS cohort_users FROM fs GROUP BY 1
+        |), rev AS (
+        |  SELECT f.cohort_day,
+        |    CAST(floor(datediff('day', f.cohort_day, CAST(e.ts AS DATE))
+        |      / 7.0) AS BIGINT) AS offset_w,
+        |    sum(e.value) AS revenue
+        |  FROM events e JOIN fs f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT r.cohort_day, r.offset_w, cs.cohort_users,
+        |  round(r.revenue + 1e-9, 2) AS revenue,
+        |  round(sum(r.revenue) OVER (PARTITION BY r.cohort_day
+        |      ORDER BY r.offset_w) / cs.cohort_users + 1e-9, 4)
+        |    AS cum_ltv_per_user
+        |FROM rev r JOIN cs USING (cohort_day)
+        |ORDER BY cohort_day, offset_w""".stripMargin,
+    "q128_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(value) AS sx, sum(value * value) AS sxx
+        |  FROM events GROUP BY 1
+        |), cum AS (
+        |  SELECT day,
+        |    sum(n) OVER (ORDER BY day) AS cn,
+        |    sum(sx) OVER (ORDER BY day) AS cs,
+        |    sum(sxx) OVER (ORDER BY day) AS css,
+        |    sum(n) OVER () AS tn, sum(sx) OVER () AS ts,
+        |    sum(sxx) OVER () AS tss
+        |  FROM daily
+        |), st AS (
+        |  SELECT day, cn, tn,
+        |    cs / cn AS m1, (ts - cs) / (tn - cn) AS m2,
+        |    css / cn - (cs / cn) * (cs / cn) AS v1,
+        |    (tss - css) / (tn - cn)
+        |      - ((ts - cs) / (tn - cn)) * ((ts - cs) / (tn - cn)) AS v2
+        |  FROM cum WHERE cn < tn
+        |)
+        |SELECT day AS change_day,
+        |  round(abs(m1 - m2) / sqrt(v1 / cn + v2 / (tn - cn)) + 1e-9, 4)
+        |    AS t_stat,
+        |  round(m1 + 1e-9, 4) AS mean_before,
+        |  round(m2 + 1e-9, 4) AS mean_after
+        |FROM st
+        |ORDER BY abs(m1 - m2) / sqrt(v1 / cn + v2 / (tn - cn)) DESC, change_day
+        |LIMIT 1""".stripMargin)
 }

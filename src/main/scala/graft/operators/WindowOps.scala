@@ -127,6 +127,84 @@ object WindowOps {
       }(rowEnc)
   }
 
+  /** Holt double-exponential smoothing (the EWMA's trend-aware sibling):
+    * per group, the online recursion over rows in `orderBy` order
+    *
+    *   l₁ = y₁, b₁ = 0
+    *   lₜ = α·yₜ + (1−α)·(lₜ₋₁ + bₜ₋₁)
+    *   bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁
+    *
+    * returning ONE row per group: (partition cols..., n, level, trend) —
+    * the final state a forecaster extrapolates from (ŷₜ₊ₕ = l + h·b).
+    * Same typed per-group scan as `ewma` (and the same trade: the group
+    * buffers in memory like a WindowExec partition; codegen is given up
+    * for an exact, overflow-free recursion). Null values leave the state
+    * unchanged. The (1−α)/(1−β) complements are computed BY SUBTRACTION so
+    * an oracle writing `(1 - 0.3)` reproduces bit-identical arithmetic.
+    */
+  def holt(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      orderBy: Seq[String],
+      c: String,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha out of (0,1): $alpha")
+    require(beta > 0 && beta < 1, s"beta out of (0,1): $beta")
+    require(orderBy.nonEmpty, "holt needs an ordering column")
+    val ra = 1.0 - alpha
+    val rb = 1.0 - beta
+    val schema = df.schema
+    val keyIdx = partitionBy.map(schema.fieldIndex)
+    val ordIdx = orderBy.map(schema.fieldIndex)
+    val valIdx = schema.fieldIndex(c)
+    val keySchema = org.apache.spark.sql.types.StructType(keyIdx.map(schema(_)))
+    val outSchema = keySchema
+      .add("n", org.apache.spark.sql.types.LongType)
+      .add("level", org.apache.spark.sql.types.DoubleType)
+      .add("trend", org.apache.spark.sql.types.DoubleType)
+    val keyEnc = org.apache.spark.sql.Encoders.row(keySchema)
+    val outEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.groupByKey { row: org.apache.spark.sql.Row =>
+      org.apache.spark.sql.Row.fromSeq(keyIdx.map(row.get))
+    }(keyEnc)
+      .mapGroups { (key: org.apache.spark.sql.Row, it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.toArray
+        java.util.Arrays.sort(
+          rows,
+          (a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) =>
+            ordIdx.iterator
+              .map { i =>
+                (a.get(i), b.get(i)) match {
+                  case (null, null) => 0
+                  case (null, _) => -1
+                  case (_, null) => 1
+                  case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+                }
+              }
+              .find(_ != 0)
+              .getOrElse(0))
+        var n = 0L
+        var l = 0.0
+        var b = 0.0
+        rows.foreach { row =>
+          val v = row.get(valIdx)
+          if (v != null) {
+            val y = v.asInstanceOf[Number].doubleValue()
+            if (n == 0L) { l = y; b = 0.0 }
+            else {
+              val nl = alpha * y + ra * (l + b)
+              b = beta * (nl - l) + rb * b
+              l = nl
+            }
+            n += 1L
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          key.toSeq ++ Seq(n, if (n == 0) null else l, if (n == 0) null else b))
+      }(outEnc)
+  }
+
   /** W5 + P14 — adjacent-row trend discretization (蔬菜价格相关性分析.py:94-99):
     * compare the NEXT row's value against the current one and emit
     * "up" (> 1+band), "down" (< 1−band), or "flat". Rows with no successor
