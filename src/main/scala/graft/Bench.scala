@@ -88,7 +88,9 @@ object Bench {
     "q121_benford" -> 0.480, "q122_rfm_segments" -> 1.020,
     "q123_readability" -> 0.420, "q124_overlap_matrix" -> 1.440,
     "q125_ks_drift" -> 0.860, "q126_holt_forecast" -> 0.860,
-    "q127_cohort_ltv" -> 1.210, "q128_changepoint" -> 0.600)
+    "q127_cohort_ltv" -> 1.210, "q128_changepoint" -> 0.600,
+    "q129_embedding_norms" -> 0.430, "q130_davies_bouldin" -> 1.450,
+    "q131_gap_percentiles" -> 1.140, "q132_mutual_information" -> 0.730)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2925,6 +2925,129 @@ object SparkEntry {
         rnd(col("ma"), 4).as("mean_after"))
   }
 
+  // q129 — embedding L2-norm profile per label: the norm computes IN-ROW
+  // (sequential left-fold over the float array, widened to double exactly
+  // as the oracle's list arithmetic), then one combinable rollup. The
+  // sanity screen run before any cosine-similarity work (un-normalized
+  // vectors silently break cosine ANN).
+  private def embeddingNorms(s: SparkSession, dir: String): DataFrame = {
+    val norm = sqrt(
+      aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0),
+        (acc, v) => acc + v))
+    t(s, dir, "embeddings")
+      .select(col("label"), norm.as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(avg(col("nrm")), 6).as("avg_norm"),
+        rnd(min(col("nrm")), 6).as("min_norm"),
+        rnd(max(col("nrm")), 6).as("max_norm"))
+      .orderBy(col("label"))
+  }
+
+  // q130 — Davies–Bouldin cluster-quality index over the GIVEN labels,
+  // entirely from sufficient statistics: per (label, dim) the mean and
+  // mean-square give scatterᵢ² = E‖x‖² − ‖cᵢ‖² (since cᵢ = E[x]), and
+  // centroid distances come from pairwise centroid dot products
+  // (d²ᵢⱼ = ‖cᵢ‖² + ‖cⱼ‖² − 2cᵢ·cⱼ) — label²·dim-sized frames, never a
+  // vector-pair product. Rᵢ = maxⱼ (sᵢ+sⱼ)/dᵢⱼ per label.
+  private def daviesBouldin(s: SparkSession, dir: String): DataFrame = {
+    val dims = t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("label"), col("dim"), col("xf").cast("double").as("x"))
+    val perDim = dims
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x")).as("c"), avg(col("x") * col("x")).as("m2"))
+    val perLabel = perDim
+      .groupBy(col("label"))
+      .agg(
+        sum(col("m2")).as("_em2"),
+        sum(col("c") * col("c")).as("_cn2"))
+      .select(
+        col("label"),
+        sqrt(greatest(col("_em2") - col("_cn2"), lit(0.0))).as("scatter"),
+        col("_cn2"))
+    val dots = perDim.as("a")
+      .join(perDim.as("b"), Seq("dim"))
+      .filter(col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    val pa = perLabel.select(col("label").as("la"), col("scatter").as("sa"), col("_cn2").as("na"))
+    val pb = perLabel.select(col("label").as("lb"), col("scatter").as("sb"), col("_cn2").as("nb"))
+    val pairs = dots
+      .join(pa, "la")
+      .join(pb, "lb")
+      .withColumn("r", (col("sa") + col("sb")) /
+        sqrt(greatest(col("na") + col("nb") - lit(2.0) * col("dot"), lit(0.0))))
+    val ri = pairs.select(col("la").as("label"), col("r"))
+      .union(pairs.select(col("lb").as("label"), col("r")))
+      .groupBy(col("label"))
+      .agg(max(col("r")).as("r_i"))
+    perLabel
+      .join(ri, "label")
+      .select(col("label"), rnd(col("scatter"), 6).as("scatter"), rnd(col("r_i"), 6).as("r_i"))
+      .orderBy(col("label"))
+  }
+
+  // q131 — inter-event gap latency profile per event type: per-user lag
+  // over (ts, event_id), gap in exact fractional seconds, then exact p50 /
+  // p90 / p99 via grouped `percentile` (matches DuckDB quantile_cont) —
+  // the operational tail-latency report.
+  private def gapPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(
+        col("event_type"),
+        ((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))) / 1e6).as("gap_s"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        rnd(avg(col("gap_s")), 4).as("avg_gap_s"),
+        rnd(percentile(col("gap_s"), lit(0.5)), 4).as("p50_s"),
+        rnd(percentile(col("gap_s"), lit(0.9)), 4).as("p90_s"),
+        rnd(percentile(col("gap_s"), lit(0.99)), 4).as("p99_s"))
+      .orderBy(col("event_type"))
+  }
+
+  // q132 — mutual information between event type and weekday (the
+  // information-theoretic companion to q102's chi-square): joint counts in
+  // ONE pass, marginals via windows over the |X|·|Y|-sized aggregate,
+  // MI = Σ pₓᵧ·ln(pₓᵧ·N/(nₓ·nᵧ)), entropies likewise, NMI = MI/√(HₓHᵧ).
+  // The weekday key is internal (both engines group the same day-sets).
+  private def mutualInformation(s: SparkSession, dir: String): DataFrame = {
+    val joint = t(s, dir, "events")
+      .groupBy(col("event_type").as("x"), dayofweek(to_date(col("ts"))).as("y"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val wx = Window.partitionBy(col("x"))
+    val wy = Window.partitionBy(col("y"))
+    val wAll = Window.partitionBy()
+    val ext = joint
+      .withColumn("cx", sum(col("c")).over(wx))
+      .withColumn("cy", sum(col("c")).over(wy))
+      .withColumn("tot", sum(col("c")).over(wAll))
+    val hTerm = (c: Column, t: Column) => -(c / t) * log(c / t)
+    val miAgg = ext.agg(
+      first(col("tot")).cast("long").as("n"),
+      sum((col("c") / col("tot")) *
+        log(col("c") * col("tot") / (col("cx") * col("cy")))).as("_mi"))
+    val hx = ext.select(col("x"), col("cx"), col("tot")).distinct()
+      .agg(sum(hTerm(col("cx"), col("tot"))).as("_hx"))
+    val hy = ext.select(col("y"), col("cy"), col("tot")).distinct()
+      .agg(sum(hTerm(col("cy"), col("tot"))).as("_hy"))
+    miAgg
+      .crossJoin(broadcast(hx))
+      .crossJoin(broadcast(hy))
+      .select(
+        col("n"),
+        rnd(col("_mi"), 6).as("mi"),
+        rnd(col("_hx"), 6).as("h_x"),
+        rnd(col("_hy"), 6).as("h_y"),
+        rnd(col("_mi") / sqrt(col("_hx") * col("_hy")), 6).as("nmi"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3054,7 +3177,11 @@ object SparkEntry {
     "q125_ks_drift" -> ksDrift,
     "q126_holt_forecast" -> holtForecast,
     "q127_cohort_ltv" -> cohortLtv,
-    "q128_changepoint" -> changepoint)
+    "q128_changepoint" -> changepoint,
+    "q129_embedding_norms" -> embeddingNorms,
+    "q130_davies_bouldin" -> daviesBouldin,
+    "q131_gap_percentiles" -> gapPercentiles,
+    "q132_mutual_information" -> mutualInformation)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -5237,5 +5364,89 @@ object SparkEntry {
         |  round(m2 + 1e-9, 4) AS mean_after
         |FROM st
         |ORDER BY abs(m1 - m2) / sqrt(v1 / cn + v2 / (tn - cn)) DESC, change_day
-        |LIMIT 1""".stripMargin)
+        |LIMIT 1""".stripMargin,
+    "q129_embedding_norms" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n,
+        |  round(avg(nrm) + 1e-9, 6) AS avg_norm,
+        |  round(min(nrm) + 1e-9, 6) AS min_norm,
+        |  round(max(nrm) + 1e-9, 6) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "q130_davies_bouldin" ->
+      """WITH dims AS (
+        |  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, range(1, 65) t(i)
+        |), per_dim AS (
+        |  SELECT label, dim, avg(x) AS c, avg(x * x) AS m2
+        |  FROM dims GROUP BY 1, 2
+        |), per_label AS (
+        |  SELECT label,
+        |    sqrt(greatest(sum(m2) - sum(c * c), 0)) AS scatter,
+        |    sum(c * c) AS cn2
+        |  FROM per_dim GROUP BY 1
+        |), dots AS (
+        |  SELECT a.label AS la, b.label AS lb, sum(a.c * b.c) AS dot
+        |  FROM per_dim a JOIN per_dim b
+        |    ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT la, lb,
+        |    (pa.scatter + pb.scatter)
+        |      / sqrt(greatest(pa.cn2 + pb.cn2 - 2 * dot, 0)) AS r
+        |  FROM dots
+        |  JOIN per_label pa ON pa.label = dots.la
+        |  JOIN per_label pb ON pb.label = dots.lb
+        |), ri AS (
+        |  SELECT label, max(r) AS r_i FROM (
+        |    SELECT la AS label, r FROM pairs
+        |    UNION ALL SELECT lb, r FROM pairs
+        |  ) GROUP BY 1
+        |)
+        |SELECT pl.label, round(pl.scatter + 1e-9, 6) AS scatter,
+        |  round(ri.r_i + 1e-9, 6) AS r_i
+        |FROM per_label pl JOIN ri ON ri.label = pl.label
+        |ORDER BY pl.label""".stripMargin,
+    "q131_gap_percentiles" ->
+      """WITH lagged AS (
+        |  SELECT event_type,
+        |    epoch(CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+        |      OVER (PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS gap_s
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(avg(gap_s) + 1e-9, 4) AS avg_gap_s,
+        |  round(quantile_cont(gap_s, 0.5) + 1e-9, 4) AS p50_s,
+        |  round(quantile_cont(gap_s, 0.9) + 1e-9, 4) AS p90_s,
+        |  round(quantile_cont(gap_s, 0.99) + 1e-9, 4) AS p99_s
+        |FROM lagged WHERE gap_s IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q132_mutual_information" ->
+      """WITH joint AS (
+        |  SELECT event_type AS x, isodow(CAST(ts AS DATE)) AS y,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (SELECT sum(c) AS t FROM joint),
+        |mx AS (SELECT x, sum(c) AS cx FROM joint GROUP BY 1),
+        |my AS (SELECT y, sum(c) AS cy FROM joint GROUP BY 1),
+        |mi AS (
+        |  SELECT sum((j.c / tot.t)
+        |    * ln(j.c * tot.t / (mx.cx * my.cy))) AS mi
+        |  FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+        |), hx AS (
+        |  SELECT sum(-(cx / tot.t) * ln(cx / tot.t)) AS h FROM mx, tot
+        |), hy AS (
+        |  SELECT sum(-(cy / tot.t) * ln(cy / tot.t)) AS h FROM my, tot
+        |)
+        |SELECT CAST(tot.t AS BIGINT) AS n,
+        |  round(mi.mi + 1e-9, 6) AS mi,
+        |  round(hx.h + 1e-9, 6) AS h_x,
+        |  round(hy.h + 1e-9, 6) AS h_y,
+        |  round(mi.mi / sqrt(hx.h * hy.h) + 1e-9, 6) AS nmi
+        |FROM tot, mi, hx, hy""".stripMargin)
 }

@@ -36,7 +36,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q45_ann_ivf", "q51_bm25_search", "q62_surprisal", "q70_quality_deciles",
     "q79_histogram", "q94_user_features", "q102_chi_square",
     "q106_tfidf_terms", "q108_langid_kappa", "q112_pagerank",
-    "q116_psi_drift", "q117_bigram_surprisal", "q122_rfm_segments")
+    "q116_psi_drift", "q117_bigram_surprisal", "q122_rfm_segments",
+    "q132_mutual_information")
 
   test("no declared batch query plans a CartesianProduct or unexpected nested-loop join") {
     val offenders = SparkEntry.queries.toSeq
