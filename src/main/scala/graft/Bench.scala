@@ -90,7 +90,9 @@ object Bench {
     "q125_ks_drift" -> 0.860, "q126_holt_forecast" -> 0.860,
     "q127_cohort_ltv" -> 1.210, "q128_changepoint" -> 0.600,
     "q129_embedding_norms" -> 0.430, "q130_davies_bouldin" -> 1.450,
-    "q131_gap_percentiles" -> 1.140, "q132_mutual_information" -> 0.730)
+    "q131_gap_percentiles" -> 1.140, "q132_mutual_information" -> 0.730,
+    "q133_hash_uniformity" -> 0.650, "q134_funnel_windowed" -> 1.240,
+    "q135_shingle_novelty" -> 1.420, "q136_token_pmi" -> 1.540)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3048,6 +3048,128 @@ object SparkEntry {
         rnd(col("_mi") / sqrt(col("_hx") * col("_hy")), 6).as("nmi"))
   }
 
+  // q133 — hash-split uniformity audit: occupancy of the 100
+  // Knuth-multiplicative buckets (q65's exact split hash) over event ids,
+  // with the chi-square goodness-of-fit against uniform — the check run
+  // before trusting any hash split for sampling/experiments. df=99, α=0.05
+  // critical value 123.225.
+  private def hashUniformity(s: SparkSession, dir: String): DataFrame = {
+    val bucket = shiftright(
+      pmod(col("event_id") * lit(2654435761L), lit(4294967296L)) * lit(100),
+      32)
+    val wAll = Window.partitionBy()
+    t(s, dir, "events")
+      .select(bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("o"))
+      .withColumn("e", sum(col("o")).over(wAll) / lit(100.0))
+      .agg(
+        sum(col("o")).cast("long").as("n"),
+        count(lit(1)).as("n_buckets"),
+        min(col("o")).as("min_bucket"),
+        max(col("o")).as("max_bucket"),
+        rnd(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"))
+      .withColumn("uniform_05", (col("chi2") < 123.225).cast("int"))
+  }
+
+  // q134 — time-windowed sequential funnel view→click→purchase, each step
+  // within 24h of the previous (q60's presence funnel upgraded to ordered
+  // timing): per-step first-qualifying timestamps via user-sized
+  // aggregates joined back to the filtered scan — never an event×event
+  // product. Strict microsecond ordering between steps.
+  private def funnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val t1 = ev
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t1"))
+    val t2 = ev
+      .filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + dayUs)
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t2"))
+    val t3 = ev
+      .filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + dayUs)
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t3"))
+    val users = ev.select(col("user_id")).distinct().agg(count(lit(1)).as("n_users"))
+    val s1 = t1.agg(count(lit(1)).as("n_step1"))
+    val s2 = t2.agg(count(lit(1)).as("n_step2"))
+    val s3 = t3.agg(count(lit(1)).as("n_step3"))
+    users
+      .crossJoin(broadcast(s1))
+      .crossJoin(broadcast(s2))
+      .crossJoin(broadcast(s3))
+      .select(
+        col("n_users"),
+        col("n_step1"),
+        col("n_step2"),
+        col("n_step3"),
+        rnd(col("n_step2") / col("n_step1").cast("double"), 6).as("conv_1_2"),
+        rnd(col("n_step3") / col("n_step2").cast("double"), 6).as("conv_2_3"))
+  }
+
+  // q135 — shingle novelty curve: per doc, the fraction of its distinct
+  // 5-char shingles whose FIRST appearance (min doc_id) is this doc — the
+  // "how much new content does each document add" signal a dataset-growth
+  // audit tracks. Shingle-explode → min-agg (combinable) → per-doc ratio →
+  // per-lang rollup.
+  private def shingleNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(TF.charShingles(col("text"), 5)).as("sh"))
+      .distinct()
+    val firstSeen = docs.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = docs
+      .join(firstSeen, "sh")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        avg((col("first_doc") === col("doc_id")).cast("double")).as("novelty"))
+    perDoc
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        rnd(avg(col("novelty")), 6).as("avg_novelty"),
+        rnd(avg((col("novelty") < 0.1).cast("double")), 6).as("frac_mostly_dup"))
+      .orderBy(col("lang"))
+  }
+
+  // q136 — token co-occurrence PMI (document-level): distinct ASCII-term
+  // presence per doc, per-doc pair expansion (vocab-bounded, linear in
+  // corpus), PMI = ln(c_ab·N/(d_a·d_b)) with doc-frequency marginals;
+  // min-support gates keep the estimates stable. Top 15 by PMI,
+  // lexicographic tiebreak.
+  private def tokenPmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val presence = docs
+      .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("term"))
+      .filter(col("term").rlike("^[a-z]{3,}$"))
+      .distinct()
+    val df = presence.groupBy(col("term")).agg(count(lit(1)).as("d")).filter(col("d") >= 25)
+    val kept = presence.join(df, "term")
+    val a = kept.select(col("doc_id"), col("term").as("term_a"), col("d").as("d_a"))
+    val b = kept.select(col("doc_id"), col("term").as("term_b"), col("d").as("d_b"))
+    a.join(b, "doc_id")
+      .filter(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n_both"), first(col("d_a")).as("d_a"), first(col("d_b")).as("d_b"))
+      .filter(col("n_both") >= 10)
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("term_a"),
+        col("term_b"),
+        col("n_both"),
+        rnd(log(col("n_both") * col("nd") / (col("d_a") * col("d_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(15)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3181,7 +3303,11 @@ object SparkEntry {
     "q129_embedding_norms" -> embeddingNorms,
     "q130_davies_bouldin" -> daviesBouldin,
     "q131_gap_percentiles" -> gapPercentiles,
-    "q132_mutual_information" -> mutualInformation)
+    "q132_mutual_information" -> mutualInformation,
+    "q133_hash_uniformity" -> hashUniformity,
+    "q134_funnel_windowed" -> funnelWindowed,
+    "q135_shingle_novelty" -> shingleNovelty,
+    "q136_token_pmi" -> tokenPmi)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -5448,5 +5574,98 @@ object SparkEntry {
         |  round(hx.h + 1e-9, 6) AS h_x,
         |  round(hy.h + 1e-9, 6) AS h_y,
         |  round(mi.mi / sqrt(hx.h * hy.h) + 1e-9, 6) AS nmi
-        |FROM tot, mi, hx, hy""".stripMargin)
+        |FROM tot, mi, hx, hy""".stripMargin,
+    "q133_hash_uniformity" ->
+      """WITH b AS (
+        |  SELECT (CAST((CAST(event_id AS HUGEINT) * 2654435761)
+        |    % 4294967296 AS BIGINT) * 100) >> 32 AS bucket
+        |  FROM events
+        |), o AS (SELECT bucket, count(*) AS o FROM b GROUP BY 1),
+        |e AS (SELECT bucket, o, sum(o) OVER () / 100.0 AS e FROM o)
+        |SELECT CAST(sum(o) AS BIGINT) AS n, count(*) AS n_buckets,
+        |  min(o) AS min_bucket, max(o) AS max_bucket,
+        |  round(sum(pow(o - e, 2) / e) + 1e-9, 4) AS chi2,
+        |  CAST(round(sum(pow(o - e, 2) / e) + 1e-9, 4) < 123.225 AS INT)
+        |    AS uniform_05
+        |FROM e""".stripMargin,
+    "q134_funnel_windowed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |), t1 AS (
+        |  SELECT user_id, min(us) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), t2 AS (
+        |  SELECT e.user_id, min(e.us) AS t2
+        |  FROM ev e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND e.us > t1.t1 AND e.us <= t1.t1 + 86400000000
+        |  GROUP BY 1
+        |), t3 AS (
+        |  SELECT e.user_id, min(e.us) AS t3
+        |  FROM ev e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.us > t2.t2 AND e.us <= t2.t2 + 86400000000
+        |  GROUP BY 1
+        |), u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ev),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_step1 FROM t1),
+        |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_step2 FROM t2),
+        |s3 AS (SELECT CAST(count(*) AS BIGINT) AS n_step3 FROM t3)
+        |SELECT n_users, n_step1, n_step2, n_step3,
+        |  round(n_step2 / CAST(n_step1 AS DOUBLE) + 1e-9, 6) AS conv_1_2,
+        |  round(n_step3 / CAST(n_step2 AS DOUBLE) + 1e-9, 6) AS conv_2_3
+        |FROM u, s1, s2, s3""".stripMargin,
+    "q135_shingle_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, lang, sh FROM (
+        |    SELECT doc_id, lang, unnest(
+        |      CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |           ELSE [substr(t, i, 5) FOR i IN range(1, len(t) - 3)] END)
+        |      AS sh
+        |    FROM d
+        |  )
+        |), fs AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |perdoc AS (
+        |  SELECT s.doc_id, s.lang,
+        |    avg(CASE WHEN fs.first_doc = s.doc_id THEN 1.0 ELSE 0.0 END)
+        |      AS novelty
+        |  FROM sh s JOIN fs USING (sh) GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(novelty) + 1e-9, 6) AS avg_novelty,
+        |  round(avg(CASE WHEN novelty < 0.1 THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+        |    AS frac_mostly_dup
+        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
+    "q136_token_pmi" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE trim(text) <> ''
+        |), nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM docs),
+        |presence AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM docs
+        |  ) WHERE regexp_matches(term, '^[a-z]{3,}$')
+        |), df AS (
+        |  SELECT term, count(*) AS d FROM presence
+        |  GROUP BY 1 HAVING count(*) >= 25
+        |), kept AS (
+        |  SELECT p.doc_id, p.term, df.d FROM presence p JOIN df USING (term)
+        |), pairs AS (
+        |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_both,
+        |    max(a.d) AS d_a, max(b.d) AS d_b
+        |  FROM kept a JOIN kept b
+        |    ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2 HAVING count(*) >= 10
+        |)
+        |SELECT term_a, term_b, n_both,
+        |  round(ln(n_both * nd.nd / (d_a * d_b)) + 1e-9, 6) AS pmi
+        |FROM pairs, nd
+        |ORDER BY pmi DESC, term_a, term_b
+        |LIMIT 15""".stripMargin)
 }
