@@ -92,7 +92,9 @@ object Bench {
     "q129_embedding_norms" -> 0.430, "q130_davies_bouldin" -> 1.450,
     "q131_gap_percentiles" -> 1.140, "q132_mutual_information" -> 0.730,
     "q133_hash_uniformity" -> 0.650, "q134_funnel_windowed" -> 1.240,
-    "q135_shingle_novelty" -> 1.420, "q136_token_pmi" -> 1.540)
+    "q135_shingle_novelty" -> 1.420, "q136_token_pmi" -> 1.540,
+    "q137_pit_lookup" -> 1.540, "q138_sliding_distinct" -> 1.250,
+    "q139_share_of_parent" -> 1.570, "q140_asof_nearest" -> 1.470)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

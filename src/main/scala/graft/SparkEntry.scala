@@ -3170,6 +3170,110 @@ object SparkEntry {
       .limit(15)
   }
 
+  // q137 — point-in-time (PIT) lookup against the q76 SCD-2 ranges: each
+  // purchase joins the user-state version valid AT its timestamp
+  // (valid_from ≤ ts < valid_to, open tail = null) — the
+  // dimension-as-of-fact-time warehouse pattern. Equi-join on user with
+  // range residuals; segment boundaries make exactly one match per event.
+  private def pitLookup(s: SparkSession, dir: String): DataFrame = {
+    val ranges = scd2(s, dir)
+      .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"))
+    val purchases = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    purchases
+      .join(
+        ranges,
+        purchases("user_id") === ranges("user_id") &&
+          col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy(col("state"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        rnd(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("state"))
+  }
+
+  // q138 — 7-day sliding DISTINCT active users per day: distinct-over-
+  // window cannot ride a window function, so each (user, day) presence row
+  // EXPANDS to the ≤7 window-end days it serves (constant fan-out, fully
+  // combinable) and a plain countDistinct lands per day — no 30-row
+  // broadcast nested loop, no per-day rescan. Edge days trim via the
+  // observed-day semi-join.
+  private def slidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val presence = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("pday"))
+      .distinct()
+    val days = presence.select(col("pday").as("day")).distinct()
+    presence
+      .select(
+        col("user_id"),
+        explode(transform(sequence(lit(0), lit(6)), i => date_add(col("pday"), i))).as("day"))
+      .join(days, "day")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_users_7d"))
+      .orderBy(col("day"))
+  }
+
+  // q139 — share-of-parent drilldown: nation revenue as a share of its
+  // region, region as a share of the total — ratio-to-parent windows over
+  // the 25-row aggregate of the q02-style star join. Shares divide
+  // exact-decimal-rounded doubles, so both engines divide identical
+  // numbers.
+  private def shareOfParent(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(moneyRound(sum(discPrice)).as("revenue"))
+    val wRegion = Window.partitionBy(col("region"))
+    val wAll = Window.partitionBy()
+    rev
+      .withColumn("region_rev", sum(col("revenue")).over(wRegion))
+      .withColumn("total_rev", sum(col("revenue")).over(wAll))
+      .select(
+        col("region"),
+        col("nation"),
+        col("revenue"),
+        rnd(col("revenue") / col("region_rev"), 6).as("share_of_region"),
+        rnd(col("region_rev") / col("total_rev"), 6).as("region_share_of_total"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  // q140 — nearest as-of join (polars strategy="nearest"): every purchase
+  // matched to the |gap|-minimizing click of the same user, exact-time and
+  // tie cases resolving backward by the operator's stated contract
+  // (AsOf.asofNearest — one union, one window pass). Summarized per
+  // matched-direction with gap stats.
+  private def asofNearestClicks(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOf
+    val ev = t(s, dir, "events")
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = Dedup.keepLast(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id")),
+      Seq("user_id", "cts"),
+      Seq(col("click_id")))
+    AsOf
+      .asofNearest(purchases, clicks, Seq("user_id"), "ts", "cts")
+      .select(
+        when(col("asof_gap_s").isNull, "unmatched")
+          .when(col("asof_gap_s") >= 0, "backward")
+          .otherwise("forward")
+          .as("direction"),
+        abs(col("asof_gap_s")).as("ags"))
+      .groupBy(col("direction"))
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(avg(col("ags")) / 60.0, 4).as("avg_abs_gap_min"),
+        rnd(percentile(col("ags"), lit(0.5)) / 60.0, 4).as("p50_abs_gap_min"))
+      .orderBy(col("direction"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3307,7 +3411,11 @@ object SparkEntry {
     "q133_hash_uniformity" -> hashUniformity,
     "q134_funnel_windowed" -> funnelWindowed,
     "q135_shingle_novelty" -> shingleNovelty,
-    "q136_token_pmi" -> tokenPmi)
+    "q136_token_pmi" -> tokenPmi,
+    "q137_pit_lookup" -> pitLookup,
+    "q138_sliding_distinct" -> slidingDistinct,
+    "q139_share_of_parent" -> shareOfParent,
+    "q140_asof_nearest" -> asofNearestClicks)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -5667,5 +5775,102 @@ object SparkEntry {
         |  round(ln(n_both * nd.nd / (d_a * d_b)) + 1e-9, 6) AS pmi
         |FROM pairs, nd
         |ORDER BY pmi DESC, term_a, term_b
-        |LIMIT 15""".stripMargin)
+        |LIMIT 15""".stripMargin,
+    "q137_pit_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events
+        |), lagged AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) = event_type
+        |    THEN 0 ELSE 1 END AS chg
+        |  FROM e
+        |), seg AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM lagged
+        |), packed AS (
+        |  SELECT user_id, s, min(event_type) AS state, min(ts) AS valid_from
+        |  FROM seg GROUP BY user_id, s
+        |), ranges AS (
+        |  SELECT user_id, state, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        |      AS valid_to
+        |  FROM packed
+        |), p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT r.state, count(*) AS n_purchases,
+        |  round(avg(p.value) + 1e-9, 4) AS avg_value
+        |FROM p JOIN ranges r ON p.user_id = r.user_id
+        |  AND r.valid_from <= p.ts
+        |  AND (r.valid_to IS NULL OR p.ts < r.valid_to)
+        |GROUP BY r.state ORDER BY r.state""".stripMargin,
+    "q138_sliding_distinct" ->
+      """WITH presence AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS pday FROM events
+        |), days AS (SELECT DISTINCT pday AS day FROM presence),
+        |expanded AS (
+        |  SELECT user_id, day FROM (
+        |    SELECT user_id,
+        |      unnest([pday + CAST(i AS INTEGER) FOR i IN range(0, 7)]) AS day
+        |    FROM presence
+        |  ) JOIN days USING (day)
+        |)
+        |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users_7d
+        |FROM expanded GROUP BY day ORDER BY day""".stripMargin,
+    "q139_share_of_parent" ->
+      """WITH rev AS (
+        |  SELECT r_name AS region, n_name AS nation,
+        |    CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT region, nation, revenue,
+        |  round(revenue / sum(revenue) OVER (PARTITION BY region) + 1e-9, 6)
+        |    AS share_of_region,
+        |  round(sum(revenue) OVER (PARTITION BY region)
+        |    / sum(revenue) OVER () + 1e-9, 6) AS region_share_of_total
+        |FROM rev ORDER BY region, nation""".stripMargin,
+    "q140_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT DISTINCT user_id, epoch(CAST(ts AS TIMESTAMP)) AS ct
+        |  FROM events WHERE event_type = 'click'
+        |), u AS (
+        |  SELECT user_id, ct AS t, 0 AS tag, ct FROM c
+        |  UNION ALL
+        |  SELECT user_id, t, 1, NULL FROM p
+        |), w AS (
+        |  SELECT user_id, t, tag,
+        |    max(CASE WHEN tag = 0 THEN ct END) OVER
+        |      (PARTITION BY user_id ORDER BY t, tag
+        |       ROWS UNBOUNDED PRECEDING) AS back,
+        |    min(CASE WHEN tag = 0 THEN ct END) OVER
+        |      (PARTITION BY user_id ORDER BY t, tag
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd
+        |  FROM u
+        |), sel AS (
+        |  SELECT CASE WHEN back IS NULL AND fwd IS NULL THEN NULL
+        |    WHEN fwd IS NULL THEN t - back
+        |    WHEN back IS NULL THEN t - fwd
+        |    WHEN t - back <= fwd - t THEN t - back
+        |    ELSE t - fwd END AS g
+        |  FROM w WHERE tag = 1
+        |)
+        |SELECT CASE WHEN g IS NULL THEN 'unmatched'
+        |            WHEN g >= 0 THEN 'backward' ELSE 'forward' END AS direction,
+        |  count(*) AS n,
+        |  round(avg(abs(g)) / 60.0 + 1e-9, 4) AS avg_abs_gap_min,
+        |  round(quantile_cont(abs(g), 0.5) / 60.0 + 1e-9, 4) AS p50_abs_gap_min
+        |FROM sel GROUP BY 1 ORDER BY direction""".stripMargin)
 }
