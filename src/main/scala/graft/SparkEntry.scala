@@ -3274,6 +3274,111 @@ object SparkEntry {
       .orderBy(col("direction"))
   }
 
+  // q141 — TPC-H Q5-shaped local-supplier volume: revenue only where the
+  // supplier's nation equals the customer's nation — the two-path-to-
+  // dimension join semantics (lineitem→supplier→nation AND lineitem→
+  // orders→customer→nation must agree). Small dims broadcast; one
+  // aggregate per nation.
+  private def localSupplierVolume(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        moneyRound(sum(discPrice)).as("revenue"))
+      .orderBy(col("revenue").desc, col("nation"))
+
+  // q142 — running inventory balance per part: a GENUINELY distributed
+  // window (partitioned by part key over the full scan, not an aggregate
+  // frame) — returns subtract, other lines add; peak exposure = max of the
+  // running sum under the unique (shipdate, orderkey, linenumber) order.
+  // Quantities are integer-valued doubles, so the running sums are exact.
+  // Distributed top-10 by peak via TakeOrderedAndProject.
+  private def runningBalance(s: SparkSession, dir: String): DataFrame = {
+    val delta = when(col("l_returnflag") === "R", -col("l_quantity"))
+      .otherwise(col("l_quantity"))
+    val w = Window
+      .partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t(s, dir, "lineitem")
+      .withColumn("running", sum(delta).over(w))
+      .groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("n_moves"),
+        rnd(max(col("running")), 2).as("peak_balance"),
+        rnd(sum(delta), 2).as("final_balance"))
+      .orderBy(col("peak_balance").desc, col("l_partkey"))
+      .limit(10)
+  }
+
+  // q143 — winsorized robust statistics per event type: values clamped to
+  // the exact [p05, p95] band (percentile matches quantile_cont), raw vs
+  // winsorized mean and population std side by side — the clamping
+  // counterpart to q85's discard fence. Cuts join back per type (equi,
+  // broadcast-sized); moments via power sums in one pass.
+  private def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val cuts = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.05)).as("p05"),
+        percentile(col("value"), lit(0.95)).as("p95"))
+    val clamped = t(s, dir, "events")
+      .join(broadcast(cuts), "event_type")
+      .select(
+        col("event_type"),
+        col("value").as("v"),
+        least(greatest(col("value"), col("p05")), col("p95")).as("wv"))
+    val std = (s2: Column, s1: Column, n: Column) =>
+      sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), lit(0.0)))
+    clamped
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("double").as("_n"),
+        sum(col("v")).as("_s1"),
+        sum(col("v") * col("v")).as("_s2"),
+        sum(col("wv")).as("_w1"),
+        sum(col("wv") * col("wv")).as("_w2"))
+      .select(
+        col("event_type"),
+        col("_n").cast("long").as("n"),
+        rnd(col("_s1") / col("_n"), 4).as("raw_mean"),
+        rnd(std(col("_s2"), col("_s1"), col("_n")), 4).as("raw_std"),
+        rnd(col("_w1") / col("_n"), 4).as("wins_mean"),
+        rnd(std(col("_w2"), col("_w1"), col("_n")), 4).as("wins_std"))
+      .orderBy(col("event_type"))
+  }
+
+  // q144 — Lorenz curve points behind q120's Gini: users ranked ascending
+  // by spend (user_id tiebreak), per-decile spend and the cumulative share
+  // of total — the concentration curve a revenue team reads directly.
+  // ntile + running share over the user-sized aggregate.
+  private def lorenzCurve(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value")).as("spend"))
+    val byDecile = perUser
+      .withColumn("decile", ntile(10).over(Window.orderBy(col("spend"), col("user_id"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("spend")).as("dspend"))
+    val wCum = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    byDecile
+      .withColumn("cum", sum(col("dspend")).over(wCum))
+      .withColumn("tot", sum(col("dspend")).over(wAll))
+      .select(
+        col("decile"),
+        col("n_users"),
+        rnd(col("dspend"), 2).as("decile_spend"),
+        rnd(col("dspend") / col("tot"), 6).as("share"),
+        rnd(col("cum") / col("tot"), 6).as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3415,7 +3520,11 @@ object SparkEntry {
     "q137_pit_lookup" -> pitLookup,
     "q138_sliding_distinct" -> slidingDistinct,
     "q139_share_of_parent" -> shareOfParent,
-    "q140_asof_nearest" -> asofNearestClicks)
+    "q140_asof_nearest" -> asofNearestClicks,
+    "q141_local_supplier_volume" -> localSupplierVolume,
+    "q142_running_balance" -> runningBalance,
+    "q143_winsorized_stats" -> winsorizedStats,
+    "q144_lorenz_curve" -> lorenzCurve)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -5872,5 +5981,77 @@ object SparkEntry {
         |  count(*) AS n,
         |  round(avg(abs(g)) / 60.0 + 1e-9, 4) AS avg_abs_gap_min,
         |  round(quantile_cont(abs(g), 0.5) / 60.0 + 1e-9, 4) AS p50_abs_gap_min
-        |FROM sel GROUP BY 1 ORDER BY direction""".stripMargin)
+        |FROM sel GROUP BY 1 ORDER BY direction""".stripMargin,
+    "q141_local_supplier_volume" ->
+      """SELECT n_name AS nation, count(*) AS n_lineitems,
+        |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE s_nationkey = c_nationkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, nation""".stripMargin,
+    "q142_running_balance" ->
+      """WITH mv AS (
+        |  SELECT l_partkey,
+        |    CASE WHEN l_returnflag = 'R' THEN -l_quantity
+        |         ELSE l_quantity END AS delta,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+        |             ELSE l_quantity END) OVER
+        |      (PARTITION BY l_partkey
+        |       ORDER BY CAST(l_shipdate AS TIMESTAMP), l_orderkey, l_linenumber
+        |       ROWS UNBOUNDED PRECEDING) AS running
+        |  FROM lineitem
+        |)
+        |SELECT l_partkey, count(*) AS n_moves,
+        |  round(max(running) + 1e-9, 2) AS peak_balance,
+        |  round(sum(delta) + 1e-9, 2) AS final_balance
+        |FROM mv GROUP BY l_partkey
+        |ORDER BY peak_balance DESC, l_partkey
+        |LIMIT 10""".stripMargin,
+    "q143_winsorized_stats" ->
+      """WITH cuts AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY 1
+        |), clamped AS (
+        |  SELECT e.event_type, e.value AS v,
+        |    least(greatest(e.value, c.p05), c.p95) AS wv
+        |  FROM events e JOIN cuts c USING (event_type)
+        |), agged AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(v) AS s1, sum(v * v) AS s2,
+        |    sum(wv) AS w1, sum(wv * wv) AS w2
+        |  FROM clamped GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  round(s1 / n + 1e-9, 4) AS raw_mean,
+        |  round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) + 1e-9, 4)
+        |    AS raw_std,
+        |  round(w1 / n + 1e-9, 4) AS wins_mean,
+        |  round(sqrt(greatest(w2 / n - (w1 / n) * (w1 / n), 0)) + 1e-9, 4)
+        |    AS wins_std
+        |FROM agged ORDER BY event_type""".stripMargin,
+    "q144_lorenz_curve" ->
+      """WITH pu AS (
+        |  SELECT user_id, sum(value) AS spend FROM events GROUP BY user_id
+        |), ranked AS (
+        |  SELECT spend,
+        |    ntile(10) OVER (ORDER BY spend, user_id) AS decile
+        |  FROM pu
+        |), byd AS (
+        |  SELECT decile, count(*) AS n_users, sum(spend) AS dspend
+        |  FROM ranked GROUP BY 1
+        |)
+        |SELECT CAST(decile AS INT) AS decile, n_users,
+        |  round(dspend + 1e-9, 2) AS decile_spend,
+        |  round(dspend / sum(dspend) OVER () + 1e-9, 6) AS share,
+        |  round(sum(dspend) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |    / sum(dspend) OVER () + 1e-9, 6) AS cum_share
+        |FROM byd ORDER BY decile""".stripMargin)
 }
