@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Reshape, WindowOps}
+import graft.operators.{AsOf, Dedup, Graph, Reshape, Stats, WindowOps}
 
 /** Property-based invariants (SURVEY.md §5.2-4): dedup idempotence,
   * pivot∘unpivot round-trip, window algebraic identities. Plain scalacheck
@@ -139,6 +139,65 @@ class PropertySpec extends AnyFunSuite {
         val m = ns.min; ns.map(_ -> m)
       }.toMap
       assert(got == want)
+    }
+  }
+
+  test("olsFit recovers planted slope/intercept exactly on noise-free lines") {
+    val lineGen = for {
+      slope <- Gen.chooseNum(-5.0, 5.0)
+      icept <- Gen.chooseNum(-10.0, 10.0)
+      n <- Gen.chooseNum(3, 20)
+    } yield (slope, icept, n)
+    samples(lineGen, 5).foreach { case (m, c, n) =>
+      val df = (1 to n).map(i => ("g", i.toDouble, m * i + c)).toDF("g", "x", "y")
+      val r = Stats.olsFit(df, Seq("g"), "x", "y").head()
+      assert(math.abs(r.getDouble(2) - m) < 1e-8, s"slope m=$m n=$n")
+      assert(math.abs(r.getDouble(3) - c) < 1e-7, s"intercept c=$c n=$n")
+    }
+  }
+
+  test("pageRank mass: total pr equals 1 minus the leaked dangling mass bound") {
+    val edgesGen = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0L, 8L)
+      b <- Gen.chooseNum(0L, 8L)
+      if a != b
+      w <- Gen.chooseNum(1L, 5L)
+    } yield (a, b, w))
+    samples(edgesGen, 4).foreach { edges =>
+      val pr = Graph.pageRank(edges.toDF("s", "d", "w"), "s", "d", "w", iters = 4)
+        .collect().map(_.getDouble(1))
+      // every pr is at least the teleport floor and the total never exceeds 1
+      val n = pr.length
+      assert(pr.forall(p => p >= 0.15 / n - 1e-12))
+      assert(pr.sum <= 1.0 + 1e-9)
+      // with no dangling nodes mass is conserved exactly
+      val srcs = edges.map(_._1).toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      if (nodes.subsetOf(srcs)) assert(math.abs(pr.sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("asofNearest gap is never beaten by any other right row of the key") {
+    val dataGen = for {
+      lefts <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000L))
+      rights <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000L))
+    } yield (lefts.distinct, rights.distinct)
+    samples(dataGen, 5).foreach { case (lefts, rights) =>
+      val l = lefts.zipWithIndex.map { case (t, i) => ("k", new java.sql.Timestamp(t * 1000), i.toLong) }
+        .toDF("k", "lt", "id")
+      val r = rights.map(t => ("k", new java.sql.Timestamp(t * 1000), t))
+        .toDF("k", "rt", "rv")
+      val got = AsOf.asofNearest(l, r, Seq("k"), "lt", "rt")
+        .select("id", "asof_gap_s").collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      lefts.zipWithIndex.foreach { case (t, i) =>
+        val bestAbs = rights.map(rt => math.abs(t - rt)).min
+        assert(math.abs(got(i.toLong)) == bestAbs.toDouble, s"left=$t rights=$rights")
+        // tie contract: when a past and a future row are equidistant, gap >= 0
+        val past = rights.filter(_ <= t); val fut = rights.filter(_ > t)
+        if (past.nonEmpty && fut.nonEmpty &&
+          (t - past.max) == (fut.min - t)) assert(got(i.toLong) >= 0)
+      }
     }
   }
 }
