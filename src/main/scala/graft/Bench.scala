@@ -96,7 +96,9 @@ object Bench {
     "q137_pit_lookup" -> 1.540, "q138_sliding_distinct" -> 1.250,
     "q139_share_of_parent" -> 1.570, "q140_asof_nearest" -> 1.470,
     "q141_local_supplier_volume" -> 1.750, "q142_running_balance" -> 1.560,
-    "q143_winsorized_stats" -> 1.050, "q144_lorenz_curve" -> 0.770)
+    "q143_winsorized_stats" -> 1.050, "q144_lorenz_curve" -> 0.770,
+    "q145_dedup_savings" -> 4.180, "q146_linear_attribution" -> 1.170,
+    "q147_stickiness" -> 1.870, "q148_sql_authored" -> 0.530)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

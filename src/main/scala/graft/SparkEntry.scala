@@ -3379,6 +3379,120 @@ object SparkEntry {
       .orderBy(col("decile"))
   }
 
+  // q145 — dedup token-savings report: the pipeline-economics summary a
+  // curation run publishes — corpus token volume, after exact dedup (q11's
+  // keep-min-doc_id per identical text), then after near-dup pruning
+  // (q49's connected components: only each cluster's canonical min-id doc
+  // survives). Token counts ride the combinable TF.tokenCount; the
+  // component frame is pair-bounded.
+  private def dedupSavings(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), TF.tokenCount(col("text")).cast("long").as("tok"))
+    val exactKeep = docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("tok")).as("tok"))
+      .select(col("doc_id"), col("tok"))
+    val comps = dedupClusters(s, dir).select(col("doc_id"), col("component"))
+    val nearKeep = exactKeep
+      .join(comps, Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+    val tot = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("tok")).as("total_tokens"))
+    val e = exactKeep.agg(sum(col("tok")).as("tokens_after_exact"))
+    val nd = nearKeep.agg(sum(col("tok")).as("tokens_after_neardup"))
+    tot
+      .crossJoin(broadcast(e))
+      .crossJoin(broadcast(nd))
+      .select(
+        col("n_docs"),
+        col("total_tokens"),
+        col("tokens_after_exact"),
+        col("tokens_after_neardup"),
+        rnd(
+          (col("total_tokens") - col("tokens_after_neardup")) * 100.0 /
+            col("total_tokens"),
+          4).as("savings_pct"))
+  }
+
+  // q146 — linear multi-touch attribution: every purchase splits one unit
+  // of credit equally across its distinct preceding touches within 24h
+  // (q73's first/last models completed with the fractional one). The
+  // purchase×touch pairing is per-user range-bounded; credit shares come
+  // from a purchase-partitioned window over the pair aggregate. Untouched
+  // purchases credit 'none' in full.
+  private def linearAttribution(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val ev = t(s, dir, "events")
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), unix_micros(col("ts")).as("pt"))
+    val touches = ev
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel"), unix_micros(col("ts")).as("tt"))
+    val paired = purchases
+      .join(
+        touches,
+        purchases("user_id") === touches("user_id") &&
+          col("tt") < col("pt") && col("tt") >= col("pt") - dayUs,
+        "left")
+      .groupBy(col("pid"), coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("k"))
+    val wP = Window.partitionBy(col("pid"))
+    paired
+      .withColumn("credit", col("k") / sum(col("k")).over(wP))
+      .groupBy(col("channel"))
+      .agg(
+        countDistinct(col("pid")).as("n_purchases"),
+        rnd(sum(col("credit")), 4).as("total_credit"))
+      .orderBy(col("channel"))
+  }
+
+  // q147 — DAU/WAU stickiness per day: daily distinct actives over the
+  // 7-day sliding distinct (q138's constant-fan-out expansion) — the
+  // engagement ratio every growth dashboard tracks.
+  private def stickiness(s: SparkSession, dir: String): DataFrame = {
+    val presence = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("pday"))
+      .distinct()
+    val days = presence.select(col("pday").as("day")).distinct()
+    val dau = presence.groupBy(col("pday").as("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = presence
+      .select(
+        col("user_id"),
+        explode(transform(sequence(lit(0), lit(6)), i => date_add(col("pday"), i))).as("day"))
+      .join(days, "day")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau
+      .join(wau, "day")
+      .select(
+        col("day"),
+        col("dau"),
+        col("wau"),
+        rnd(col("dau") / col("wau").cast("double"), 6).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  // q148 — SQL-authored query through the spark.sql front-end (the engine's
+  // second API surface, exercised end-to-end through the driver gate): top-2
+  // orders per priority by rank() with full tiebreaks. Note: 5 rank
+  // partitions is a demo of the SQL path — the scale idiom for top-k per
+  // HIGH-cardinality groups is the bounded-heap aggregator behind q52.
+  private def sqlAuthored(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT priority, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders_v
+        |)
+        |WHERE rk <= 2
+        |ORDER BY priority, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3524,7 +3638,11 @@ object SparkEntry {
     "q141_local_supplier_volume" -> localSupplierVolume,
     "q142_running_balance" -> runningBalance,
     "q143_winsorized_stats" -> winsorizedStats,
-    "q144_lorenz_curve" -> lorenzCurve)
+    "q144_lorenz_curve" -> lorenzCurve,
+    "q145_dedup_savings" -> dedupSavings,
+    "q146_linear_attribution" -> linearAttribution,
+    "q147_stickiness" -> stickiness,
+    "q148_sql_authored" -> sqlAuthored)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -6053,5 +6171,80 @@ object SparkEntry {
         |  round(dspend / sum(dspend) OVER () + 1e-9, 6) AS share,
         |  round(sum(dspend) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
         |    / sum(dspend) OVER () + 1e-9, 6) AS cum_share
-        |FROM byd ORDER BY decile""".stripMargin)
+        |FROM byd ORDER BY decile""".stripMargin,
+    "q145_dedup_savings" ->
+      s"""$ClosureCtes, toks AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
+        |  FROM documents
+        |), exact_keep AS (
+        |  SELECT min(doc_id) AS doc_id, min(tok) AS tok FROM toks GROUP BY text
+        |), near_keep AS (
+        |  SELECT ek.doc_id, ek.tok FROM exact_keep ek
+        |  LEFT JOIN comp ON ek.doc_id = comp.doc_id
+        |  WHERE comp.component IS NULL OR comp.component = ek.doc_id
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(tok) AS BIGINT) AS total_tokens
+        |  FROM toks
+        |), e AS (
+        |  SELECT CAST(sum(tok) AS BIGINT) AS tokens_after_exact FROM exact_keep
+        |), nd AS (
+        |  SELECT CAST(sum(tok) AS BIGINT) AS tokens_after_neardup FROM near_keep
+        |)
+        |SELECT n_docs, total_tokens, tokens_after_exact, tokens_after_neardup,
+        |  round((total_tokens - tokens_after_neardup) * 100.0 / total_tokens
+        |    + 1e-9, 4) AS savings_pct
+        |FROM tot, e, nd""".stripMargin,
+    "q146_linear_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS pid,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS pt
+        |  FROM events WHERE event_type = 'purchase'
+        |), tch AS (
+        |  SELECT user_id, event_type AS channel,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tt
+        |  FROM events WHERE event_type <> 'purchase'
+        |), paired AS (
+        |  SELECT p.pid, coalesce(t.channel, 'none') AS channel,
+        |    count(*) AS k
+        |  FROM p LEFT JOIN tch t ON p.user_id = t.user_id
+        |    AND t.tt < p.pt AND t.tt >= p.pt - 86400000000
+        |  GROUP BY 1, 2
+        |), credited AS (
+        |  SELECT channel, pid,
+        |    k / CAST(sum(k) OVER (PARTITION BY pid) AS DOUBLE) AS credit
+        |  FROM paired
+        |)
+        |SELECT channel, CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+        |  round(sum(credit) + 1e-9, 4) AS total_credit
+        |FROM credited GROUP BY channel ORDER BY channel""".stripMargin,
+    "q147_stickiness" ->
+      """WITH presence AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS pday FROM events
+        |), days AS (SELECT DISTINCT pday AS day FROM presence),
+        |dau AS (
+        |  SELECT pday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM presence GROUP BY 1
+        |), wau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM (
+        |    SELECT user_id,
+        |      unnest([pday + CAST(i AS INTEGER) FOR i IN range(0, 7)]) AS day
+        |    FROM presence
+        |  ) JOIN days USING (day) GROUP BY day
+        |)
+        |SELECT day, dau.dau, wau.wau,
+        |  round(dau.dau / CAST(wau.wau AS DOUBLE) + 1e-9, 6) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    "q148_sql_authored" ->
+      """SELECT priority, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders
+        |)
+        |WHERE rk <= 2
+        |ORDER BY priority, o_totalprice DESC, o_orderkey""".stripMargin)
 }

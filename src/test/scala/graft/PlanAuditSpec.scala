@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q79_histogram", "q94_user_features", "q102_chi_square",
     "q106_tfidf_terms", "q108_langid_kappa", "q112_pagerank",
     "q116_psi_drift", "q117_bigram_surprisal", "q122_rfm_segments",
-    "q132_mutual_information", "q134_funnel_windowed", "q136_token_pmi")
+    "q132_mutual_information", "q134_funnel_windowed", "q136_token_pmi",
+    "q145_dedup_savings")
 
   test("no declared batch query plans a CartesianProduct or unexpected nested-loop join") {
     val offenders = SparkEntry.queries.toSeq
