@@ -98,7 +98,9 @@ object Bench {
     "q141_local_supplier_volume" -> 1.750, "q142_running_balance" -> 1.560,
     "q143_winsorized_stats" -> 1.050, "q144_lorenz_curve" -> 0.770,
     "q145_dedup_savings" -> 4.180, "q146_linear_attribution" -> 1.170,
-    "q147_stickiness" -> 1.870, "q148_sql_authored" -> 0.530)
+    "q147_stickiness" -> 1.870, "q148_sql_authored" -> 0.530,
+    "q149_order_fill_rate" -> 1.380, "q150_pythagorean_means" -> 0.630,
+    "q151_knn_regression" -> 0.920, "q152_densify_ffill" -> 0.870)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

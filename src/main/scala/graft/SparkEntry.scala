@@ -3493,6 +3493,101 @@ object SparkEntry {
         |ORDER BY priority, o_totalprice DESC, o_orderkey""".stripMargin)
   }
 
+  // q149 — group-ALL / group-ANY semantics (relational ∀/∃ without a
+  // correlated subquery): per order, ALL lineitems shipped before the
+  // cutoff vs ANY vs NONE, from min/max over a boolean flag in one
+  // combinable pass — the order-fill-rate report.
+  private def orderFillRate(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("date")
+    val shipped = (col("l_shipdate").cast("date") < cutoff).cast("int")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(shipped).as("all_f"), max(shipped).as("any_f"), count(lit(1)).as("k"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("all_f")).as("n_fully_shipped"),
+        sum(when(col("any_f") === 1 && col("all_f") === 0, 1L).otherwise(0L))
+          .as("n_partial"),
+        sum(when(col("any_f") === 0, 1L).otherwise(0L)).as("n_none"),
+        rnd(avg(when(col("all_f") === 1, col("k"))), 4).as("avg_lines_when_full"))
+  }
+
+  // q150 — Pythagorean means per event type: arithmetic, geometric
+  // (exp∘avg∘ln) and harmonic (n/Σ1/x) over the strictly positive values,
+  // with the zero count reported — AM ≥ GM ≥ HM as the built-in sanity
+  // invariant. All codegen'd aggregates.
+  private def pythagoreanMeans(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("value") <= 0).cast("long")).as("n_nonpos"),
+        rnd(avg(when(col("value") > 0, col("value"))), 4).as("arith_mean"),
+        rnd(exp(avg(when(col("value") > 0, log(col("value"))))), 4).as("geo_mean"),
+        rnd(
+          sum((col("value") > 0).cast("double")) /
+            sum(when(col("value") > 0, lit(1.0) / col("value"))),
+          4).as("harm_mean"))
+      .orderBy(col("event_type"))
+
+  // q151 — kNN regression over embeddings (the regression face of q18):
+  // predicted value = mean neighbor label among the 5 cosine-nearest train
+  // vectors, deterministic (sim desc, id) ranking via the bounded partial
+  // top-k aggregation — no full-pair window shuffle.
+  private def knnRegression(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("label").as("actual"))
+    val train = emb.filter(col("vec_id") >= 50)
+    val preds = VF
+      .bruteForceTopK(
+        queries.select(col("q_id"), col("q_vec")),
+        train.select(col("vec_id"), col("embedding")),
+        "q_id", "vec_id", "q_vec", "embedding", k = 5)
+      .join(train.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("q_id"))
+      .agg(avg(col("label")).as("pred"))
+    preds
+      .join(queries.select(col("q_id"), col("actual")), "q_id")
+      .select(
+        col("q_id"),
+        col("actual"),
+        rnd(col("pred"), 6).as("predicted"),
+        rnd(abs(col("pred") - col("actual")), 6).as("abs_err"))
+      .orderBy(col("q_id"))
+  }
+
+  // q152 — calendar densification + forward fill (the pandas
+  // reindex+ffill): the sparse (user, day) spend series for users 0..49
+  // expands onto the full day spine (grid of two AGGREGATE frames), gaps
+  // zero-flagged and forward-filled with last_value(ignoreNulls) per user
+  // — filled-from-history, not interpolated; leading gaps stay null.
+  private def densifyFfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id") < 50)
+    val spend = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("spend"))
+    val days = t(s, dir, "events").select(to_date(col("ts")).as("day")).distinct()
+    val users = ev.select(col("user_id")).distinct()
+    val spine = users.crossJoin(broadcast(days))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(spend, Seq("user_id", "day"), "left")
+      .withColumn("is_gap", col("spend").isNull.cast("int"))
+      .withColumn("filled", last(col("spend"), ignoreNulls = true).over(w))
+      .select(
+        col("user_id"),
+        col("day"),
+        rnd(col("spend"), 4).as("spend"),
+        col("is_gap"),
+        rnd(col("filled"), 4).as("spend_ffill"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3642,7 +3737,11 @@ object SparkEntry {
     "q145_dedup_savings" -> dedupSavings,
     "q146_linear_attribution" -> linearAttribution,
     "q147_stickiness" -> stickiness,
-    "q148_sql_authored" -> sqlAuthored)
+    "q148_sql_authored" -> sqlAuthored,
+    "q149_order_fill_rate" -> orderFillRate,
+    "q150_pythagorean_means" -> pythagoreanMeans,
+    "q151_knn_regression" -> knnRegression,
+    "q152_densify_ffill" -> densifyFfill)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -6246,5 +6345,79 @@ object SparkEntry {
         |  FROM orders
         |)
         |WHERE rk <= 2
-        |ORDER BY priority, o_totalprice DESC, o_orderkey""".stripMargin)
+        |ORDER BY priority, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q149_order_fill_rate" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |    min(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |      THEN 1 ELSE 0 END) AS all_f,
+        |    max(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |      THEN 1 ELSE 0 END) AS any_f,
+        |    count(*) AS k
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT count(*) AS n_orders,
+        |  CAST(sum(all_f) AS BIGINT) AS n_fully_shipped,
+        |  CAST(sum(CASE WHEN any_f = 1 AND all_f = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_partial,
+        |  CAST(sum(CASE WHEN any_f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_none,
+        |  round(avg(CASE WHEN all_f = 1 THEN k END) + 1e-9, 4)
+        |    AS avg_lines_when_full
+        |FROM per_order""".stripMargin,
+    "q150_pythagorean_means" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nonpos,
+        |  round(avg(CASE WHEN value > 0 THEN value END) + 1e-9, 4)
+        |    AS arith_mean,
+        |  round(exp(avg(CASE WHEN value > 0 THEN ln(value) END)) + 1e-9, 4)
+        |    AS geo_mean,
+        |  round(sum(CASE WHEN value > 0 THEN 1.0 ELSE 0.0 END)
+        |    / sum(CASE WHEN value > 0 THEN 1.0 / value END) + 1e-9, 4)
+        |    AS harm_mean
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q151_knn_regression" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS actual
+        |  FROM embeddings WHERE vec_id < 50
+        |), t AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS tv
+        |  FROM embeddings WHERE vec_id >= 50
+        |), scored AS (
+        |  SELECT q.q_id, t.vec_id, t.label,
+        |    list_dot_product(q.qv, t.tv)
+        |      / (sqrt(list_dot_product(q.qv, q.qv))
+        |         * sqrt(list_dot_product(t.tv, t.tv))) AS sim
+        |  FROM q, t
+        |), ranked AS (
+        |  SELECT q_id, label,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC)
+        |      AS rn
+        |  FROM scored
+        |), preds AS (
+        |  SELECT q_id, avg(label) AS pred FROM ranked WHERE rn <= 5 GROUP BY 1
+        |)
+        |SELECT p.q_id, q.actual, round(p.pred + 1e-9, 6) AS predicted,
+        |  round(abs(p.pred - q.actual) + 1e-9, 6) AS abs_err
+        |FROM preds p JOIN q ON q.q_id = p.q_id
+        |ORDER BY p.q_id""".stripMargin,
+    "q152_densify_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+        |), spend AS (
+        |  SELECT user_id, day, sum(value) AS spend
+        |  FROM ev WHERE user_id < 50 GROUP BY 1, 2
+        |), days AS (SELECT DISTINCT day FROM ev),
+        |users AS (SELECT DISTINCT user_id FROM ev WHERE user_id < 50),
+        |spine AS (SELECT user_id, day FROM users CROSS JOIN days),
+        |j AS (
+        |  SELECT s.user_id, s.day, sp.spend FROM spine s
+        |  LEFT JOIN spend sp ON s.user_id = sp.user_id AND s.day = sp.day
+        |)
+        |SELECT user_id, day, round(spend + 1e-9, 4) AS spend,
+        |  CAST(CASE WHEN spend IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+        |  round(last_value(spend IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING) + 1e-9, 4)
+        |    AS spend_ffill
+        |FROM j ORDER BY user_id, day""".stripMargin)
 }

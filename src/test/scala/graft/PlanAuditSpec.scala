@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * asserted separately in StreamOpsSpec.
   *
   * Allowlisted BroadcastNestedLoopJoin uses, each deliberate:
-  *  - brute-force kNN family (q14/q18/q47/q59): broadcast query side ×
+  *  - brute-force kNN family (q14/q18/q47/q59/q151): broadcast query side ×
   *    STREAMED corpus — the corpus is never shuffled or materialized, which
   *    is the correct exact-baseline shape (VERDICT r1 §LLM table);
   *  - q29: the size-gated exact path engages below the LSH cutover at this
@@ -24,7 +24,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *    product;
   *  - q102: the chi-square R×C expected-count grid is the product of two
   *    AGGREGATE frames (row/column marginals, ≤ tens of rows each) plus a
-  *    1-row total bind — bounded by category cardinalities, not input size.
+  *    1-row total bind — bounded by category cardinalities, not input size;
+  *  - q152: the densification spine is the grid of two AGGREGATE frames
+  *    (selected users × distinct days) — the intended dense output shape,
+  *    not a pairwise product over inputs.
   */
 class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -32,13 +35,13 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val nljAllowed = Set(
     "q14_knn_bruteforce", "q18_knn_classify", "q47_knn_confusion",
-    "q59_quantized_knn", "q29_embedding_neardups",
+    "q59_quantized_knn", "q151_knn_regression", "q29_embedding_neardups",
     "q45_ann_ivf", "q51_bm25_search", "q62_surprisal", "q70_quality_deciles",
     "q79_histogram", "q94_user_features", "q102_chi_square",
     "q106_tfidf_terms", "q108_langid_kappa", "q112_pagerank",
     "q116_psi_drift", "q117_bigram_surprisal", "q122_rfm_segments",
     "q132_mutual_information", "q134_funnel_windowed", "q136_token_pmi",
-    "q145_dedup_savings")
+    "q145_dedup_savings", "q152_densify_ffill")
 
   test("no declared batch query plans a CartesianProduct or unexpected nested-loop join") {
     val offenders = SparkEntry.queries.toSeq
