@@ -100,7 +100,9 @@ object Bench {
     "q145_dedup_savings" -> 4.180, "q146_linear_attribution" -> 1.170,
     "q147_stickiness" -> 1.870, "q148_sql_authored" -> 0.530,
     "q149_order_fill_rate" -> 1.380, "q150_pythagorean_means" -> 0.630,
-    "q151_knn_regression" -> 0.920, "q152_densify_ffill" -> 0.870)
+    "q151_knn_regression" -> 0.920, "q152_densify_ffill" -> 0.870,
+    "q153_mode_per_group" -> 1.040, "q154_bounce_rate" -> 0.940,
+    "q155_target_encoding" -> 0.570, "q156_weighted_median" -> 1.930)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3588,6 +3588,98 @@ object SparkEntry {
       .orderBy(col("user_id"), col("day"))
   }
 
+  // q153 — deterministic per-group MODE: each user's most frequent event
+  // type, count ties broken lexicographically (the tiebreak Spark's own
+  // `mode()` does not promise), then the distribution of favorites. A
+  // row_number over the user×type aggregate — no raw-row window.
+  private def modePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("event_type").as("favorite_type"))
+      .agg(count(lit(1)).as("n_users"), rnd(avg(col("n")), 4).as("avg_fav_count"))
+      .orderBy(col("favorite_type"))
+  }
+
+  // q154 — daily bounce rate: sessions (q96's 30-minute-gap sessionization)
+  // attributed to their start day, a bounce being a single-event session —
+  // the canonical engagement-quality metric on top of the shared session
+  // machinery.
+  private def bounceRate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "brk",
+        when(
+          col("prev").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev"))) > 1800L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(to_date(col("ts"))).as("day"), count(lit(1)).as("n_ev"))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum((col("n_ev") === 1).cast("long")).as("n_bounces"),
+        rnd(avg((col("n_ev") === 1).cast("double")), 6).as("bounce_rate"))
+      .orderBy(col("day"))
+  }
+
+  // q155 — smoothed target encoding of event type against the
+  // high-value-event target (value > 50): enc = (n·rate + m·global)/(n+m),
+  // m = 10 — the leakage-aware categorical feature encoder. Marginal-sized
+  // aggregates; the 1-row global rate binds via broadcast.
+  private def targetEncoding(s: SparkSession, dir: String): DataFrame = {
+    val target = (col("value") > 50.0).cast("double")
+    val perType = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(target).as("rate"))
+    val global = t(s, dir, "events").agg(avg(target).as("g"))
+    perType
+      .crossJoin(broadcast(global))
+      .select(
+        col("event_type"),
+        col("n"),
+        rnd(col("rate"), 6).as("raw_rate"),
+        rnd((col("n") * col("rate") + lit(10.0) * col("g")) / (col("n") + lit(10.0)), 6)
+          .as("smoothed_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  // q156 — exact weighted median (lower-median convention: the smallest
+  // price whose cumulative quantity weight reaches half the total) of the
+  // extended price weighted by quantity, per return flag. Cumulative
+  // weights ride a per-flag window over the (flag, price) aggregate;
+  // quantities are integer-valued so every cumulative sum is exact. (At
+  // extreme price cardinality the binary-search-on-histogram form replaces
+  // the per-flag window; documented trade.)
+  private def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+      .agg(sum(col("l_quantity")).as("wt"))
+    val wCum = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    byPrice
+      .withColumn("cum", sum(col("wt")).over(wCum))
+      .withColumn("tot", sum(col("wt")).over(wAll))
+      .filter(col("cum") >= col("tot") / 2)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        rnd(first(col("tot")).cast("double"), 2).as("total_weight"),
+        rnd(min(col("price")), 2).as("weighted_median_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3741,7 +3833,11 @@ object SparkEntry {
     "q149_order_fill_rate" -> orderFillRate,
     "q150_pythagorean_means" -> pythagoreanMeans,
     "q151_knn_regression" -> knnRegression,
-    "q152_densify_ffill" -> densifyFfill)
+    "q152_densify_ffill" -> densifyFfill,
+    "q153_mode_per_group" -> modePerGroup,
+    "q154_bounce_rate" -> bounceRate,
+    "q155_target_encoding" -> targetEncoding,
+    "q156_weighted_median" -> weightedMedian)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -6419,5 +6515,77 @@ object SparkEntry {
         |  round(last_value(spend IGNORE NULLS) OVER (PARTITION BY user_id
         |      ORDER BY day ROWS UNBOUNDED PRECEDING) + 1e-9, 4)
         |    AS spend_ffill
-        |FROM j ORDER BY user_id, day""".stripMargin)
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    "q153_mode_per_group" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT user_id, event_type, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type) AS rk
+        |  FROM counts
+        |)
+        |SELECT event_type AS favorite_type, count(*) AS n_users,
+        |  round(avg(n) + 1e-9, 4) AS avg_fav_count
+        |FROM ranked WHERE rk = 1
+        |GROUP BY 1 ORDER BY favorite_type""".stripMargin,
+    "q154_bounce_rate" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |        FROM events)
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM lagged
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged
+        |), per_session AS (
+        |  SELECT user_id, sess_id, min(CAST(ts AS DATE)) AS day,
+        |    count(*) AS n_ev
+        |  FROM sess GROUP BY 1, 2
+        |)
+        |SELECT day, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  round(avg(CASE WHEN n_ev = 1 THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+        |    AS bounce_rate
+        |FROM per_session GROUP BY day ORDER BY day""".stripMargin,
+    "q155_target_encoding" ->
+      """WITH pt AS (
+        |  SELECT event_type, count(*) AS n,
+        |    avg(CASE WHEN value > 50.0 THEN 1.0 ELSE 0.0 END) AS rate
+        |  FROM events GROUP BY 1
+        |), g AS (
+        |  SELECT avg(CASE WHEN value > 50.0 THEN 1.0 ELSE 0.0 END) AS g
+        |  FROM events
+        |)
+        |SELECT event_type, n, round(rate + 1e-9, 6) AS raw_rate,
+        |  round((n * rate + 10.0 * g.g) / (n + 10.0) + 1e-9, 6)
+        |    AS smoothed_rate
+        |FROM pt, g ORDER BY event_type""".stripMargin,
+    "q156_weighted_median" ->
+      """WITH bp AS (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |    sum(l_quantity) AS wt
+        |  FROM lineitem GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT l_returnflag, price, wt,
+        |    sum(wt) OVER (PARTITION BY l_returnflag ORDER BY price
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM bp
+        |)
+        |SELECT l_returnflag,
+        |  round(max(tot) + 1e-9, 2) AS total_weight,
+        |  round(min(price) + 1e-9, 2) AS weighted_median_price
+        |FROM cum WHERE cum >= tot / 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
