@@ -102,7 +102,9 @@ object Bench {
     "q149_order_fill_rate" -> 1.380, "q150_pythagorean_means" -> 0.630,
     "q151_knn_regression" -> 0.920, "q152_densify_ffill" -> 0.870,
     "q153_mode_per_group" -> 1.040, "q154_bounce_rate" -> 0.940,
-    "q155_target_encoding" -> 0.570, "q156_weighted_median" -> 1.930)
+    "q155_target_encoding" -> 0.570, "q156_weighted_median" -> 1.930,
+    "q157_stream_hourly_peak" -> 1.200, "q158_stream_new_users" -> 1.210,
+    "q159_event_paths" -> 0.850, "q160_user_predictability" -> 0.840)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

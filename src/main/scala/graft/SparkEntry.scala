@@ -3680,6 +3680,91 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  // q157 — streaming hourly peak detection: hour-windowed counts
+  // accumulate in complete mode (day×24-bounded state), then the per-day
+  // argmax hour (count ties → earliest hour) lands as a batch post-step on
+  // the replay result — the "what hour peaked" operational readout, equal
+  // by construction to the batch hourly profile the oracle computes.
+  private def streamHourlyPeak(s: SparkSession, dir: String): DataFrame = {
+    val hourly = replayStream(s, dir, "complete") { ev =>
+      ev.groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+    }
+    val w = Window.partitionBy(col("day")).orderBy(col("n").desc, col("peak_hour"))
+    hourly
+      .select(to_date(col("ws")).as("day"), hour(col("ws")).as("peak_hour"), col("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("day"), col("peak_hour"), col("n").as("n_events"))
+      .orderBy(col("day"))
+  }
+
+  // q158 — streaming first-seen user acquisition: per-user min timestamp
+  // accumulates in complete mode (user-bounded state — the deterministic
+  // twin of arrival-order dropDuplicates, which a single-batch replay
+  // would leave unspecified), then daily new-user counts — the streaming
+  // face of q77's batch acquisition curve.
+  private def streamNewUsers(s: SparkSession, dir: String): DataFrame =
+    replayStream(s, dir, "complete") { ev =>
+      ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    }
+      .groupBy(to_date(col("first_ts")).as("day"))
+      .agg(count(lit(1)).as("new_users"))
+      .orderBy(col("day"))
+
+  // q159 — clickstream path analysis: each user-day's ordered event-type
+  // sequence (deterministic (ts, event_id) order), truncated to the first
+  // 8 steps, counted corpus-wide — top 10 paths. The collect rides the
+  // bounded user-day group (cap documented: sort-then-slice keeps the
+  // buffer at the group's activity, the truncation is of the PATH).
+  private def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    val path = concat_ws(
+      ">",
+      slice(
+        transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")),
+        1,
+        8))
+    t(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(path.as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_user_days"))
+      .orderBy(col("n_user_days").desc, col("path"))
+      .limit(10)
+  }
+
+  // q160 — behavioral predictability: each user's OWN transition entropy
+  // H_u = −Σ p·ln p over their consecutive type pairs, profiled by
+  // activity quintile (ntile over transition counts, user_id tiebreak) —
+  // low entropy = habitual users. user×type²-bounded frames throughout.
+  private def userPredictability(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(
+        col("user_id"),
+        col("event_type").as("next_t"),
+        lag(col("event_type"), 1).over(w).as("prev_t"))
+      .filter(col("prev_t").isNotNull)
+      .groupBy(col("user_id"), col("prev_t"), col("next_t"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val perUser = pairs
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("c")).as("nt"),
+        (log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c"))).as("h"))
+      .filter(col("nt") >= 5)
+    perUser
+      .withColumn("quintile", ntile(5).over(Window.orderBy(col("nt"), col("user_id"))))
+      .groupBy(col("quintile"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        rnd(avg(col("nt")), 2).as("avg_transitions"),
+        rnd(avg(col("h")), 4).as("avg_entropy"))
+      .orderBy(col("quintile"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3837,7 +3922,11 @@ object SparkEntry {
     "q153_mode_per_group" -> modePerGroup,
     "q154_bounce_rate" -> bounceRate,
     "q155_target_encoding" -> targetEncoding,
-    "q156_weighted_median" -> weightedMedian)
+    "q156_weighted_median" -> weightedMedian,
+    "q157_stream_hourly_peak" -> streamHourlyPeak,
+    "q158_stream_new_users" -> streamNewUsers,
+    "q159_event_paths" -> eventPaths,
+    "q160_user_predictability" -> userPredictability)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -6587,5 +6676,57 @@ object SparkEntry {
         |  round(max(tot) + 1e-9, 2) AS total_weight,
         |  round(min(price) + 1e-9, 2) AS weighted_median_price
         |FROM cum WHERE cum >= tot / 2
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q157_stream_hourly_peak" ->
+      """WITH hourly AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS peak_hour,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT day, peak_hour, n,
+        |    row_number() OVER (PARTITION BY day ORDER BY n DESC, peak_hour)
+        |      AS rk
+        |  FROM hourly
+        |)
+        |SELECT day, peak_hour, n AS n_events FROM ranked
+        |WHERE rk = 1 ORDER BY day""".stripMargin,
+    "q158_stream_new_users" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT CAST(first_ts AS DATE) AS day, count(*) AS new_users
+        |FROM f GROUP BY 1 ORDER BY day""".stripMargin,
+    "q159_event_paths" ->
+      """WITH paths AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    array_to_string(
+        |      (list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id))[1:8],
+        |      '>') AS path
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT path, count(*) AS n_user_days FROM paths
+        |GROUP BY 1 ORDER BY n_user_days DESC, path LIMIT 10""".stripMargin,
+    "q160_user_predictability" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type AS next_t,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_t
+        |  FROM events
+        |), pairs AS (
+        |  SELECT user_id, prev_t, next_t, CAST(count(*) AS DOUBLE) AS c
+        |  FROM ordered WHERE prev_t IS NOT NULL GROUP BY 1, 2, 3
+        |), pu AS (
+        |  SELECT user_id, sum(c) AS nt,
+        |    ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+        |  FROM pairs GROUP BY 1 HAVING sum(c) >= 5
+        |), ranked AS (
+        |  SELECT nt, h, ntile(5) OVER (ORDER BY nt, user_id) AS quintile
+        |  FROM pu
+        |)
+        |SELECT CAST(quintile AS INT) AS quintile, count(*) AS n_users,
+        |  round(avg(nt) + 1e-9, 2) AS avg_transitions,
+        |  round(avg(h) + 1e-9, 4) AS avg_entropy
+        |FROM ranked GROUP BY 1 ORDER BY quintile""".stripMargin)
 }
