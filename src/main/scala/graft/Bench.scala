@@ -104,7 +104,9 @@ object Bench {
     "q153_mode_per_group" -> 1.040, "q154_bounce_rate" -> 0.940,
     "q155_target_encoding" -> 0.570, "q156_weighted_median" -> 1.930,
     "q157_stream_hourly_peak" -> 1.200, "q158_stream_new_users" -> 1.210,
-    "q159_event_paths" -> 0.850, "q160_user_predictability" -> 0.840)
+    "q159_event_paths" -> 0.850, "q160_user_predictability" -> 0.840,
+    "q161_semi_anti_joins" -> 1.010, "q162_activity_streaks" -> 0.910,
+    "q163_brand_hhi" -> 1.150, "q164_activation_latency" -> 1.150)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3765,6 +3765,107 @@ object SparkEntry {
       .orderBy(col("quintile"))
   }
 
+  // q161 — explicit LEFT SEMI / LEFT ANTI join surface: suppliers with vs
+  // without any 1997 shipment, per nation — the EXISTS/NOT EXISTS pair as
+  // first-class join types (the broadcast-able existence check, no
+  // row multiplication, no distinct needed).
+  private def semiAntiJoins(s: SparkSession, dir: String): DataFrame = {
+    val li97 = t(s, dir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1997)
+      .select(col("l_suppkey"))
+    val sup = t(s, dir, "supplier")
+    val active = sup
+      .join(li97, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_nationkey"), lit(1).as("is_active"))
+    val inactive = sup
+      .join(li97, col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .select(col("s_nationkey"), lit(0).as("is_active"))
+    active
+      .unionByName(inactive)
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("is_active")).cast("long").as("n_active_1997"),
+        sum(lit(1) - col("is_active")).cast("long").as("n_inactive"))
+      .orderBy(col("nation"))
+  }
+
+  // q162 — gaps-and-islands: each user's LONGEST consecutive-day activity
+  // streak via the classic (day − row_number) island key — equal-length
+  // runs collapse to one island group each — then the corpus-wide streak
+  // distribution. Windows ride the user×day presence frame.
+  private def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val presence = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = presence
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak"))
+    islands
+      .groupBy(col("user_id"))
+      .agg(max(col("streak")).as("longest"))
+      .groupBy(col("longest"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("longest"))
+  }
+
+  // q163 — market concentration of brand revenue: Herfindahl–Hirschman
+  // index Σ share² plus the top-3 concentration ratio, from the brand
+  // aggregate (shares divide exact-decimal-rounded revenue). Rank rides
+  // the brand-cardinality frame; 1-row total binds via broadcast.
+  private def brandHhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(moneyRound(sum(discPrice)).as("rev"))
+    val wAll = Window.partitionBy()
+    val ranked = rev
+      .withColumn("share", col("rev") / sum(col("rev")).over(wAll))
+      .withColumn("rk", row_number().over(Window.orderBy(col("rev").desc, col("p_brand"))))
+    ranked.agg(
+      count(lit(1)).as("n_brands"),
+      rnd(sum(col("share") * col("share")), 6).as("hhi"),
+      rnd(sum(when(col("rk") <= 3, col("share")).otherwise(lit(0.0))), 6).as("cr3"))
+  }
+
+  // q164 — activation latency: signup → first-subsequent-purchase delay
+  // per user (conditional min aggregates, one pass), summarized as rate +
+  // exact latency percentiles in hours — the product-activation funnel
+  // metric.
+  private def activationLatency(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("s_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p_any"))
+    val withLat = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .join(perUser.filter(col("s_us").isNotNull), "user_id")
+      .filter(col("p_us") > col("s_us"))
+      .groupBy(col("user_id"), col("s_us"))
+      .agg(min(col("p_us")).as("first_p"))
+      .withColumn("lat_h", (col("first_p") - col("s_us")) / 3.6e9)
+    perUser
+      .filter(col("s_us").isNotNull)
+      .agg(count(lit(1)).as("n_signed_up"))
+      .crossJoin(broadcast(withLat.agg(
+        count(lit(1)).as("n_activated"),
+        rnd(avg(col("lat_h")), 4).as("avg_latency_h"),
+        rnd(percentile(col("lat_h"), lit(0.5)), 4).as("p50_latency_h"),
+        rnd(percentile(col("lat_h"), lit(0.9)), 4).as("p90_latency_h"))))
+      .select(
+        col("n_signed_up"),
+        col("n_activated"),
+        rnd(col("n_activated") / col("n_signed_up").cast("double"), 6).as("activation_rate"),
+        col("avg_latency_h"),
+        col("p50_latency_h"),
+        col("p90_latency_h"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -3926,7 +4027,11 @@ object SparkEntry {
     "q157_stream_hourly_peak" -> streamHourlyPeak,
     "q158_stream_new_users" -> streamNewUsers,
     "q159_event_paths" -> eventPaths,
-    "q160_user_predictability" -> userPredictability)
+    "q160_user_predictability" -> userPredictability,
+    "q161_semi_anti_joins" -> semiAntiJoins,
+    "q162_activity_streaks" -> activityStreaks,
+    "q163_brand_hhi" -> brandHhi,
+    "q164_activation_latency" -> activationLatency)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -6728,5 +6833,80 @@ object SparkEntry {
         |SELECT CAST(quintile AS INT) AS quintile, count(*) AS n_users,
         |  round(avg(nt) + 1e-9, 2) AS avg_transitions,
         |  round(avg(h) + 1e-9, 4) AS avg_entropy
-        |FROM ranked GROUP BY 1 ORDER BY quintile""".stripMargin)
+        |FROM ranked GROUP BY 1 ORDER BY quintile""".stripMargin,
+    "q161_semi_anti_joins" ->
+      """WITH li97 AS (
+        |  SELECT DISTINCT l_suppkey FROM lineitem
+        |  WHERE year(l_shipdate) = 1997
+        |)
+        |SELECT n_name AS nation, count(*) AS n_suppliers,
+        |  CAST(sum(CASE WHEN li97.l_suppkey IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_active_1997,
+        |  CAST(sum(CASE WHEN li97.l_suppkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_inactive
+        |FROM supplier s
+        |LEFT JOIN li97 ON s.s_suppkey = li97.l_suppkey
+        |JOIN nation ON s.s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin,
+    "q162_activity_streaks" ->
+      """WITH presence AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), isl AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS INTEGER) AS grp
+        |  FROM presence
+        |), streaks AS (
+        |  SELECT user_id, grp, count(*) AS streak FROM isl GROUP BY 1, 2
+        |), longest AS (
+        |  SELECT user_id, max(streak) AS longest FROM streaks GROUP BY 1
+        |)
+        |SELECT longest, count(*) AS n_users
+        |FROM longest GROUP BY 1 ORDER BY longest""".stripMargin,
+    "q163_brand_hhi" ->
+      """WITH rev AS (
+        |  SELECT p_brand,
+        |    CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1
+        |), ranked AS (
+        |  SELECT p_brand, rev, rev / sum(rev) OVER () AS share,
+        |    row_number() OVER (ORDER BY rev DESC, p_brand) AS rk
+        |  FROM rev
+        |)
+        |SELECT count(*) AS n_brands,
+        |  round(sum(share * share) + 1e-9, 6) AS hhi,
+        |  round(sum(CASE WHEN rk <= 3 THEN share ELSE 0 END) + 1e-9, 6) AS cr3
+        |FROM ranked""".stripMargin,
+    "q164_activation_latency" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS s_us
+        |  FROM events GROUP BY 1
+        |), act AS (
+        |  SELECT e.user_id, pu.s_us,
+        |    min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS first_p
+        |  FROM events e JOIN pu ON e.user_id = pu.user_id
+        |  WHERE e.event_type = 'purchase' AND pu.s_us IS NOT NULL
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > pu.s_us
+        |  GROUP BY 1, 2
+        |), lat AS (SELECT (first_p - s_us) / 3.6e9 AS lat_h FROM act),
+        |su AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_signed_up
+        |  FROM pu WHERE s_us IS NOT NULL
+        |), ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_activated,
+        |    round(avg(lat_h) + 1e-9, 4) AS avg_latency_h,
+        |    round(quantile_cont(lat_h, 0.5) + 1e-9, 4) AS p50_latency_h,
+        |    round(quantile_cont(lat_h, 0.9) + 1e-9, 4) AS p90_latency_h
+        |  FROM lat
+        |)
+        |SELECT n_signed_up, n_activated,
+        |  round(n_activated / CAST(n_signed_up AS DOUBLE) + 1e-9, 6)
+        |    AS activation_rate,
+        |  avg_latency_h, p50_latency_h, p90_latency_h
+        |FROM su, ag""".stripMargin)
 }
