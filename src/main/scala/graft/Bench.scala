@@ -106,7 +106,9 @@ object Bench {
     "q157_stream_hourly_peak" -> 1.200, "q158_stream_new_users" -> 1.210,
     "q159_event_paths" -> 0.850, "q160_user_predictability" -> 0.840,
     "q161_semi_anti_joins" -> 1.010, "q162_activity_streaks" -> 0.910,
-    "q163_brand_hhi" -> 1.150, "q164_activation_latency" -> 1.150)
+    "q163_brand_hhi" -> 1.150, "q164_activation_latency" -> 1.150,
+    "q165_cross_source_dups" -> 0.950, "q166_ranked_string_agg" -> 2.120,
+    "q167_conversion_curve" -> 1.470, "q168_growth_accounting" -> 1.050)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3866,6 +3866,134 @@ object SparkEntry {
         col("p90_latency_h"))
   }
 
+  // q165 — cross-source syndication: documents whose normalized 30-char
+  // LEAD (the q46/q98 normalization, prefix-blocked like a syndicated-wire
+  // headline) appears in more than one source, counted per source pair —
+  // the "who copies whom" dedup analytics view. Exact full-text equality
+  // finds nothing in this corpus (near-dups differ mid-text), so the
+  // blocking key IS the declared semantic. Presence frame self-joined on
+  // the prefix key; source-pair-bounded output.
+  private def crossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    val pfx = substring(lower(regexp_replace(trim(col("text")), "\\s+", " ")), 1, 30)
+    val presence = t(s, dir, "documents")
+      .select(pfx.as("pfx"), col("source"))
+      .distinct()
+    val a = presence.select(col("pfx"), col("source").as("source_a"))
+    val b = presence.select(col("pfx"), col("source").as("source_b"))
+    a.join(b, "pfx")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(countDistinct(col("pfx")).as("n_shared_texts"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // q166 — ordered set aggregation: each region's top-3 nations by revenue
+  // as a ranked '>'-joined string plus their combined share — the ordered
+  // string_agg surface (Spark side: sort_array∘collect_list of (rank,
+  // name) structs, deterministic because the rank pre-orders the list).
+  private def rankedStringAgg(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(moneyRound(sum(discPrice)).as("rev"))
+    val wR = Window.partitionBy(col("region"))
+    val ranked = rev
+      .withColumn("share", col("rev") / sum(col("rev")).over(wR))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("region")).orderBy(col("rev").desc, col("nation"))))
+      .filter(col("rk") <= 3)
+    ranked
+      .groupBy(col("region"))
+      .agg(
+        concat_ws(
+          ">",
+          transform(
+            sort_array(collect_list(struct(col("rk"), col("nation")))),
+            x => x.getField("nation"))).as("top3_nations"),
+        rnd(sum(col("share")), 6).as("top3_share"))
+      .orderBy(col("region"))
+  }
+
+  // q167 — conversion-latency curve: the share of purchases whose backward
+  // click match (q38's as-of semantics) arrived within each horizon —
+  // the CDF readout at the 5m/30m/1h/6h/24h operating points. One as-of
+  // pass, horizons expand via a constant literal array.
+  private def conversionCurve(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOf
+    val ev = t(s, dir, "events")
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = Dedup.keepLast(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id")),
+      Seq("user_id", "cts"),
+      Seq(col("click_id")))
+      .withColumn("cts2", col("cts")) // carry the match time through the payload (q73 discipline)
+    val gaps = AsOf
+      .asofBackward(purchases, clicks, Seq("user_id"), "ts", "cts")
+      .select(
+        ((col("ts").cast("double") - col("cts2").cast("double")) / 60.0).as("gap_min"))
+    gaps
+      .select(
+        explode(array(Seq(5, 30, 60, 360, 1440).map(lit): _*)).as("horizon_min"),
+        col("gap_min"))
+      .groupBy(col("horizon_min"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        rnd(
+          avg((col("gap_min").isNotNull && col("gap_min") <= col("horizon_min")).cast("double")),
+          6).as("converted_frac"))
+      .orderBy(col("horizon_min"))
+  }
+
+  // q168 — weekly growth accounting: every active (user, week) classified
+  // as new / retained / resurrected against the user's own history, plus
+  // churn attributed to the week after activity stops — the
+  // new/retained/resurrected/churned ledger every growth team reconciles.
+  // All windows ride the user×week presence frame; week = floor(days/7)
+  // from the fixed 2024-01-01 anchor on both engines.
+  private def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events")
+      .select(
+        col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7).cast("long").as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+    val classified = p
+      .withColumn("prev", lag(col("wk"), 1).over(w))
+      .withColumn(
+        "status",
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("wk") - 1, "retained")
+          .otherwise("resurrected"))
+    val weeks = p.select(col("wk")).distinct()
+    val churn = p
+      .withColumn("next", lead(col("wk"), 1).over(w))
+      .filter(col("next").isNull || col("next") > col("wk") + 1)
+      .select((col("wk") + 1).as("wk"))
+      .join(weeks, "wk")
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_churned"))
+    classified
+      .groupBy(col("wk"))
+      .agg(
+        sum((col("status") === "new").cast("long")).as("n_new"),
+        sum((col("status") === "retained").cast("long")).as("n_retained"),
+        sum((col("status") === "resurrected").cast("long")).as("n_resurrected"))
+      .join(churn, Seq("wk"), "left")
+      .select(
+        col("wk"),
+        col("n_new"),
+        col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("wk"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -4031,7 +4159,11 @@ object SparkEntry {
     "q161_semi_anti_joins" -> semiAntiJoins,
     "q162_activity_streaks" -> activityStreaks,
     "q163_brand_hhi" -> brandHhi,
-    "q164_activation_latency" -> activationLatency)
+    "q164_activation_latency" -> activationLatency,
+    "q165_cross_source_dups" -> crossSourceDups,
+    "q166_ranked_string_agg" -> rankedStringAgg,
+    "q167_conversion_curve" -> conversionCurve,
+    "q168_growth_accounting" -> growthAccounting)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -6908,5 +7040,91 @@ object SparkEntry {
         |  round(n_activated / CAST(n_signed_up AS DOUBLE) + 1e-9, 6)
         |    AS activation_rate,
         |  avg_latency_h, p50_latency_h, p90_latency_h
-        |FROM su, ag""".stripMargin)
+        |FROM su, ag""".stripMargin,
+    "q165_cross_source_dups" ->
+      """WITH presence AS (
+        |  SELECT DISTINCT
+        |    substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 30)
+        |      AS pfx,
+        |    source
+        |  FROM documents
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(DISTINCT a.pfx) AS BIGINT) AS n_shared_texts
+        |FROM presence a JOIN presence b
+        |  ON a.pfx = b.pfx AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "q166_ranked_string_agg" ->
+      """WITH rev AS (
+        |  SELECT r_name AS region, n_name AS nation,
+        |    CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT region, nation, rev,
+        |    rev / sum(rev) OVER (PARTITION BY region) AS share,
+        |    row_number() OVER (PARTITION BY region ORDER BY rev DESC, nation)
+        |      AS rk
+        |  FROM rev
+        |)
+        |SELECT region,
+        |  string_agg(nation, '>' ORDER BY rk) AS top3_nations,
+        |  round(sum(share) + 1e-9, 6) AS top3_share
+        |FROM ranked WHERE rk <= 3
+        |GROUP BY region ORDER BY region""".stripMargin,
+    "q167_conversion_curve" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch(CAST(ts AS TIMESTAMP)) AS pt
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT DISTINCT user_id, epoch(CAST(ts AS TIMESTAMP)) AS ct
+        |  FROM events WHERE event_type = 'click'
+        |), g AS (
+        |  SELECT p.event_id, (p.pt - max(c.ct)) / 60.0 AS gap_min
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ct <= p.pt
+        |  GROUP BY p.event_id, p.pt
+        |)
+        |SELECT h.horizon_min, count(*) AS n_purchases,
+        |  round(avg(CASE WHEN gap_min IS NOT NULL
+        |      AND gap_min <= h.horizon_min THEN 1.0 ELSE 0.0 END) + 1e-9, 6)
+        |    AS converted_frac
+        |FROM g, (SELECT unnest([5, 30, 60, 360, 1440]) AS horizon_min) h
+        |GROUP BY 1 ORDER BY horizon_min""".stripMargin,
+    "q168_growth_accounting" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      / 7.0) AS BIGINT) AS wk
+        |  FROM events
+        |), cls AS (
+        |  SELECT user_id, wk,
+        |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+        |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next
+        |  FROM p
+        |), weeks AS (SELECT DISTINCT wk FROM p),
+        |stat AS (
+        |  SELECT wk,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN prev = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_retained,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev < wk - 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM cls GROUP BY wk
+        |), churn AS (
+        |  SELECT c.wk + 1 AS wk, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM cls c JOIN weeks w ON w.wk = c.wk + 1
+        |  WHERE c.next IS NULL OR c.next > c.wk + 1
+        |  GROUP BY 1
+        |)
+        |SELECT s.wk, n_new, n_retained, n_resurrected,
+        |  coalesce(ch.n_churned, 0) AS n_churned
+        |FROM stat s LEFT JOIN churn ch ON ch.wk = s.wk
+        |ORDER BY s.wk""".stripMargin)
 }
