@@ -108,7 +108,9 @@ object Bench {
     "q161_semi_anti_joins" -> 1.010, "q162_activity_streaks" -> 0.910,
     "q163_brand_hhi" -> 1.150, "q164_activation_latency" -> 1.150,
     "q165_cross_source_dups" -> 0.950, "q166_ranked_string_agg" -> 2.120,
-    "q167_conversion_curve" -> 1.470, "q168_growth_accounting" -> 1.050)
+    "q167_conversion_curve" -> 1.470, "q168_growth_accounting" -> 1.050,
+    "q169_seasonal_anomaly" -> 0.790, "q170_peak_concurrency" -> 1.360,
+    "q171_revenue_bridge" -> 0.510, "q172_sample_audit" -> 1.350)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

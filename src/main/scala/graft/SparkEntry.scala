@@ -3994,6 +3994,120 @@ object SparkEntry {
       .orderBy(col("wk"))
   }
 
+  // q169 — anomaly detection on the DESEASONALIZED residual (the
+  // forecasting-practice upgrade over raw z-scores): q113's trend+seasonal
+  // decomposition, residual z-scored against its own population σ, days
+  // flagged beyond 2σ — all on the ~30-row daily aggregate.
+  private def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val detr = daily
+      .withColumn("trend", avg(col("n")).over(w7))
+      .withColumn("detrended", col("n") - col("trend"))
+      .withColumn("dow", dayofweek(col("day")))
+    val seasonal = detr.groupBy(col("dow")).agg(avg(col("detrended")).as("seasonal"))
+    val withResid = detr
+      .join(broadcast(seasonal), "dow")
+      .withColumn("resid", col("n") - col("trend") - col("seasonal"))
+    val wAll = Window.partitionBy()
+    withResid
+      .withColumn("sigma", stddev_pop(col("resid")).over(wAll))
+      .select(
+        col("day"),
+        col("n").cast("long").as("n_events"),
+        rnd(col("resid"), 4).as("resid"),
+        rnd(col("resid") / col("sigma"), 4).as("z"),
+        (abs(col("resid")) > lit(2.0) * col("sigma")).cast("int").as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  // q170 — peak session concurrency via the sweep line: each q96 session
+  // contributes (+1 at start, −1 after end), one GLOBAL time-ordered
+  // cumulative sum (starts before ends at ties ⇒ touching sessions
+  // overlap), per-day maximum — the capacity-planning readout. The sweep
+  // list is 2×sessions (aggregate-sized); midnight-crossing sessions carry
+  // into the next day through the continuous cumsum.
+  private def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "brk",
+        when(
+          col("prev").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev"))) > 1800L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"), max(unix_micros(col("ts"))).as("end_us"))
+    val sweep = sessions
+      .select(col("start_us").as("t"), lit(1L).as("delta"))
+      .unionByName(sessions.select(col("end_us").as("t"), lit(-1L).as("delta")))
+    val wSweep = Window.orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sweep
+      .withColumn("conc", sum(col("delta")).over(wSweep))
+      .groupBy(timestamp_micros(col("t")).cast("date").as("day"))
+      .agg(max(col("conc")).as("peak_concurrent"))
+      .orderBy(col("day"))
+  }
+
+  // q171 — revenue bridge (price/volume/mix waterfall) between the month
+  // halves, per event type: Δrev decomposes exactly into
+  // (Δn)·avg₁ + n₁·(Δavg) + (Δn)·(Δavg) — the finance variance-analysis
+  // decomposition, from ONE conditional-aggregation pass.
+  private def revenueBridge(s: SparkSession, dir: String): DataFrame = {
+    val mid = lit("2024-01-15").cast("date")
+    val p1 = to_date(col("ts")) <= mid
+    val agged = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(p1, 1L).otherwise(0L)).as("n1"),
+        sum(when(!p1, 1L).otherwise(0L)).as("n2"),
+        sum(when(p1, col("value")).otherwise(lit(0.0))).as("r1"),
+        sum(when(!p1, col("value")).otherwise(lit(0.0))).as("r2"))
+    val a1 = col("r1") / col("n1")
+    val a2 = col("r2") / col("n2")
+    agged.select(
+      col("event_type"),
+      rnd(col("r1"), 2).as("rev_p1"),
+      rnd(col("r2"), 2).as("rev_p2"),
+      rnd(col("r2") - col("r1"), 2).as("delta"),
+      rnd((col("n2") - col("n1")) * a1, 4).as("volume_effect"),
+      rnd(col("n1") * (a2 - a1), 4).as("rate_effect"),
+      rnd((col("n2") - col("n1")) * (a2 - a1), 4).as("mix_effect"))
+      .orderBy(col("event_type"))
+  }
+
+  // q172 — sampler bias audit: q68's deterministic Knuth-hash sample (500
+  // per type) compared against the population on mean value and purchase
+  // share — the check that the hash sample is representative before
+  // anyone trusts sampled metrics. Selection = smallest (hash, id), exact
+  // on both engines.
+  private def sampleAudit(s: SparkSession, dir: String): DataFrame = {
+    val pop = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pop"), avg(col("value")).as("pop_avg"))
+    val samp = Features
+      .deterministicSample(t(s, dir, "events"), "event_type", "event_id", 500)
+      .join(t(s, dir, "events").select(col("event_id"), col("value")), "event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sample"), avg(col("value")).as("sample_avg"))
+    pop
+      .join(samp, "event_type")
+      .select(
+        col("event_type"),
+        col("n_pop"),
+        col("n_sample"),
+        rnd(col("pop_avg"), 4).as("pop_avg"),
+        rnd(col("sample_avg"), 4).as("sample_avg"),
+        rnd(abs(col("sample_avg") - col("pop_avg")) / col("pop_avg"), 6).as("rel_diff"))
+      .orderBy(col("event_type"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -4163,7 +4277,11 @@ object SparkEntry {
     "q165_cross_source_dups" -> crossSourceDups,
     "q166_ranked_string_agg" -> rankedStringAgg,
     "q167_conversion_curve" -> conversionCurve,
-    "q168_growth_accounting" -> growthAccounting)
+    "q168_growth_accounting" -> growthAccounting,
+    "q169_seasonal_anomaly" -> seasonalAnomaly,
+    "q170_peak_concurrency" -> peakConcurrency,
+    "q171_revenue_bridge" -> revenueBridge,
+    "q172_sample_audit" -> sampleAudit)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -7126,5 +7244,100 @@ object SparkEntry {
         |SELECT s.wk, n_new, n_retained, n_resurrected,
         |  coalesce(ch.n_churned, 0) AS n_churned
         |FROM stat s LEFT JOIN churn ch ON ch.wk = s.wk
-        |ORDER BY s.wk""".stripMargin)
+        |ORDER BY s.wk""".stripMargin,
+    "q169_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1
+        |), detr AS (
+        |  SELECT day, n,
+        |    avg(n) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+        |    isodow(day) AS dow
+        |  FROM daily
+        |), det2 AS (SELECT day, n, trend, dow, n - trend AS detrended FROM detr),
+        |seas AS (SELECT dow, avg(detrended) AS seasonal FROM det2 GROUP BY dow),
+        |resid AS (
+        |  SELECT day, n, n - trend - seasonal AS resid
+        |  FROM det2 JOIN seas USING (dow)
+        |), sg AS (SELECT stddev_pop(resid) AS sigma FROM resid)
+        |SELECT day, CAST(n AS BIGINT) AS n_events,
+        |  round(resid + 1e-9, 4) AS resid,
+        |  round(resid / sigma + 1e-9, 4) AS z,
+        |  CAST(abs(resid) > 2.0 * sigma AS INT) AS is_anomaly
+        |FROM resid, sg ORDER BY day""".stripMargin,
+    "q170_peak_concurrency" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |        FROM events)
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM lagged
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged
+        |), sessions AS (
+        |  SELECT user_id, sess_id, min(epoch_us(ts)) AS start_us,
+        |    max(epoch_us(ts)) AS end_us
+        |  FROM sess GROUP BY 1, 2
+        |), sweep AS (
+        |  SELECT start_us AS t, 1 AS delta FROM sessions
+        |  UNION ALL SELECT end_us, -1 FROM sessions
+        |), cum AS (
+        |  SELECT t, sum(delta) OVER (ORDER BY t, delta DESC
+        |    ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM sweep
+        |)
+        |SELECT CAST(make_timestamp(t) AS DATE) AS day,
+        |  CAST(max(conc) AS BIGINT) AS peak_concurrent
+        |FROM cum GROUP BY 1 ORDER BY day""".stripMargin,
+    "q171_revenue_bridge" ->
+      """WITH agged AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+        |      THEN value ELSE 0 END) AS r1,
+        |    sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+        |      THEN value ELSE 0 END) AS r2
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_type,
+        |  round(r1 + 1e-9, 2) AS rev_p1,
+        |  round(r2 + 1e-9, 2) AS rev_p2,
+        |  round(r2 - r1 + 1e-9, 2) AS delta,
+        |  round((n2 - n1) * (r1 / n1) + 1e-9, 4) AS volume_effect,
+        |  round(n1 * (r2 / n2 - r1 / n1) + 1e-9, 4) AS rate_effect,
+        |  round((n2 - n1) * (r2 / n2 - r1 / n1) + 1e-9, 4) AS mix_effect
+        |FROM agged ORDER BY event_type""".stripMargin,
+    "q172_sample_audit" ->
+      """WITH pop AS (
+        |  SELECT event_type, count(*) AS n_pop, avg(value) AS pop_avg
+        |  FROM events GROUP BY 1
+        |), h AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY (CAST(event_id AS HUGEINT) * 2654435761) % 4294967296,
+        |        event_id) AS rk
+        |  FROM events
+        |), samp AS (
+        |  SELECT event_type, count(*) AS n_sample, avg(value) AS sample_avg
+        |  FROM h WHERE rk <= 500 GROUP BY 1
+        |)
+        |SELECT p.event_type, p.n_pop, s.n_sample,
+        |  round(p.pop_avg + 1e-9, 4) AS pop_avg,
+        |  round(s.sample_avg + 1e-9, 4) AS sample_avg,
+        |  round(abs(s.sample_avg - p.pop_avg) / p.pop_avg + 1e-9, 6)
+        |    AS rel_diff
+        |FROM pop p JOIN samp s ON s.event_type = p.event_type
+        |ORDER BY p.event_type""".stripMargin)
 }
