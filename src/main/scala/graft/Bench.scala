@@ -110,7 +110,9 @@ object Bench {
     "q165_cross_source_dups" -> 0.950, "q166_ranked_string_agg" -> 2.120,
     "q167_conversion_curve" -> 1.470, "q168_growth_accounting" -> 1.050,
     "q169_seasonal_anomaly" -> 0.790, "q170_peak_concurrency" -> 1.360,
-    "q171_revenue_bridge" -> 0.510, "q172_sample_audit" -> 1.350)
+    "q171_revenue_bridge" -> 0.510, "q172_sample_audit" -> 1.350,
+    "q173_triple_itemsets" -> 1.660, "q174_survival_curve" -> 1.160,
+    "q175_type_bitmask" -> 0.950, "q176_odds_ratio" -> 0.450)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

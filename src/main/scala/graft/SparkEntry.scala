@@ -4108,6 +4108,122 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  // q173 — frequent 3-itemsets over user-day baskets (the k=3 rung of the
+  // association family above q10's pairs): distinct basket presence,
+  // double self-join with a<b<c ordering (candidate space bounded by
+  // C(|types|,3)), support against the basket count — oracle-checked
+  // relational apriori, not a model artifact.
+  private def tripleItemsets(s: SparkSession, dir: String): DataFrame = {
+    val baskets = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+    val nB = baskets.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).cast("double").as("nb"))
+    val a = baskets.select(col("user_id"), col("day"), col("event_type").as("t_a"))
+    val b = baskets.select(col("user_id"), col("day"), col("event_type").as("t_b"))
+    val c = baskets.select(col("user_id"), col("day"), col("event_type").as("t_c"))
+    a.join(b, Seq("user_id", "day"))
+      .filter(col("t_a") < col("t_b"))
+      .join(c, Seq("user_id", "day"))
+      .filter(col("t_b") < col("t_c"))
+      .groupBy(col("t_a"), col("t_b"), col("t_c"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(nB))
+      .select(
+        col("t_a"), col("t_b"), col("t_c"), col("n"),
+        rnd(col("n") / col("nb"), 6).as("support"))
+      .filter(col("support") >= 0.05)
+      .orderBy(col("t_a"), col("t_b"), col("t_c"))
+  }
+
+  // q174 — Kaplan–Meier survival curve for time-to-first-purchase with
+  // right censoring (users who never purchase are censored at their last
+  // activity day): S(t) = Π(1 − dᵢ/nᵢ) computed as exp of the cumulative
+  // log — risk sets from cumulative sums over the event-time aggregate,
+  // the estimator a churn/survival analysis publishes.
+  private def survivalCurve(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"),
+        min(when(col("event_type") === "purchase", to_date(col("ts")))).as("p_day"))
+      .select(
+        when(col("p_day").isNotNull, datediff(col("p_day"), col("first_day")))
+          .otherwise(datediff(col("last_day"), col("first_day"))).as("t"),
+        col("p_day").isNotNull.cast("int").as("ev"))
+    val byTime = perUser
+      .groupBy(col("t"))
+      .agg(sum(col("ev")).cast("double").as("d"), count(lit(1)).cast("double").as("c"))
+    val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val wS = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)
+    byTime
+      .withColumn("at_risk", sum(col("c")).over(wAll) - coalesce(sum(col("c")).over(wCum), lit(0.0)))
+      .filter(col("d") > 0)
+      // d == at_risk (only possible at the terminal event time) sends the
+      // log term to -inf — Spark's log(0) is null and would silently DROP
+      // it from the window sum, so the zero-survival case is made explicit
+      .withColumn(
+        "term",
+        when(col("d") < col("at_risk"), log(lit(1.0) - col("d") / col("at_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "surv",
+        when(col("d") === col("at_risk"), lit(0.0))
+          .otherwise(exp(sum(col("term")).over(wS))))
+      .select(
+        col("t").as("t_days"),
+        col("at_risk").cast("long").as("at_risk"),
+        col("d").cast("long").as("events"),
+        rnd(col("surv"), 6).as("survival"))
+      .orderBy(col("t_days"))
+  }
+
+  // q175 — behavioral bitmask segmentation: each user's event-type set
+  // packed into a 5-bit mask (fixed alphabetical bit order), segment
+  // histogram with the decoded label — the set-valued GROUP BY a
+  // segmentation dashboard runs. Presence frame only; 2⁵-bounded output.
+  private def typeBitmask(s: SparkSession, dir: String): DataFrame = {
+    val bit = when(col("event_type") === "click", 1)
+      .when(col("event_type") === "error", 2)
+      .when(col("event_type") === "purchase", 4)
+      .when(col("event_type") === "signup", 8)
+      .otherwise(16) // view
+    val perUser = t(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .groupBy(col("user_id"))
+      .agg(
+        sum(bit).as("mask"),
+        concat_ws("+", sort_array(collect_set(col("event_type")))).as("types_label"))
+    perUser
+      .groupBy(col("mask"), col("types_label"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("mask"))
+  }
+
+  // q176 — weekend-vs-weekday purchase odds ratio with the 95% CI
+  // (ln OR ± 1.96·√(1/a+1/b+1/c+1/d)) — the epidemiology-style effect
+  // measure completing the q102/q108/q132 association toolkit. One
+  // conditional pass builds the 2×2.
+  private def weekendOddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val wknd = dayofweek(to_date(col("ts"))).isin(1, 7)
+    val isP = col("event_type") === "purchase"
+    val agged = t(s, dir, "events").agg(
+      sum((wknd && isP).cast("long")).as("a"),
+      sum((wknd && !isP).cast("long")).as("b"),
+      sum((!wknd && isP).cast("long")).as("c"),
+      sum((!wknd && !isP).cast("long")).as("d"))
+    val or = (col("a") * col("d")).cast("double") / (col("b") * col("c"))
+    val se = sqrt(
+      lit(1.0) / col("a") + lit(1.0) / col("b") + lit(1.0) / col("c") + lit(1.0) / col("d"))
+    agged.select(
+      col("a"), col("b"), col("c"), col("d"),
+      rnd(or, 6).as("odds_ratio"),
+      rnd(exp(log(or) - lit(1.96) * se), 6).as("ci_low"),
+      rnd(exp(log(or) + lit(1.96) * se), 6).as("ci_high"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -4281,7 +4397,11 @@ object SparkEntry {
     "q169_seasonal_anomaly" -> seasonalAnomaly,
     "q170_peak_concurrency" -> peakConcurrency,
     "q171_revenue_bridge" -> revenueBridge,
-    "q172_sample_audit" -> sampleAudit)
+    "q172_sample_audit" -> sampleAudit,
+    "q173_triple_itemsets" -> tripleItemsets,
+    "q174_survival_curve" -> survivalCurve,
+    "q175_type_bitmask" -> typeBitmask,
+    "q176_odds_ratio" -> weekendOddsRatio)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -7339,5 +7459,94 @@ object SparkEntry {
         |  round(abs(s.sample_avg - p.pop_avg) / p.pop_avg + 1e-9, 6)
         |    AS rel_diff
         |FROM pop p JOIN samp s ON s.event_type = p.event_type
-        |ORDER BY p.event_type""".stripMargin)
+        |ORDER BY p.event_type""".stripMargin,
+    "q173_triple_itemsets" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        |  FROM events
+        |), nb AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS nb
+        |  FROM (SELECT DISTINCT user_id, day FROM baskets)
+        |), triples AS (
+        |  SELECT a.event_type AS t_a, b.event_type AS t_b,
+        |    c.event_type AS t_c, count(*) AS n
+        |  FROM baskets a
+        |  JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+        |    AND a.event_type < b.event_type
+        |  JOIN baskets c ON b.user_id = c.user_id AND b.day = c.day
+        |    AND b.event_type < c.event_type
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT t_a, t_b, t_c, n, round(n / nb.nb + 1e-9, 6) AS support
+        |FROM triples, nb
+        |WHERE round(n / nb.nb + 1e-9, 6) >= 0.05
+        |ORDER BY t_a, t_b, t_c""".stripMargin,
+    "q174_survival_curve" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+        |    max(CAST(ts AS DATE)) AS last_day,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ts AS DATE) END) AS p_day
+        |  FROM events GROUP BY 1
+        |), te AS (
+        |  SELECT CASE WHEN p_day IS NOT NULL
+        |      THEN datediff('day', first_day, p_day)
+        |      ELSE datediff('day', first_day, last_day) END AS t,
+        |    CASE WHEN p_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM pu
+        |), bt AS (
+        |  SELECT t, CAST(sum(ev) AS DOUBLE) AS d,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM te GROUP BY 1
+        |), cum AS (
+        |  SELECT t, d, c,
+        |    sum(c) OVER () - coalesce(sum(c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+        |  FROM bt
+        |), guarded AS (
+        |  SELECT t, d, at_risk,
+        |    CASE WHEN d < at_risk THEN ln(1 - d / at_risk) ELSE 0 END AS term
+        |  FROM cum WHERE d > 0
+        |), sv AS (
+        |  SELECT t, d, at_risk,
+        |    CASE WHEN d = at_risk THEN 0.0
+        |      ELSE exp(sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+        |    END AS surv
+        |  FROM guarded
+        |)
+        |SELECT CAST(t AS INT) AS t_days, CAST(at_risk AS BIGINT) AS at_risk,
+        |  CAST(d AS BIGINT) AS events, round(surv + 1e-9, 6) AS survival
+        |FROM sv ORDER BY t_days""".stripMargin,
+    "q175_type_bitmask" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END)
+        |      AS BIGINT) AS mask,
+        |    array_to_string(list_sort(list(event_type)), '+') AS types_label
+        |  FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |  GROUP BY 1
+        |)
+        |SELECT mask, types_label, count(*) AS n_users
+        |FROM pu GROUP BY 1, 2 ORDER BY mask""".stripMargin,
+    "q176_odds_ratio" ->
+      """WITH ag AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN isodow(CAST(ts AS DATE)) IN (6, 7)
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN isodow(CAST(ts AS DATE)) IN (6, 7)
+        |      AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN isodow(CAST(ts AS DATE)) NOT IN (6, 7)
+        |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN isodow(CAST(ts AS DATE)) NOT IN (6, 7)
+        |      AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM events
+        |)
+        |SELECT a, b, c, d,
+        |  round(CAST(a * d AS DOUBLE) / (b * c) + 1e-9, 6) AS odds_ratio,
+        |  round(exp(ln(CAST(a * d AS DOUBLE) / (b * c))
+        |    - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) + 1e-9, 6) AS ci_low,
+        |  round(exp(ln(CAST(a * d AS DOUBLE) / (b * c))
+        |    + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) + 1e-9, 6) AS ci_high
+        |FROM ag""".stripMargin)
 }
