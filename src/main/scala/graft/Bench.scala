@@ -112,7 +112,9 @@ object Bench {
     "q169_seasonal_anomaly" -> 0.790, "q170_peak_concurrency" -> 1.360,
     "q171_revenue_bridge" -> 0.510, "q172_sample_audit" -> 1.350,
     "q173_triple_itemsets" -> 1.660, "q174_survival_curve" -> 1.160,
-    "q175_type_bitmask" -> 0.950, "q176_odds_ratio" -> 0.450)
+    "q175_type_bitmask" -> 0.950, "q176_odds_ratio" -> 0.450,
+    "q177_power_analysis" -> 0.800, "q178_bytes_per_token" -> 0.420,
+    "q179_vocab_coverage" -> 0.510, "q180_cluster_sizes" -> 3.800)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4224,6 +4224,95 @@ object SparkEntry {
       rnd(exp(log(or) + lit(1.96) * se), 6).as("ci_high"))
   }
 
+  // q177 — experiment power analysis for the q119 A/B split: minimum
+  // detectable absolute effect at α=0.05 / power 0.8
+  // (MDE = (1.96 + 0.8416)·√(2·p(1−p)/n̄)) vs the currently observed
+  // delta — the "is this test even capable of deciding" readout. Pure
+  // arithmetic over the 2-row arm aggregate.
+  private def powerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+      .withColumn("arm", Features.hashSplit(col("user_id"), Seq(("a", 50), ("b", 100))))
+    val row = perUser.agg(
+      sum(when(col("arm") === "a", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "b", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "a", col("converted")).otherwise(0)).as("conv_a"),
+      sum(when(col("arm") === "b", col("converted")).otherwise(0)).as("conv_b"))
+    val p = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
+    val nBar = (col("n_a") + col("n_b")).cast("double") / 2.0
+    val mde = lit(1.96 + 0.8416) * sqrt(lit(2.0) * p * (lit(1.0) - p) / nBar)
+    val delta = abs(col("conv_a") / col("n_a") - col("conv_b") / col("n_b"))
+    row.select(
+      col("n_a"),
+      col("n_b"),
+      rnd(p, 6).as("pooled_rate"),
+      rnd(mde, 6).as("mde_abs"),
+      rnd(mde / p, 6).as("mde_rel"),
+      rnd(delta, 6).as("observed_delta"),
+      (delta > mde).cast("int").as("powered"))
+  }
+
+  // q178 — token economics per language: chars/token, UTF-8 BYTES/token
+  // and bytes/char (octet_length vs length — the multibyte cost zh makes
+  // visible) — the storage-and-tokenizer budget numbers an LLM data plan
+  // quotes. One combinable pass.
+  private def bytesPerToken(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text"))).as("n_tokens"),
+        sum(length(col("text"))).as("n_chars"),
+        sum(octet_length(col("text"))).as("n_bytes"))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_tokens"),
+        rnd(col("n_chars") / col("n_tokens").cast("double"), 4).as("chars_per_token"),
+        rnd(col("n_bytes") / col("n_tokens").cast("double"), 4).as("bytes_per_token"),
+        rnd(col("n_bytes") / col("n_chars").cast("double"), 4).as("bytes_per_char"))
+      .orderBy(col("lang"))
+
+  // q179 — vocabulary coverage curve: the share of all token occurrences
+  // covered by the top-k vocabulary at k ∈ {10, 50, 100, 500, 1000}
+  // (q83's ranking, melted) — the out-of-vocabulary budget behind any
+  // fixed-vocab tokenizer. Conditional sums over the ranked vocab
+  // aggregate, melted on a 1-row frame.
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(explode(TF.tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn(
+      "rk",
+      row_number().over(Window.orderBy(col("n").desc, col("token"))))
+    val wide = ranked.agg(
+      sum(col("n")).cast("double").as("tot"),
+      sum(when(col("rk") <= 10, col("n")).otherwise(0L)).as("c10"),
+      sum(when(col("rk") <= 50, col("n")).otherwise(0L)).as("c50"),
+      sum(when(col("rk") <= 100, col("n")).otherwise(0L)).as("c100"),
+      sum(when(col("rk") <= 500, col("n")).otherwise(0L)).as("c500"),
+      sum(when(col("rk") <= 1000, col("n")).otherwise(0L)).as("c1000"))
+    wide.selectExpr(
+      "stack(5, 10, c10/tot, 50, c50/tot, 100, c100/tot, 500, c500/tot, 1000, c1000/tot) AS (k, coverage)")
+      .select(col("k"), rnd(col("coverage"), 6).as("coverage"))
+      .orderBy(col("k"))
+  }
+
+  // q180 — near-dup cluster size distribution: how big the q49 connected
+  // components get (the dedup-risk profile — one mega-cluster means the
+  // similarity threshold is too loose). Component-bounded frames.
+  private def clusterSizes(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("size"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -4401,7 +4490,11 @@ object SparkEntry {
     "q173_triple_itemsets" -> tripleItemsets,
     "q174_survival_curve" -> survivalCurve,
     "q175_type_bitmask" -> typeBitmask,
-    "q176_odds_ratio" -> weekendOddsRatio)
+    "q176_odds_ratio" -> weekendOddsRatio,
+    "q177_power_analysis" -> powerAnalysis,
+    "q178_bytes_per_token" -> bytesPerToken,
+    "q179_vocab_coverage" -> vocabCoverage,
+    "q180_cluster_sizes" -> clusterSizes)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -7548,5 +7641,92 @@ object SparkEntry {
         |    - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) + 1e-9, 6) AS ci_low,
         |  round(exp(ln(CAST(a * d AS DOUBLE) / (b * c))
         |    + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) + 1e-9, 6) AS ci_high
-        |FROM ag""".stripMargin)
+        |FROM ag""".stripMargin,
+    "q177_power_analysis" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1
+        |), armed AS (
+        |  SELECT conv,
+        |    CASE WHEN (CAST((CAST(user_id AS HUGEINT) * 2654435761)
+        |        % 4294967296 AS BIGINT) * 100) >> 32 < 50
+        |      THEN 'a' ELSE 'b' END AS arm
+        |  FROM pu
+        |), ag AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM armed
+        |), st AS (
+        |  SELECT n_a, n_b,
+        |    (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS p,
+        |    CAST(n_a + n_b AS DOUBLE) / 2.0 AS nbar,
+        |    abs(conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+        |      AS delta
+        |  FROM ag
+        |)
+        |SELECT n_a, n_b, round(p + 1e-9, 6) AS pooled_rate,
+        |  round((1.96 + 0.8416) * sqrt(2.0 * p * (1.0 - p) / nbar) + 1e-9, 6)
+        |    AS mde_abs,
+        |  round((1.96 + 0.8416) * sqrt(2.0 * p * (1.0 - p) / nbar) / p
+        |    + 1e-9, 6) AS mde_rel,
+        |  round(delta + 1e-9, 6) AS observed_delta,
+        |  CAST(delta > (1.96 + 0.8416) * sqrt(2.0 * p * (1.0 - p) / nbar)
+        |    AS INT) AS powered
+        |FROM st""".stripMargin,
+    "q178_bytes_per_token" ->
+      """WITH ag AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |    CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |  FROM documents WHERE trim(text) <> ''
+        |  GROUP BY lang
+        |)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(n_chars / CAST(n_tokens AS DOUBLE) + 1e-9, 4)
+        |    AS chars_per_token,
+        |  round(n_bytes / CAST(n_tokens AS DOUBLE) + 1e-9, 4)
+        |    AS bytes_per_token,
+        |  round(n_bytes / CAST(n_chars AS DOUBLE) + 1e-9, 4) AS bytes_per_char
+        |FROM ag ORDER BY lang""".stripMargin,
+    "q179_vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS token
+        |    FROM documents WHERE trim(text) <> ''
+        |  ) GROUP BY 1
+        |), ranked AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk
+        |  FROM counts
+        |), wide AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS tot,
+        |    sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS c10,
+        |    sum(CASE WHEN rk <= 50 THEN n ELSE 0 END) AS c50,
+        |    sum(CASE WHEN rk <= 100 THEN n ELSE 0 END) AS c100,
+        |    sum(CASE WHEN rk <= 500 THEN n ELSE 0 END) AS c500,
+        |    sum(CASE WHEN rk <= 1000 THEN n ELSE 0 END) AS c1000
+        |  FROM ranked
+        |), melted AS (
+        |  SELECT 10 AS k, c10 / tot AS coverage FROM wide
+        |  UNION ALL SELECT 50, c50 / tot FROM wide
+        |  UNION ALL SELECT 100, c100 / tot FROM wide
+        |  UNION ALL SELECT 500, c500 / tot FROM wide
+        |  UNION ALL SELECT 1000, c1000 / tot FROM wide
+        |)
+        |SELECT k, round(coverage + 1e-9, 6) AS coverage
+        |FROM melted ORDER BY k""".stripMargin,
+    "q180_cluster_sizes" ->
+      s"""$ClosureCtes
+        |SELECT size, count(*) AS n_clusters FROM (
+        |  SELECT component, CAST(count(*) AS BIGINT) AS size
+        |  FROM comp GROUP BY 1
+        |) GROUP BY 1 ORDER BY size""".stripMargin)
 }
