@@ -114,7 +114,9 @@ object Bench {
     "q173_triple_itemsets" -> 1.660, "q174_survival_curve" -> 1.160,
     "q175_type_bitmask" -> 0.950, "q176_odds_ratio" -> 0.450,
     "q177_power_analysis" -> 0.800, "q178_bytes_per_token" -> 0.420,
-    "q179_vocab_coverage" -> 0.510, "q180_cluster_sizes" -> 3.800)
+    "q179_vocab_coverage" -> 0.510, "q180_cluster_sizes" -> 3.800,
+    "q181_late_orders" -> 1.930, "q182_dormancy_gaps" -> 0.940,
+    "q183_basket_size_curve" -> 1.330, "q184_max_drawdown" -> 0.610)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4313,6 +4313,84 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("size"))
 
+  // q181 — TPC-H Q4-shaped late-order audit: orders with ANY lineitem
+  // shipped more than 90 days after the order date, per priority —
+  // EXISTS expressed as a distinct-key semi-join against the offending
+  // lines (no row multiplication into the aggregate).
+  private def lateOrders(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val lateKeys = t(s, dir, "lineitem")
+      .join(orders.select(col("o_orderkey").as("ok"), col("o_orderdate")),
+        col("l_orderkey") === col("ok"))
+      .filter(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))) > 90)
+      .select(col("l_orderkey")).distinct()
+    orders
+      .join(lateKeys, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("l_orderkey").isNotNull.cast("long")).as("n_late"),
+        rnd(avg(col("l_orderkey").isNotNull.cast("double")), 6).as("late_share"))
+      .orderBy(col("priority"))
+  }
+
+  // q182 — dormancy gap distribution: every time a user returns after ≥1
+  // fully absent DAY, how long they were away — the win-back-latency
+  // histogram (day granularity: this corpus has no week-long absences, so
+  // weekly gaps would be vacuous). Per-user day windows only.
+  private def dormancyGaps(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    p.withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull && datediff(col("day"), col("prev")) > 1)
+      .select((datediff(col("day"), col("prev")) - 1).as("gap_days"))
+      .groupBy(col("gap_days"))
+      .agg(count(lit(1)).as("n_returns"))
+      .orderBy(col("gap_days"))
+  }
+
+  // q183 — basket size curve: orders histogrammed by lineitem count with
+  // the average order revenue at each size — the does-bigger-basket-mean-
+  // more-revenue readout (two combinable aggregation levels, exact-decimal
+  // money).
+  private def basketSizeCurve(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("k"), sum(discPrice).as("_rev"))
+      .groupBy(col("k").as("n_lines"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        // exact decimal SUM cast to double (< 2^53, exact) then divided —
+        // decimal AVG would round differently across engines (DuckDB's avg
+        // is always double); the nudge makes the 2-dp rounding agree
+        rnd(sum(col("_rev").cast("double")) / count(lit(1)), 2).as("avg_order_revenue"))
+      .orderBy(col("n_lines"))
+
+  // q184 — maximum drawdown of the cumulative daily net value (the
+  // finance risk statistic): running peak of the cumulative sum minus the
+  // current level, maximized — two stacked windows over the ~30-row daily
+  // aggregate, argmax tie to the earliest day.
+  private def maxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value")).as("net"))
+    val wCum = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("cum", sum(col("net")).over(wCum))
+      .withColumn("peak", max(col("cum")).over(wCum))
+      .withColumn("dd", col("peak") - col("cum"))
+    cum
+      .orderBy(col("dd").desc, col("day"))
+      .limit(1)
+      .select(
+        col("day").as("trough_day"),
+        rnd(col("peak"), 4).as("peak_value"),
+        rnd(col("cum"), 4).as("trough_value"),
+        rnd(col("dd"), 4).as("max_drawdown"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -4494,7 +4572,11 @@ object SparkEntry {
     "q177_power_analysis" -> powerAnalysis,
     "q178_bytes_per_token" -> bytesPerToken,
     "q179_vocab_coverage" -> vocabCoverage,
-    "q180_cluster_sizes" -> clusterSizes)
+    "q180_cluster_sizes" -> clusterSizes,
+    "q181_late_orders" -> lateOrders,
+    "q182_dormancy_gaps" -> dormancyGaps,
+    "q183_basket_size_curve" -> basketSizeCurve,
+    "q184_max_drawdown" -> maxDrawdown)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -7728,5 +7810,62 @@ object SparkEntry {
         |SELECT size, count(*) AS n_clusters FROM (
         |  SELECT component, CAST(count(*) AS BIGINT) AS size
         |  FROM comp GROUP BY 1
-        |) GROUP BY 1 ORDER BY size""".stripMargin)
+        |) GROUP BY 1 ORDER BY size""".stripMargin,
+    "q181_late_orders" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE datediff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) > 90
+        |)
+        |SELECT o_orderpriority AS priority, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN late.l_orderkey IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  round(avg(CASE WHEN late.l_orderkey IS NOT NULL
+        |    THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS late_share
+        |FROM orders LEFT JOIN late ON o_orderkey = late.l_orderkey
+        |GROUP BY 1 ORDER BY priority""".stripMargin,
+    "q182_dormancy_gaps" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), lagged AS (
+        |  SELECT user_id, day,
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM p
+        |)
+        |SELECT CAST(datediff('day', prev, day) - 1 AS INT) AS gap_days,
+        |  count(*) AS n_returns
+        |FROM lagged
+        |WHERE prev IS NOT NULL AND datediff('day', prev, day) > 1
+        |GROUP BY 1 ORDER BY gap_days""".stripMargin,
+    "q183_basket_size_curve" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey, count(*) AS k,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)))
+        |      AS rev
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT k AS n_lines, count(*) AS n_orders,
+        |  round(sum(CAST(rev AS DOUBLE)) / count(*) + 1e-9, 2)
+        |    AS avg_order_revenue
+        |FROM per_order GROUP BY 1 ORDER BY n_lines""".stripMargin,
+    "q184_max_drawdown" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, sum(value) AS net
+        |  FROM events GROUP BY 1
+        |), c1 AS (
+        |  SELECT day,
+        |    sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM daily
+        |), cum AS (
+        |  SELECT day, cum,
+        |    max(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM c1
+        |)
+        |SELECT day AS trough_day,
+        |  round(peak + 1e-9, 4) AS peak_value,
+        |  round(cum + 1e-9, 4) AS trough_value,
+        |  round(peak - cum + 1e-9, 4) AS max_drawdown
+        |FROM cum ORDER BY peak - cum DESC, day LIMIT 1""".stripMargin)
 }
