@@ -116,7 +116,9 @@ object Bench {
     "q177_power_analysis" -> 0.800, "q178_bytes_per_token" -> 0.420,
     "q179_vocab_coverage" -> 0.510, "q180_cluster_sizes" -> 3.800,
     "q181_late_orders" -> 1.930, "q182_dormancy_gaps" -> 0.940,
-    "q183_basket_size_curve" -> 1.330, "q184_max_drawdown" -> 0.610)
+    "q183_basket_size_curve" -> 1.330, "q184_max_drawdown" -> 0.610,
+    "q185_acf_table" -> 0.800, "q186_lang_confusion" -> 1.430,
+    "q187_price_dispersion" -> 1.160, "q188_seasonal_strength" -> 0.540)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

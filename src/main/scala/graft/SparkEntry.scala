@@ -4391,6 +4391,122 @@ object SparkEntry {
         rnd(col("dd"), 4).as("max_drawdown"))
   }
 
+  // q185 — autocorrelation function table of the daily total at lags 1..7
+  // (q95's single lag widened to the ACF a forecaster actually reads):
+  // the lag join is an equi-join on the shifted day key over the ~30-row
+  // aggregate, one corr per lag.
+  private def acfTable(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val lags = daily
+      .select(col("day"), col("n"), explode(sequence(lit(1), lit(7))).as("lag"))
+      .withColumn("match_day", expr("date_add(day, lag)"))
+    lags
+      .join(
+        daily.select(col("day").as("match_day"), col("n").as("n_next")),
+        Seq("match_day"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), rnd(corr(col("n"), col("n_next")), 6).as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  // q186 — language-ID confusion profile: per true language, accuracy and
+  // the dominant wrong guess (deterministic mode over the q41 heuristic's
+  // errors; all-correct languages report null) — the per-class error
+  // analysis on top of the q41 contingency.
+  private def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val preds = t(s, dir, "documents")
+      .select(col("lang"), TF.langIdWithUnknown(col("text"), LangProfiles).as("predicted"))
+    val acc = preds
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        rnd(avg((col("lang") === col("predicted")).cast("double")), 6).as("accuracy"))
+    val wrong = preds
+      .filter(col("lang") =!= col("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("predicted"))
+    val top = wrong
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("lang"), col("predicted").as("top_confusion"), col("n").as("n_confused"))
+    acc
+      .join(top, Seq("lang"), "left")
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("accuracy"),
+        col("top_confusion"),
+        coalesce(col("n_confused"), lit(0L)).as("n_confused"))
+      .orderBy(col("lang"))
+  }
+
+  // q187 — relative price dispersion per brand: coefficient of variation
+  // (population σ/μ) and the IQR/median ratio — scale-free volatility
+  // rankings, top 10 most dispersed brands (cv desc, brand tiebreak).
+  // Moments and exact quartiles in one grouped pass each.
+  private def priceDispersion(s: SparkSession, dir: String): DataFrame = {
+    val joined = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+    val byBrand = joined
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("l_extendedprice")).as("mu"),
+        stddev_pop(col("l_extendedprice")).as("sd"),
+        percentile(
+          col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+    byBrand
+      .select(
+        col("p_brand"),
+        col("n"),
+        rnd(col("sd") / col("mu"), 6).as("cv"),
+        rnd(
+          (element_at(col("q"), 3) - element_at(col("q"), 1)) / element_at(col("q"), 2),
+          6).as("iqr_over_median"))
+      .orderBy(col("cv").desc, col("p_brand"))
+      .limit(10)
+  }
+
+  // q188 — strength of trend and seasonality (the Hyndman decomposition
+  // diagnostics): F_trend = max(0, 1 − Var(resid)/Var(n − seasonal)),
+  // F_seas = max(0, 1 − Var(resid)/Var(n − trend)) over the q113
+  // decomposition — one row that says whether the series is trending,
+  // seasonal, both, or noise.
+  private def seasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val detr = daily
+      .withColumn("trend", avg(col("n")).over(w7))
+      .withColumn("detrended", col("n") - col("trend"))
+      .withColumn("dow", dayofweek(col("day")))
+    val seasonal = detr.groupBy(col("dow")).agg(avg(col("detrended")).as("seasonal"))
+    val full = detr
+      .join(broadcast(seasonal), "dow")
+      .select(
+        col("n"),
+        (col("n") - col("trend") - col("seasonal")).as("resid"),
+        (col("n") - col("seasonal")).as("deseason"),
+        col("detrended"))
+    full.agg(
+      count(lit(1)).as("n_days"),
+      rnd(
+        greatest(
+          lit(0.0),
+          lit(1.0) - var_pop(col("resid")) / var_pop(col("deseason"))),
+        6).as("trend_strength"),
+      rnd(
+        greatest(
+          lit(0.0),
+          lit(1.0) - var_pop(col("resid")) / var_pop(col("detrended"))),
+        6).as("seasonal_strength"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -4576,7 +4692,11 @@ object SparkEntry {
     "q181_late_orders" -> lateOrders,
     "q182_dormancy_gaps" -> dormancyGaps,
     "q183_basket_size_curve" -> basketSizeCurve,
-    "q184_max_drawdown" -> maxDrawdown)
+    "q184_max_drawdown" -> maxDrawdown,
+    "q185_acf_table" -> acfTable,
+    "q186_lang_confusion" -> langConfusion,
+    "q187_price_dispersion" -> priceDispersion,
+    "q188_seasonal_strength" -> seasonalStrength)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -7867,5 +7987,93 @@ object SparkEntry {
         |  round(peak + 1e-9, 4) AS peak_value,
         |  round(cum + 1e-9, 4) AS trough_value,
         |  round(peak - cum + 1e-9, 4) AS max_drawdown
-        |FROM cum ORDER BY peak - cum DESC, day LIMIT 1""".stripMargin)
+        |FROM cum ORDER BY peak - cum DESC, day LIMIT 1""".stripMargin,
+    "q185_acf_table" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1
+        |), lagged AS (
+        |  SELECT l.lag, d1.n AS n, d2.n AS n_next
+        |  FROM daily d1
+        |  CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag) l
+        |  JOIN daily d2 ON d2.day = d1.day + CAST(l.lag AS INTEGER)
+        |)
+        |SELECT CAST(lag AS INT) AS lag, count(*) AS n_pairs,
+        |  round(corr(n, n_next) + 1e-9, 6) AS acf
+        |FROM lagged GROUP BY 1 ORDER BY lag""".stripMargin,
+    "q186_lang_confusion" ->
+      """WITH toks AS (
+        |  SELECT lang, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+        |), r AS (
+        |  SELECT lang,
+        |    len(list_filter(tk, t -> list_contains(['the','a','and','of','to','in','is','for','on','with'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_en,
+        |    len(list_filter(tk, t -> list_contains(['der','die','das','und','ein','zu','mit','ist','auf','nicht'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_de,
+        |    len(list_filter(tk, t -> list_contains(['el','la','que','y','en','un','por','con','los','una'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_es,
+        |    len(list_filter(tk, t -> list_contains(['le','les','et','des','une','du','dans','est','pour','au'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_fr,
+        |    len(list_filter(tk, t -> list_contains(['的','了','是','在','我','有','和','就','不','人'], lower(t)))) / CAST(greatest(len(tk), 1) AS DOUBLE) AS s_zh
+        |  FROM toks
+        |), conf AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+        |         WHEN s_zh >= greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+        |         WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+        |         WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+        |         WHEN s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS predicted
+        |  FROM r
+        |), acc AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    round(avg(CASE WHEN lang = predicted THEN 1.0 ELSE 0.0 END)
+        |      + 1e-9, 6) AS accuracy
+        |  FROM conf GROUP BY 1
+        |), wrong AS (
+        |  SELECT lang, predicted, count(*) AS n FROM conf
+        |  WHERE lang <> predicted GROUP BY 1, 2
+        |), top AS (
+        |  SELECT lang, predicted AS top_confusion, n AS n_confused,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, predicted)
+        |      AS rk
+        |  FROM wrong
+        |)
+        |SELECT a.lang, a.n_docs, a.accuracy, t.top_confusion,
+        |  coalesce(t.n_confused, 0) AS n_confused
+        |FROM acc a
+        |LEFT JOIN (SELECT * FROM top WHERE rk = 1) t ON t.lang = a.lang
+        |ORDER BY a.lang""".stripMargin,
+    "q187_price_dispersion" ->
+      """WITH j AS (
+        |  SELECT p_brand, l_extendedprice AS price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), b AS (
+        |  SELECT p_brand, count(*) AS n, avg(price) AS mu,
+        |    stddev_pop(price) AS sd,
+        |    quantile_cont(price, [0.25, 0.5, 0.75]) AS q
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT p_brand, n, round(sd / mu + 1e-9, 6) AS cv,
+        |  round((q[3] - q[1]) / q[2] + 1e-9, 6) AS iqr_over_median
+        |FROM b ORDER BY cv DESC, p_brand LIMIT 10""".stripMargin,
+    "q188_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1
+        |), detr AS (
+        |  SELECT day, n,
+        |    avg(n) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+        |    isodow(day) AS dow
+        |  FROM daily
+        |), det2 AS (SELECT day, n, trend, dow, n - trend AS detrended FROM detr),
+        |seas AS (SELECT dow, avg(detrended) AS seasonal FROM det2 GROUP BY dow),
+        |fullf AS (
+        |  SELECT n, n - trend - seasonal AS resid,
+        |    n - seasonal AS deseason, detrended
+        |  FROM det2 JOIN seas USING (dow)
+        |)
+        |SELECT count(*) AS n_days,
+        |  round(greatest(0, 1 - var_pop(resid) / var_pop(deseason)) + 1e-9, 6)
+        |    AS trend_strength,
+        |  round(greatest(0, 1 - var_pop(resid) / var_pop(detrended)) + 1e-9, 6)
+        |    AS seasonal_strength
+        |FROM fullf""".stripMargin)
 }
