@@ -118,7 +118,9 @@ object Bench {
     "q181_late_orders" -> 1.930, "q182_dormancy_gaps" -> 0.940,
     "q183_basket_size_curve" -> 1.330, "q184_max_drawdown" -> 0.610,
     "q185_acf_table" -> 0.800, "q186_lang_confusion" -> 1.430,
-    "q187_price_dispersion" -> 1.160, "q188_seasonal_strength" -> 0.540)
+    "q187_price_dispersion" -> 1.160, "q188_seasonal_strength" -> 0.540,
+    "q189_audience_churn" -> 1.720, "q190_power_user_share" -> 0.820,
+    "q191_term_burstiness" -> 0.780, "q192_order_reconciliation" -> 1.620)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4507,6 +4507,108 @@ object SparkEntry {
         6).as("seasonal_strength"))
   }
 
+  // q189 — day-over-day audience churn: what share of each day's active
+  // users return the next day — presence frame equi-joined to its own
+  // next-day shift, the short-horizon retention pulse (q61's cohort
+  // triangle collapsed to the daily diagonal).
+  private def audienceChurn(s: SparkSession, dir: String): DataFrame = {
+    val presence = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val next = presence.select(date_sub(col("day"), 1).as("day"), col("user_id").as("uid2"))
+    val dau = presence.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val both = presence
+      .join(next, presence("day") === next("day") && col("user_id") === col("uid2"))
+      .groupBy(presence("day").as("day"))
+      .agg(count(lit(1)).as("n_retained_next"))
+    dau
+      .join(both, "day")
+      .select(
+        col("day"),
+        col("n_active"),
+        col("n_retained_next"),
+        rnd(col("n_retained_next") / col("n_active").cast("double"), 6)
+          .as("next_day_retention"))
+      .orderBy(col("day"))
+  }
+
+  // q190 — power-user concentration: the event share captured by the top
+  // 1% of users (ceil(n/100) by activity, user_id tiebreak) vs the rest —
+  // the "how skewed is engagement" number next to q120's Gini. Ranks and
+  // totals ride windows over the user-sized aggregate.
+  private def powerUserShare(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val wAll = Window.partitionBy()
+    val ranked = perUser
+      .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("user_id"))))
+      .withColumn("nu", count(lit(1)).over(wAll))
+      .withColumn("k", ceil(col("nu") / 100.0))
+      .withColumn("is_top", (col("rk") <= col("k")).cast("int"))
+    ranked.agg(
+      first(col("nu")).as("n_users"),
+      first(col("k")).cast("long").as("k_top"),
+      rnd(
+        sum(when(col("is_top") === 1, col("c")).otherwise(0L)) /
+          sum(col("c")).cast("double"),
+        6).as("top1pct_share"),
+      rnd(avg(when(col("is_top") === 1, col("c"))), 2).as("avg_events_top"),
+      rnd(avg(when(col("is_top") === 0, col("c"))), 2).as("avg_events_rest"))
+  }
+
+  // q191 — term burstiness (Church–Gale): variance-to-mean ratio of
+  // per-document counts among documents CONTAINING the term — content
+  // words burst, function words spread evenly. Doc-frequency gate ≥ 50,
+  // top 10 by the rounded ratio with token tiebreak.
+  private def termBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("token"))
+      .filter(col("token").rlike("^[a-z]{3,}$"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    perDoc
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        avg(col("c")).as("mu"),
+        var_pop(col("c")).as("v"))
+      .filter(col("n_docs") >= 50)
+      .select(
+        col("token"),
+        col("n_docs"),
+        rnd(col("mu"), 4).as("mean_count"),
+        rnd(col("v") / col("mu"), 6).as("burstiness"))
+      .orderBy(col("burstiness").desc, col("token"))
+      .limit(10)
+  }
+
+  // q192 — referential reconciliation audit: each order's stored total
+  // vs the exact-decimal sum of its lineitem charges — match rate within
+  // a cent, plus the relative-deviation profile. The cross-table
+  // consistency check a warehouse runs after every load; one join + one
+  // rollup.
+  private def orderReconciliation(s: SparkSession, dir: String): DataFrame = {
+    val lineSums = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(charge).cast("double").as("line_total"))
+    val joined = t(s, dir, "orders")
+      .join(lineSums, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        col("o_totalprice"),
+        col("line_total"),
+        when(
+          col("line_total").isNotNull,
+          abs(col("line_total") - col("o_totalprice")) / col("o_totalprice")).as("rel"))
+    joined.agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("line_total").isNotNull.cast("long")).as("n_with_lines"),
+      sum((col("rel") <= 0.0001).cast("long")).as("n_reconciled"),
+      rnd(avg(col("rel")), 6).as("avg_rel_diff"),
+      rnd(max(col("rel")), 6).as("max_rel_diff"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -4696,7 +4798,11 @@ object SparkEntry {
     "q185_acf_table" -> acfTable,
     "q186_lang_confusion" -> langConfusion,
     "q187_price_dispersion" -> priceDispersion,
-    "q188_seasonal_strength" -> seasonalStrength)
+    "q188_seasonal_strength" -> seasonalStrength,
+    "q189_audience_churn" -> audienceChurn,
+    "q190_power_user_share" -> powerUserShare,
+    "q191_term_burstiness" -> termBurstiness,
+    "q192_order_reconciliation" -> orderReconciliation)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -8075,5 +8181,77 @@ object SparkEntry {
         |    AS trend_strength,
         |  round(greatest(0, 1 - var_pop(resid) / var_pop(detrended)) + 1e-9, 6)
         |    AS seasonal_strength
-        |FROM fullf""".stripMargin)
+        |FROM fullf""".stripMargin,
+    "q189_audience_churn" ->
+      """WITH presence AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), dau AS (SELECT day, count(*) AS n_active FROM presence GROUP BY 1),
+        |ret AS (
+        |  SELECT p.day, count(*) AS n_retained_next
+        |  FROM presence p JOIN presence n
+        |    ON n.user_id = p.user_id AND n.day = p.day + 1
+        |  GROUP BY 1
+        |)
+        |SELECT d.day, d.n_active, b.n_retained_next,
+        |  round(b.n_retained_next / CAST(d.n_active AS DOUBLE) + 1e-9, 6)
+        |    AS next_day_retention
+        |FROM dau d JOIN ret b ON b.day = d.day
+        |ORDER BY d.day""".stripMargin,
+    "q190_power_user_share" ->
+      """WITH pu AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |ranked AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rk,
+        |    count(*) OVER () AS nu
+        |  FROM pu
+        |), flagged AS (
+        |  SELECT c, nu, CAST(ceil(nu / 100.0) AS BIGINT) AS k,
+        |    CASE WHEN rk <= ceil(nu / 100.0) THEN 1 ELSE 0 END AS is_top
+        |  FROM ranked
+        |)
+        |SELECT CAST(max(nu) AS BIGINT) AS n_users, max(k) AS k_top,
+        |  round(sum(CASE WHEN is_top = 1 THEN c ELSE 0 END)
+        |    / CAST(sum(c) AS DOUBLE) + 1e-9, 6) AS top1pct_share,
+        |  round(avg(CASE WHEN is_top = 1 THEN c END) + 1e-9, 2)
+        |    AS avg_events_top,
+        |  round(avg(CASE WHEN is_top = 0 THEN c END) + 1e-9, 2)
+        |    AS avg_events_rest
+        |FROM flagged""".stripMargin,
+    "q191_term_burstiness" ->
+      """WITH per_doc AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM documents WHERE trim(text) <> ''
+        |  ) WHERE regexp_matches(term, '^[a-z]{3,}$')
+        |  GROUP BY 1, 2
+        |), ag AS (
+        |  SELECT term AS token, count(*) AS n_docs, avg(c) AS mu,
+        |    var_pop(c) AS v
+        |  FROM per_doc GROUP BY 1 HAVING count(*) >= 50
+        |)
+        |SELECT token, n_docs, round(mu + 1e-9, 4) AS mean_count,
+        |  round(v / mu + 1e-9, 6) AS burstiness
+        |FROM ag ORDER BY burstiness DESC, token LIMIT 10""".stripMargin,
+    "q192_order_reconciliation" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))
+        |      * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(24,6)))
+        |      AS DOUBLE) AS line_total
+        |  FROM lineitem GROUP BY 1
+        |), j AS (
+        |  SELECT o_totalprice, line_total,
+        |    CASE WHEN line_total IS NOT NULL
+        |      THEN abs(line_total - o_totalprice) / o_totalprice END AS rel
+        |  FROM orders LEFT JOIN ls ON o_orderkey = ls.l_orderkey
+        |)
+        |SELECT count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN line_total IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_with_lines,
+        |  CAST(sum(CASE WHEN rel <= 0.0001 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_reconciled,
+        |  round(avg(rel) + 1e-9, 6) AS avg_rel_diff,
+        |  round(max(rel) + 1e-9, 6) AS max_rel_diff
+        |FROM j""".stripMargin)
 }
