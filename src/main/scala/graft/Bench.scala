@@ -120,7 +120,9 @@ object Bench {
     "q185_acf_table" -> 0.800, "q186_lang_confusion" -> 1.430,
     "q187_price_dispersion" -> 1.160, "q188_seasonal_strength" -> 0.540,
     "q189_audience_churn" -> 1.720, "q190_power_user_share" -> 0.820,
-    "q191_term_burstiness" -> 0.780, "q192_order_reconciliation" -> 1.620)
+    "q191_term_burstiness" -> 0.780, "q192_order_reconciliation" -> 1.620,
+    "q193_rank_stability" -> 1.650, "q194_mix_shift_days" -> 1.190,
+    "q195_deadstock" -> 1.410, "q196_value_bands" -> 0.810)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4609,6 +4609,108 @@ object SparkEntry {
       rnd(max(col("rel")), 6).as("max_rel_diff"))
   }
 
+  // q193 — brand rank stability between 1997 and 1998: Spearman rho as
+  // the plain corr of tie-broken revenue ranks (deterministic (rev desc,
+  // brand) ranking — the tiebreak convention documented in place of the
+  // tie-averaged textbook variant), plus the biggest rank mover. Ranks
+  // ride the brand-sized yearly aggregates.
+  private def rankStability(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(year(col("l_shipdate")).isin(1997, 1998))
+      .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
+      .agg(moneyRound(sum(discPrice)).as("rev"))
+    def ranks(y: Int, out: String) = rev
+      .filter(col("yr") === y)
+      .withColumn(out, row_number().over(Window.orderBy(col("rev").desc, col("p_brand"))))
+      .select(col("p_brand"), col(out))
+    val joined = ranks(1997, "r97").join(ranks(1998, "r98"), "p_brand")
+    val top = joined
+      .orderBy(abs(col("r97") - col("r98")).desc, col("p_brand"))
+      .limit(1)
+      .select(
+        col("p_brand").as("top_mover"),
+        abs(col("r97") - col("r98")).as("max_rank_jump"))
+    joined
+      .agg(count(lit(1)).as("n_brands"), rnd(corr(col("r97"), col("r98")), 6).as("spearman"))
+      .crossJoin(broadcast(top))
+  }
+
+  // q194 — distribution-shift days: the L1 distance between consecutive
+  // days' event-type mix (share vectors), top 5 shift days — the "what
+  // changed yesterday" trigger a monitoring stack fires on. Shares via
+  // day-partitioned windows, the day-over-day pairing is an equi-join on
+  // the shifted day.
+  private def mixShiftDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n") / sum(col("n")).over(Window.partitionBy(col("day"))))
+    val prev = daily.select(
+      date_sub(col("day"), -1).as("day"),
+      col("event_type"),
+      col("share").as("prev_share"))
+    daily
+      .join(prev, Seq("day", "event_type"))
+      .groupBy(col("day"))
+      .agg(rnd(sum(abs(col("share") - col("prev_share"))), 6).as("l1_shift"))
+      .orderBy(col("l1_shift").desc, col("day"))
+      .limit(5)
+  }
+
+  // q195 — deadstock audit: parts never appearing on any lineitem, per
+  // brand (LEFT ANTI against the distinct ordered-part keys) — the
+  // catalog-coverage metric behind inventory write-offs.
+  private def deadstock(s: SparkSession, dir: String): DataFrame = {
+    val ordered = t(s, dir, "lineitem").select(col("l_partkey")).distinct()
+    val parts = t(s, dir, "part")
+    val never = parts
+      .join(ordered, col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_never_ordered"))
+    parts
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .join(never, Seq("p_brand"), "left")
+      .select(
+        col("p_brand"),
+        col("n_parts"),
+        coalesce(col("n_never_ordered"), lit(0L)).as("n_never_ordered"),
+        rnd(
+          coalesce(col("n_never_ordered"), lit(0L)) / col("n_parts").cast("double"),
+          6).as("deadstock_share"))
+      .orderBy(col("p_brand"))
+  }
+
+  // q196 — customer value bands: lifetime order value cut at fixed 2M/3M
+  // thresholds (low/mid/high), per band population and revenue share —
+  // the tiering every account team quotes. Exact-decimal totals; the
+  // 1-row grand total binds via broadcast.
+  private def valueBands(s: SparkSession, dir: String): DataFrame = {
+    // totals stay DECIMAL until the final rounding (2-dp doubles would
+    // accumulate float noise above the 1e-9 nudge at 1e9 magnitudes)
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(14,2)")), 2).as("cvd"))
+      .withColumn("cv", col("cvd").cast("double"))
+    val banded = perCust.withColumn(
+      "band",
+      when(col("cv") < 2000000.0, "1_low")
+        .when(col("cv") < 3000000.0, "2_mid")
+        .otherwise("3_high"))
+    val tot = perCust.agg(moneyRound(sum(col("cvd"))).as("tot"))
+    banded
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_customers"), moneyRound(sum(col("cvd"))).as("band_rev"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("band"),
+        col("n_customers"),
+        col("band_rev").as("band_revenue"),
+        rnd(col("band_rev") / col("tot"), 6).as("revenue_share"))
+      .orderBy(col("band"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -4802,7 +4904,11 @@ object SparkEntry {
     "q189_audience_churn" -> audienceChurn,
     "q190_power_user_share" -> powerUserShare,
     "q191_term_burstiness" -> termBurstiness,
-    "q192_order_reconciliation" -> orderReconciliation)
+    "q192_order_reconciliation" -> orderReconciliation,
+    "q193_rank_stability" -> rankStability,
+    "q194_mix_shift_days" -> mixShiftDays,
+    "q195_deadstock" -> deadstock,
+    "q196_value_bands" -> valueBands)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -8253,5 +8359,80 @@ object SparkEntry {
         |    AS n_reconciled,
         |  round(avg(rel) + 1e-9, 6) AS avg_rel_diff,
         |  round(max(rel) + 1e-9, 6) AS max_rel_diff
-        |FROM j""".stripMargin)
+        |FROM j""".stripMargin,
+    "q193_rank_stability" ->
+      """WITH rev AS (
+        |  SELECT p_brand, year(l_shipdate) AS yr,
+        |    CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) IN (1997, 1998)
+        |  GROUP BY 1, 2
+        |), r97 AS (
+        |  SELECT p_brand, row_number() OVER (ORDER BY rev DESC, p_brand)
+        |    AS r97
+        |  FROM rev WHERE yr = 1997
+        |), r98 AS (
+        |  SELECT p_brand, row_number() OVER (ORDER BY rev DESC, p_brand)
+        |    AS r98
+        |  FROM rev WHERE yr = 1998
+        |), j AS (
+        |  SELECT r97.p_brand, r97.r97, r98.r98 FROM r97 JOIN r98 USING (p_brand)
+        |), topm AS (
+        |  SELECT p_brand AS top_mover,
+        |    CAST(abs(r97 - r98) AS INT) AS max_rank_jump
+        |  FROM j ORDER BY abs(r97 - r98) DESC, p_brand LIMIT 1
+        |)
+        |SELECT count(*) AS n_brands,
+        |  round(corr(r97, r98) + 1e-9, 6) AS spearman,
+        |  topm.top_mover, topm.max_rank_jump
+        |FROM j, topm GROUP BY topm.top_mover, topm.max_rank_jump""".stripMargin,
+    "q194_mix_shift_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), sh AS (
+        |  SELECT day, event_type,
+        |    n / CAST(sum(n) OVER (PARTITION BY day) AS DOUBLE) AS share
+        |  FROM daily
+        |), j AS (
+        |  SELECT c.day, sum(abs(c.share - p.share)) AS l1
+        |  FROM sh c JOIN sh p
+        |    ON p.event_type = c.event_type AND p.day = c.day - 1
+        |  GROUP BY 1
+        |)
+        |SELECT day, round(l1 + 1e-9, 6) AS l1_shift
+        |FROM j ORDER BY l1_shift DESC, day LIMIT 5""".stripMargin,
+    "q195_deadstock" ->
+      """WITH ok AS (SELECT DISTINCT l_partkey FROM lineitem),
+        |never AS (
+        |  SELECT p_brand, count(*) AS n_never_ordered
+        |  FROM part LEFT JOIN ok ON p_partkey = l_partkey
+        |  WHERE l_partkey IS NULL GROUP BY 1
+        |), tot AS (SELECT p_brand, count(*) AS n_parts FROM part GROUP BY 1)
+        |SELECT t.p_brand, t.n_parts,
+        |  coalesce(n.n_never_ordered, 0) AS n_never_ordered,
+        |  round(coalesce(n.n_never_ordered, 0) / CAST(t.n_parts AS DOUBLE)
+        |    + 1e-9, 6) AS deadstock_share
+        |FROM tot t LEFT JOIN never n ON n.p_brand = t.p_brand
+        |ORDER BY t.p_brand""".stripMargin,
+    "q196_value_bands" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS cvd
+        |  FROM orders GROUP BY 1
+        |), banded AS (
+        |  SELECT cvd, CASE WHEN CAST(cvd AS DOUBLE) < 2000000.0 THEN '1_low'
+        |    WHEN CAST(cvd AS DOUBLE) < 3000000.0 THEN '2_mid'
+        |    ELSE '3_high' END AS band
+        |  FROM pc
+        |), tot AS (
+        |  SELECT CAST(round(sum(cvd), 2) AS DOUBLE) AS tot FROM pc
+        |)
+        |SELECT band, count(*) AS n_customers,
+        |  CAST(round(sum(cvd), 2) AS DOUBLE) AS band_revenue,
+        |  round(CAST(round(sum(cvd), 2) AS DOUBLE) / tot.tot + 1e-9, 6)
+        |    AS revenue_share
+        |FROM banded, tot GROUP BY band, tot.tot ORDER BY band""".stripMargin)
 }

@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q116_psi_drift", "q117_bigram_surprisal", "q122_rfm_segments",
     "q132_mutual_information", "q134_funnel_windowed", "q136_token_pmi",
     "q145_dedup_savings", "q152_densify_ffill", "q155_target_encoding",
-    "q164_activation_latency", "q173_triple_itemsets")
+    "q164_activation_latency", "q173_triple_itemsets",
+    "q193_rank_stability", "q196_value_bands")
 
   test("no declared batch query plans a CartesianProduct or unexpected nested-loop join") {
     val offenders = SparkEntry.queries.toSeq
