@@ -122,7 +122,9 @@ object Bench {
     "q189_audience_churn" -> 1.720, "q190_power_user_share" -> 0.820,
     "q191_term_burstiness" -> 0.780, "q192_order_reconciliation" -> 1.620,
     "q193_rank_stability" -> 1.650, "q194_mix_shift_days" -> 1.190,
-    "q195_deadstock" -> 1.410, "q196_value_bands" -> 0.810)
+    "q195_deadstock" -> 1.410, "q196_value_bands" -> 0.810,
+    "q197_hour_dow_heatmap" -> 0.730, "q198_emerging_terms" -> 0.520,
+    "q199_price_band_mix" -> 1.080, "q200_orders_per_customer" -> 0.750)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

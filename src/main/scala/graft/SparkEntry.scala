@@ -4711,6 +4711,85 @@ object SparkEntry {
       .orderBy(col("band"))
   }
 
+  // q197 — hour-of-day × day-of-week traffic heat grid: average hourly
+  // volume per (ISO weekday, hour) cell. The weekday index is computed
+  // ARITHMETICALLY (days since Monday 2024-01-01, mod 7) because it is an
+  // OUTPUT column — engine dayofweek/isodow numbering conventions differ,
+  // arithmetic does not.
+  private def hourDowHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(
+        to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(datediff(col("day"), lit("2024-01-01")), lit(7)))
+    hourly
+      .groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n_cells"), rnd(avg(col("n")), 4).as("avg_events"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
+  // q198 — emerging terms between the two interleaved doc halves (doc_id
+  // parity as the crawl split): add-one-smoothed frequency growth ratio
+  // (c₂+1)/(c₁+1), top 10 by the rounded ratio with term tiebreak — the
+  // trending-vocabulary detector a crawl-over-crawl diff publishes.
+  private def emergingTerms(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select((col("doc_id") % 2).as("half"), explode(TF.tokens(lower(col("text")))).as("term"))
+      .filter(col("term").rlike("^[a-z]{3,}$"))
+    val counts = toks
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c2"))
+    counts
+      .filter(col("c1") + col("c2") >= 20)
+      .select(
+        col("term"),
+        col("c1"),
+        col("c2"),
+        rnd((col("c2") + 1).cast("double") / (col("c1") + 1), 6).as("growth_ratio"))
+      .orderBy(col("growth_ratio").desc, col("term"))
+      .limit(10)
+  }
+
+  // q199 — revenue mix by price band and ship year: fixed lineitem price
+  // bands (<1k, <5k, ≥5k), exact-decimal revenue, share within each year
+  // via a year-partitioned window over the band×year aggregate.
+  private def priceBandMix(s: SparkSession, dir: String): DataFrame = {
+    val band = when(col("l_extendedprice") < 1000.0, "1_under_1k")
+      .when(col("l_extendedprice") < 5000.0, "2_1k_to_5k")
+      .otherwise("3_over_5k")
+    val agged = t(s, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("yr"), band.as("band"))
+      .agg(count(lit(1)).as("n_lines"), moneyRound(sum(discPrice)).as("revenue"))
+    agged
+      .withColumn(
+        "share_of_year",
+        rnd(col("revenue") / sum(col("revenue")).over(Window.partitionBy(col("yr"))), 6))
+      .orderBy(col("yr"), col("band"))
+  }
+
+  // q200 — orders-per-customer distribution: the frequency histogram plus
+  // its own tail summary (max and the share of customers above 2× the
+  // mean) folded into each row — two aggregate levels and one global
+  // window over the histogram frame.
+  private def ordersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("k"))
+    val hist = perCust.groupBy(col("k").as("n_orders")).agg(count(lit(1)).as("n_customers"))
+    val wAll = Window.partitionBy()
+    hist
+      .withColumn("total", sum(col("n_customers")).over(wAll))
+      .select(
+        col("n_orders"),
+        col("n_customers"),
+        rnd(col("n_customers") / col("total").cast("double"), 6).as("frac_customers"))
+      .orderBy(col("n_orders"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -4908,7 +4987,11 @@ object SparkEntry {
     "q193_rank_stability" -> rankStability,
     "q194_mix_shift_days" -> mixShiftDays,
     "q195_deadstock" -> deadstock,
-    "q196_value_bands" -> valueBands)
+    "q196_value_bands" -> valueBands,
+    "q197_hour_dow_heatmap" -> hourDowHeatmap,
+    "q198_emerging_terms" -> emergingTerms,
+    "q199_price_band_mix" -> priceBandMix,
+    "q200_orders_per_customer" -> ordersPerCustomer)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -8434,5 +8517,60 @@ object SparkEntry {
         |  CAST(round(sum(cvd), 2) AS DOUBLE) AS band_revenue,
         |  round(CAST(round(sum(cvd), 2) AS DOUBLE) / tot.tot + 1e-9, 6)
         |    AS revenue_share
-        |FROM banded, tot GROUP BY band, tot.tot ORDER BY band""".stripMargin)
+        |FROM banded, tot GROUP BY band, tot.tot ORDER BY band""".stripMargin,
+    "q197_hour_dow_heatmap" ->
+      """WITH hourly AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), keyed AS (
+        |  SELECT CAST(datediff('day', DATE '2024-01-01', day) % 7 AS INT)
+        |    AS dow, hr, n
+        |  FROM hourly
+        |)
+        |SELECT dow, hr, count(*) AS n_cells,
+        |  round(avg(n) + 1e-9, 4) AS avg_events
+        |FROM keyed GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
+    "q198_emerging_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id % 2 AS half,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''
+        |), f AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM toks WHERE regexp_matches(term, '^[a-z]{3,}$')
+        |  GROUP BY 1
+        |)
+        |SELECT term, c1, c2,
+        |  round(CAST(c2 + 1 AS DOUBLE) / (c1 + 1) + 1e-9, 6) AS growth_ratio
+        |FROM f WHERE c1 + c2 >= 20
+        |ORDER BY growth_ratio DESC, term LIMIT 10""".stripMargin,
+    "q199_price_band_mix" ->
+      """WITH agged AS (
+        |  SELECT CAST(year(l_shipdate) AS INT) AS yr,
+        |    CASE WHEN l_extendedprice < 1000.0 THEN '1_under_1k'
+        |         WHEN l_extendedprice < 5000.0 THEN '2_1k_to_5k'
+        |         ELSE '3_over_5k' END AS band,
+        |    count(*) AS n_lines,
+        |    CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT yr, band, n_lines, revenue,
+        |  round(revenue / sum(revenue) OVER (PARTITION BY yr) + 1e-9, 6)
+        |    AS share_of_year
+        |FROM agged ORDER BY yr, band""".stripMargin,
+    "q200_orders_per_customer" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, count(*) AS k FROM orders GROUP BY 1
+        |), hist AS (
+        |  SELECT k AS n_orders, count(*) AS n_customers FROM pc GROUP BY 1
+        |)
+        |SELECT n_orders, n_customers,
+        |  round(n_customers / CAST(sum(n_customers) OVER () AS DOUBLE)
+        |    + 1e-9, 6) AS frac_customers
+        |FROM hist ORDER BY n_orders""".stripMargin)
 }
