@@ -27,6 +27,13 @@ object Graph {
     * exactly. The 1-row node count binds via broadcast (scalar bind, not a
     * pairwise product); each iteration is one equi-join + one grouped sum
     * on the node key, so the plan survives arbitrary node counts.
+    *
+    * Edges with null or non-positive weight are treated as ABSENT (filtered
+    * before the out-weight normalization): a negative or zero weight has no
+    * probabilistic reading, and keeping it would make w/Σw null or negative
+    * and silently drop the source's contributions. A node whose out-edges
+    * are all filtered becomes dangling (see above); nodes still appear in
+    * the result via the endpoint union, which runs on the unfiltered edges.
     */
   def pageRank(
       edges: DataFrame,
@@ -46,8 +53,9 @@ object Graph {
       .distinct()
       .localCheckpoint(false)
     val nCount = nodes.agg(count(lit(1)).cast("double").as("_nn"))
-    val outW = edges.groupBy(col(srcCol).as("_s")).agg(sum(col(weightCol)).as("_out"))
-    val norm = edges
+    val posEdges = edges.filter(col(weightCol) > 0)
+    val outW = posEdges.groupBy(col(srcCol).as("_s")).agg(sum(col(weightCol)).as("_out"))
+    val norm = posEdges
       .join(outW, col(srcCol) === col("_s"))
       .select(
         col(srcCol).as("_u"),

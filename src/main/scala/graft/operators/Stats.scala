@@ -29,12 +29,17 @@ object Stats {
       i <- cols.indices
       j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) => corr(col(a), col(b)).as(s"_c$i") }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = pairs
-      .map { case (a, b) => s"'$a', '$b', `${a}__${b}`" }
-      .mkString(", ")
-    wide.selectExpr(s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr)")
+    // Typed-Column melt (array-of-structs + explode) rather than a
+    // string-interpolated stack(): column names with quotes/backticks can't
+    // break expression parsing, and the explode rides the 1-row agg frame.
+    val entries = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"_c$i").as("corr"))
+    }
+    wide
+      .select(explode(array(entries: _*)).as("_e"))
+      .select(col("_e.col_a"), col("_e.col_b"), col("_e.corr"))
   }
 
   /** Pearson chi-square test of independence between two categorical
@@ -118,6 +123,8 @@ object Stats {
     * Exact medians via `percentile` — two grouped percentile passes (values,
     * then absolute deviations) + one final rollup, all shuffling only the
     * group key. Degenerate groups (MAD = 0) report null z and 0 outliers.
+    * Group keys are matched null-safely (`<=>`), so null-keyed groups keep
+    * their stats instead of being dropped by the re-join.
     */
   def madOutliers(
       df: DataFrame,
@@ -125,14 +132,22 @@ object Stats {
       valueCol: String,
       cutoff: Double = 3.5): DataFrame = {
     val v = col(valueCol).cast("double")
+    // Null-safe re-join helper: rename the agg frame's keys, join on <=>,
+    // drop the renamed keys — groupBy emits a row for null keys and the
+    // default equi-join would silently drop it.
+    def joinNullSafe(left: DataFrame, right: DataFrame): DataFrame = {
+      val renamed = groupCols.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"_gk_$c"))
+      left
+        .join(broadcast(renamed), groupCols.map(c => col(c) <=> col(s"_gk_$c")).reduce(_ && _))
+        .drop(groupCols.map(c => s"_gk_$c"): _*)
+    }
     val med = df.groupBy(groupCols.map(col): _*)
       .agg(percentile(v, lit(0.5)).as("_med"))
-    val withMed = df.join(broadcast(med), groupCols)
+    val withMed = joinNullSafe(df, med)
     val mad = withMed.groupBy(groupCols.map(col): _*)
       .agg(percentile(abs(v - col("_med")), lit(0.5)).as("_mad"))
     val z = when(col("_mad") =!= 0.0, abs(v - col("_med")) * 0.6745 / col("_mad"))
-    withMed
-      .join(broadcast(mad), groupCols)
+    joinNullSafe(withMed, mad)
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
