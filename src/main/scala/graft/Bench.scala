@@ -85,7 +85,12 @@ object Bench {
     "q115_calibration" -> 0.400, "q116_psi_drift" -> 0.660,
     "q117_bigram_surprisal" -> 1.560, "q118_pareto_frontier" -> 0.540,
     "q119_ab_test" -> 0.640, "q120_spend_gini" -> 0.640,
-    "q121_benford" -> 0.480, "q122_rfm_segments" -> 1.020,
+    // q122 re-baselined in round 4: the three RFM quintiles moved from a
+    // single-partition ntile window to GlobalRank's range-partitioned exact
+    // ntile (VERDICT r3 item 1) — three small range exchanges + offset
+    // passes add ~1.1 s of fixed local-mode job latency at sf0.1, and buy a
+    // plan with no input-growing single-partition sort
+    "q121_benford" -> 0.480, "q122_rfm_segments" -> 2.170,
     "q123_readability" -> 0.420, "q124_overlap_matrix" -> 1.440,
     "q125_ks_drift" -> 0.860, "q126_holt_forecast" -> 0.860,
     "q127_cohort_ltv" -> 1.210, "q128_changepoint" -> 0.600,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cleaning, Dedup, Graph, Reshape, Stats, WindowOps}
+import graft.operators.{Cleaning, Dedup, GlobalRank, Graph, Reshape, Stats, WindowOps}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.mining.Association
 import graft.ml.{Classification, Clustering, Features, Regression}
@@ -2481,8 +2481,10 @@ object SparkEntry {
   // q114 — decile migration matrix: each user's spend decile in the first
   // half of the month vs the second (the rank-churn / customer-movement
   // report). ONE conditional-aggregation pass builds both period totals;
-  // ntile runs on the aggregate user frame; ties broken by user_id so the
-  // bucketing is deterministic on both engines.
+  // deciles via GlobalRank.globalNtile — range-partitioned exact ntile,
+  // value-identical to the window form but with NO single-partition sort,
+  // so the plan survives a user frame that grows with the input. Ties
+  // broken by user_id so the bucketing is deterministic on both engines.
   private def decileMigration(s: SparkSession, dir: String): DataFrame = {
     val mid = lit("2024-01-15").cast("date")
     val perUser = t(s, dir, "events")
@@ -2490,11 +2492,10 @@ object SparkEntry {
       .agg(
         sum(when(to_date(col("ts")) <= mid, col("value")).otherwise(lit(0.0))).as("v1"),
         sum(when(to_date(col("ts")) > mid, col("value")).otherwise(lit(0.0))).as("v2"))
-    val d1 = Window.orderBy(col("v1").desc, col("user_id"))
-    val d2 = Window.orderBy(col("v2").desc, col("user_id"))
-    perUser
-      .withColumn("decile_p1", ntile(10).over(d1))
-      .withColumn("decile_p2", ntile(10).over(d2))
+    val withD1 = GlobalRank.globalNtile(
+      perUser, Seq(col("v1").desc, col("user_id")), 10, "decile_p1")
+    GlobalRank
+      .globalNtile(withD1, Seq(col("v2").desc, col("user_id")), 10, "decile_p2")
       .groupBy(col("decile_p1"), col("decile_p2"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("decile_p1"), col("decile_p2"))
@@ -2611,9 +2612,12 @@ object SparkEntry {
     val byPrice = t(s, dir, "part")
       .groupBy(col("p_retailprice").as("price"))
       .agg(max(col("p_size")).as("best_size"), count(lit(1)).as("n_parts"))
-    val wPrev = Window.orderBy(col("price").desc).rowsBetween(Window.unboundedPreceding, -1)
-    byPrice
-      .withColumn("prev_max", max(col("best_size")).over(wPrev))
+    // record-to-date scan via GlobalRank.globalRunningMaxExclusive: the
+    // distinct-price frame grows with the catalog, so the frontier sweep is
+    // range-partitioned instead of a single-partition window
+    GlobalRank
+      .globalRunningMaxExclusive(
+        byPrice, Seq(col("price").desc), col("best_size"), "prev_max")
       .filter(col("prev_max").isNull || col("best_size") > col("prev_max"))
       .select(col("price"), col("best_size"), col("n_parts"))
       .orderBy(col("price").desc)
@@ -2652,16 +2656,17 @@ object SparkEntry {
 
   // q120 — Gini coefficient of user spend concentration (the Lorenz-curve
   // inequality summary): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over spends
-  // sorted ascending, user_id tiebreak. The ranking window rides the
-  // user-sized AGGREGATE frame; result is tie-order-invariant because
-  // tied spends contribute the same rank-sum either way.
+  // sorted ascending, user_id tiebreak. Rank i via GlobalRank — the
+  // range-partitioned exact row_number, no single-partition sort even
+  // when the user frame grows with the input; result is
+  // tie-order-invariant because tied spends contribute the same rank-sum
+  // either way.
   private def spendGini(s: SparkSession, dir: String): DataFrame = {
     val perUser = t(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(sum(col("value")).as("spend"))
-    val w = Window.orderBy(col("spend"), col("user_id"))
-    perUser
-      .withColumn("i", row_number().over(w))
+    GlobalRank
+      .globalRowNumber(perUser, Seq(col("spend"), col("user_id")), "i")
       .agg(
         count(lit(1)).as("n_users"),
         sum(col("spend")).as("_tot"),
@@ -2718,16 +2723,15 @@ object SparkEntry {
       .withColumn(
         "recency_days",
         (floor(unix_timestamp(col("max_ts"))) - floor(unix_timestamp(col("last_ts")))) / 86400.0)
-    val scored = rec
-      .withColumn(
-        "r_score",
-        ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id"))))
-      .withColumn(
-        "f_score",
-        ntile(5).over(Window.orderBy(col("freq"), col("user_id"))))
-      .withColumn(
-        "m_score",
-        ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))))
+    // quintiles via GlobalRank.globalNtile: exact SQL ntile semantics,
+    // range-partitioned — no single-partition sort on the user frame
+    val scored = Seq[(String, Seq[Column])](
+      ("r_score", Seq(col("recency_days").desc, col("user_id"))),
+      ("f_score", Seq(col("freq"), col("user_id"))),
+      ("m_score", Seq(col("monetary"), col("user_id")))
+    ).foldLeft(rec) { case (d, (name, sort)) =>
+      GlobalRank.globalNtile(d, sort, 5, name)
+    }
     scored
       .groupBy(
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("segment"))
@@ -3356,13 +3360,15 @@ object SparkEntry {
   // q144 — Lorenz curve points behind q120's Gini: users ranked ascending
   // by spend (user_id tiebreak), per-decile spend and the cumulative share
   // of total — the concentration curve a revenue team reads directly.
-  // ntile + running share over the user-sized aggregate.
+  // Deciles via GlobalRank.globalNtile (range-partitioned exact ntile, no
+  // single-partition sort); the running share then rides the 10-row
+  // decile frame only.
   private def lorenzCurve(s: SparkSession, dir: String): DataFrame = {
     val perUser = t(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(sum(col("value")).as("spend"))
-    val byDecile = perUser
-      .withColumn("decile", ntile(10).over(Window.orderBy(col("spend"), col("user_id"))))
+    val byDecile = GlobalRank
+      .globalNtile(perUser, Seq(col("spend"), col("user_id")), 10, "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("spend")).as("dspend"))
     val wCum = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
@@ -3755,8 +3761,8 @@ object SparkEntry {
         sum(col("c")).as("nt"),
         (log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c"))).as("h"))
       .filter(col("nt") >= 5)
-    perUser
-      .withColumn("quintile", ntile(5).over(Window.orderBy(col("nt"), col("user_id"))))
+    GlobalRank
+      .globalNtile(perUser, Seq(col("nt"), col("user_id")), 5, "quintile")
       .groupBy(col("quintile"))
       .agg(
         count(lit(1)).as("n_users"),
@@ -4046,10 +4052,12 @@ object SparkEntry {
     val sweep = sessions
       .select(col("start_us").as("t"), lit(1L).as("delta"))
       .unionByName(sessions.select(col("end_us").as("t"), lit(-1L).as("delta")))
-    val wSweep = Window.orderBy(col("t"), col("delta").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    sweep
-      .withColumn("conc", sum(col("delta")).over(wSweep))
+    // global running sum via GlobalRank.globalCumSum — the sweep list is
+    // 2×sessions and grows with the input, so the scan must stay
+    // range-partitioned; ties within (t, delta) carry equal deltas, so the
+    // per-day MAX downstream is tie-order-invariant
+    GlobalRank
+      .globalCumSum(sweep, Seq(col("t"), col("delta").desc), col("delta"), "conc")
       .groupBy(timestamp_micros(col("t")).cast("date").as("day"))
       .agg(max(col("conc")).as("peak_concurrent"))
       .orderBy(col("day"))
@@ -4286,9 +4294,10 @@ object SparkEntry {
       .select(explode(TF.tokens(lower(col("text")))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
-    val ranked = counts.withColumn(
-      "rk",
-      row_number().over(Window.orderBy(col("n").desc, col("token"))))
+    // vocab grows sublinearly (Heaps' law) but still grows — rank it with
+    // the range-partitioned GlobalRank, not a single-partition window
+    val ranked = GlobalRank.globalRowNumber(
+      counts, Seq(col("n").desc, col("token")), "rk")
     val wide = ranked.agg(
       sum(col("n")).cast("double").as("tot"),
       sum(when(col("rk") <= 10, col("n")).otherwise(0L)).as("c10"),
@@ -4534,27 +4543,32 @@ object SparkEntry {
 
   // q190 — power-user concentration: the event share captured by the top
   // 1% of users (ceil(n/100) by activity, user_id tiebreak) vs the rest —
-  // the "how skewed is engagement" number next to q120's Gini. Ranks and
-  // totals ride windows over the user-sized aggregate.
+  // the "how skewed is engagement" number next to q120's Gini. Rank via
+  // GlobalRank (range-partitioned, no single-partition sort); the user
+  // count falls out of the same offset pass, so top-membership binds as a
+  // literal instead of a global count window.
   private def powerUserShare(s: SparkSession, dir: String): DataFrame = {
     val perUser = t(s, dir, "events")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("c"))
-    val wAll = Window.partitionBy()
-    val ranked = perUser
-      .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("user_id"))))
-      .withColumn("nu", count(lit(1)).over(wAll))
-      .withColumn("k", ceil(col("nu") / 100.0))
-      .withColumn("is_top", (col("rk") <= col("k")).cast("int"))
-    ranked.agg(
-      first(col("nu")).as("n_users"),
-      first(col("k")).cast("long").as("k_top"),
-      rnd(
-        sum(when(col("is_top") === 1, col("c")).otherwise(0L)) /
-          sum(col("c")).cast("double"),
-        6).as("top1pct_share"),
-      rnd(avg(when(col("is_top") === 1, col("c"))), 2).as("avg_events_top"),
-      rnd(avg(when(col("is_top") === 0, col("c"))), 2).as("avg_events_rest"))
+    val (ranked0, nUsers) = GlobalRank.globalRowNumberWithTotal(
+      perUser, Seq(col("c").desc, col("user_id")), "rk")
+    val k = math.ceil(nUsers / 100.0).toLong
+    val ranked = ranked0.withColumn("is_top", (col("rk") <= k).cast("int"))
+    ranked
+      .agg(
+        rnd(
+          sum(when(col("is_top") === 1, col("c")).otherwise(0L)) /
+            sum(col("c")).cast("double"),
+          6).as("top1pct_share"),
+        rnd(avg(when(col("is_top") === 1, col("c"))), 2).as("avg_events_top"),
+        rnd(avg(when(col("is_top") === 0, col("c"))), 2).as("avg_events_rest"))
+      .select(
+        lit(nUsers).as("n_users"),
+        lit(k).as("k_top"),
+        col("top1pct_share"),
+        col("avg_events_top"),
+        col("avg_events_rest"))
   }
 
   // q191 — term burstiness (Church–Gale): variance-to-mean ratio of

@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT global ranking — `row_number()` / `ntile(k)` over a
+  * total order WITHOUT the single-partition `WindowExec` that
+  * `Window.orderBy(...)` (no partitionBy) plans. That shape sorts the whole
+  * frame on one reducer; fine on a bounded frame, a scale-killer on any
+  * frame that grows with the input (per-user aggregates at 10⁹ users).
+  *
+  * Two-pass range-partitioned rank instead (the classic distributed
+  * order-statistics plan, same shape Spark itself uses inside
+  * `repartitionByRange` + sortWithinPartitions):
+  *
+  *   1. `repartitionByRange(sortCols)` — sampled range exchange puts each
+  *      partition in charge of a contiguous key range (equal keys land in
+  *      one partition); `localCheckpoint` pins ONE materialization so the
+  *      count pass and the rank pass see identical partition boundaries
+  *      (range sampling re-executed across actions is not guaranteed to
+  *      resample identically).
+  *   2. Per-partition counts (numPartitions rows — a scalar-sized frame)
+  *      are collected, turned into exclusive prefix offsets on the driver,
+  *      and broadcast-joined back; the global rank is the WITHIN-partition
+  *      `row_number()` (a `WindowExec` partitioned by `spark_partition_id`,
+  *      i.e. parallel) plus the partition's offset.
+  *
+  * Every shuffle here carries the frame once; the only sequential state is
+  * the numPartitions-entry offset array. Callers must pass a tie-broken
+  * sort (append a unique key column) for a deterministic total order —
+  * ties that straddle a range boundary would otherwise make the rank
+  * assignment nondeterministic (same contract as `Window.orderBy`).
+  */
+object GlobalRank {
+
+  /** df + `outCol` = exact global 1-based rank (long) under `sortCols`. */
+  def globalRowNumber(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      outCol: String,
+      numPartitions: Int = 0): DataFrame =
+    rankedWithTotal(df, sortCols, outCol, numPartitions)._1
+
+  /** Like [[globalRowNumber]] but also returns the total row count (already
+    * known from the offset pass — saves callers a second action when they
+    * need both the rank and N, e.g. top-p% membership).
+    */
+  def globalRowNumberWithTotal(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      outCol: String,
+      numPartitions: Int = 0): (DataFrame, Long) =
+    rankedWithTotal(df, sortCols, outCol, numPartitions)
+
+  /** df + `outCol` = exact global running sum of `valueCol` over the
+    * `sortCols` total order (frame = unbounded preceding .. current row),
+    * range-partitioned: per-partition running sums in parallel plus the
+    * driver-combined exclusive prefix of per-partition totals — the
+    * distributed sweep-line / cumulative-distribution scan. Integral value
+    * columns accumulate in Long, fractional in Double (same promotion as
+    * Spark's own `sum`). Ties within `sortCols` are summed in partition
+    * order — callers needing a deterministic per-row value (rather than a
+    * tie-commutative downstream agg) must tie-break to a total order.
+    */
+  def globalCumSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: Column,
+      outCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val (parted, n) = rangeParted(df, sortCols, numPartitions)
+    val perPid = parted
+      .groupBy(col("_grk_pid"))
+      .agg(sum(valueCol).as("_grk_v"))
+    val integral = perPid.schema("_grk_v").dataType match {
+      case org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val sums = perPid
+      .collect()
+      .map(r => r.getInt(0) -> Option(r.get(1)).map(_.asInstanceOf[Number]))
+      .toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf =
+      if (integral) {
+        val offs = (0 until n).scanLeft(0L) { (acc, pid) =>
+          acc + sums.getOrElse(pid, None).map(_.longValue).getOrElse(0L)
+        }
+        (0 until n).map(pid => (pid, offs(pid))).toDF("_grk_pid", "_grk_off")
+      } else {
+        val offs = (0 until n).scanLeft(0.0) { (acc, pid) =>
+          acc + sums.getOrElse(pid, None).map(_.doubleValue).getOrElse(0.0)
+        }
+        (0 until n).map(pid => (pid, offs(pid))).toDF("_grk_pid", "_grk_off")
+      }
+    val within = Window
+      .partitionBy(col("_grk_pid"))
+      .orderBy(sortCols.toIndexedSeq: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(broadcast(offDf), Seq("_grk_pid"))
+      .withColumn(outCol, sum(valueCol).over(within) + col("_grk_off"))
+      .drop("_grk_pid", "_grk_off")
+  }
+
+  /** df + `outCol` = exact global running max of `valueCol` over STRICTLY
+    * PRECEDING rows in the `sortCols` total order (frame = unbounded
+    * preceding .. -1; null on the first row) — the Pareto-frontier /
+    * record-to-date scan. Same range-partitioned shape as [[globalCumSum]]:
+    * the per-partition exclusive running max is combined with the max over
+    * all earlier partitions (greatest() skips nulls, so empty prefixes and
+    * first rows degrade exactly like the window form).
+    */
+  def globalRunningMaxExclusive(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: Column,
+      outCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val (parted, n) = rangeParted(df, sortCols, numPartitions)
+    val perPid = parted
+      .groupBy(col("_grk_pid"))
+      .agg(max(valueCol).as("_grk_v"))
+    val dt = perPid.schema("_grk_v").dataType
+    val maxes = perPid
+      .collect()
+      .map(r => r.getInt(0) -> Option(r.get(1)).map(_.asInstanceOf[Number]))
+      .toMap
+    // exclusive prefix max of the per-partition maxes, on numPartitions
+    // scalars; integral types compare in Long (exact beyond 2^53),
+    // fractional in Double
+    val integral = dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        true
+      case _ => false
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf =
+      if (integral) {
+        val prefix = (0 until n).scanLeft(Option.empty[Long]) { (acc, pid) =>
+          val v = maxes.getOrElse(pid, None).map(_.longValue)
+          (acc, v) match {
+            case (Some(a), Some(b)) => Some(math.max(a, b))
+            case (a, b) => a.orElse(b)
+          }
+        }
+        (0 until n).map(pid => (pid, prefix(pid))).toDF("_grk_pid", "_grk_off")
+      } else {
+        val prefix = (0 until n).scanLeft(Option.empty[Double]) { (acc, pid) =>
+          val v = maxes.getOrElse(pid, None).map(_.doubleValue)
+          (acc, v) match {
+            case (Some(a), Some(b)) => Some(math.max(a, b))
+            case (a, b) => a.orElse(b)
+          }
+        }
+        (0 until n).map(pid => (pid, prefix(pid))).toDF("_grk_pid", "_grk_off")
+      }
+    val offTyped = offDf.withColumn("_grk_off", col("_grk_off").cast(dt))
+    val within = Window
+      .partitionBy(col("_grk_pid"))
+      .orderBy(sortCols.toIndexedSeq: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .join(broadcast(offTyped), Seq("_grk_pid"))
+      .withColumn(outCol, greatest(max(valueCol).over(within), col("_grk_off")))
+      .drop("_grk_pid", "_grk_off")
+  }
+
+  /** df + `outCol` = SQL `ntile(buckets)` (int) under `sortCols`, computed
+    * from the global rank in closed form: with N rows, q = N/buckets,
+    * r = N mod buckets, buckets 1..r hold q+1 rows and the rest hold q —
+    * exactly the standard-SQL bucket sizing, so results are value-identical
+    * to `ntile(k).over(Window.orderBy(...))` while the plan stays parallel.
+    */
+  def globalNtile(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      buckets: Int,
+      outCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val (ranked, n) = rankedWithTotal(df, sortCols, s"_grn_$outCol", numPartitions)
+    val q = n / buckets
+    val r = n % buckets
+    val cut = r * (q + 1)
+    val rn = col(s"_grn_$outCol")
+    // All operands are exact-integer doubles far below 2^53, and floor of a
+    // correctly-rounded quotient of such integers is the true integer part.
+    val bucket =
+      if (q == 0L) rn // fewer rows than buckets: bucket i = rank i
+      else
+        when(rn <= cut, floor((rn - 1) / lit(q + 1)) + 1)
+          .otherwise(lit(r) + floor((rn - cut - 1) / lit(q)) + 1)
+    ranked
+      .withColumn(outCol, bucket.cast("int"))
+      .drop(s"_grn_$outCol")
+  }
+
+  /** Shared first pass: range exchange + partition id, pinned by
+    * localCheckpoint so every later pass sees identical boundaries.
+    */
+  private def rangeParted(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      numPartitions: Int): (DataFrame, Int) = {
+    require(sortCols.nonEmpty, "GlobalRank needs at least one sort column")
+    val spark = df.sparkSession
+    val n =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(n, sortCols: _*)
+      .withColumn("_grk_pid", spark_partition_id())
+      .localCheckpoint(false)
+    (parted, n)
+  }
+
+  private def rankedWithTotal(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      outCol: String,
+      numPartitions: Int): (DataFrame, Long) = {
+    val (parted, n) = rangeParted(df, sortCols, numPartitions)
+    val spark = df.sparkSession
+    // numPartitions-sized aggregate → driver: scalar-sized by construction.
+    val counts = parted
+      .groupBy(col("_grk_pid"))
+      .agg(count(lit(1)).as("_grk_c"))
+      .collect()
+      .map(row => row.getInt(0) -> row.getLong(1))
+      .toMap
+    val total = counts.valuesIterator.sum
+    val offsets = (0 until n).scanLeft(0L) { (acc, pid) =>
+      acc + counts.getOrElse(pid, 0L)
+    }
+    import spark.implicits._
+    val offDf = (0 until n)
+      .map(pid => (pid, offsets(pid)))
+      .toDF("_grk_pid", "_grk_off")
+    val within = Window
+      .partitionBy(col("_grk_pid"))
+      .orderBy(sortCols.toIndexedSeq: _*)
+    val ranked = parted
+      .join(broadcast(offDf), Seq("_grk_pid"))
+      .withColumn(outCol, row_number().over(within).cast("long") + col("_grk_off"))
+      .drop("_grk_pid", "_grk_off")
+    (ranked, total)
+  }
+}

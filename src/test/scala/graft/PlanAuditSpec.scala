@@ -45,6 +45,52 @@ class PlanAuditSpec extends AnyFunSuite {
     "q164_activation_latency", "q173_triple_itemsets",
     "q193_rank_stability", "q196_value_bands")
 
+  /** Queries allowed to plan an unpartitioned WindowExec — each window
+    * provably rides a BOUNDED aggregate frame (cardinality set by the
+    * calendar, a fixed bin/category domain, or an explicit LIMIT — never by
+    * input row count), so the single-partition sort cannot grow with the
+    * data:
+    *  - day-level series (≤ calendar days in range): q04, q74, q77, q113,
+    *    q128, q169, q174, q184, q188;
+    *  - fixed bins / domains: q116 + q125 (decile/value-range bins), q121
+    *    (9 digits), q132 (bin grid), q133 (fixed hash buckets), q139
+    *    (nation/region), q144 (10 deciles — the USER ranking feeding it is
+    *    GlobalRank-partitioned), q163 + q193 (TPC-H brand domain), q200
+    *    (orders-per-customer histogram, support grows ~log of input);
+    *  - rounded-score thresholds: q55 (2-dp scores ⇒ ≤ 101 ROC points);
+    *  - explicit top-N: q83 (LIMIT 1000 vocab), q88 (rides q83's frame).
+    * Unbounded global rankings/scans (user-, vocab-, session-, price-
+    * cardinality) must instead use GlobalRank's range-partitioned
+    * row_number/ntile/cumsum/running-max — q114, q120, q122, q144, q160,
+    * q170, q179, q190, q118 all do.
+    */
+  private val globalWindowAllowed: Set[String] = Set(
+    "q04_event_day_features", "q55_roc_auc", "q74_rolling_corr",
+    "q77_cumulative_users", "q83_vocab_build", "q88_zipf_fit",
+    "q113_seasonal_decomp", "q116_psi_drift", "q121_benford",
+    "q125_ks_drift", "q128_changepoint", "q132_mutual_information",
+    "q133_hash_uniformity", "q139_share_of_parent", "q144_lorenz_curve",
+    "q163_brand_hhi", "q169_seasonal_anomaly", "q174_survival_curve",
+    "q184_max_drawdown", "q188_seasonal_strength", "q193_rank_stability",
+    "q200_orders_per_customer")
+
+  test("no declared batch query plans an unpartitioned WindowExec over an unbounded frame") {
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot(_._1.contains("stream"))
+      .flatMap { case (name, fn) =>
+        if (globalWindowAllowed(name)) Nil
+        else {
+          val plan = fn(spark, sf).queryExecution.sparkPlan
+          val bad = plan.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => w
+          }
+          if (bad.nonEmpty) Seq(name) else Nil
+        }
+      }
+    assert(offenders.isEmpty, s"single-partition windows: ${offenders.mkString("; ")}")
+  }
+
   test("no declared batch query plans a CartesianProduct or unexpected nested-loop join") {
     val offenders = SparkEntry.queries.toSeq
       .filterNot(_._1.contains("stream"))
