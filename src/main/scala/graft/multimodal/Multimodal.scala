@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * amortized over the partition (the Scala-native analog of batched pandas
   * UDF inference, 猫狗大战分类.py:420-430).
   *
-  * The decode kernels are STUBS (no image/audio codecs in this environment):
-  * `stubDecode` derives deterministic pseudo-metadata and a fixed-size
-  * feature vector from the bytes. The Spark-side plumbing — schema, batch
-  * shape, partition-wise model loading, pipeline composition — is real and
-  * tested; swapping a real codec in changes only the function body.
+  * IMAGE decode is REAL (round 4): `decodeImage` parses the actual payload
+  * with `javax.imageio` (JPEG/PNG/GIF/BMP — the JDK's bundled codecs, no
+  * external deps), reads true width/height/channels, and extracts a
+  * deterministic mean-RGB grid feature vector from the decoded pixels —
+  * the same resize-to-fixed-grid + pixel-statistics shape the reference
+  * feeds its classifier (猫狗大战分类.py:143-152, :75-94). Payloads ImageIO
+  * cannot parse (audio/video stand-ins, corrupt files) fall back to
+  * `stubDecode`, the documented deterministic fake, so mixed-modality
+  * directories decode in one pass without a partial failure.
   */
 object Multimodal {
 
@@ -23,9 +27,81 @@ object Multimodal {
   case class DecodedMedia(path: String, meta: MediaMeta, features: Array[Float])
   case class Scored(path: String, label: String, score: Double)
 
-  /** STUB decode: deterministic pseudo-decode of binary content. A real
-    * implementation would parse the image header for meta and decode pixels;
-    * this derives both from a content hash so tests are reproducible.
+  /** Real image decode: parse `bytes` with the JDK's ImageIO codecs. Returns
+    * None when no installed reader recognizes the payload (then callers fall
+    * back to [[stubDecode]]). Meta carries the TRUE pixel dims, the color
+    * model's component count, and the container format reported by the
+    * matched reader (not the file extension — a mislabeled .jpg that is
+    * really a PNG reports "png").
+    *
+    * Features: mean R,G,B per cell over a `featureDim/3`-cell vertical-strip
+    * grid of the decoded raster, normalized to [0,1] — a fixed-size,
+    * resolution-independent signature (the downsample-then-summarize step of
+    * an image pipeline, with the summary deterministic and cheap enough to
+    * assert exactly in tests). featureDim not divisible by 3 pads the tail
+    * with zeros so the declared dim is always honored.
+    */
+  def decodeImage(path: String, bytes: Array[Byte], featureDim: Int): Option[DecodedMedia] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(in)
+        val img = reader.read(0)
+        val meta = MediaMeta(
+          width = img.getWidth,
+          height = img.getHeight,
+          channels = img.getColorModel.getNumComponents,
+          format = reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
+        Some(DecodedMedia(path, meta, gridMeanRgb(img, featureDim)))
+      } finally reader.dispose()
+    } catch {
+      case _: java.io.IOException => None
+    } finally if (in != null) in.close()
+  }
+
+  /** Mean R,G,B per vertical strip (strip i = columns [i·w/n, (i+1)·w/n)),
+    * n = featureDim/3 strips, values in [0,1]; zero-padded tail if
+    * featureDim % 3 != 0. Layout: [r0,g0,b0, r1,g1,b1, …].
+    */
+  private[multimodal] def gridMeanRgb(img: java.awt.image.BufferedImage, featureDim: Int): Array[Float] = {
+    val n = math.max(featureDim / 3, 1)
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = Array.fill(featureDim)(0f)
+    val sums = Array.fill(n, 3)(0L)
+    val counts = Array.fill(n)(0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val strip = math.min(x.toLong * n / w, n - 1).toInt
+        val rgb = img.getRGB(x, y)
+        sums(strip)(0) += (rgb >> 16) & 0xff
+        sums(strip)(1) += (rgb >> 8) & 0xff
+        sums(strip)(2) += rgb & 0xff
+        counts(strip) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < n && i * 3 + 2 < featureDim) {
+      if (counts(i) > 0) {
+        out(i * 3) = (sums(i)(0).toDouble / counts(i) / 255.0).toFloat
+        out(i * 3 + 1) = (sums(i)(1).toDouble / counts(i) / 255.0).toFloat
+        out(i * 3 + 2) = (sums(i)(2).toDouble / counts(i) / 255.0).toFloat
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** STUB decode: deterministic pseudo-decode for payloads with no installed
+    * codec (audio/video stand-ins). Derives meta + features from a content
+    * hash so tests are reproducible.
     */
   def stubDecode(path: String, bytes: Array[Byte], featureDim: Int): DecodedMedia = {
     val h = java.util.Arrays.hashCode(bytes)
@@ -38,7 +114,8 @@ object Multimodal {
     DecodedMedia(path, meta, Array.fill(featureDim)(rnd.nextFloat()))
   }
 
-  /** Decode a binaryFile frame (path, content) into typed media rows.
+  /** Decode a binaryFile frame (path, content) into typed media rows —
+    * real ImageIO decode with stub fallback for non-image payloads.
     * One `mapPartitions` pass; the iterator is lazy, so content bytes of a
     * partition never materialize together.
     */
@@ -47,7 +124,49 @@ object Multimodal {
     files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.map { case (p, b) => stubDecode(p, b, featureDim) })
+      .mapPartitions(_.map { case (p, b) =>
+        decodeImage(p, b, featureDim).getOrElse(stubDecode(p, b, featureDim))
+      })
+  }
+
+  /** Decode + REAL resize in one partition pass: ImageIO decode, bilinear
+    * rescale to `w`×`h` through Graphics2D, features from the RESIZED
+    * raster — the fixed-input-size preprocessing stage of an image model
+    * (猫狗大战分类.py resizes every image to one grid before the classifier).
+    * Non-image payloads take the stub path with meta retargeted, keeping
+    * mixed directories total.
+    */
+  def decodeResized(
+      spark: SparkSession,
+      files: DataFrame,
+      w: Int,
+      h: Int,
+      featureDim: Int = 16): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    files
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (p, b) =>
+        val resized = decodeImage(p, b, featureDim).map { _ =>
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+          val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          DecodedMedia(
+            p,
+            MediaMeta(w, h, src.getColorModel.getNumComponents, "rgb"),
+            gridMeanRgb(dst, featureDim))
+        }
+        resized.getOrElse {
+          val stub = stubDecode(p, b, featureDim)
+          stub.copy(meta = stub.meta.copy(width = w, height = h))
+        }
+      })
   }
 
   /** Batch model inference via mapPartitions: the "model" (a STUB scorer —

@@ -1,0 +1,69 @@
+package graft.multimodal
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.sources.Sources
+
+class InferenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** labels (red, blue); hidden = (red-mean, blue-mean) of the 2-strip
+    * feature layout [r0,g0,b0, r1,g1,b1]; logits = hidden. A red-dominant
+    * image scores "red", blue-dominant "blue" — hand-checkable weights.
+    */
+  private val model = Inference.MlpModel(
+    labels = Array("red", "blue"),
+    w1 = Array(Array(1f, 0f, 0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f, 0f, 1f)),
+    b1 = Array(0f, 0f),
+    w2 = Array(Array(1f, 0f), Array(0f, 1f)),
+    b2 = Array(0f, 0f))
+
+  test("MlpModel wire format round-trips and scores identically") {
+    val back = Inference.MlpModel.fromBytes(model.toBytes)
+    assert(back.labels.toSeq == Seq("red", "blue"))
+    val f = Array(0.9f, 0.1f, 0.2f, 0.8f, 0.0f, 0.3f)
+    assert(model.score(f).toSeq == back.score(f).toSeq)
+    val probs = back.score(f)
+    assert(math.abs(probs.sum - 1.0) < 1e-12) // softmax head
+    assert(probs(0) > probs(1)) // red-dominant features
+  }
+
+  test("fromBytes rejects non-model payloads") {
+    intercept[IllegalArgumentException] {
+      Inference.MlpModel.fromBytes(Array.fill[Byte](16)(1))
+    }
+  }
+
+  test("scoreWithModel classifies real decoded images by dominant color") {
+    val d = Files.createTempDirectory("inf")
+    d.toFile.deleteOnExit()
+    def solid(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      img
+    }
+    javax.imageio.ImageIO.write(solid(0xff0000), "png", new java.io.File(d.toFile, "r.png"))
+    javax.imageio.ImageIO.write(solid(0x0000ff), "png", new java.io.File(d.toFile, "b.png"))
+    val media = Multimodal.decode(spark, Sources.binaryDir(spark, d.toString, "*.png"), 6)
+    val scored = Inference.scoreWithModel(spark, media, model.toBytes)
+      .collect().map(s => s.path.split('/').last -> s.label).toMap
+    assert(scored == Map("r.png" -> "red", "b.png" -> "blue"))
+  }
+
+  test("session is deserialized once per PARTITION, not per row") {
+    val rows = (1 to 40).map { i =>
+      Multimodal.DecodedMedia(
+        s"p$i", Multimodal.MediaMeta(8, 8, 3, "png"),
+        Array(1f, 0f, 0f, 1f, 0f, 0f))
+    }
+    val media = spark.createDataset(rows).repartition(4)
+    val before = Inference.sessionLoads.get()
+    val scored = Inference.scoreWithModel(spark, media, model.toBytes).collect()
+    val loads = Inference.sessionLoads.get() - before
+    assert(scored.length == 40)
+    assert(loads == 4, s"expected one session per partition (4), got $loads")
+  }
+}

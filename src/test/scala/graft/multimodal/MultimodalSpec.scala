@@ -61,6 +61,61 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  // --- real ImageIO decode (round 4) ---
+
+  /** 32×16 PNG, left half pure red, right half pure blue. */
+  private def halfRedBlue(w: Int = 32, h: Int = 16): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0xff0000 else 0x0000ff)
+    img
+  }
+
+  private lazy val imgDir: String = {
+    val d = Files.createTempDirectory("realimg")
+    d.toFile.deleteOnExit()
+    javax.imageio.ImageIO.write(halfRedBlue(), "png", new java.io.File(d.toFile, "rb.png"))
+    javax.imageio.ImageIO.write(halfRedBlue(64, 48), "jpg", new java.io.File(d.toFile, "rb.jpg"))
+    // a non-image payload in the same directory exercises the stub fallback
+    Files.write(Paths.get(d.toString, "clip.png"), Array.fill[Byte](64)(42))
+    d.toString
+  }
+
+  test("decodeImage reads true dims/format and exact mean-RGB strip features from a PNG") {
+    val bytes = Files.readAllBytes(Paths.get(imgDir, "rb.png"))
+    val m = Multimodal.decodeImage("rb.png", bytes, featureDim = 6).get
+    assert(m.meta == Multimodal.MediaMeta(32, 16, 3, "png"))
+    // strip 0 = left half = pure red; strip 1 = right half = pure blue (PNG is lossless)
+    assert(m.features.toSeq == Seq(1f, 0f, 0f, 0f, 0f, 1f))
+  }
+
+  test("decodeImage reports the codec's format for a JPEG and near-pure strip colors") {
+    val bytes = Files.readAllBytes(Paths.get(imgDir, "rb.jpg"))
+    val m = Multimodal.decodeImage("rb.jpg", bytes, featureDim = 6).get
+    assert(m.meta.width == 64 && m.meta.height == 48 && m.meta.format == "jpeg")
+    assert(m.features(0) > 0.8f && m.features(1) < 0.25f) // left strip mostly red
+    assert(m.features(5) > 0.8f && m.features(3) < 0.25f) // right strip mostly blue
+  }
+
+  test("decodeImage returns None for non-image payloads (stub fallback in decode)") {
+    assert(Multimodal.decodeImage("x.png", Array.fill[Byte](64)(42), 6).isEmpty)
+    val all = Multimodal.decode(spark, Sources.binaryDir(spark, imgDir, "*.png"), 6).collect()
+    assert(all.length == 2)
+    val real = all.find(_.path.endsWith("rb.png")).get
+    val stub = all.find(_.path.endsWith("clip.png")).get
+    assert(real.meta.width == 32 && real.meta.format == "png")
+    assert(stub.meta.format == "png" && stub.features.length == 6) // stub path, declared dim honored
+  }
+
+  test("decodeResized rescales through Graphics2D and keeps strip structure") {
+    val media = Multimodal.decodeResized(
+      spark, Sources.binaryDir(spark, imgDir, "rb.png"), w = 8, h = 8, featureDim = 6).collect()
+    assert(media.length == 1)
+    val m = media.head
+    assert(m.meta.width == 8 && m.meta.height == 8)
+    assert(m.features(0) > 0.8f && m.features(5) > 0.8f) // halves survive the resize
+  }
+
   test("sampleFrames explodes every k-th chunk with frame indices") {
     val files = Seq(("v1", Array.fill[Byte](100)(7))).toDF("path", "content")
     val frames = Multimodal.sampleFrames(files, chunkBytes = 10, everyK = 2).collect()
