@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cleaning, Dedup, GlobalRank, Graph, Reshape, Stats, WindowOps}
+import graft.operators.{Cleaning, Dedup, GlobalRank, Graph, Reshape, Stats, WeightedMedian, WindowOps}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.mining.Association
 import graft.ml.{Classification, Clustering, Features, Regression}
@@ -3661,30 +3661,27 @@ object SparkEntry {
 
   // q156 — exact weighted median (lower-median convention: the smallest
   // price whose cumulative quantity weight reaches half the total) of the
-  // extended price weighted by quantity, per return flag. Cumulative
-  // weights ride a per-flag window over the (flag, price) aggregate;
-  // quantities are integer-valued so every cumulative sum is exact. (At
-  // extreme price cardinality the binary-search-on-histogram form replaces
-  // the per-flag window; documented trade.)
-  private def weightedMedian(s: SparkSession, dir: String): DataFrame = {
-    val byPrice = t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
-      .agg(sum(col("l_quantity")).as("wt"))
-    val wCum = Window
-      .partitionBy(col("l_returnflag"))
-      .orderBy(col("price"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    byPrice
-      .withColumn("cum", sum(col("wt")).over(wCum))
-      .withColumn("tot", sum(col("wt")).over(wAll))
-      .filter(col("cum") >= col("tot") / 2)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        rnd(first(col("tot")).cast("double"), 2).as("total_weight"),
-        rnd(min(col("price")), 2).as("weighted_median_price"))
+  // extended price weighted by quantity, per return flag. Round 4: the
+  // binary-search-on-histogram form (operators/WeightedMedian.scala) is the
+  // primary path — iterative range refinement with NO per-flag sort, so the
+  // plan survives unbounded price cardinality; flags are a 3-value domain,
+  // satisfying the operator's driver-bounded-groups contract. Quantities
+  // are integer-valued so every weight sum is exact in double. (The sorted
+  // cumulative-window form remains the small-cardinality alternative,
+  // property-tested equal in WeightedMedianSpec.)
+  private def weightedMedian(s: SparkSession, dir: String): DataFrame =
+    WeightedMedian(
+      t(s, dir, "lineitem"),
+      groupCols = Seq("l_returnflag"),
+      valueCol = "l_extendedprice",
+      weightCol = "l_quantity",
+      outCol = "wm_price",
+      totCol = "tot")
+      .select(
+        col("l_returnflag"),
+        rnd(col("tot"), 2).as("total_weight"),
+        rnd(col("wm_price"), 2).as("weighted_median_price"))
       .orderBy(col("l_returnflag"))
-  }
 
   // q157 — streaming hourly peak detection: hour-windowed counts
   // accumulate in complete mode (day×24-bounded state), then the per-day
