@@ -95,17 +95,26 @@ object Dedup {
     * into dedup GROUPS, so a canonical representative (the min id, which is
     * what every component label converges to) can be kept per group.
     *
-    * Iterative min-label propagation to fixpoint: each round every node
-    * takes the min of its own and its neighbors' labels — one equi-join +
-    * partial-agg min per round, converging in O(component diameter) rounds.
-    * Near-dup components are shallow (dup clusters are cliques-ish), so
-    * rounds stay single-digit at any corpus size; pathological chain graphs
-    * would want the large-star/small-star variant instead. localCheckpoint
-    * per round truncates lineage — persist alone leaves the logical plan
-    * growing per iteration until planning dominates (same pattern as
-    * DBSCAN's propagation, ml/Dbscan.scala).
+    * Large-star/small-star contraction (the MapReduce CC algorithm of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round rewires every node's strictly-larger neighbors to
+    * its neighborhood minimum (large-star), then its smaller-or-equal
+    * neighborhood plus itself to that hood's minimum (small-star). Paths
+    * HALVE in length each round instead of shrinking by one hop, so a
+    * chain of n nodes converges in O(log n) rounds where min-label
+    * propagation (the round-3 implementation) needed O(n) — diameter no
+    * longer bounds the round count, only log of it. At the fixpoint every
+    * component is a star rooted at its min id; round-3's O(diameter)
+    * propagation survives only in DBSCAN's bounded-radius growth
+    * (ml/Dbscan.scala) where depth is a declared parameter.
     *
-    * Returns (`idCol`, "component") for every id appearing in `pairs`.
+    * Each round is edge-linear: two groupBy-min + broadcast-free equi-joins
+    * on the edge frame plus a distinct; localCheckpoint per round truncates
+    * lineage (persist alone leaves the logical plan growing until planning
+    * dominates). Convergence is proven by an unchanged (count, hash-sum)
+    * edge-set signature across a full round.
+    *
+    * Returns (`idOut`, "component") for every id appearing in `pairs`.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -113,53 +122,87 @@ object Dedup {
       dstCol: String,
       idOut: String = "id",
       maxIters: Int = 50): DataFrame = {
-    val sym = pairs
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .union(pairs.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
-      .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      // every node in `sym` has >= 1 neighbor, so the inner join keeps all.
-      // The pre-update label rides along as _old so convergence is read off
-      // the already-checkpointed result — a second labels-vs-next join per
-      // round would double the per-iteration shuffle work.
-      val propagated = sym
-        .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nc")).as("newc"))
-      val next = labels
-        .join(propagated, Seq("id"))
+    val raw = pairs
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    // the node set is fixed up front — contraction rewires edges, so ids
+    // with only self-pairs (or whose edges contract away) must still label
+    val allIds = raw
+      .select(explode(array(col("u"), col("v"))).as("id"))
+      .distinct()
+      .localCheckpoint()
+    var edges = raw
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // order-independent edge-set signature; sum of per-edge hashes over a
+    // distinct set collides only on a 64-bit accident
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df
+        .agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)))
+        .first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // one large-star + small-star round over canonical (u > v) edges
+    def round(es: DataFrame): DataFrame = {
+      val sym = es.union(es.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym
+        .groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym
+        .join(minsL, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // after large-star every edge points large -> small, so the full
+      // smaller-neighborhood of u is exactly its out-edges
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      large
+        .join(minsS, Seq("u"))
         .select(
-          col("id"),
-          col("component").as("_old"),
-          least(col("component"), col("newc")).as("component"))
+          explode(
+            array(
+              struct(col("v").as("a"), col("m").as("b")),
+              struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
         .localCheckpoint()
-      changed = next.filter(col("component") =!= col("_old")).count()
-      labels = next.select(col("id"), col("component"))
+    }
+
+    var sig = signature(edges)
+    var stable = edges.isEmpty
+    var iter = 0
+    while (!stable && iter < maxIters) {
+      val next = round(edges)
+      val nextSig = signature(next)
+      stable = nextSig == sig
+      sig = nextSig
+      edges = next
       iter += 1
     }
-    // a partially-propagated labeling splits real components and would make
-    // a dedup pass silently keep duplicates — refuse to return one. The
-    // loop's own `changed` cannot distinguish "converged ON the last
-    // permitted round" from "still propagating" (convergence is only proven
-    // by a zero-change round), so the boundary case runs one residual
+    // an unconverged contraction still has nodes pointing at non-roots, and
+    // a dedup pass over it would silently split real components — refuse to
+    // return one. The loop cannot distinguish "reached the fixpoint ON the
+    // last permitted round" from "still contracting" (convergence is only
+    // proven by an unchanged round), so the boundary case runs one residual
     // measurement round instead of throwing on a correct labeling.
-    if (changed > 0) {
-      val residual = sym
-        .join(labels.select(col("id").as("dst"), col("component").as("nc")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nc")).as("newc"))
-        .join(labels, Seq("id"))
-        .filter(col("newc") < col("component"))
-        .count()
-      require(residual == 0L,
-        s"connectedComponents did not converge in $maxIters rounds (component " +
-          s"diameter exceeds maxIters); raise maxIters or use a star-contraction variant")
+    if (!stable) {
+      val residualSig = signature(round(edges))
+      require(residualSig == sig,
+        s"connectedComponents did not converge in $maxIters rounds; raise maxIters")
     }
-    sym.unpersist()
-    labels.withColumnRenamed("id", idOut)
+    // fixpoint edges are (node -> component root) stars; roots label selves
+    val rooted = edges
+      .groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("_c"))
+    allIds
+      .join(rooted, Seq("id"), "left")
+      .select(col("id").as(idOut), coalesce(col("_c"), col("id")).as("component"))
   }
 }

@@ -77,6 +77,20 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents labels a 10k-node chain in O(log n) rounds") {
+    // path graph on 10^4 nodes with shuffled ids: diameter 10^4, so the
+    // round-3 propagation needed ~10^4 rounds; star contraction must finish
+    // within maxIters = 20 ≈ log2(n) + slack or throw its convergence guard
+    val n = 10000
+    val perm = new scala.util.Random(7).shuffle((0L until n.toLong).toVector)
+    val pairs = (0 until n - 1).map(i => (perm(i), perm(i + 1)))
+    val got = Dedup.connectedComponents(
+      spark.createDataFrame(pairs).toDF("a", "b"), "a", "b", maxIters = 20)
+    val comps = got.select("component").distinct().collect()
+    assert(comps.length == 1 && comps.head.getLong(0) == 0L)
+    assert(got.count() == n)
+  }
+
   test("connectedComponents converges on a long chain (diameter > 2 rounds)") {
     val n = 33L
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
