@@ -306,8 +306,13 @@ object SparkEntry {
   }
 
   // q17 — FPGrowth association rules over the trend baskets (M27/A9): the
-  // full VEG pipeline end-to-end. FPGrowth output is checked in tests against
-  // the relational pair counts (q10); rows-only at the driver.
+  // full VEG pipeline end-to-end, restricted to the reference's k≤2 subset
+  // (1-item antecedent → 1-item consequent, 蔬菜价格相关性分析.py:173-209). On that
+  // subset FPGrowth's confidence/lift/support are pure functions of the pair
+  // and item support counts, so a DuckDB oracle reproduces every value
+  // relationally — this is the actual FPGrowth model output hash-checked
+  // against an independent SQL derivation (the general any-size-itemset
+  // equality stays pinned in AssociationSpec).
   private def trendRules(s: SparkSession, dir: String): DataFrame = {
     val tx = trendLabels(s, dir)
       .withColumn("item", concat_ws("_", col("event_type"), col("trend")))
@@ -316,12 +321,14 @@ object SparkEntry {
     val model = Association.fpgrowth(tx, "items", minSupport = 0.15, minConfidence = 0.6)
     Association
       .rules(model)
+      .filter(size(col("antecedent")) === 1 && size(col("consequent")) === 1)
       .select(
-        col("antecedent_str"),
-        col("consequent_str"),
+        col("antecedent_str").as("antecedent"),
+        col("consequent_str").as("consequent"),
         rnd(col("confidence"), 4).as("confidence"),
         rnd(col("lift"), 4).as("lift"),
         rnd(col("support"), 4).as("support"))
+      .orderBy(col("antecedent"), col("consequent"))
   }
 
   // q18 — kNN-join classification (M11, oracle-checked): majority label of
@@ -383,24 +390,62 @@ object SparkEntry {
         // running as zombies (no-op on the happy path — all futures done)
       } finally pool.shutdownNow()
     import s.implicits._
+    // n_points pins the cluster-size-sum invariant in the result shape
+    // (smaller + larger must equal the input count; asserted in
+    // PipelineQueriesSpec since the float metrics keep this rows-only)
     Seq((math.round(sil * 10000) / 10000.0, math.round(cons * 10000) / 10000.0,
-      sizes.head, sizes.last))
-      .toDF("silhouette", "consistency", "smaller_cluster", "larger_cluster")
+      sizes.head, sizes.last, sizes.sum))
+      .toDF("silhouette", "consistency", "smaller_cluster", "larger_cluster", "n_points")
   }
 
   // q21 — rolling-origin CV (M5, the TimeSeriesSplit analog): ridge on the
-  // daily event-count series, 5 expanding-window folds. Rows-only.
+  // daily event-count series, 5 expanding-window folds. Fold mechanics are
+  // exactly `Regression.rollingOriginCv`'s (cuts at lo + (hi-lo)*i/(k+1),
+  // expanding train, next-segment validation); the per-fold fit is the
+  // analytic 1-feature ridge solution under the reference's sklearn
+  // objective (||y - a - bx||² + λb² ⇒ b = Sxy/(Sxx+λ), a = ȳ - b·x̄,
+  // λ = 0.1), so every fold's coefficients and metrics are reproduced
+  // value-for-value by the DuckDB oracle. All fold aggregates are exact
+  // (integer-valued doubles), making b/a bit-identical across engines. The
+  // iterative MLlib-fit form of M5 stays covered by
+  // `Regression.rollingOriginCv` + RegressionSpec.
   private def rollingCv(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
     val daily = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).cast("double").as("label"))
-      .withColumn("day_num", datediff(col("d"), lit("2024-01-01")).cast("double"))
-    val assembled = new VectorAssembler()
-      .setInputCols(Array("day_num")).setOutputCol("features").transform(daily)
-    Regression.rollingOriginCv(
-      assembled, "day_num", "features", "label", k = 5,
-      train => Regression.linear(regParam = 0.1, elasticNetParam = 0.0).fit(train))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .withColumn("x", datediff(col("d"), lit("2024-01-01")).cast("double"))
+      .select("x", "y")
+      .cache()
+    val k = 5
+    val b = daily.agg(min(col("x")), max(col("x"))).head() // 1-row scalar bind
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val cuts = (1 to k).map(i => lo + (hi - lo) * i / (k + 1).toDouble)
+    import s.implicits._
+    val folds = cuts.zipWithIndex.map { case (cut, i) =>
+      (i + 1, cut, if (i + 1 < k) cuts(i + 1) else hi + 1)
+    }.toDF("fold", "cut", "nxt")
+    // expanding-window train stats per fold: the fold spec is a k-row frame
+    // broadcast against the bounded daily series — one shuffle-free pass
+    val train = daily.join(broadcast(folds), col("x") <= col("cut"))
+      .groupBy("fold", "cut", "nxt")
+      .agg(count(lit(1)).as("n_train"), avg("x").as("xbar"), avg("y").as("ybar"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val coef = train
+      .withColumn("beta", (col("sxy") - col("n_train") * col("xbar") * col("ybar"))
+        / (col("sxx") - col("n_train") * col("xbar") * col("xbar") + lit(0.1)))
+      .withColumn("alpha", col("ybar") - col("beta") * col("xbar"))
+      .select("fold", "cut", "nxt", "n_train", "beta", "alpha")
+    daily.join(broadcast(coef), col("x") > col("cut") && col("x") <= col("nxt"))
+      .withColumn("r", col("y") - (col("alpha") + col("beta") * col("x")))
+      .groupBy("fold", "n_train", "beta", "alpha")
+      .agg(count(lit(1)).as("n_test"),
+        sqrt(avg(col("r") * col("r"))).as("rmse_raw"),
+        avg(abs(col("r"))).as("mae_raw"))
+      .select(col("fold"), col("n_train"), col("n_test"),
+        rnd(col("beta"), 4).as("slope"),
+        rnd(col("alpha"), 4).as("intercept"),
+        rnd(col("rmse_raw"), 4).as("rmse"),
+        rnd(col("mae_raw"), 4).as("mae"))
       .orderBy(col("fold"))
   }
 
@@ -5236,6 +5281,43 @@ object SparkEntry {
         |SELECT q_id, c_id, round(sim + 1e-9, 6) AS sim, rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "q17_trend_rules" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type, avg(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), led AS (
+        |  SELECT d, event_type, v,
+        |    lead(v, 1) OVER (PARTITION BY event_type ORDER BY d) AS nv
+        |  FROM daily
+        |), items AS (
+        |  SELECT d, event_type || '_' ||
+        |    CASE WHEN nv > v * 1.05 THEN 'up'
+        |         WHEN nv < v * 0.95 THEN 'down'
+        |         ELSE 'flat' END AS item
+        |  FROM led WHERE nv IS NOT NULL
+        |), n AS (SELECT count(DISTINCT d) AS n FROM items
+        |), item_counts AS (
+        |  SELECT item, count(*) AS cnt FROM items GROUP BY 1
+        |), pair_counts AS (
+        |  SELECT a.item AS item1, b.item AS item2, count(*) AS support_count
+        |  FROM items a JOIN items b ON a.d = b.d AND a.item < b.item
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= ceil(CAST(0.15 AS DOUBLE) * (SELECT n FROM n))
+        |), directed AS (
+        |  SELECT item1 AS antecedent, item2 AS consequent, support_count FROM pair_counts
+        |  UNION ALL
+        |  SELECT item2, item1, support_count FROM pair_counts
+        |)
+        |SELECT d.antecedent, d.consequent,
+        |  round(d.support_count / CAST(ia.cnt AS DOUBLE) + 1e-9, 4) AS confidence,
+        |  round((d.support_count / CAST(ia.cnt AS DOUBLE))
+        |    / (ic.cnt / CAST((SELECT n FROM n) AS DOUBLE)) + 1e-9, 4) AS lift,
+        |  round(d.support_count / CAST((SELECT n FROM n) AS DOUBLE) + 1e-9, 4) AS support
+        |FROM directed d
+        |JOIN item_counts ia ON d.antecedent = ia.item
+        |JOIN item_counts ic ON d.consequent = ic.item
+        |WHERE d.support_count / CAST(ia.cnt AS DOUBLE) >= 0.6
+        |ORDER BY antecedent, consequent""".stripMargin,
     "q18_knn_classify" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
@@ -5261,6 +5343,42 @@ object SparkEntry {
         |  FROM votes
         |) WHERE vr = 1
         |ORDER BY q_id""".stripMargin,
+    "q21_rolling_cv" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1
+        |), feat AS (
+        |  SELECT CAST(datediff('day', DATE '2024-01-01', d) AS DOUBLE) AS x, y
+        |  FROM daily
+        |), bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM feat
+        |), folds AS (
+        |  SELECT CAST(i AS INT) AS fold,
+        |    lo + (hi - lo) * i / 6.0 AS cut,
+        |    CASE WHEN i < 5 THEN lo + (hi - lo) * (i + 1) / 6.0 ELSE hi + 1 END AS nxt
+        |  FROM bounds, range(1, 6) t(i)
+        |), train AS (
+        |  SELECT fold, cut, nxt, count(*) AS n_train, avg(x) AS xbar, avg(y) AS ybar,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM folds JOIN feat ON x <= cut
+        |  GROUP BY 1, 2, 3
+        |), coef AS (
+        |  SELECT fold, cut, nxt, n_train,
+        |    (sxy - n_train * xbar * ybar) / (sxx - n_train * xbar * xbar + 0.1) AS beta,
+        |    ybar - (sxy - n_train * xbar * ybar) / (sxx - n_train * xbar * xbar + 0.1) * xbar AS alpha
+        |  FROM train
+        |), scored AS (
+        |  SELECT c.fold, c.n_train, c.beta, c.alpha,
+        |    f.y - (c.alpha + c.beta * f.x) AS r
+        |  FROM coef c JOIN feat f ON f.x > c.cut AND f.x <= c.nxt
+        |)
+        |SELECT fold, n_train, count(*) AS n_test,
+        |  round(beta + 1e-9, 4) AS slope,
+        |  round(alpha + 1e-9, 4) AS intercept,
+        |  round(sqrt(avg(r * r)) + 1e-9, 4) AS rmse,
+        |  round(avg(abs(r)) + 1e-9, 4) AS mae
+        |FROM scored
+        |GROUP BY fold, n_train, beta, alpha
+        |ORDER BY fold""".stripMargin,
     "q22_customer_order_presence" ->
       """WITH w AS (SELECT DISTINCT o_custkey FROM orders)
         |SELECT n_name,

@@ -105,4 +105,17 @@ class PipelineQueriesSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"))
     assert(windowed.agg(sum(col("n"))).head().getLong(0) == 7 * total)
   }
+
+  test("q20 cluster summary: sizes sum to the input count, metrics in range") {
+    val r = SparkEntry.queries("q20_cluster_summary")(spark, sf).head()
+    val (sil, cons) = (r.getDouble(0), r.getDouble(1))
+    val (smaller, larger, n) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(smaller + larger == n, "cluster sizes must partition the input")
+    assert(n == Engine.table(spark, sf, "embeddings").count())
+    assert(smaller > 0 && smaller <= larger)
+    assert(sil >= -1.0 && sil <= 1.0)
+    // consistency is majority-vote agreement against the binary label split,
+    // so it cannot fall below random-majority 0.5
+    assert(cons >= 0.5 && cons <= 1.0)
+  }
 }

@@ -27,7 +27,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *    1-row total bind — bounded by category cardinalities, not input size;
   *  - q152: the densification spine is the grid of two AGGREGATE frames
   *    (selected users × distinct days) — the intended dense output shape,
-  *    not a pairwise product over inputs.
+  *    not a pairwise product over inputs;
+  *  - q21: the rolling-origin fold spec (k=5 rows) broadcast-range-joined
+  *    against the calendar-bounded daily series — a constant × bounded
+  *    product, not input-cardinality pairwise work.
   */
 class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -43,7 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q132_mutual_information", "q134_funnel_windowed", "q136_token_pmi",
     "q145_dedup_savings", "q152_densify_ffill", "q155_target_encoding",
     "q164_activation_latency", "q173_triple_itemsets",
-    "q193_rank_stability", "q196_value_bands")
+    "q193_rank_stability", "q196_value_bands", "q21_rolling_cv")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each window
     * provably rides a BOUNDED aggregate frame (cardinality set by the
