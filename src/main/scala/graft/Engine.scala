@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session factory + table loader for the graft engine.
   *
@@ -37,6 +37,7 @@ object Engine {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.javaCharsets", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -52,6 +53,12 @@ object Engine {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TESTDATA timestamps have shipped both as TIMESTAMP(NANOS) and as
+    // TIMESTAMP(MICROS) with isAdjustedToUTC=false; Spark 4's default reads
+    // the latter as TIMESTAMP_NTZ, which watermarks and unix_* reject.
+    // Disable the inference so naive micros read as plain TIMESTAMP — with
+    // the UTC session zone the values are verbatim, exactly DuckDB's read.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     spark
   }
@@ -73,6 +80,11 @@ object Engine {
         // (ulp ≈ 256 ns) can land 1 µs off the exact floor(ns/1000) that
         // DuckDB's integer cast computes.
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case (df, f) if f.dataType == TimestampNTZType =>
+        // naive micros read as NTZ (session built without the engine's
+        // inferTimestampNTZ=false conf): reinterpret in the UTC session zone
+        // — verbatim values, same as DuckDB's naive read.
+        df.withColumn(f.name, col(f.name).cast(TimestampType))
       case (df, _) => df
     }
     if (estimatedScanPartitions(spark, path) < spark.sparkContext.defaultParallelism)
