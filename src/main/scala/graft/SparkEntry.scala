@@ -568,10 +568,10 @@ object SparkEntry {
     // so replay semantics don't depend on which entry point built the parent
     val ss = Engine.tune(s.newSession())
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // schema from a static footer read, not hardcoded: TESTDATA `events.ts`
+    // has shipped both as TIMESTAMP(NANOS) (Long under nanosAsLong) and as
+    // naive TIMESTAMP(MICROS) — the replay must accept either vintage
+    val schema = ss.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source requires a DIRECTORY; expose the single
     // events.parquet through a temp dir symlink
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
@@ -579,9 +579,14 @@ object SparkEntry {
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     try {
-      val raw = ss.readStream.schema(schema).parquet(streamDir.toString)
-        // exact integer ns→µs division — same floor semantics as Engine.table
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val read = ss.readStream.schema(schema).parquet(streamDir.toString)
+      val raw = schema("ts").dataType match {
+        case LongType =>
+          // exact integer ns→µs division — same floor semantics as Engine.table
+          read.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => read.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => read
+      }
       drainToTable(ss, build(raw), mode)
     } finally {
       // deleteOnExit is a no-op on a non-empty directory — drop the
@@ -4846,6 +4851,143 @@ object SparkEntry {
       .orderBy(col("n_orders"))
   }
 
+  // q201 — Gopher-style repetition rules: per-doc distinct-unigram ratio,
+  // top-bigram fraction, duplicated-bigram fraction, with the quality
+  // verdict computed on the RAW ratios (both engines compare identical
+  // integer-division doubles) and only the reported columns rounded.
+  private def repetitionRules(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.text.Repetition.metrics(t(s, dir, "documents"), "doc_id", "text")
+    m.select(
+      col("doc_id"),
+      col("n_tokens"),
+      rnd(col("distinct_ratio"), 6).as("distinct_ratio"),
+      rnd(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+      rnd(col("dup_bigram_frac"), 6).as("dup_bigram_frac"),
+      when(
+        col("distinct_ratio") < 0.33 || col("top_bigram_frac") > 0.09 ||
+          col("dup_bigram_frac") > 0.15,
+        "repetitive").otherwise("ok").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q202 — inverted-index posting lists: term → document frequency over the
+  // full corpus + the first 30 doc ids of the sorted posting list (the
+  // deterministic truncation the operator exposes for skew-safe output).
+  private def postingLists(s: SparkSession, dir: String): DataFrame =
+    graft.text.InvertedIndex.postings(t(s, dir, "documents"), "doc_id", "text", maxPostings = 30)
+      .select(
+        col("term"),
+        col("doc_freq"),
+        array_join(col("postings"), ",").as("postings_head"))
+      .orderBy(col("term"))
+
+  // q203 — temperature-scaled source mixture: w ∝ tokens^0.5 per source,
+  // plus the integer docs-per-100k draw budget (floor, so budgets never
+  // over-allocate). Total rides a broadcast 1-row frame, not a window.
+  private def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+    graft.operators.Mixture
+      .temperatureWeights(docs, "source", TF.tokenCount(col("text")), alpha = 0.5)
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("size").cast("long").as("n_tokens"),
+        rnd(col("weight"), 6).as("weight"),
+        floor(col("weight") * 100000).cast("long").as("docs_per_100k"))
+      .orderBy(col("source"))
+  }
+
+  // q204 — corpus-side decontamination (q63's dual): corpus docs sharing
+  // distinct 4-grams with the benchmark split (doc_id % 50 = 0), counted
+  // through the bloom-prefilter + exact-verify path — the result is exact,
+  // so the plain-SQL oracle applies even though the plan carries a bloom.
+  private def decontaminateCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val shared = graft.operators.Decontaminate.sharedGramCounts(
+      corpus = docs.filter(col("doc_id") % 50 =!= 0),
+      bench = docs.filter(col("doc_id") % 50 === 0),
+      idCol = "doc_id", textCol = "text", n = 4)
+    shared
+      .select(
+        col("doc_id"),
+        col("shared_grams"),
+        when(col("shared_grams") >= 5, "remove")
+          .when(col("shared_grams") >= 2, "review")
+          .otherwise("monitor").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q205 — Theil–Sen robust slope of daily order revenue vs days-since-
+  // epoch: the pair frame is calendar-bounded (≤ ~2.4k days ⇒ ≤ ~3M pairs
+  // at ANY scale factor), so the O(n²) join and the exact median reduce are
+  // constant-sized however large the orders table grows.
+  private def theilsenTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .select(datediff(col("day"), lit("1992-01-01")).cast("double").as("x"), col("rev").as("y"))
+    Stats.theilSen(daily, "x", "y")
+      .select(col("n_pairs"), rnd(col("theil_sen_slope"), 6).as("theil_sen_slope"))
+  }
+
+  // q206 — Mann–Kendall monotone-trend test over monthly revenue (~80
+  // months — bounded frame), continuity-corrected normal approximation;
+  // verdict compared on the raw z, rounded z reported.
+  private def mannKendallTrend(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    Stats.mannKendall(monthly, "mon", "rev")
+      .select(
+        col("n"), col("n_pairs"), col("s"),
+        rnd(col("var_s"), 6).as("var_s"),
+        rnd(col("z"), 6).as("z"),
+        col("verdict"))
+  }
+
+  // q207 — log-log price elasticity per brand: OLS slope of ln(qty) on
+  // ln(unit price) from covariance sufficient statistics — one aggregation
+  // pass keyed by brand, no per-row UDF, elasticity < 0 expected.
+  private def priceElasticity(s: SparkSession, dir: String): DataFrame = {
+    val joined = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(
+        col("p_brand"),
+        log(col("l_extendedprice").cast("double") / col("l_quantity").cast("double")).as("lp"),
+        log(col("l_quantity").cast("double")).as("lq"))
+    joined
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(covar_pop(col("lp"), col("lq")) / var_pop(col("lp")), 6).as("elasticity"),
+        rnd(corr(col("lp"), col("lq")), 6).as("r"))
+      .filter(col("n") >= 30)
+      .orderBy(col("p_brand"))
+  }
+
+  // q208 — event-type transition matrix with add-one smoothing: lead()
+  // windows are PARTITIONED by user (scale-safe); the smoothed probability
+  // denominators ride the bounded (type × type) aggregate frame.
+  private def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("c"))
+    val k = events.agg(countDistinct(col("event_type")).as("k"))
+    val wSrc = Window.partitionBy(col("src"))
+    pairs
+      .withColumn("rowtot", sum(col("c")).over(wSrc))
+      .crossJoin(broadcast(k))
+      .select(
+        col("src"), col("dst"), col("c"),
+        rnd((col("c") + 1.0) / (col("rowtot") + col("k")), 6).as("p_smoothed"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5047,7 +5189,15 @@ object SparkEntry {
     "q197_hour_dow_heatmap" -> hourDowHeatmap,
     "q198_emerging_terms" -> emergingTerms,
     "q199_price_band_mix" -> priceBandMix,
-    "q200_orders_per_customer" -> ordersPerCustomer)
+    "q200_orders_per_customer" -> ordersPerCustomer,
+    "q201_repetition_rules" -> repetitionRules,
+    "q202_posting_lists" -> postingLists,
+    "q203_mixture_weights" -> mixtureWeights,
+    "q204_decontaminate_corpus" -> decontaminateCorpus,
+    "q205_theilsen_trend" -> theilsenTrend,
+    "q206_mann_kendall" -> mannKendallTrend,
+    "q207_price_elasticity" -> priceElasticity,
+    "q208_event_transitions" -> eventTransitions)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -8701,5 +8851,136 @@ object SparkEntry {
         |SELECT n_orders, n_customers,
         |  round(n_customers / CAST(sum(n_customers) OVER () AS DOUBLE)
         |    + 1e-9, 6) AS frac_customers
-        |FROM hist ORDER BY n_orders""".stripMargin)
+        |FROM hist ORDER BY n_orders""".stripMargin,
+    "q201_repetition_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+        |  FROM documents WHERE trim(text) <> ''
+        |), uni AS (
+        |  SELECT doc_id, len(l) AS n_tokens, len(list_distinct(l)) AS n_distinct FROM w
+        |), big AS (
+        |  SELECT doc_id, l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] AS bg
+        |  FROM w, UNNEST(range(1, len(l))) AS t(i)
+        |), bgc AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg
+        |), bs AS (
+        |  SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_bigrams,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+        |  FROM bgc GROUP BY doc_id
+        |), raw AS (
+        |  SELECT u.doc_id, u.n_tokens,
+        |    CAST(u.n_distinct AS DOUBLE) / u.n_tokens AS dr,
+        |    CAST(b.top_cnt AS DOUBLE) / b.n_bigrams AS tbf,
+        |    CAST(b.dup_occ AS DOUBLE) / b.n_bigrams AS dbf
+        |  FROM uni u JOIN bs b USING (doc_id)
+        |)
+        |SELECT doc_id, n_tokens,
+        |  round(dr + 1e-9, 6) AS distinct_ratio,
+        |  round(tbf + 1e-9, 6) AS top_bigram_frac,
+        |  round(dbf + 1e-9, 6) AS dup_bigram_frac,
+        |  CASE WHEN dr < 0.33 OR tbf > 0.09 OR dbf > 0.15
+        |    THEN 'repetitive' ELSE 'ok' END AS verdict
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "q202_posting_lists" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''
+        |)
+        |SELECT term, count(*) AS doc_freq,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:30], ',') AS postings_head
+        |FROM tok GROUP BY term ORDER BY term""".stripMargin,
+    "q203_mixture_weights" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE trim(text) <> '' GROUP BY source
+        |), w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    pow(CAST(n_tokens AS DOUBLE), 0.5) AS raw FROM s
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  round(raw / sum(raw) OVER () + 1e-9, 6) AS weight,
+        |  CAST(floor(raw / sum(raw) OVER () * 100000) AS BIGINT) AS docs_per_100k
+        |FROM w ORDER BY source""".stripMargin,
+    "q204_decontaminate_corpus" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 3], ' ') AS g
+        |  FROM tok, unnest(range(1, len(toks) - 2)) t(i)
+        |), bench AS (
+        |  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+        |), corp AS (
+        |  SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0
+        |), hits AS (
+        |  SELECT c.doc_id, count(DISTINCT c.g) AS shared_grams
+        |  FROM corp c JOIN bench b USING (g) GROUP BY c.doc_id
+        |)
+        |SELECT doc_id, shared_grams,
+        |  CASE WHEN shared_grams >= 5 THEN 'remove'
+        |       WHEN shared_grams >= 2 THEN 'review'
+        |       ELSE 'monitor' END AS verdict
+        |FROM hits ORDER BY doc_id""".stripMargin,
+    "q205_theilsen_trend" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1
+        |), idx AS (
+        |  SELECT CAST(datediff('day', DATE '1992-01-01', day) AS DOUBLE) AS x,
+        |    rev AS y FROM d
+        |), pairs AS (
+        |  SELECT (b.y - a.y) / (b.x - a.x) AS slope
+        |  FROM idx a JOIN idx b ON b.x > a.x
+        |)
+        |SELECT count(*) AS n_pairs,
+        |  round(median(slope) + 1e-9, 6) AS theil_sen_slope
+        |FROM pairs""".stripMargin,
+    "q206_mann_kendall" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS mon, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1
+        |), pairs AS (
+        |  SELECT CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn
+        |  FROM m a JOIN m b ON b.mon > a.mon
+        |), agg AS (
+        |  SELECT CAST(sum(sgn) AS BIGINT) AS s, count(*) AS n_pairs,
+        |    (SELECT count(*) FROM m) AS n FROM pairs
+        |), stats AS (
+        |  SELECT n, n_pairs, s,
+        |    n * (n - 1) * (2 * n + 5) / 18.0 AS var_s,
+        |    (CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END)
+        |      / sqrt(n * (n - 1) * (2 * n + 5) / 18.0) AS z_raw
+        |  FROM agg
+        |)
+        |SELECT n, n_pairs, s,
+        |  round(var_s + 1e-9, 6) AS var_s,
+        |  round(z_raw + 1e-9, 6) AS z,
+        |  CASE WHEN abs(z_raw) > 1.96 THEN 'trend' ELSE 'no_trend' END AS verdict
+        |FROM stats""".stripMargin,
+    "q207_price_elasticity" ->
+      """WITH px AS (
+        |  SELECT p.p_brand,
+        |    ln(CAST(l.l_extendedprice AS DOUBLE) / CAST(l.l_quantity AS DOUBLE)) AS lp,
+        |    ln(CAST(l.l_quantity AS DOUBLE)) AS lq
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+        |)
+        |SELECT p_brand, count(*) AS n,
+        |  round(covar_pop(lp, lq) / var_pop(lp) + 1e-9, 6) AS elasticity,
+        |  round(corr(lp, lq) + 1e-9, 6) AS r
+        |FROM px GROUP BY p_brand HAVING count(*) >= 30 ORDER BY p_brand""".stripMargin,
+    "q208_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events
+        |), pc AS (
+        |  SELECT src, dst, count(*) AS c FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+        |), k AS (SELECT count(DISTINCT event_type) AS k FROM events)
+        |SELECT src, dst, c,
+        |  round((c + 1.0) / (sum(c) OVER (PARTITION BY src) + (SELECT k FROM k)) + 1e-9, 6)
+        |    AS p_smoothed
+        |FROM pc ORDER BY src, dst""".stripMargin)
 }

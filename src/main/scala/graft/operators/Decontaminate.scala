@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination — flag corpus documents that share word
+  * n-grams with an evaluation/benchmark set so they can be removed before
+  * training (the q63 overlap report's corpus-side dual: q63 counts
+  * contamination per benchmark doc; this emits the removal list).
+  *
+  * Scale shape: the benchmark set is small (eval suites are ~10⁴–10⁶
+  * grams), the corpus is the 100-TB side. The corpus gram stream is
+  * prefiltered by a BLOOM FILTER built over the benchmark grams and
+  * broadcast to the executors — the full corpus never shuffles its grams;
+  * only the tiny bloom-positive slice reaches the verification join, which
+  * then removes the false positives exactly. Result is therefore EXACT
+  * (bloom errors are one-sided: no false negatives), independent of `fpp`.
+  */
+object Decontaminate {
+
+  /** Distinct shared-n-gram counts per corpus document.
+    *
+    * Tokenization is lowercase + whitespace (mirrors the oracle's
+    * `regexp_split_to_array(trim(lower(text)), '\s+')`). Returns
+    * (idCol, shared_grams) for corpus docs with at least one shared gram.
+    *
+    * `useBloom=false` skips the prefilter (exact join only) — the
+    * equivalence of the two paths is the operator's correctness test.
+    */
+  def sharedGramCounts(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      useBloom: Boolean = true,
+      fpp: Double = 0.001): DataFrame = {
+    require(n >= 1, s"n must be positive: $n")
+    def grams(df: DataFrame): DataFrame = df
+      .filter(trim(col(textCol)) =!= "")
+      .select(
+        col(idCol),
+        explode(array_distinct(TextFunctions.wordShingles(lower(col(textCol)), n))).as("g"))
+    val corpusGrams = grams(corpus)
+    val benchGrams = grams(bench).select(col("g")).distinct()
+    val candidates =
+      if (useBloom) {
+        // two driver-visible jobs over the SMALL side only (count sizes the
+        // filter, then one pass builds it); the corpus side stays lazy
+        val expected = math.max(benchGrams.count(), 1L)
+        val bloom = benchGrams.stat.bloomFilter("g", expected, fpp)
+        val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+        val mightContain = udf((g: String) => g != null && bc.value.mightContain(g))
+        corpusGrams.filter(mightContain(col("g")))
+      } else corpusGrams
+    candidates
+      .join(benchGrams, Seq("g")) // exact verify: eliminates bloom false positives
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("g")).as("shared_grams"))
+  }
+}

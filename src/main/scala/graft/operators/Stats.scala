@@ -156,4 +156,55 @@ object Stats {
         sum(when(z > cutoff, 1L).otherwise(0L)).as("n_outliers"),
         max(z).as("max_abs_z"))
   }
+
+  /** Theil–Sen robust slope: the median of all pairwise slopes
+    * (y_j − y_i)/(x_j − x_i) over x_j > x_i — the outlier-resistant trend
+    * estimator (breakdown point ~29%, vs 0 for OLS).
+    *
+    * BOUNDED-FRAME CONTRACT: the O(n²) pair join is only sane when `df` is
+    * an AGGREGATE frame whose cardinality is fixed by the calendar or a
+    * category domain (daily/monthly series: ≤ a few thousand rows ⇒ ≤ a few
+    * million pairs), never a raw data-sized input. Under that contract the
+    * broadcast nested-loop pair join and the single exact-percentile reduce
+    * are both constant-sized regardless of the underlying data volume.
+    */
+  def theilSen(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val a = df.select(col(xCol).cast("double").as("_xa"), col(yCol).cast("double").as("_ya"))
+    val b = df.select(col(xCol).cast("double").as("_xb"), col(yCol).cast("double").as("_yb"))
+    a.join(b, col("_xb") > col("_xa"))
+      .select(((col("_yb") - col("_ya")) / (col("_xb") - col("_xa"))).as("_slope"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        percentile(col("_slope"), lit(0.5)).as("theil_sen_slope"))
+  }
+
+  /** Mann–Kendall trend test: S = Σ_{i<j} sign(v_j − v_i) over the series
+    * ordered by `orderCol`, normal approximation with continuity correction
+    * (no tie correction — callers with heavily tied data should pre-jitter
+    * or use the tie-adjusted variance). Returns one row:
+    * (n, n_pairs, s, var_s, z, verdict) with verdict 'trend' when |z| > zCrit.
+    *
+    * Same bounded-frame contract as [[theilSen]]: the pair join is for
+    * calendar-sized aggregate series only.
+    */
+  def mannKendall(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      zCrit: Double = 1.96): DataFrame = {
+    val a = df.select(col(orderCol).as("_oa"), col(valueCol).cast("double").as("_va"))
+    val b = df.select(col(orderCol).as("_ob"), col(valueCol).cast("double").as("_vb"))
+    val sAgg = a.join(b, col("_ob") > col("_oa"))
+      .select(signum(col("_vb") - col("_va")).cast("long").as("_sgn"))
+      .agg(sum(col("_sgn")).as("s"), count(lit(1)).as("n_pairs"))
+    val nAgg = df.agg(count(lit(1)).as("n"))
+    val varS = col("n") * (col("n") - 1) * (col("n") * 2 + 5) / 18.0
+    val sCorr = when(col("s") > 0, col("s") - 1).when(col("s") < 0, col("s") + 1).otherwise(0L)
+    nAgg
+      .crossJoin(broadcast(sAgg))
+      .withColumn("var_s", varS)
+      .withColumn("z", sCorr / sqrt(col("var_s")))
+      .withColumn("verdict", when(abs(col("z")) > zCrit, "trend").otherwise("no_trend"))
+      .select(col("n"), col("n_pairs"), col("s"), col("var_s"), col("z"), col("verdict"))
+  }
 }

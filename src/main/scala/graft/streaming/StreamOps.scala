@@ -123,6 +123,36 @@ object StreamOps {
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
           col(rightTs) <= col(leftTs))
 
+  /** Per-user event-type transitions as a stateful streaming operator: the
+    * streaming form of the batch lead()-window transition counting (q208).
+    * State carries the last event (time, id, type) per user across
+    * micro-batches; each batch's group slice is sorted by (ts, event_id)
+    * before folding, so with in-order arrival the emitted (src, dst) pairs
+    * equal the batch window exactly. State is O(1) per user, sharded by
+    * user key — the bounded-state analog of the batch shuffle.
+    */
+  case class TypedEvent(user_id: Long, ts: Timestamp, event_id: Long, event_type: String)
+  case class Transition(src: String, dst: String)
+  case class TransState(lastTs: Long, lastId: Long, lastType: String)
+
+  def transitions(spark: SparkSession, events: Dataset[TypedEvent]): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[TypedEvent], state: GroupState[TransState]) =>
+          val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+          var prev = state.getOption
+          val out = Vector.newBuilder[Transition]
+          sorted.foreach { e =>
+            prev.foreach(p => out += Transition(p.lastType, e.event_type))
+            prev = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming trend detection (the VEG adjacent-period comparison as a
     * stateful operator): per (event_type) group, compare each micro-batch's
     * day-average against the previous day's retained in state and emit

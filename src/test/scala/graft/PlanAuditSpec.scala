@@ -46,7 +46,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q132_mutual_information", "q134_funnel_windowed", "q136_token_pmi",
     "q145_dedup_savings", "q152_densify_ffill", "q155_target_encoding",
     "q164_activation_latency", "q173_triple_itemsets",
-    "q193_rank_stability", "q196_value_bands", "q21_rolling_cv")
+    "q193_rank_stability", "q196_value_bands", "q21_rolling_cv",
+    // 1-row broadcast total/count frames (q203 mixture normalizer, q206
+    // Mann–Kendall n×S combine, q208 smoothing denominator) and
+    // calendar-bounded O(n²) pair joins (q205 Theil–Sen over ≤ ~2.4k
+    // daily aggregates, q206 over ≤ ~84 monthly aggregates)
+    "q203_mixture_weights", "q205_theilsen_trend", "q206_mann_kendall",
+    "q208_event_transitions")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each window
     * provably rides a BOUNDED aggregate frame (cardinality set by the

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DecontaminateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+  private val corpus = Seq(
+    (1L, "a b c d x"), // shares trigrams "a b c", "b c d"
+    (2L, "x y z w"), // clean
+    (3L, "A B C q"), // case-folds into "a b c"
+    (4L, "c d e c d e") // repeated shared trigrams count DISTINCT once each: "c d e" (+ none other)
+  ).toDF("doc_id", "text")
+
+  test("shared distinct n-gram counts are exact") {
+    val out = Decontaminate
+      .sharedGramCounts(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("bloom prefilter path equals the exact join path") {
+    val withBloom = Decontaminate
+      .sharedGramCounts(corpus, bench, "doc_id", "text", n = 3, useBloom = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Decontaminate
+      .sharedGramCounts(corpus, bench, "doc_id", "text", n = 3, useBloom = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withBloom == exact)
+  }
+
+  test("sf0.001 documents: bloom and exact paths agree on real data") {
+    val docs = graft.Engine.table(spark, TestSpark.Sf, "documents")
+    val b = docs.filter("doc_id % 50 = 0")
+    val c = docs.filter("doc_id % 50 <> 0")
+    val fast = Decontaminate.sharedGramCounts(c, b, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Decontaminate.sharedGramCounts(c, b, "doc_id", "text", n = 4, useBloom = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == exact)
+    assert(fast.nonEmpty) // the synthetic corpus plants at least one near-copy
+  }
+}

@@ -76,4 +76,37 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getLong(4) == 0L)
     assert(r.isNullAt(5))
   }
+
+  test("theilSen recovers the exact slope of a clean line") {
+    val df = (1 to 10).map(i => (i.toDouble, 2.0 * i + 3)).toDF("x", "y")
+    val r = Stats.theilSen(df, "x", "y").head()
+    assert(r.getLong(0) == 45L) // 10 choose 2
+    assert(approx(r.getDouble(1), 2.0))
+  }
+
+  test("theilSen shrugs off a gross outlier that would wreck OLS") {
+    val df = (1 to 11).map(i => (i.toDouble, if (i == 6) 1e6 else 2.0 * i + 3)).toDF("x", "y")
+    val slope = Stats.theilSen(df, "x", "y").head().getDouble(1)
+    assert(approx(slope, 2.0)) // median of pair slopes ignores the 10 corrupted pairs
+  }
+
+  test("mannKendall flags a strictly increasing series and computes S exactly") {
+    val df = (1 to 20).map(i => (i, i.toDouble)).toDF("t", "v")
+    val r = Stats.mannKendall(df, "t", "v").head()
+    assert(r.getLong(0) == 20L)
+    assert(r.getLong(1) == 190L)
+    assert(r.getLong(2) == 190L) // every pair ascending
+    // var_s = 20*19*45/18 = 950; z = (190-1)/sqrt(950)
+    assert(approx(r.getDouble(3), 950.0))
+    assert(approx(r.getDouble(4), 189.0 / math.sqrt(950.0)))
+    assert(r.getString(5) == "trend")
+  }
+
+  test("mannKendall on a constant series is S=0, z=0, no_trend") {
+    val df = (1 to 15).map(i => (i, 4.2)).toDF("t", "v")
+    val r = Stats.mannKendall(df, "t", "v").head()
+    assert(r.getLong(2) == 0L)
+    assert(r.getDouble(4) == 0.0)
+    assert(r.getString(5) == "no_trend")
+  }
 }
