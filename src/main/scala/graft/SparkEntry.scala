@@ -4988,6 +4988,120 @@ object SparkEntry {
       .orderBy(col("src"), col("dst"))
   }
 
+  // q209 — triangle count + clustering coefficient of the exact 3-NN
+  // cosine graph: the ANN-graph build (NN-descent's init) followed by the
+  // degree-ordered triangle enumeration (each triangle counted once from
+  // its minimum-(degree, id) corner — the standard MPC algorithm, so the
+  // wedge join fans out from LOW-degree vertices and no hub explodes).
+  // Edge set is n·k by construction (sparse at any n); at 100-TB embedding
+  // counts the kNN stage swaps to ivfTopK, the counting stays as-is.
+  private def knnTriangles(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val knn = VF.bruteForceTopK(
+      emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+      "q_id", "c_id", "q_vec", "c_vec", k = 3)
+    val edges = knn
+      .select(least(col("q_id"), col("c_id")).as("u"), greatest(col("q_id"), col("c_id")).as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("node")).union(edges.select(col("v")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    val wedges = oriented.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+      .join(oriented.select(col("src"), col("dst").as("c2"), col("ddst").as("dc")), Seq("src"))
+      .filter(col("db") < col("dc") || (col("db") === col("dc") && col("b") < col("c2")))
+    val tri = wedges
+      .join(oriented.select(col("src").as("b"), col("dst").as("c2")), Seq("b", "c2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("d") * (col("d") - 1)) / 2).cast("long").as("n_wedges"))
+    val edgeCount = edges.agg(count(lit(1)).as("n_edges"))
+    degStats
+      .crossJoin(broadcast(edgeCount))
+      .crossJoin(broadcast(tri))
+      .select(
+        col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        rnd(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering_coeff"))
+  }
+
+  // q210 — Markov entropy per source state + the traffic-weighted entropy
+  // rate ('ALL' row): how predictable the event stream is, from the same
+  // user-partitioned lead() transitions as q208 (unsmoothed MLE here).
+  private def transitionEntropy(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pc = t(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("c"))
+    val tot = pc.groupBy(col("src")).agg(sum(col("c")).as("n_out"))
+    val p = col("c").cast("double") / col("n_out")
+    val h = pc.join(tot, Seq("src"))
+      .groupBy(col("src"), col("n_out"))
+      .agg((-sum(p * log2(p))).as("h_bits"))
+    val rate = h.agg(
+      sum(col("n_out")).as("n_out"),
+      (sum(col("h_bits") * col("n_out")) / sum(col("n_out"))).as("h_bits"))
+      .select(lit("ALL").as("src"), col("n_out"), col("h_bits"))
+    h.select(col("src"), col("n_out"), col("h_bits"))
+      .union(rate)
+      .select(col("src"), col("n_out"), rnd(col("h_bits"), 6).as("h_bits"))
+      .orderBy(col("src"))
+  }
+
+  // q211 — the q208 transition counts as a STATEFUL STREAMING query:
+  // flatMapGroupsWithState carries each user's last event across
+  // micro-batches (O(1) state per user, sharded by key), emitted pairs
+  // aggregated after the drain; oracle = the batch lead() counts exactly.
+  private def streamTransitions(s: SparkSession, dir: String): DataFrame = {
+    val sink = replayStream(s, dir, "append") { raw =>
+      val ss = raw.sparkSession
+      import ss.implicits._
+      graft.streaming.StreamOps
+        .transitions(ss, raw
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .as[graft.streaming.StreamOps.TypedEvent])
+        .toDF()
+    }
+    sink.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  // q212 — skip-gram pair weights (word2vec-style training-pair prep):
+  // (center, context) co-occurrence within a ±2 token window, weight 1/d.
+  // Pair generation is a pure per-row transform over the token array —
+  // zero shuffle until the final (w1, w2) aggregation; weights are exact
+  // binary halves so the top-15 ordering is deterministic.
+  private def skipgramPairs(s: SparkSession, dir: String): DataFrame = {
+    def pairsAt(d: Int, wt: Double): Column =
+      TF.bindOnce(TF.tokens(col("text"))) { toks =>
+        when(size(toks) <= d, array().cast("array<struct<w1:string,w2:string,wt:double>>"))
+          .otherwise(
+            transform(
+              sequence(lit(1), size(toks) - d),
+              i => struct(
+                element_at(toks, i).as("w1"),
+                element_at(toks, i + d).as("w2"),
+                lit(wt).as("wt"))))
+      }
+    t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(explode(concat(pairsAt(1, 1.0), pairsAt(2, 0.5))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.wt").as("wt"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pairs"), rnd(sum(col("wt")), 2).as("weight"))
+      .orderBy(col("weight").desc, col("w1"), col("w2"))
+      .limit(15)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5197,7 +5311,11 @@ object SparkEntry {
     "q205_theilsen_trend" -> theilsenTrend,
     "q206_mann_kendall" -> mannKendallTrend,
     "q207_price_elasticity" -> priceElasticity,
-    "q208_event_transitions" -> eventTransitions)
+    "q208_event_transitions" -> eventTransitions,
+    "q209_knn_triangles" -> knnTriangles,
+    "q210_transition_entropy" -> transitionEntropy,
+    "q211_stream_transitions" -> streamTransitions,
+    "q212_skipgram_pairs" -> skipgramPairs)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -8982,5 +9100,84 @@ object SparkEntry {
         |SELECT src, dst, c,
         |  round((c + 1.0) / (sum(c) OVER (PARTITION BY src) + (SELECT k FROM k)) + 1e-9, 6)
         |    AS p_smoothed
-        |FROM pc ORDER BY src, dst""".stripMargin)
+        |FROM pc ORDER BY src, dst""".stripMargin,
+    "q209_knn_triangles" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim
+        |  FROM embeddings q, embeddings c WHERE q.vec_id != c.vec_id
+        |), knn AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rnk
+        |    FROM scored) WHERE rnk <= 3
+        |), edges AS (
+        |  SELECT DISTINCT least(q_id, c_id) AS u, greatest(q_id, c_id) AS v FROM knn
+        |), deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) GROUP BY node
+        |), oe AS (
+        |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS ddst
+        |  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+        |), tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM oe e1 JOIN oe e2 ON e1.src = e2.src
+        |    AND ((e1.ddst, e1.dst) < (e2.ddst, e2.dst))
+        |  JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        |), stats AS (
+        |  SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |    (SELECT count(*) FROM edges) AS n_edges,
+        |    (SELECT sum(d * (d - 1) / 2) FROM deg) AS n_wedges,
+        |    (SELECT n_triangles FROM tri) AS n_triangles
+        |)
+        |SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+        |  CAST(n_wedges AS BIGINT) AS n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
+        |  round(3.0 * n_triangles / n_wedges + 1e-9, 6) AS clustering_coeff
+        |FROM stats""".stripMargin,
+    "q210_transition_entropy" ->
+      """WITH seq AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events
+        |), pc AS (
+        |  SELECT src, dst, count(*) AS c FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT src, sum(c) AS n_out FROM pc GROUP BY src
+        |), h AS (
+        |  SELECT p.src, CAST(t.n_out AS BIGINT) AS n_out,
+        |    -sum((CAST(p.c AS DOUBLE) / t.n_out) * log2(CAST(p.c AS DOUBLE) / t.n_out)) AS h_bits
+        |  FROM pc p JOIN tot t USING (src) GROUP BY p.src, t.n_out
+        |), rate AS (
+        |  SELECT 'ALL' AS src, CAST(sum(n_out) AS BIGINT) AS n_out,
+        |    sum(h_bits * n_out) / sum(n_out) AS h_bits FROM h
+        |)
+        |SELECT src, n_out, round(h_bits + 1e-9, 6) AS h_bits FROM h
+        |UNION ALL SELECT src, n_out, round(h_bits + 1e-9, 6) FROM rate
+        |ORDER BY src""".stripMargin,
+    "q211_stream_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events
+        |)
+        |SELECT src, dst, count(*) AS c FROM seq WHERE dst IS NOT NULL
+        |GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+    "q212_skipgram_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+        |  FROM documents WHERE trim(text) <> ''
+        |), p1 AS (
+        |  SELECT l[CAST(i AS INT)] AS w1, l[CAST(i AS INT) + 1] AS w2, 1.0 AS wt
+        |  FROM w, UNNEST(range(1, len(l))) t(i)
+        |  UNION ALL
+        |  SELECT l[CAST(i AS INT)], l[CAST(i AS INT) + 2], 0.5
+        |  FROM w, UNNEST(range(1, len(l) - 1)) t(i)
+        |)
+        |SELECT w1, w2, count(*) AS n_pairs, round(sum(wt) + 1e-9, 2) AS weight
+        |FROM p1 GROUP BY w1, w2
+        |ORDER BY weight DESC, w1, w2 LIMIT 15""".stripMargin)
 }

@@ -52,7 +52,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // calendar-bounded O(n²) pair joins (q205 Theil–Sen over ≤ ~2.4k
     // daily aggregates, q206 over ≤ ~84 monthly aggregates)
     "q203_mixture_weights", "q205_theilsen_trend", "q206_mann_kendall",
-    "q208_event_transitions")
+    "q208_event_transitions",
+    // q209: the kNN stage is the declared broadcast-queries brute-force
+    // baseline (swap to ivfTopK at scale) + two 1-row stat combines
+    "q209_knn_triangles")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each window
     * provably rides a BOUNDED aggregate frame (cardinality set by the
