@@ -129,7 +129,15 @@ object Bench {
     "q193_rank_stability" -> 1.650, "q194_mix_shift_days" -> 1.190,
     "q195_deadstock" -> 1.410, "q196_value_bands" -> 0.810,
     "q197_hour_dow_heatmap" -> 0.730, "q198_emerging_terms" -> 0.520,
-    "q199_price_band_mix" -> 1.080, "q200_orders_per_customer" -> 0.750)
+    "q199_price_band_mix" -> 1.080, "q200_orders_per_customer" -> 0.750,
+    // round-4 additions (r4 sf0.1 measurements, BASELINE.md §3c)
+    "q201_repetition_rules" -> 0.840, "q202_posting_lists" -> 0.470,
+    "q203_mixture_weights" -> 0.620, "q204_decontaminate_corpus" -> 2.130,
+    "q205_theilsen_trend" -> 3.010, "q206_mann_kendall" -> 1.010,
+    "q207_price_elasticity" -> 1.370, "q208_event_transitions" -> 1.110,
+    "q209_knn_triangles" -> 2.380, "q210_transition_entropy" -> 1.180,
+    "q211_stream_transitions" -> 2.340, "q212_skipgram_pairs" -> 0.820,
+    "q213_curriculum_plan" -> 1.370)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

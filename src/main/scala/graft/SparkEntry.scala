@@ -5102,6 +5102,43 @@ object SparkEntry {
       .limit(15)
   }
 
+  // q213 — curriculum sampling plan: the end-to-end curation composition a
+  // pretraining run executes — quality-band each doc (shared q13 scorer),
+  // weight each source by temperature (shared q203 operator), then allocate
+  // each source's per-100k draw budget across its bands with quality
+  // multipliers (high 3×, mid 1×, low 0.25×). Windows ride the bounded
+  // source×band frame; the global normalizer is Mixture's broadcast 1-row.
+  private def curriculumPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(
+        col("source"),
+        TF.qualityScore(col("text"), Stopwords).as("q"),
+        TF.tokenCount(col("text")).as("toks"))
+    val band = when(col("q") >= 0.78, "1_high")
+      .when(col("q") >= 0.62, "2_mid")
+      .otherwise("3_low")
+    val bands = docs
+      .groupBy(col("source"), band.as("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val budgets = graft.operators.Mixture
+      .temperatureWeights(docs, "source", col("toks"), alpha = 0.5)
+      .select(col("source"), floor(col("weight") * 100000).as("src_budget"))
+    val mult = when(col("band") === "1_high", 3.0)
+      .when(col("band") === "2_mid", 1.0)
+      .otherwise(0.25)
+    val wSrc = Window.partitionBy(col("source"))
+    bands
+      .join(budgets, Seq("source"))
+      .withColumn("_mass", mult * col("n_docs"))
+      .select(
+        col("source"), col("band"), col("n_docs"), col("n_tokens"),
+        col("src_budget").cast("long").as("src_budget"),
+        floor(col("src_budget") * col("_mass") / sum(col("_mass")).over(wSrc))
+          .cast("long").as("draws"))
+      .orderBy(col("source"), col("band"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5315,7 +5352,8 @@ object SparkEntry {
     "q209_knn_triangles" -> knnTriangles,
     "q210_transition_entropy" -> transitionEntropy,
     "q211_stream_transitions" -> streamTransitions,
-    "q212_skipgram_pairs" -> skipgramPairs)
+    "q212_skipgram_pairs" -> skipgramPairs,
+    "q213_curriculum_plan" -> curriculumPlan)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -9179,5 +9217,33 @@ object SparkEntry {
         |)
         |SELECT w1, w2, count(*) AS n_pairs, round(sum(wt) + 1e-9, 2) AS weight
         |FROM p1 GROUP BY w1, w2
-        |ORDER BY weight DESC, w1, w2 LIMIT 15""".stripMargin)
+        |ORDER BY weight DESC, w1, w2 LIMIT 15""".stripMargin,
+    "q213_curriculum_plan" ->
+      s"""WITH d AS (
+        |  SELECT source, ${qualitySqlExpr("text")} AS q,
+        |    len(regexp_split_to_array(trim(text), '\\s+')) AS toks
+        |  FROM documents WHERE trim(text) <> ''
+        |), banded AS (
+        |  SELECT source,
+        |    CASE WHEN q >= 0.78 THEN '1_high'
+        |         WHEN q >= 0.62 THEN '2_mid' ELSE '3_low' END AS band,
+        |    count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1, 2
+        |), srcw AS (
+        |  SELECT source, pow(CAST(sum(toks) AS DOUBLE), 0.5) AS raw
+        |  FROM d GROUP BY source
+        |), budget AS (
+        |  SELECT source,
+        |    CAST(floor(raw / sum(raw) OVER () * 100000) AS BIGINT) AS src_budget
+        |  FROM srcw
+        |), alloc AS (
+        |  SELECT b.source, b.band, b.n_docs, b.n_tokens, g.src_budget,
+        |    CASE b.band WHEN '1_high' THEN 3.0 WHEN '2_mid' THEN 1.0
+        |      ELSE 0.25 END * b.n_docs AS mass
+        |  FROM banded b JOIN budget g USING (source)
+        |)
+        |SELECT source, band, n_docs, n_tokens, src_budget,
+        |  CAST(floor(src_budget * mass / sum(mass) OVER (PARTITION BY source))
+        |    AS BIGINT) AS draws
+        |FROM alloc ORDER BY source, band""".stripMargin)
 }

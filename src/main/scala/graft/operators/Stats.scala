@@ -171,11 +171,20 @@ object Stats {
   def theilSen(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val a = df.select(col(xCol).cast("double").as("_xa"), col(yCol).cast("double").as("_ya"))
     val b = df.select(col(xCol).cast("double").as("_xb"), col(yCol).cast("double").as("_yb"))
-    a.join(b, col("_xb") > col("_xa"))
+    val slopes = a.join(b, col("_xb") > col("_xa"))
       .select(((col("_yb") - col("_ya")) / (col("_xb") - col("_xa"))).as("_slope"))
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        percentile(col("_slope"), lit(0.5)).as("theil_sen_slope"))
+    // exact median via the range-partitioned global ranking, not a single
+    // `percentile` reduce: the slope frame is bounded but still millions of
+    // rows — GlobalRank sorts it across all partitions and the median is
+    // the mean of the two middle order statistics (equals the interpolated
+    // median for even counts, the exact element for odd).
+    val (ranked, n) = GlobalRank.globalRowNumberWithTotal(slopes, Seq(col("_slope")), "_rn")
+    val lo = (n + 1) / 2
+    val hi = n / 2 + 1
+    ranked
+      .filter(col("_rn") === lo || col("_rn") === hi)
+      .agg(avg(col("_slope")).as("theil_sen_slope"))
+      .select(lit(n).as("n_pairs"), col("theil_sen_slope"))
   }
 
   /** Mann–Kendall trend test: S = Σ_{i<j} sign(v_j − v_i) over the series

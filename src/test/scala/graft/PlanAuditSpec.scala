@@ -54,8 +54,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q203_mixture_weights", "q205_theilsen_trend", "q206_mann_kendall",
     "q208_event_transitions",
     // q209: the kNN stage is the declared broadcast-queries brute-force
-    // baseline (swap to ivfTopK at scale) + two 1-row stat combines
-    "q209_knn_triangles")
+    // baseline (swap to ivfTopK at scale) + two 1-row stat combines;
+    // q213 rides Mixture's broadcast 1-row normalizer
+    "q209_knn_triangles", "q213_curriculum_plan")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each window
     * provably rides a BOUNDED aggregate frame (cardinality set by the

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("single partition packs greedily in id order with capacity resets") {
+    val docs = Seq((1L, 40L), (2L, 50L), (3L, 20L), (4L, 90L), (5L, 15L))
+      .toDF("doc_id", "n_tok")
+    val out = Packing.greedyPack(docs, "doc_id", "n_tok", maxLen = 100, partitions = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // bins: [40+50], [20], oversize rule puts 90 alone? 20+90>100 -> [20],[90,15]? walk:
+    // 40 -> b0 (40); 50 -> b0 (90); 20 -> b1 (b0 would be 110); 90 -> b2 (110>100); 15 -> b2 (105>100)? 90+15=105>100 -> b3
+    assert(out(1L) == out(2L))
+    assert(out(3L) != out(1L))
+    assert(out(4L) != out(3L))
+    assert(out(5L) != out(4L))
+  }
+
+  test("no bin exceeds capacity unless it holds a single oversize doc") {
+    val docs = (1L to 500L).map(i => (i, (i * 37 % 120) + 1)).toDF("doc_id", "n_tok")
+    val packed = Packing.greedyPack(docs, "doc_id", "n_tok", maxLen = 128, partitions = 4)
+    val bins = packed.groupBy("bin_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("fill"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+    bins.foreach { b =>
+      assert(b.getLong(1) <= 128 || b.getLong(2) == 1L, s"overfull multi-doc bin: $b")
+    }
+    assert(packed.count() == 500L)
+    // every doc appears exactly once
+    assert(packed.select("doc_id").distinct().count() == 500L)
+  }
+
+  test("packing is deterministic and efficiency is reported") {
+    val docs = (1L to 300L).map(i => (i, (i * 13 % 60) + 5)).toDF("doc_id", "n_tok")
+    val a = Packing.greedyPack(docs, "doc_id", "n_tok", 64, partitions = 3).collect().toSet
+    val b = Packing.greedyPack(docs, "doc_id", "n_tok", 64, partitions = 3).collect().toSet
+    assert(a == b)
+    val stats = Packing.packingStats(
+      Packing.greedyPack(docs, "doc_id", "n_tok", 64, partitions = 3), 64).head()
+    assert(stats.getLong(0) > 0)
+    val fillRatio = stats.getDouble(2)
+    assert(fillRatio > 0.5 && fillRatio <= 1.0, s"implausible fill ratio $fillRatio")
+  }
+}
