@@ -137,7 +137,8 @@ object Bench {
     "q207_price_elasticity" -> 1.370, "q208_event_transitions" -> 1.110,
     "q209_knn_triangles" -> 2.380, "q210_transition_entropy" -> 1.180,
     "q211_stream_transitions" -> 2.340, "q212_skipgram_pairs" -> 0.820,
-    "q213_curriculum_plan" -> 1.370)
+    "q213_curriculum_plan" -> 1.370,
+    "q214_bpe_pair_counts" -> 0.950)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5139,6 +5139,15 @@ object SparkEntry {
       .orderBy(col("source"), col("band"))
   }
 
+  // q214 — the distributed BPE pair-count stage (Bpe.learnMerges iteration
+  // 1) through the oracle gate: adjacent character pairs weighted by word
+  // frequency, top 20 by (cnt desc, pair asc) — the argmax row is the
+  // first merge the tokenizer trainer would learn.
+  private def bpePairCounts(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.pairCounts(t(s, dir, "documents"), "text")
+      .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+      .limit(20)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5353,7 +5362,8 @@ object SparkEntry {
     "q210_transition_entropy" -> transitionEntropy,
     "q211_stream_transitions" -> streamTransitions,
     "q212_skipgram_pairs" -> skipgramPairs,
-    "q213_curriculum_plan" -> curriculumPlan)
+    "q213_curriculum_plan" -> curriculumPlan,
+    "q214_bpe_pair_counts" -> bpePairCounts)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -9245,5 +9255,20 @@ object SparkEntry {
         |SELECT source, band, n_docs, n_tokens, src_budget,
         |  CAST(floor(src_budget * mass / sum(mass) OVER (PARTITION BY source))
         |    AS BIGINT) AS draws
-        |FROM alloc ORDER BY source, band""".stripMargin)
+        |FROM alloc ORDER BY source, band""".stripMargin,
+    "q214_bpe_pair_counts" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE trim(text) <> ''
+        |), wf AS (
+        |  SELECT w, count(*) AS freq FROM tok GROUP BY w
+        |), p AS (
+        |  SELECT substr(w, CAST(i AS INT), 1) AS lhs,
+        |    substr(w, CAST(i AS INT) + 1, 1) AS rhs, freq
+        |  FROM wf, UNNEST(range(1, len(w))) t(i)
+        |  WHERE len(w) >= 2
+        |)
+        |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY lhs, rhs
+        |ORDER BY cnt DESC, lhs, rhs LIMIT 20""".stripMargin)
 }

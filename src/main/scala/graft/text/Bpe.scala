@@ -68,10 +68,34 @@ object Bpe {
     merges.result()
   }
 
+  /** The first learnMerges iteration as a declarative frame: adjacent
+    * character-pair counts weighted by word frequency (the distributed
+    * pair-count stage, exposed for the oracle gate — its (cnt desc, pair
+    * asc) argmax row IS the first learned merge; BpeSpec pins the
+    * equivalence). Returns (lhs, rhs, cnt).
+    */
+  def pairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val words = docs
+      .filter(trim(col(textCol)) =!= "")
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+    val pairs = TextFunctions.bindOnce(col("w")) { w =>
+      transform(
+        sequence(lit(1), length(w) - 1),
+        i => struct(w.substr(i, lit(1)).as("lhs"), w.substr(i + 1, lit(1)).as("rhs")))
+    }
+    words
+      .filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(pairs).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
   /** Left-to-right single-pass fuse of every non-overlapping (l, r)
     * occurrence — the BPE merge application.
     */
-  private[text] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+  private[graft] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var i = 0
     while (i < syms.length) {

@@ -39,6 +39,16 @@ class BpeSpec extends AnyFunSuite {
     assert(out.getSeq[String](1) == Seq("hug", "p", "un"))
   }
 
+  test("pairCounts is learnMerges' first iteration: its argmax row is the first merge") {
+    val top = Bpe.pairCounts(docs, "text")
+      .orderBy(org.apache.spark.sql.functions.col("cnt").desc,
+        org.apache.spark.sql.functions.col("lhs"), org.apache.spark.sql.functions.col("rhs"))
+      .limit(1).collect().head
+    val first = Bpe.learnMerges(docs, "text", 1).head
+    assert((top.getString(0), top.getString(1), top.getLong(2)) ==
+      ((first.left, first.right, first.count)))
+  }
+
   test("word-frequency weighting: a repeated doc changes counts, not merges") {
     val doubled = docs.union(docs)
     val merges = Bpe.learnMerges(doubled, "text", 2)
