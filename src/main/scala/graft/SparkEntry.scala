@@ -4966,18 +4966,25 @@ object SparkEntry {
       .orderBy(col("p_brand"))
   }
 
-  // q208 — event-type transition matrix with add-one smoothing: lead()
-  // windows are PARTITIONED by user (scale-safe); the smoothed probability
-  // denominators ride the bounded (type × type) aggregate frame.
-  private def eventTransitions(s: SparkSession, dir: String): DataFrame = {
-    val events = t(s, dir, "events")
+  // Shared by q208/q210 (and mirrored by q211's streaming operator): per-
+  // user (ts, event_id)-ordered event-type transition pair counts — the
+  // lead() window is PARTITIONED by user, the output frame is the bounded
+  // type × type domain.
+  private def transitionPairs(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val pairs = events
-      .select(col("user_id"), col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
+    t(s, dir, "events")
+      .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
       .filter(col("dst").isNotNull)
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("c"))
-    val k = events.agg(countDistinct(col("event_type")).as("k"))
+  }
+
+  // q208 — event-type transition matrix with add-one smoothing: the
+  // smoothed probability denominators ride the bounded (type × type)
+  // aggregate frame.
+  private def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val pairs = transitionPairs(s, dir)
+    val k = t(s, dir, "events").agg(countDistinct(col("event_type")).as("k"))
     val wSrc = Window.partitionBy(col("src"))
     pairs
       .withColumn("rowtot", sum(col("c")).over(wSrc))
@@ -5036,12 +5043,7 @@ object SparkEntry {
   // rate ('ALL' row): how predictable the event stream is, from the same
   // user-partitioned lead() transitions as q208 (unsmoothed MLE here).
   private def transitionEntropy(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val pc = t(s, dir, "events")
-      .select(col("user_id"), col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
-      .filter(col("dst").isNotNull)
-      .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("c"))
+    val pc = transitionPairs(s, dir)
     val tot = pc.groupBy(col("src")).agg(sum(col("c")).as("n_out"))
     val p = col("c").cast("double") / col("n_out")
     val h = pc.join(tot, Seq("src"))

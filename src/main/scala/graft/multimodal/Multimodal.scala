@@ -41,7 +41,25 @@ object Multimodal {
     * assert exactly in tests). featureDim not divisible by 3 pads the tail
     * with zeros so the declared dim is always honored.
     */
-  def decodeImage(path: String, bytes: Array[Byte], featureDim: Int): Option[DecodedMedia] = {
+  def decodeImage(path: String, bytes: Array[Byte], featureDim: Int): Option[DecodedMedia] =
+    readImage(bytes).map { case (img, fmt) =>
+      val meta = MediaMeta(
+        width = img.getWidth,
+        height = img.getHeight,
+        channels = img.getColorModel.getNumComponents,
+        format = fmt)
+      DecodedMedia(path, meta, gridMeanRgb(img, featureDim))
+    }
+
+  /** Decode bytes to a raster + format name. None when no installed reader
+    * recognizes the payload OR the recognized reader fails on a corrupt
+    * body — JDK ImageIO readers throw UNCHECKED exceptions (AIOOBE,
+    * NegativeArraySize, IllegalArgument) on truncated/crafted input, so the
+    * guard is NonFatal, not IOException: a bad file must fall back, never
+    * kill the task.
+    */
+  private[multimodal] def readImage(
+      bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] = {
     val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -49,16 +67,10 @@ object Multimodal {
       val reader = readers.next()
       try {
         reader.setInput(in)
-        val img = reader.read(0)
-        val meta = MediaMeta(
-          width = img.getWidth,
-          height = img.getHeight,
-          channels = img.getColorModel.getNumComponents,
-          format = reader.getFormatName.toLowerCase(java.util.Locale.ROOT))
-        Some(DecodedMedia(path, meta, gridMeanRgb(img, featureDim)))
+        Some((reader.read(0), reader.getFormatName.toLowerCase(java.util.Locale.ROOT)))
       } finally reader.dispose()
     } catch {
-      case _: java.io.IOException => None
+      case scala.util.control.NonFatal(_) => None
     } finally if (in != null) in.close()
   }
 
@@ -147,8 +159,9 @@ object Multimodal {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (p, b) =>
-        val resized = decodeImage(p, b, featureDim).map { _ =>
-          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        // one decode per row: readImage hands back the raster, which feeds
+        // the resize directly (decode dominates this stage's CPU)
+        val resized = readImage(b).map { case (src, _) =>
           val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g = dst.createGraphics()
           try {

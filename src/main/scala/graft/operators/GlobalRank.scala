@@ -73,28 +73,39 @@ object GlobalRank {
     val perPid = parted
       .groupBy(col("_grk_pid"))
       .agg(sum(valueCol).as("_grk_v"))
-    val integral = perPid.schema("_grk_v").dataType match {
-      case org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
+    val sumType = perPid.schema("_grk_v").dataType
     val sums = perPid
       .collect()
       .map(r => r.getInt(0) -> Option(r.get(1)).map(_.asInstanceOf[Number]))
       .toMap
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf =
-      if (integral) {
+    val offDf = sumType match {
+      case org.apache.spark.sql.types.LongType =>
         val offs = (0 until n).scanLeft(0L) { (acc, pid) =>
           acc + sums.getOrElse(pid, None).map(_.longValue).getOrElse(0L)
         }
         (0 until n).map(pid => (pid, offs(pid))).toDF("_grk_pid", "_grk_off")
-      } else {
+      case dt: org.apache.spark.sql.types.DecimalType =>
+        // money columns must stay EXACT — accumulate offsets in BigDecimal
+        // and carry the sum's own decimal type (collapsing to double here
+        // would silently trade the window form's exactness for float error)
+        val offs = (0 until n).scanLeft(java.math.BigDecimal.ZERO) { (acc, pid) =>
+          acc.add(sums.getOrElse(pid, None)
+            .map {
+              case d: java.math.BigDecimal => d
+              case x => new java.math.BigDecimal(x.toString)
+            }
+            .getOrElse(java.math.BigDecimal.ZERO))
+        }
+        (0 until n).map(pid => (pid, offs(pid))).toDF("_grk_pid", "_grk_off")
+          .select(col("_grk_pid"), col("_grk_off").cast(dt).as("_grk_off"))
+      case _ =>
         val offs = (0 until n).scanLeft(0.0) { (acc, pid) =>
           acc + sums.getOrElse(pid, None).map(_.doubleValue).getOrElse(0.0)
         }
         (0 until n).map(pid => (pid, offs(pid))).toDF("_grk_pid", "_grk_off")
-      }
+    }
     val within = Window
       .partitionBy(col("_grk_pid"))
       .orderBy(sortCols.toIndexedSeq: _*)

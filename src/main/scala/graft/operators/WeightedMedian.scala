@@ -62,11 +62,23 @@ object WeightedMedian {
         col(weightCol).cast("double").as("_wm_w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // one aggregate pass: per-group total / value bounds (groups-bounded)
+      // one aggregate pass: per-group total / value bounds (groups-bounded);
+      // the weight minimum rides the same pass so the documented
+      // "weights must be non-negative" contract is ENFORCED, not assumed —
+      // a negative weight corrupts every descent target silently otherwise
       val init = base
         .groupBy(col("_wm_gk"))
-        .agg(sum(col("_wm_w")).as("tot"), min(col("_wm_v")).as("lo"), max(col("_wm_v")).as("hi"))
+        .agg(
+          sum(col("_wm_w")).as("tot"),
+          min(col("_wm_v")).as("lo"),
+          max(col("_wm_v")).as("hi"),
+          min(col("_wm_w")).as("minw"))
         .collect()
+      init.foreach { r =>
+        require(r.getDouble(4) >= 0.0,
+          s"WeightedMedian requires non-negative weights; group ${r.getString(0)} " +
+            s"has min weight ${r.getDouble(4)}")
+      }
 
       final case class St(lo: Double, hi: Double, target: Double, tot: Double)
       val answers = scala.collection.mutable.Map[String, (Double, Double)]() // gk -> (median, tot)

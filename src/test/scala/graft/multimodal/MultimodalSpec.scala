@@ -107,6 +107,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stub.meta.format == "png" && stub.features.length == 6) // stub path, declared dim honored
   }
 
+  test("recognized-but-corrupt payload falls back instead of killing the task") {
+    // valid PNG signature + IHDR chunk header, then garbage: ImageIO's
+    // reader recognizes the format and then fails mid-read — any exception
+    // class (JDK readers throw unchecked on truncated input) must map to
+    // the stub fallback, never a task failure
+    val corrupt =
+      Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 0x0d, 0x49, 0x48, 0x44, 0x52) ++ Array.fill[Byte](48)(7)
+    assert(Multimodal.decodeImage("bad.png", corrupt, 6).isEmpty)
+    val viaStub = Multimodal.stubDecode("bad.png", corrupt, 6)
+    assert(viaStub.features.length == 6)
+  }
+
   test("decodeResized rescales through Graphics2D and keeps strip structure") {
     val media = Multimodal.decodeResized(
       spark, Sources.binaryDir(spark, imgDir, "rb.png"), w = 8, h = 8, featureDim = 6).collect()

@@ -96,6 +96,24 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"unpartitioned WindowExec found:\n$plan")
   }
 
+  test("globalCumSum over a DECIMAL column stays decimal and exact (no double collapse)") {
+    import org.apache.spark.sql.types.DecimalType
+    val df = (1 to 100).map(i => (i.toLong, BigDecimal(i) * BigDecimal("0.01")))
+      .toDF("id", "amt")
+      .select(col("id"), col("amt").cast(DecimalType(12, 2)).as("amt"))
+    val got = GlobalRank.globalCumSum(df, Seq(col("id")), col("amt"), "cs", 5)
+    assert(got.schema("cs").dataType.isInstanceOf[DecimalType],
+      s"cumsum type degraded to ${got.schema("cs").dataType}")
+    val expected = df.withColumn(
+      "cs",
+      sum(col("amt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val mismatches = got.select(col("id"), col("cs").cast("string"))
+      .except(expected.select(col("id"), col("cs").cast("string")))
+    assert(mismatches.isEmpty, s"decimal cumsum diverged: ${mismatches.collect().toSeq}")
+  }
+
   test("counts per bucket follow the SQL sizing q+1 for the first r buckets") {
     val df = sample(47) // k=10: q=4, r=7 -> buckets 1..7 size 5, 8..10 size 4
     val sizes = GlobalRank.globalNtile(df, Seq(col("v"), col("id")), 10, "b", 8)

@@ -79,6 +79,14 @@ class WeightedMedianSpec extends AnyFunSuite {
     assert(got == Map(("ab", "c") -> 1.0, ("a", "bc") -> 10.0))
   }
 
+  test("negative weights are rejected, not silently folded into the descent") {
+    val df = Seq(("g", 1.0, 2.0), ("g", 2.0, -0.5)).toDF("k", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      WeightedMedian(df, Seq("k"), "v", "w").collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
   test("adjacent-double values converge (range refinement bottoms out)") {
     val v1 = 1.0
     val v2 = math.nextUp(v1)
