@@ -78,6 +78,34 @@ object Sources {
     ordered.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** JSON-lines scan (the event-log / crawl-dump interchange format): one
+    * JSON object per line, schema explicit — at scale, inference reads the
+    * data twice AND silently widens types across files; production ingest
+    * pins the schema and quarantines rows that don't parse. `columnNameOfCorruptRecord`
+    * captures rejects instead of dropping them (data-loss audit per S-family
+    * contract: a scan must account for every input row).
+    */
+  def jsonLines(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      corruptCol: String = "_corrupt"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
+  /** ORC round-trip (the other columnar interchange format a warehouse
+    * migration meets): same pushdown/pruning contract as parquet — filters
+    * and projections reach the ORC scan via Catalyst unchanged.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Hive-style partitioned parquet sink — the 100-TB table layout: one
     * directory per partition value, so any read with a filter on the
     * partition columns prunes whole directories at PLANNING time (the scan's

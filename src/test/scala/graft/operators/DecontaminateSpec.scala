@@ -32,6 +32,34 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(withBloom == exact)
   }
 
+  test("bloom prefilter sits on the corpus side BELOW the verify join (and any shuffle)") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val docs = graft.Engine.table(spark, TestSpark.Sf, "documents")
+    val plan = Decontaminate
+      .sharedGramCounts(
+        docs.filter("doc_id % 50 <> 0"), docs.filter("doc_id % 50 = 0"),
+        "doc_id", "text", n = 4)
+      .queryExecution.sparkPlan
+    val join = plan.collectFirst { case j: BaseJoinExec => j }
+    assert(join.isDefined, s"no join in plan:\n$plan")
+    def bloomFilters(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case f: FilterExec if f.condition.toString.toLowerCase.contains("udf") => f
+    }
+    // the streamed corpus side (left) carries the bloom prune before the
+    // join; if that side shuffles, the prune must be below the exchange
+    // (map-side) so unmatched grams never cross the wire
+    val left = join.get.children.head
+    assert(bloomFilters(left).nonEmpty,
+      s"bloom UDF filter not on the corpus side of the verify join:\n$plan")
+    val exchanges = left.collect { case e: Exchange => e }
+    exchanges.foreach { e =>
+      assert(bloomFilters(e.child).nonEmpty || bloomFilters(e).isEmpty,
+        s"bloom filter rides ABOVE a corpus-side exchange (post-shuffle prune):\n$plan")
+    }
+  }
+
   test("sf0.001 documents: bloom and exact paths agree on real data") {
     val docs = graft.Engine.table(spark, TestSpark.Sf, "documents")
     val b = docs.filter("doc_id % 50 = 0")

@@ -92,4 +92,38 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(prunedFiles.contains(1), s"expected exactly 1 selected partition, got $prunedFiles")
   }
+
+  test("jsonLines parses valid rows and quarantines corrupt ones instead of dropping them") {
+    import org.apache.spark.sql.types._
+    val d = java.nio.file.Files.createTempDirectory("json-src")
+    d.toFile.deleteOnExit()
+    java.nio.file.Files.write(
+      d.resolve("part.jsonl"),
+      java.util.Arrays.asList(
+        """{"id": 1, "msg": "ok"}""",
+        """{"id": 2 "msg": "broken""", // malformed
+        """{"id": 3, "msg": "fine"}"""))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("msg", StringType)))
+    // Spark disallows queries touching ONLY the corrupt column on a raw
+    // JSON scan — materialize once (the documented cache-then-audit
+    // pattern), then audit
+    val rows = Sources.jsonLines(spark, d.toString, schema).collect()
+    assert(rows.length == 3) // every input line accounted for
+    assert(rows.count(r => !r.isNullAt(2)) == 1)
+    assert(rows.filter(_.isNullAt(2)).map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("orc round-trip preserves data and pushes filters into the scan") {
+    val d = java.nio.file.Files.createTempDirectory("orc-src")
+    d.toFile.deleteOnExit()
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Sources.writeOrc(df, d.toString)
+    val back = Sources.readOrc(spark, d.toString)
+    assert(back.count() == 100)
+    val filtered = back.filter(col("id") > 90)
+    assert(filtered.count() == 10)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("id"),
+      s"ORC scan missing pushed filter:\n$scan")
+  }
 }
