@@ -21,10 +21,17 @@ object InvertedIndex {
 
   /** Build posting lists over whitespace tokens.
     *
-    * Returns (term, doc_freq, postings: array<idCol-type>) with postings
-    * sorted ascending and truncated to `maxPostings` entries. A document
+    * Returns (term, doc_freq, postings: array<long>) with postings sorted
+    * ascending and truncated to `maxPostings` entries. A document
     * contributes each distinct term once (`doc_freq` = document frequency,
     * not collection frequency).
+    *
+    * Bounded truncation happens INSIDE the aggregation (the TopK bounded
+    * heap, ≤ maxPostings entries per partial buffer with map-side combine)
+    * — a `slice(collect_list)` would buffer a stopword term's ENTIRE
+    * corpus-sized posting list on one reducer before truncating. The
+    * unbounded default keeps the collect_list path (callers asking for the
+    * full index accept the full list per term).
     */
   def postings(
       docs: DataFrame,
@@ -32,12 +39,30 @@ object InvertedIndex {
       textCol: String,
       maxPostings: Int = Int.MaxValue): DataFrame = {
     require(maxPostings > 0, s"maxPostings must be positive: $maxPostings")
-    docs
+    val exploded = docs
       .filter(trim(col(textCol)) =!= "")
-      .select(col(idCol), explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
-      .groupBy(col("term"))
-      .agg(
-        count(lit(1)).as("doc_freq"),
-        slice(sort_array(collect_list(col(idCol))), 1, maxPostings).as("postings"))
+      .select(
+        col(idCol).cast("long").as("_doc"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    if (maxPostings == Int.MaxValue)
+      exploded
+        .groupBy(col("term"))
+        .agg(
+          count(lit(1)).as("doc_freq"),
+          sort_array(collect_list(col("_doc"))).as("postings"))
+    else {
+      // negated-id score ranks ascending ids first; on equal (collapsed)
+      // scores the heap tie-breaks by id asc, so the kept prefix is exactly
+      // the smallest maxPostings ids even past double precision
+      val heap = udaf(
+        new graft.functions.TopKBySim(maxPostings),
+        org.apache.spark.sql.Encoders.product[graft.functions.ScoredEntry])
+      exploded
+        .groupBy(col("term"))
+        .agg(
+          count(lit(1)).as("doc_freq"),
+          heap(-col("_doc").cast("double"), col("_doc"), lit(0L)).as("_tk"))
+        .select(col("term"), col("doc_freq"), col("_tk.ids").as("postings"))
+    }
   }
 }

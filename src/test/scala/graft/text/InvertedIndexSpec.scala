@@ -27,4 +27,17 @@ class InvertedIndexSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
     assert(out("b") == ((3L, Seq(1L, 2L))))
   }
+
+  test("bounded-heap path equals the unbounded path's truncated prefix on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 200L).map { i =>
+      (i, Seq.fill(rnd.nextInt(8) + 1)("t" + rnd.nextInt(12)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = 5
+    val bounded = InvertedIndex.postings(corpus, "doc_id", "text", maxPostings = k)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    val full = InvertedIndex.postings(corpus, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2).take(k)))).toMap
+    assert(bounded == full)
+  }
 }
