@@ -138,7 +138,8 @@ object Bench {
     "q209_knn_triangles" -> 2.380, "q210_transition_entropy" -> 1.180,
     "q211_stream_transitions" -> 2.340, "q212_skipgram_pairs" -> 0.820,
     "q213_curriculum_plan" -> 1.370,
-    "q214_bpe_pair_counts" -> 0.950)
+    "q214_bpe_pair_counts" -> 0.950,
+    "q215_clean_corpus" -> 2.130)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

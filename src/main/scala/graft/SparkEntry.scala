@@ -5150,6 +5150,31 @@ object SparkEntry {
       .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
       .limit(20)
 
+  // q215 — the decontamination APPLY step (q204's report turned into the
+  // clean corpus): remove corpus docs sharing ≥5 distinct 4-grams with the
+  // benchmark split and account for every doc and token on both sides of
+  // the cut. One flag-join + one aggregate — the removal list is tiny, so
+  // the join broadcasts; nothing corpus-sized shuffles beyond the bloom
+  // pipeline that produced the list.
+  private def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val removal = graft.operators.Decontaminate
+      .sharedGramCounts(
+        corpus, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 4)
+      .filter(col("shared_grams") >= 5)
+      .select(col("doc_id"), lit(1).as("_rm"))
+    corpus
+      .join(broadcast(removal), Seq("doc_id"), "left")
+      .agg(
+        sum(when(col("_rm").isNull, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("_rm").isNotNull, 1L).otherwise(0L)).as("n_docs_removed"),
+        sum(when(col("_rm").isNull, TF.tokenCount(col("text")).cast("long")).otherwise(0L))
+          .as("tokens_kept"),
+        sum(when(col("_rm").isNotNull, TF.tokenCount(col("text")).cast("long")).otherwise(0L))
+          .as("tokens_removed"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5365,7 +5390,8 @@ object SparkEntry {
     "q211_stream_transitions" -> streamTransitions,
     "q212_skipgram_pairs" -> skipgramPairs,
     "q213_curriculum_plan" -> curriculumPlan,
-    "q214_bpe_pair_counts" -> bpePairCounts)
+    "q214_bpe_pair_counts" -> bpePairCounts,
+    "q215_clean_corpus" -> cleanCorpus)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -9272,5 +9298,32 @@ object SparkEntry {
         |)
         |SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY lhs, rhs
-        |ORDER BY cnt DESC, lhs, rhs LIMIT 20""".stripMargin)
+        |ORDER BY cnt DESC, lhs, rhs LIMIT 20""".stripMargin,
+    "q215_clean_corpus" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 3], ' ') AS g
+        |  FROM tok, unnest(range(1, len(toks) - 2)) t(i)
+        |), bench AS (
+        |  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+        |), corp AS (
+        |  SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0
+        |), rm AS (
+        |  SELECT c.doc_id FROM corp c JOIN bench b USING (g)
+        |  GROUP BY c.doc_id HAVING count(DISTINCT c.g) >= 5
+        |), c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+        |  FROM documents WHERE doc_id % 50 <> 0
+        |)
+        |SELECT
+        |  CAST(sum(CASE WHEN rm.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(CASE WHEN rm.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_removed,
+        |  CAST(sum(CASE WHEN rm.doc_id IS NULL THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(CASE WHEN rm.doc_id IS NOT NULL THEN toks ELSE 0 END) AS BIGINT) AS tokens_removed
+        |FROM c LEFT JOIN rm USING (doc_id)""".stripMargin)
 }
