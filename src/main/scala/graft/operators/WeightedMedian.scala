@@ -75,9 +75,11 @@ object WeightedMedian {
           min(col("_wm_w")).as("minw"))
         .collect()
       init.foreach { r =>
-        require(r.getDouble(4) >= 0.0,
+        // isNullAt guard: a null min (defensively possible if the null-filter
+        // above ever changes) must raise the descriptive error, not an NPE
+        require(!r.isNullAt(4) && r.getDouble(4) >= 0.0,
           s"WeightedMedian requires non-negative weights; group ${r.getString(0)} " +
-            s"has min weight ${r.getDouble(4)}")
+            s"has min weight ${if (r.isNullAt(4)) "NULL" else r.getDouble(4).toString}")
       }
 
       final case class St(lo: Double, hi: Double, target: Double, tot: Double)

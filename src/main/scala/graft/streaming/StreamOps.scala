@@ -135,21 +135,39 @@ object StreamOps {
   case class Transition(src: String, dst: String)
   case class TransState(lastTs: Long, lastId: Long, lastType: String)
 
-  def transitions(spark: SparkSession, events: Dataset[TypedEvent]): Dataset[Transition] = {
+  def transitions(
+      spark: SparkSession,
+      events: Dataset[TypedEvent],
+      stateTtl: Option[String] = None): Dataset[Transition] = {
     import spark.implicits._
+    // Production contract: pass a TTL ("30 minutes") so per-user state is
+    // EVICTED once a user goes quiet — on an unbounded user key space,
+    // NoTimeout grows the state store forever. The bounded replay harness
+    // (and the batch-oracle equivalence) keeps the NoTimeout default: an
+    // evicted user's next event starts a fresh chain, so a TTL'd stream
+    // intentionally drops the transition that spans the quiet gap.
+    val timeout = stateTtl
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
         (_: Long, it: Iterator[TypedEvent], state: GroupState[TransState]) =>
-          val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
-          var prev = state.getOption
-          val out = Vector.newBuilder[Transition]
-          sorted.foreach { e =>
-            prev.foreach(p => out += Transition(p.lastType, e.event_type))
-            prev = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            var prev = state.getOption
+            val out = Vector.newBuilder[Transition]
+            sorted.foreach { e =>
+              prev.foreach(p => out += Transition(p.lastType, e.event_type))
+              prev = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+            }
+            prev.foreach(state.update)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          prev.foreach(state.update)
-          out.result().iterator
       }
   }
 

@@ -40,7 +40,10 @@ object Bpe {
       .groupBy(col("w"))
       .agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      // code-point segmentation, NOT UTF-16 units: pairCounts uses Spark's
+      // codepoint-based substr, so splitting on chars here would emit lone
+      // surrogates for non-BMP text and the two paths would diverge
+      .map { case (w, f) => (codePoints(w), f) }
       // the vocab frame is re-read every iteration — keep it materialized,
       // and localCheckpoint below truncates the per-iteration lineage
       .localCheckpoint(true)
@@ -61,12 +64,41 @@ object Bpe {
       val row = best.head
       val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
       merges += Merge(l, r, c)
+      val prev = words
       words = words
         .map { case (syms, freq) => (applyMerge(syms, l, r), freq) }
         .localCheckpoint(true)
+      // the new checkpoint is eagerly materialized above — release the prior
+      // iteration's blocks NOW instead of letting k vocab-sized copies pile
+      // up in block storage until the ContextCleaner gets to them
+      releaseCheckpoint(prev)
     }
     merges.result()
   }
+
+  /** UTF-32 code-point segmentation of a word (each element one code point,
+    * surrogate pairs kept whole).
+    */
+  private[graft] def codePoints(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** Unpersist the block-stored data behind a localCheckpoint'ed Dataset
+    * (Dataset.unpersist only talks to the SQL cache manager, which never
+    * tracked these blocks — the checkpoint lives as persisted RDD blocks).
+    */
+  private def releaseCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** The first learnMerges iteration as a declarative frame: adjacent
     * character-pair counts weighted by word frequency (the distributed
@@ -122,7 +154,7 @@ object Bpe {
       .as[(Long, Seq[String])]
       .map { case (id, toks) =>
         val pieces = toks.flatMap { w =>
-          ms.foldLeft(w.map(_.toString): Seq[String]) { case (s, (l, r)) => applyMerge(s, l, r) }
+          ms.foldLeft(codePoints(w)) { case (s, (l, r)) => applyMerge(s, l, r) }
         }
         (id, pieces)
       }

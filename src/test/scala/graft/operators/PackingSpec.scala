@@ -35,6 +35,39 @@ class PackingSpec extends AnyFunSuite {
     assert(packed.select("doc_id").distinct().count() == 500L)
   }
 
+  test("distributed form = the sequential greedy fold, partition by partition") {
+    // reference fold (the q216 oracle's recursive CTE in plain Scala)
+    def refPack(docs: Seq[(Long, Long)], maxLen: Long): Seq[(Long, Long, Long)] = {
+      var bin = -1L; var fill = 0L; var started = false
+      docs.map { case (id, n) =>
+        if (!started || fill + n > maxLen) { bin += 1; fill = 0L; started = true }
+        fill += n
+        (id, n, bin)
+      }
+    }
+    val data = (1L to 400L).map(i => (i, (i * 29 % 150) + 1))
+    val docs = data.toDF("doc_id", "n_tok")
+    // partitions=1: exact equality with the global sequential fold
+    val single = Packing.greedyPack(docs, "doc_id", "n_tok", 128, partitions = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(single == refPack(data, 128L))
+    // partitions=4: each partition's contiguous id-segment is ITS OWN exact
+    // sequential fold (bins never span partitions — ≤1 underfilled bin each)
+    val dist = Packing.greedyPack(docs, "doc_id", "n_tok", 128, partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val byPart = dist.groupBy(_._3 >> 32)
+    assert(byPart.size > 1, "range partitioning produced a single partition")
+    byPart.foreach { case (pid, rows) =>
+      val seg = rows.sortBy(_._1)
+      val ref = refPack(seg.map(r => (r._1, r._2)).toSeq, 128L)
+      val got = seg.map(r => (r._1, r._2, r._3 & 0xffffffffL)).toSeq
+      assert(got == ref, s"partition $pid diverged from the sequential fold")
+      // ids are contiguous within the segment: range partitioning on doc_id
+      val ids = seg.map(_._1)
+      assert(ids.last - ids.head + 1 == ids.length, s"partition $pid ids not contiguous")
+    }
+  }
+
   test("packing is deterministic and efficiency is reported") {
     val docs = (1L to 300L).map(i => (i, (i * 13 % 60) + 5)).toDF("doc_id", "n_tok")
     val a = Packing.greedyPack(docs, "doc_id", "n_tok", 64, partitions = 3).collect().toSet

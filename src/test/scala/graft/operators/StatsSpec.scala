@@ -106,7 +106,23 @@ class StatsSpec extends AnyFunSuite {
     val df = (1 to 15).map(i => (i, 4.2)).toDF("t", "v")
     val r = Stats.mannKendall(df, "t", "v").head()
     assert(r.getLong(2) == 0L)
+    // every value tied: tie-adjusted Var(S) = 0, z defined as 0
+    assert(r.getDouble(3) == 0.0)
     assert(r.getDouble(4) == 0.0)
     assert(r.getString(5) == "no_trend")
+  }
+
+  test("mannKendall applies the Kendall tie correction to Var(S)") {
+    // series 1,1,2,2,2,3,...,8 (n=10): tie groups t={2,3} ⇒
+    // tie_term = 2*1*9 + 3*2*11 = 84; var_s = (10*9*25 - 84)/18 = 120.333…
+    val vs = Seq(1.0, 1.0, 2.0, 2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0)
+    val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v")
+    val r = Stats.mannKendall(df, "t", "v").head()
+    // S: all non-tied pairs ascend; tied pairs contribute 0.
+    // n_pairs = 45; tied pairs = C(2,2)+C(3,2) = 1+3 = 4 ⇒ S = 41
+    assert(r.getLong(2) == 41L)
+    assert(approx(r.getDouble(3), (10.0 * 9 * 25 - 84) / 18))
+    assert(approx(r.getDouble(4), 40.0 / math.sqrt((10.0 * 9 * 25 - 84) / 18)))
+    assert(r.getString(5) == "trend")
   }
 }

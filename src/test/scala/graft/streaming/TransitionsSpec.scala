@@ -49,6 +49,46 @@ class TransitionsSpec extends AnyFunSuite {
     }
   }
 
+  test("a stateTtl registers processing-time eviction without changing in-order results") {
+    // CAUTION: under ProcessingTimeTimeout the engine NEVER quiesces — with
+    // timeouts registered it must keep running (empty) batches so they can
+    // fire without new data, so processAllAvailable hangs and AvailableNow
+    // never terminates. Poll the sink for the expected rows instead.
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Files.createTempDirectory("trans-ttl")
+    d.toFile.deleteOnExit()
+    Seq(
+      StreamOps.TypedEvent(1L, ts(0), 1L, "a"),
+      StreamOps.TypedEvent(1L, ts(1), 2L, "b"))
+      .toDF().write.mode("overwrite").parquet(d.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(d.toString).schema)
+      .parquet(d.toString)
+    // generous TTL: pins the ProcessingTimeTimeout path end-to-end
+    // (setTimeoutDuration is illegal under NoTimeout and would throw);
+    // actual eviction timing belongs to the state store, not this test
+    val q = StreamOps.transitions(spark, stream.as[StreamOps.TypedEvent], stateTtl = Some("1 hour"))
+      .writeStream.outputMode("append").format("memory").queryName("trans_ttl")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    def awaitRows(expect: Seq[(String, String)]): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      def current() = spark.table("trans_ttl").as[StreamOps.Transition].collect()
+        .map(t => (t.src, t.dst)).sorted.toSeq
+      while (System.currentTimeMillis() < deadline && current() != expect) Thread.sleep(200)
+      assert(current() == expect)
+    }
+    try {
+      awaitRows(Seq(("a", "b")))
+      Seq(StreamOps.TypedEvent(1L, ts(2), 3L, "c"))
+        .toDF().write.mode("append").parquet(d.toString)
+      // the cross-batch b->c transition proves state carries with the TTL on
+      awaitRows(Seq(("a", "b"), ("b", "c")))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS trans_ttl")
+    }
+  }
+
   test("within-batch events fold in (ts, event_id) order, not arrival order") {
     val d = Files.createTempDirectory("trans-order")
     d.toFile.deleteOnExit()

@@ -49,6 +49,29 @@ class BpeSpec extends AnyFunSuite {
       ((first.left, first.right, first.count)))
   }
 
+  test("non-BMP text segments on code points — no lone surrogates") {
+    // 😀 (U+1F600) and 🐍 (U+1F40D) are surrogate PAIRS in UTF-16; a
+    // char-level split would emit broken half-characters and diverge from
+    // pairCounts' codepoint-based substr
+    val emojiDocs = Seq((1L, "😀🐍 😀🐍 😀a"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(emojiDocs, "text", 1)
+    assert(merges.head.left == "😀") // whole 😀, not a lone high surrogate
+    assert(merges.map(m => (m.left, m.right, m.count)) ==
+      Seq(("😀", "🐍", 2L)))
+    // pairCounts (codepoint substr) agrees with learnMerges' split
+    val top = Bpe.pairCounts(emojiDocs, "text")
+      .orderBy(org.apache.spark.sql.functions.col("cnt").desc,
+        org.apache.spark.sql.functions.col("lhs"), org.apache.spark.sql.functions.col("rhs"))
+      .limit(1).collect().head
+    assert((top.getString(0), top.getString(1), top.getLong(2)) ==
+      (("😀", "🐍", 2L)))
+    // and segment round-trips the learned merge on code points
+    val seg = Bpe.segment(emojiDocs, "doc_id", "text", merges).collect().head
+    assert(seg.getSeq[String](1) ==
+      Seq("😀🐍", "😀🐍", "😀", "a"))
+  }
+
   test("word-frequency weighting: a repeated doc changes counts, not merges") {
     val doubled = docs.union(docs)
     val merges = Bpe.learnMerges(doubled, "text", 2)
