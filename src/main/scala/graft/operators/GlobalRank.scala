@@ -211,6 +211,75 @@ object GlobalRank {
       .drop(s"_grn_$outCol")
   }
 
+  /** Per-group exact `ntile(buckets)` under `sortCols` WITHIN each value of
+    * `groupCol`, from ONE range exchange on (groupCol, sortCols…) — the
+    * multi-frame form of [[globalNtile]]. Ranking k frames (periods,
+    * cohorts) as separate globalNtile calls costs k range exchanges +
+    * checkpoints + count jobs; here the group key leads the range sort, so
+    * every group is ranked off the same exchange, and the driver state is
+    * one (numPartitions × groups) count frame — BOUNDED-GROUPS CONTRACT:
+    * `groupCol` must have a small, data-independent cardinality (a handful
+    * of periods), never a data-sized key.
+    */
+  def globalNtileGrouped(
+      df: DataFrame,
+      groupCol: String,
+      sortCols: Seq[Column],
+      buckets: Int,
+      outCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val (parted, n) = rangeParted(df, col(groupCol) +: sortCols, numPartitions)
+    val spark = df.sparkSession
+    val gType = df.schema(groupCol).dataType
+    // (numPartitions × groups) rows — scalar-sized under the contract
+    val counts = parted
+      .groupBy(col("_grk_pid"), col(groupCol).as("_grk_g"))
+      .agg(count(lit(1)).as("_grk_c"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1)) -> r.getLong(2))
+      .toMap
+    val groups = counts.keysIterator.map(_._2).toSeq.distinct
+    val totals = groups.map { g =>
+      g -> counts.collect { case ((_, g2), c) if g2 == g => c }.sum
+    }.toMap
+    val offRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    groups.foreach { g =>
+      var acc = 0L
+      (0 until n).foreach { pid =>
+        val c = counts.getOrElse((pid, g), 0L)
+        if (c > 0L) offRows.add(org.apache.spark.sql.Row(pid, g, acc, totals(g)))
+        acc += c
+      }
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_grk_pid", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_grk_g", gType),
+      org.apache.spark.sql.types.StructField("_grk_off", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_grk_tot", org.apache.spark.sql.types.LongType)))
+    val offDf = spark.createDataFrame(offRows, offSchema)
+    val within = Window
+      .partitionBy(col("_grk_pid"), col(groupCol))
+      .orderBy(sortCols.toIndexedSeq: _*)
+    // standard-SQL ntile sizing from the in-group rank, per group: with N
+    // rows and b buckets, q = N/b, r = N mod b — buckets 1..r get q+1 rows
+    val rn = row_number().over(within).cast("long") + col("_grk_off")
+    val q = floor(col("_grk_tot") / buckets).cast("long")
+    val r = col("_grk_tot") % buckets
+    val cut = r * (q + 1)
+    val bucket =
+      when(q === 0L, rn)
+        .when(rn <= cut, floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + floor((rn - cut - 1) / q) + 1)
+    parted
+      .join(
+        broadcast(offDf),
+        parted("_grk_pid") === offDf("_grk_pid") && col(groupCol) === offDf("_grk_g"))
+      .drop(offDf("_grk_pid"))
+      .withColumn(outCol, bucket.cast("int"))
+      .drop("_grk_pid", "_grk_g", "_grk_off", "_grk_tot")
+  }
+
   /** Shared first pass: range exchange + partition id, pinned by
     * localCheckpoint so every later pass sees identical boundaries.
     */

@@ -114,6 +114,34 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(mismatches.isEmpty, s"decimal cumsum diverged: ${mismatches.collect().toSeq}")
   }
 
+  test("globalNtileGrouped = per-group SQL ntile off one exchange") {
+    val rnd = new scala.util.Random(7)
+    // 3 groups of different sizes (uneven N % k), heavy value ties
+    val df = (1 to 400).map { i =>
+      (i, i % 3, rnd.nextInt(10).toDouble)
+    }.toDF("id", "g", "v")
+    val expected = df.withColumn(
+      "b", ntile(7).over(Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))))
+    val actual = GlobalRank.globalNtileGrouped(
+      df, "g", Seq(col("v").desc, col("id")), 7, "b", 6)
+    assert(
+      expected.select("id", "b").except(actual.select("id", "b")).isEmpty &&
+        actual.select("id", "b").except(expected.select("id", "b")).isEmpty)
+    // exactly ONE range exchange in the plan (the point of the grouped form)
+    val plan = actual.queryExecution.executedPlan
+    val rangeExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+    }
+    // the checkpointed exchange is upstream of the scanned RDD — the plan
+    // AFTER the checkpoint must not add another range exchange
+    assert(rangeExchanges.isEmpty, s"unexpected post-checkpoint range exchange:\n$plan")
+    // and the ranking window is partition-parallel, not a global sort
+    val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, s"unpartitioned WindowExec found:\n$plan")
+  }
+
   test("counts per bucket follow the SQL sizing q+1 for the first r buckets") {
     val df = sample(47) // k=10: q=4, r=7 -> buckets 1..7 size 5, 8..10 size 4
     val sizes = GlobalRank.globalNtile(df, Seq(col("v"), col("id")), 10, "b", 8)
