@@ -53,6 +53,38 @@ class InferenceSpec extends AnyFunSuite {
     assert(scored == Map("r.png" -> "red", "b.png" -> "blue"))
   }
 
+  test("file-sourced model: bytes from disk -> broadcast -> partition-load, end to end") {
+    // the external-inference seam an ONNX/DJL backend drops into: a model
+    // ARTIFACT serialized by a separate process, loaded as opaque bytes,
+    // shipped by broadcast, deserialized per partition. Simulate the
+    // artifact handoff through a real file (no in-memory object sharing).
+    val f = Files.createTempFile("mlp-model", ".gmlp")
+    f.toFile.deleteOnExit()
+    Files.write(f, model.toBytes)
+    val fromDisk = Files.readAllBytes(f) // what a deploy job would hand us
+    assert(!(fromDisk eq model.toBytes)) // genuinely file-sourced bytes
+    val rows = Seq(
+      Multimodal.DecodedMedia(
+        "red-ish", Multimodal.MediaMeta(8, 8, 3, "png"),
+        Array(0.9f, 0.1f, 0.2f, 0.8f, 0.0f, 0.3f)),
+      Multimodal.DecodedMedia(
+        "blue-ish", Multimodal.MediaMeta(8, 8, 3, "png"),
+        Array(0.1f, 0.0f, 0.9f, 0.2f, 0.1f, 0.7f)))
+    val media = spark.createDataset(rows).repartition(2)
+    val before = Inference.sessionLoads.get()
+    val scored = Inference.scoreWithModel(spark, media, fromDisk)
+      .collect().map(s => s.path -> s.label).toMap
+    val loads = Inference.sessionLoads.get() - before
+    assert(scored == Map("red-ish" -> "red", "blue-ish" -> "blue"))
+    assert(loads == 2, s"expected one session per partition (2), got $loads")
+    // and the scores equal the in-memory model's (the file round-trip is
+    // bit-exact, not approximately equal)
+    val direct = Inference.MlpModel.fromBytes(fromDisk)
+    rows.foreach { r =>
+      assert(direct.score(r.features).toSeq == model.score(r.features).toSeq)
+    }
+  }
+
   test("session is deserialized once per PARTITION, not per row") {
     val rows = (1 to 40).map { i =>
       Multimodal.DecodedMedia(
