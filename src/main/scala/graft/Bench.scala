@@ -177,6 +177,11 @@ object Bench {
     // inflated single-shot numbers up to 4x in testing. Caches from
     // query-internal persist() are dropped between queries so later queries
     // don't pay earlier queries' memory pressure.
+    // SPARK_GRAFT_BENCH_RUNS=1: scale-validation mode (e.g. a one-off sf1
+    // sweep) — single timed run, no baseline-triggered retries (the sf0.1
+    // baselines are meaningless at another scale and would trigger the
+    // settle+rerun path on every query).
+    val singleRun = sys.env.get("SPARK_GRAFT_BENCH_RUNS").contains("1")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val dt = time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
@@ -185,6 +190,7 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
+      if (singleRun) { name -> once() } else {
       val two = Seq(once(), once())
       // ambient host contention occasionally inflates BOTH samples of one
       // query 10-80x; when the two samples disagree wildly, buy one more
@@ -199,6 +205,7 @@ object Bench {
           (Seq(t0) ++ Seq(once(), once())).min
         } else t0
       name -> t
+      }
     }
     // 1-second noise floor on both sides: sub-second queries are
     // JVM/scheduler-overhead-bound (±0.3 s run-to-run on an idle host),
@@ -229,12 +236,13 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(detailPath),
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries":$detail}"""
         .getBytes("UTF-8"))
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"regressions":$regressions,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"regressions":$regressions,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5236,6 +5236,52 @@ object SparkEntry {
       .toDF("step", "lhs", "rhs", "cnt")
   }
 
+  // q218 — span-level dedup (X16): tumbling 8-token spans, global
+  // first-occurrence wins (doc_id, position order), documents reassembled
+  // from surviving spans. The C4-style cross-document passage removal; one
+  // digest-keyed shuffle + equi-join back, no all-pairs stage. clean_md5
+  // pins the RECONSTRUCTION byte-exactly, not just the counts.
+  private def spanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.text.SpanDedup.dedupSpans(t(s, dir, "documents"), "doc_id", "text", w = 8)
+      .select(
+        col("doc_id"), col("n_spans"), col("n_kept"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  // q219 — soft quality sampling (X17): keep each doc independently with
+  // probability quality², membership decided by an overflow-safe Knuth hash
+  // of doc_id (Features.softSample) — deterministic, seedless, re-derivable
+  // in plain SQL. Per-source yield report of the kept set. Pure
+  // projection+filter+agg: no shuffle before the final groupBy.
+  private def softQualitySample(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      TF.qualityScore(col("text"), Stopwords).as("q"),
+      greatest(TF.tokenCount(col("text")), lit(0)).cast("long").as("toks"))
+    graft.ml.Features.softSample(scored, "doc_id", pow(col("q"), 2.0))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("toks")).as("tokens_kept"),
+        rnd(avg(col("q")), 4).as("avg_quality"))
+      .orderBy(col("source"))
+  }
+
+  // q220 — training-shard plan (X18): deterministic global shuffle (Knuth
+  // hash order) + contiguous ~4096-token shards via GlobalRank's
+  // distributed cumsum (range exchange + driver offset array — never a
+  // single-partition window). Per-shard size report.
+  private def shardPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      greatest(TF.tokenCount(col("text")), lit(0)).cast("long").as("n_tok"))
+    graft.operators.Packing
+      .shardByTokenBudget(docs, "doc_id", "n_tok", budget = 4096L)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("shard_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5454,7 +5500,10 @@ object SparkEntry {
     "q214_bpe_pair_counts" -> bpePairCounts,
     "q215_clean_corpus" -> cleanCorpus,
     "q216_sequence_packing" -> sequencePacking,
-    "q217_bpe_merges" -> bpeMerges)
+    "q217_bpe_merges" -> bpeMerges,
+    "q218_span_dedup" -> spanDedup,
+    "q219_soft_quality_sample" -> softQualitySample,
+    "q220_shard_plan" -> shardPlan)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -9535,5 +9584,69 @@ object SparkEntry {
         |SELECT CAST(3 AS BIGINT) AS step, lhs, rhs, cnt FROM m3 UNION ALL
         |SELECT CAST(4 AS BIGINT) AS step, lhs, rhs, cnt FROM m4 UNION ALL
         |SELECT CAST(5 AS BIGINT) AS step, lhs, rhs, cnt FROM m5
-        |ORDER BY step""".stripMargin)
+        |ORDER BY step""".stripMargin,
+    // first-occurrence span dedup: the packed (doc_id, span_idx) order key
+    // makes the winner a plain min; md5 of the space-joined surviving spans
+    // pins the reconstruction ('' when a doc loses every span — matches
+    // concat_ws over an empty array)
+    "q218_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''
+        |), spans AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+        |    array_to_string(tk[CAST(i*8+1 AS INT):CAST(i*8+8 AS INT)], ' ') AS span
+        |  FROM toks, UNNEST(range(0, CAST(ceil(len(tk)/8.0) AS BIGINT))) t(i)
+        |), keyed AS (
+        |  SELECT doc_id, span_idx, span,
+        |    doc_id * 1048576 + span_idx AS ord
+        |  FROM spans
+        |), firsts AS (
+        |  SELECT span, min(ord) AS first_ord FROM keyed GROUP BY span
+        |)
+        |SELECT k.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN k.ord = f.first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN k.ord = f.first_ord THEN k.span END,
+        |    ' ' ORDER BY k.span_idx), '')) AS clean_md5
+        |FROM keyed k JOIN firsts f USING (span)
+        |GROUP BY k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
+    // keep iff u(doc_id) < quality²: u is the overflow-safe Knuth hash
+    // fraction — four integer ops, identical in any engine
+    "q219_soft_quality_sample" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, source,
+        |    ${qualitySqlExpr("text")} AS q,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM documents
+        |)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_kept,
+        |  round(avg(q) + 1e-9, 4) AS avg_quality
+        |FROM scored
+        |WHERE h / 4294967296.0 < least(greatest(q * q, 0.0), 1.0)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    // deterministic hash-order cumsum, shard = floor(token offset / 4096)
+    "q220_shard_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(n_tok) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d
+        |)
+        |SELECT CAST((cum - n_tok) // 4096 AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.feature.{StandardScaler, StandardScalerModel, VectorAssembler}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Feature-engineering recipes (SURVEY.md §2.9 M1–M3, M26).
@@ -138,6 +138,31 @@ object Features {
         lit(0L),
         n)
       .select(col(groupCol), col("rank"), col("id").as(idCol))
+  }
+
+  /** Soft (probabilistic) filtering — the DCLM/FineWeb-style quality screen
+    * that keeps each row INDEPENDENTLY with its own probability instead of a
+    * hard threshold: keep row i iff u(id_i) < p_i, where u derives from an
+    * overflow-safe Knuth multiplicative hash of the id. Deterministic from
+    * (id, p) alone — any engine re-derives the same membership with four
+    * integer ops (no RNG state, no seed plumbing, exactly reproducible in
+    * plain SQL), so a 100 TB corpus filtered twice yields byte-identical
+    * splits. Narrow-and-deterministic beats avalanche here: the decision is
+    * per-row against its own p, not an order statistic across rows (contrast
+    * [[weightedSample]]'s A-ES keys, where Knuth linearity would break the
+    * inclusion law — documented there). The hash's lattice structure makes
+    * consecutive ids a low-discrepancy sequence — at equal p this behaves
+    * like systematic sampling (slightly LOWER variance than iid Bernoulli).
+    *
+    * `probCol` is clamped to [0, 1]. Pure projection + filter: fully
+    * pushdown-friendly, no shuffle, codegen'd end-to-end.
+    */
+  def softSample(df: DataFrame, idCol: String, probCol: Column): DataFrame = {
+    // (id mod 2^31) * 2654435761 stays < 2^63 — exact in long arithmetic at
+    // any id scale (a raw id*m product overflows past id ~ 3.4e9)
+    val u = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L)).cast("double") / lit(4294967296.0)
+    df.filter(u < greatest(least(probCol, lit(1.0)), lit(0.0)))
   }
 
   /** M2 (exact form) — stratified split with sklearn's EXACT per-class

@@ -55,6 +55,43 @@ object Packing {
       .toDF(idCol, "n_tokens", "bin_id")
   }
 
+  /** Training-shard plan — the writer side of a pretraining pipeline:
+    * documents are put in a DETERMINISTIC pseudo-random global order (Knuth
+    * multiplicative hash of the id, tie-broken by id — the corpus-wide
+    * "shuffle once, then read sequentially" every epoch loader expects) and
+    * cut into contiguous shards of ~`budget` tokens each: a document starts
+    * a new shard when the running token total before it has crossed the next
+    * budget boundary. Deterministic from ids alone; re-running on the same
+    * corpus yields the same shard for every document.
+    *
+    * Scale shape: one range exchange on the hash order (GlobalRank's
+    * distributed cumsum — per-partition running sums plus a
+    * numPartitions-sized driver offset array, never a single-partition
+    * window), then a pure projection. No joins, no per-key state.
+    *
+    * Returns (idCol, n_tok, shard_id) — one row per doc.
+    */
+  def shardByTokenBudget(
+      docs: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"shard token budget must be positive: $budget")
+    // overflow-safe Knuth hash (same form as Features.softSample): exact
+    // long arithmetic at any id scale, re-derivable in plain SQL
+    val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val ranked = GlobalRank.globalCumSum(
+      docs.select(col(idCol), col(tokenCol).cast("long").as("n_tok"),
+        h.as("_h")),
+      Seq(col("_h"), col(idCol)),
+      col("n_tok"),
+      "_cum")
+    ranked
+      .select(col(idCol), col("n_tok"),
+        ((col("_cum") - col("n_tok")) / budget).cast("long").as("shard_id"))
+  }
+
   /** Packing-efficiency report over a greedyPack result: bins, mean fill
     * ratio, padding waste — the metric a packing strategy is judged on.
     */

@@ -35,6 +35,38 @@ class PackingSpec extends AnyFunSuite {
     assert(packed.select("doc_id").distinct().count() == 500L)
   }
 
+  test("shardByTokenBudget matches a local hash-order cumsum recomputation") {
+    val data = (1L to 300L).map(i => (i, (i * 13 % 90) + 1))
+    val docs = data.toDF("doc_id", "n_tok")
+    val got = Packing.shardByTokenBudget(docs, "doc_id", "n_tok", budget = 512L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // reference: Knuth hash order, shard = floor(token offset at doc start / budget)
+    def h(id: Long): Long = ((id % 2147483648L) * 2654435761L) % 4294967296L
+    var cum = 0L
+    val exp = data.sortBy { case (id, _) => (h(id), id) }.map { case (id, n) =>
+      val shard = cum / 512L
+      cum += n
+      id -> shard
+    }.toMap
+    assert(got == exp)
+    // shards are contiguous from 0 and, except the last, hold >= budget
+    // tokens once their spill-over doc is counted
+    val sizes = Packing.shardByTokenBudget(docs, "doc_id", "n_tok", budget = 512L)
+      .groupBy("shard_id").agg(org.apache.spark.sql.functions.sum("n_tok").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0L until sizes.size.toLong).toSet)
+  }
+
+  test("shardByTokenBudget is deterministic and loses no documents or tokens") {
+    val docs = (1L to 500L).map(i => (i, (i * 7 % 60) + 1)).toDF("doc_id", "n_tok")
+    val a = Packing.shardByTokenBudget(docs, "doc_id", "n_tok", budget = 256L)
+    val b = Packing.shardByTokenBudget(docs, "doc_id", "n_tok", budget = 256L)
+    assert(a.collect().toSet == b.collect().toSet)
+    assert(a.count() == 500L)
+    val tot = a.agg(org.apache.spark.sql.functions.sum("n_tok")).collect()(0).getLong(0)
+    assert(tot == (1L to 500L).map(i => (i * 7 % 60) + 1).sum)
+  }
+
   test("distributed form = the sequential greedy fold, partition by partition") {
     // reference fold (the q216 oracle's recursive CTE in plain Scala)
     def refPack(docs: Seq[(Long, Long)], maxLen: Long): Seq[(Long, Long, Long)] = {
