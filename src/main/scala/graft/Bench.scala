@@ -139,7 +139,11 @@ object Bench {
     "q211_stream_transitions" -> 2.340, "q212_skipgram_pairs" -> 0.820,
     "q213_curriculum_plan" -> 1.370,
     "q214_bpe_pair_counts" -> 0.950,
-    "q215_clean_corpus" -> 2.130)
+    "q215_clean_corpus" -> 2.130,
+    // round-5 additions (r5 sf0.1 measurements, BASELINE.md §3d)
+    "q216_sequence_packing" -> 0.380, "q217_bpe_merges" -> 2.360,
+    "q218_span_dedup" -> 2.620, "q219_soft_quality_sample" -> 1.440,
+    "q220_shard_plan" -> 1.230)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

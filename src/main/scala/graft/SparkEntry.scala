@@ -590,12 +590,31 @@ object SparkEntry {
     // has shipped both as TIMESTAMP(NANOS) (Long under nanosAsLong) and as
     // naive TIMESTAMP(MICROS) — the replay must accept either vintage
     val schema = ss.read.parquet(s"$dir/events.parquet").schema
-    // the streaming file source requires a DIRECTORY; expose the single
-    // events.parquet through a temp dir symlink
+    // the streaming file source requires a DIRECTORY of leaf files and does
+    // not recurse: expose events.parquet through temp-dir symlinks — the
+    // file itself when it is a single file (TESTDATA), or each contained
+    // part file when it is a directory-style parquet dataset (scaled /
+    // engine-written corpora)
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // toAbsolutePath: a symlink TARGET is stored verbatim — a relative
+    // target would resolve against the temp dir and dangle silently
+    // (0-file listing, empty replay) whenever the caller passed a relative
+    // data dir
+    val eventsPath =
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath
+    val linked: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(eventsPath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(eventsPath).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            java.nio.file.Files.createSymbolicLink(
+              streamDir.resolve(p.getFileName), p.toAbsolutePath)
+          }
+      } else {
+        Seq(java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"), eventsPath))
+      }
     try {
       val read = ss.readStream.schema(schema).parquet(streamDir.toString)
       val raw = schema("ts").dataType match {
@@ -608,8 +627,8 @@ object SparkEntry {
       drainToTable(ss, build(raw), mode)
     } finally {
       // deleteOnExit is a no-op on a non-empty directory — drop the
-      // symlink (not its target) and the dir once the replay has drained
-      java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+      // symlinks (not their targets) and the dir once the replay has drained
+      linked.foreach(java.nio.file.Files.deleteIfExists)
       java.nio.file.Files.deleteIfExists(streamDir)
     }
   }
