@@ -1059,10 +1059,16 @@ object SparkEntry {
     val sh = docs.select(
       col("doc_id"),
       col("lang"),
-      sort_array(transform(TF.charShingles(col("text"), 5), x => xxhash64(x))).as("h"))
+      // array_distinct BEFORE the pair join: size(h) then IS the set size —
+      // required for the length prune below to be exact (raw shingle lists
+      // repeat whenever a 5-gram recurs, and differing duplicate densities
+      // would make raw-length ratios a FALSE-NEGATIVE-prone bound) — and
+      // every per-pair merge visits each element once per doc, not per copy
+      sort_array(array_distinct(transform(TF.charShingles(col("text"), 5), x => xxhash64(x))))
+        .as("h"))
     graft.operators.Pairs.allPairs(sh, "doc_id", Seq("lang"), buckets = 8)
       // EXACT length prune before the O(|A|+|B|) merge: J(A,B) ≤ min/max of
-      // the set sizes, so a pair failing min ≥ t·max can never reach the
+      // the SET sizes, so a pair failing min ≥ t·max can never reach the
       // threshold — two int reads replace a full array intersection (~30%
       // of same-lang pairs at sf0.1, measured; false-negative-free)
       .filter(least(size(col("a.h")), size(col("b.h")))
