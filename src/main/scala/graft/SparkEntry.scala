@@ -1076,7 +1076,11 @@ object SparkEntry {
       .select(
         col("a.doc_id").as("id_a"),
         col("b.doc_id").as("id_b"),
-        graft.expressions.VectorExpressions.jaccardSorted(col("a.h"), col("b.h")).as("_j"))
+        // early-exit verify kernel: exact J for pairs at/above threshold,
+        // −1 (bailing ~⅓ into the merge at t=0.5) for the overwhelming
+        // majority below it — valid because h is array_distinct'd above
+        graft.expressions.VectorExpressions
+          .jaccardSortedMin(col("a.h"), col("b.h"), threshold).as("_j"))
       .filter(col("_j") >= threshold)
   }
 

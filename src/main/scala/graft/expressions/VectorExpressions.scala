@@ -77,6 +77,14 @@ object VectorExpressions {
   def jaccardSorted(a: Column, b: Column): Column =
     toColumn(JaccardSortedLongExpr(toExpr(a), toExpr(b)))
 
+  /** Jaccard over pre-sorted DISTINCT array<long> with an early-exit
+    * threshold: exact J when J ≥ minJ, −1.0 as soon as the unscanned
+    * remainder provably cannot reach minJ. Callers MUST pass deduplicated
+    * arrays (array_distinct before sort) — the bound counts raw lengths.
+    */
+  def jaccardSortedMin(a: Column, b: Column, minJ: Double): Column =
+    toColumn(JaccardSortedMinExpr(toExpr(a), toExpr(b), minJ))
+
   /** Sign-pattern LSH bucket of a vector under `nPlanes` fixed pseudo-random
     * hyperplanes for table `table`.
     */
@@ -231,5 +239,69 @@ case class JaccardSortedLongExpr(left: Expression, right: Expression)
 
   override def prettyName: String = "jaccard_sorted"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedLongExpr =
+    copy(left = l, right = r)
+}
+
+/** Threshold-verifying Jaccard over pre-sorted DISTINCT array<long>: the
+  * similarity-join verify kernel. Returns the exact Jaccard when J ≥ minJ
+  * and −1.0 once the merge can prove J < minJ — the bound
+  *   J ≤ (inter + min(remA, remB)) / (|A| + |B| − inter − min(remA, remB))
+  * rearranges to the INTEGER test inter + min(remA, remB) < K with
+  * K = ⌈minJ·(|A|+|B|)/(1+minJ)⌉ computed once per pair, so the hot loop
+  * pays one long compare per non-matching step and exits ~(1−minJ)/(1+minJ)
+  * of the way through dissimilar pairs (at minJ = 0.5: after ~⅓ of the
+  * merge). Inputs must be SETS (array_distinct'd): the bound counts raw
+  * lengths, and duplicates would both break it and skew the union count —
+  * this kernel drops the duplicate-tolerant bookkeeping the unthresholded
+  * expression carries, in exchange for the exit test.
+  */
+case class JaccardSortedMinExpr(left: Expression, right: Expression, minJ: Double)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  require(minJ > 0.0 && minJ <= 1.0, s"minJ must be in (0, 1]: $minJ")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sorted_min requires array<bigint>, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    if (n == 0 && m == 0) return java.lang.Double.valueOf(-1.0) // J defined 0 < minJ
+    // J ≥ minJ ⟺ (1+minJ)·inter ≥ minJ·(n+m) — K is that bound on the
+    // optimistic inter (current + all remaining could still match)
+    val k = math.ceil(minJ * (n + m) / (1.0 + minJ)).toLong
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < n && j < m) {
+      val xi = x.getLong(i)
+      val yj = y.getLong(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else {
+        if (xi < yj) i += 1 else j += 1
+        val rem = math.min(n - i, m - j).toLong
+        if (inter + rem < k) return java.lang.Double.valueOf(-1.0)
+      }
+    }
+    val union = (n + m).toLong - inter
+    val jac = if (union == 0L) 0.0 else inter.toDouble / union.toDouble
+    java.lang.Double.valueOf(if (jac >= minJ) jac else -1.0)
+  }
+
+  override def prettyName: String = "jaccard_sorted_min"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedMinExpr =
     copy(left = l, right = r)
 }

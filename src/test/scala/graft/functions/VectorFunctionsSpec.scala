@@ -164,6 +164,30 @@ class VectorExpressionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect()
     out.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
+
+  test("jaccardSortedMin: exact J at/above threshold, -1 below, on random sets") {
+    // random distinct-sorted long sets with mixed overlap levels
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      val base = Seq.fill(rnd.nextInt(60) + 1)(rnd.nextInt(80).toLong).distinct
+      val keep = base.filter(_ => rnd.nextDouble() < rnd.nextDouble())
+      val extra = Seq.fill(rnd.nextInt(40))(100L + rnd.nextInt(80))
+      (base.sorted, (keep ++ extra).distinct.sorted)
+    }
+    val df = rows.toDF("x", "y")
+    val t = 0.5
+    val out = df.select(
+      VectorExpressions.jaccardSortedMin(col("x"), col("y"), t).as("jm"),
+      VectorExpressions.jaccardSorted(col("x"), col("y")).as("j"))
+      .collect()
+    assert(out.exists(_.getDouble(0) >= 0) && out.exists(_.getDouble(0) < 0),
+      "test data must exercise both branches")
+    out.foreach { r =>
+      val (jm, j) = (r.getDouble(0), r.getDouble(1))
+      if (j >= t) assert(math.abs(jm - j) < 1e-12, s"expected exact $j, got $jm")
+      else assert(jm == -1.0, s"expected -1 sentinel for j=$j, got $jm")
+    }
+  }
 }
 
 class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
