@@ -2216,19 +2216,21 @@ object SparkEntry {
       col("doc_id"), col("lang"),
       sort_array(array_distinct(transform(TF.charShingles(col("text"), 5), x => xxhash64(x))))
         .as("h"))
-    // intersection size recovered EXACTLY from the native two-pointer
-    // jaccard (I = J·(|A|+|B|)/(1+J), integer after rounding — J's ~1e-16
-    // relative error cannot move I by 0.5): the per-pair hot path stays
-    // the O(n) native expression instead of an interpreted array_intersect,
-    // which benched 4× slower here. The distinct+sort runs once per DOC.
+    // the per-pair hot path is the native two-pointer intersection with the
+    // CONTAINMENT early-exit bound (inter + min remainder < ~0.6·min size ⇒
+    // bail — the symmetric Jaccard length prune would wrongly drop exactly
+    // the small-inside-huge pairs this query exists to find); exact I for
+    // every surviving pair, final cut by the same double compare as before.
+    // The distinct+sort runs once per DOC.
     graft.operators.Pairs.allPairs(sh, "doc_id", Seq("lang"), buckets = 8)
       .select(
         col("a.doc_id").as("id_a"),
         col("b.doc_id").as("id_b"),
-        graft.expressions.VectorExpressions.jaccardSorted(col("a.h"), col("b.h")).as("j"),
+        graft.expressions.VectorExpressions
+          .intersectSortedMin(col("a.h"), col("b.h"), 0.6).as("i"),
         size(col("a.h")).as("na"),
         size(col("b.h")).as("nb"))
-      .withColumn("i", round(col("j") * (col("na") + col("nb")) / (lit(1.0) + col("j"))))
+      .filter(col("i") >= 0L)
       .withColumn("containment", greatest(col("i") / col("na"), col("i") / col("nb")))
       .filter(col("containment") >= 0.6)
       .select(

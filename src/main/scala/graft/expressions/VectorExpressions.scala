@@ -85,6 +85,15 @@ object VectorExpressions {
   def jaccardSortedMin(a: Column, b: Column, minJ: Double): Column =
     toColumn(JaccardSortedMinExpr(toExpr(a), toExpr(b), minJ))
 
+  /** Exact |A∩B| over pre-sorted DISTINCT array<long> with an early-exit
+    * CONTAINMENT threshold: the intersection size when it reaches
+    * minFrac·min(|A|,|B|) (i.e. max-directional containment ≥ minFrac),
+    * −1 as soon as the unscanned remainder provably cannot. Same
+    * deduplicated-input contract as [[jaccardSortedMin]].
+    */
+  def intersectSortedMin(a: Column, b: Column, minFrac: Double): Column =
+    toColumn(IntersectSortedMinExpr(toExpr(a), toExpr(b), minFrac))
+
   /** Sign-pattern LSH bucket of a vector under `nPlanes` fixed pseudo-random
     * hyperplanes for table `table`.
     */
@@ -303,5 +312,64 @@ case class JaccardSortedMinExpr(left: Expression, right: Expression, minJ: Doubl
 
   override def prettyName: String = "jaccard_sorted_min"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedMinExpr =
+    copy(left = l, right = r)
+}
+
+/** Containment-verifying set intersection over pre-sorted DISTINCT
+  * array<long>: exact |A∩B| (long) when it reaches minFrac·min(|A|,|B|) —
+  * max-directional containment max(I/|A|, I/|B|) = I/min(|A|,|B|) ≥ minFrac
+  * — and −1 once inter + min(remA, remB) < K = ⌈minFrac·min(|A|,|B|)⌉.
+  * Same early-exit structure and deduplicated-input contract as
+  * [[JaccardSortedMinExpr]], with the containment bound instead of the
+  * Jaccard one (symmetric length ratios prune NOTHING for containment — a
+  * tiny doc fully inside a huge one is exactly the pair it must keep).
+  */
+case class IntersectSortedMinExpr(left: Expression, right: Expression, minFrac: Double)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac must be in (0, 1]: $minFrac")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"intersect_sorted_min requires array<bigint>, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    if (n == 0 || m == 0) return java.lang.Long.valueOf(-1L) // containment undefined/0
+    // −1 safety margin: borderline intersections survive to the caller's
+    // exact double-compare filter, so a half-ulp in K can never drop a
+    // true-positive pair; costs one extra merge step of pruning power
+    val k = math.max(1L, math.ceil(minFrac * math.min(n, m)).toLong - 1L)
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < n && j < m) {
+      val xi = x.getLong(i)
+      val yj = y.getLong(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else {
+        if (xi < yj) i += 1 else j += 1
+        val rem = math.min(n - i, m - j).toLong
+        if (inter + rem < k) return java.lang.Long.valueOf(-1L)
+      }
+    }
+    java.lang.Long.valueOf(if (inter >= k) inter else -1L)
+  }
+
+  override def prettyName: String = "intersect_sorted_min"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectSortedMinExpr =
     copy(left = l, right = r)
 }

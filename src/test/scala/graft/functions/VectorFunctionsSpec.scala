@@ -188,6 +188,31 @@ class VectorExpressionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       else assert(jm == -1.0, s"expected -1 sentinel for j=$j, got $jm")
     }
   }
+
+  test("intersectSortedMin: exact |A∩B| when containment can reach the bar") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { _ =>
+      val base = Seq.fill(rnd.nextInt(60) + 1)(rnd.nextInt(80).toLong).distinct
+      val keep = base.filter(_ => rnd.nextDouble() < rnd.nextDouble())
+      val extra = Seq.fill(rnd.nextInt(120))(100L + rnd.nextInt(200))
+      (base.sorted, (keep ++ extra).distinct.sorted)
+    }
+    val df = rows.toDF("x", "y")
+    val out = df.select(
+      VectorExpressions.intersectSortedMin(col("x"), col("y"), 0.6).as("im"),
+      col("x"), col("y")).collect()
+    var hits = 0
+    out.foreach { r =>
+      val (x, y) = (r.getSeq[Long](1).toSet, r.getSeq[Long](2).toSet)
+      val trueI = (x intersect y).size.toLong
+      val cont = trueI.toDouble / math.min(x.size, y.size)
+      val im = r.getLong(0)
+      if (cont >= 0.6) { assert(im == trueI, s"expected $trueI, got $im"); hits += 1 }
+      else assert(im == -1L || im == trueI, // safety-margin pairs may surface
+        s"below-bar pair must be -1 or exact, got $im (true $trueI)")
+    }
+    assert(hits > 0, "test data must contain high-containment pairs")
+  }
 }
 
 class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
