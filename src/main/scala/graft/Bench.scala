@@ -143,7 +143,8 @@ object Bench {
     // round-5 additions (r5 sf0.1 measurements, BASELINE.md §3d)
     "q216_sequence_packing" -> 0.380, "q217_bpe_merges" -> 2.360,
     "q218_span_dedup" -> 2.620, "q219_soft_quality_sample" -> 1.440,
-    "q220_shard_plan" -> 1.230)
+    "q220_shard_plan" -> 1.230,
+    "q221_bpe_segment" -> 2.090)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5273,6 +5273,29 @@ object SparkEntry {
       .toDF("step", "lhs", "rhs", "cnt")
   }
 
+  // q221 — BPE ENCODE (X14's segment step through the oracle gate): learn
+  // 5 merges, apply them in order to every word (Bpe.segment — narrow
+  // per-row pass, merge table rides the closure), report per-source token
+  // compression. The oracle re-derives the 5 merges (q217's unrolled
+  // iterations, words carried through) and re-applies them per word.
+  private def bpeSegment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.text.Bpe.learnMerges(docs, "text", k = 5)
+    val seg = graft.text.Bpe
+      .segment(docs.filter(trim(col("text")) =!= ""), "doc_id", "text", merges)
+    seg
+      .join(docs.select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast("long").as("n_words")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(size(col("pieces")).cast("long")).as("n_pieces"),
+        rnd(sum(size(col("pieces")).cast("long")) / sum(col("n_words")), 4)
+          .as("pieces_per_word"))
+      .orderBy(col("source"))
+  }
+
   // q218 — span-level dedup (X16): tumbling 8-token spans, global
   // first-occurrence wins (doc_id, position order), documents reassembled
   // from surviving spans. The C4-style cross-document passage removal; one
@@ -5540,7 +5563,8 @@ object SparkEntry {
     "q217_bpe_merges" -> bpeMerges,
     "q218_span_dedup" -> spanDedup,
     "q219_soft_quality_sample" -> softQualitySample,
-    "q220_shard_plan" -> shardPlan)
+    "q220_shard_plan" -> shardPlan,
+    "q221_bpe_segment" -> bpeSegment)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -5592,6 +5616,54 @@ object SparkEntry {
       |  SELECT a AS doc_id, least(a, min(b)) AS component
       |  FROM reach GROUP BY a
       |)""".stripMargin
+
+  /** q221's oracle: the q217 merge-derivation CTEs with the word carried
+    * through each fuse (same argmax tie-break: cnt DESC, pair lex ASC),
+    * ending in per-source compression stats from word-occurrence joins.
+    * Loop-generated — the five iterations differ only by index, and a
+    * hand-unrolled copy would be a drift hazard against q217.
+    */
+  private lazy val BpeSegmentOracle: String = {
+    val iters = (1 to 5).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (
+         |  SELECT list_extract(sp, CAST(j AS INT)) AS lhs,
+         |    list_extract(sp, CAST(j AS INT) + 1) AS rhs,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(s, chr(31)) AS sp, freq FROM $prev),
+         |    UNNEST(range(1, len(sp))) t(j)
+         |  GROUP BY 1, 2
+         |), m$i AS (SELECT lhs, rhs FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |s$i AS (
+         |  SELECT p.w, list_reduce(string_split(p.s, chr(31)),
+         |    (acc, x) -> CASE WHEN x = m$i.rhs AND
+         |        (acc = m$i.lhs OR ends_with(acc, chr(31) || m$i.lhs))
+         |      THEN acc || x ELSE acc || chr(31) || x END) AS s, p.freq
+         |  FROM $prev p CROSS JOIN m$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents WHERE trim(text) <> ''
+       |), wf AS (
+       |  SELECT w, count(*) AS freq FROM tok GROUP BY w
+       |), s0 AS (
+       |  SELECT w, array_to_string(
+       |    list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)),
+       |    chr(31)) AS s, freq
+       |  FROM wf
+       |), $iters, wordlen AS (
+       |  SELECT w, len(string_split(s, chr(31))) AS np FROM s5
+       |)
+       |SELECT t.source,
+       |  CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(wl.np) AS BIGINT) AS n_pieces,
+       |  round(sum(wl.np) / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS pieces_per_word
+       |FROM tok t JOIN wordlen wl USING (w)
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -9668,6 +9740,10 @@ object SparkEntry {
         |WHERE h / 4294967296.0 < least(greatest(q * q, 0.0), 1.0)
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // q217's five unrolled merge iterations with the WORD carried through,
+    // then every word re-segmented and the per-source compression
+    // recomputed from word-occurrence joins (generated by BpeSegmentOracle)
+    "q221_bpe_segment" -> BpeSegmentOracle,
     // deterministic hash-order cumsum, shard = floor(token offset / 4096)
     "q220_shard_plan" ->
       """WITH d AS (
