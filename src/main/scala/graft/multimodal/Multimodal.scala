@@ -229,4 +229,54 @@ object Multimodal {
             sequence(lit(0), (length(col("content")) / chunkBytes).cast("int")),
             i => when(i % everyK === 0, substring(col("content"), i * chunkBytes + 1, lit(chunkBytes)))),
           c => c.isNotNull)).as(Seq("frame_idx", "frame_bytes")))
+
+  /** CONTENT-based keyframe selection over the fixed-chunk frame format:
+    * the scene-change detector of a video ingest pipeline. A frame is a
+    * keyframe when the fraction of bytes differing from the PREVIOUS frame
+    * is ≥ `minChangeFrac` (frame 0 always is — there is no previous scene).
+    * A real codec would replace only the frame iterator (decode to rasters,
+    * score with the same change metric on pixels); the selection logic,
+    * per-row narrow pass (no shuffle — the scan order IS the frame order
+    * within a row), and output contract are the production shape.
+    *
+    * Returns (path, frame_idx, change_frac, frame_bytes) — change_frac is
+    * −1.0 for frame 0 (sentinel: unconditionally kept, no score defined).
+    */
+  def keyFrames(
+      spark: SparkSession,
+      files: DataFrame,
+      chunkBytes: Int,
+      minChangeFrac: Double): DataFrame = {
+    require(chunkBytes > 0, s"chunkBytes must be positive: $chunkBytes")
+    require(minChangeFrac >= 0.0 && minChangeFrac <= 1.0,
+      s"minChangeFrac must be in [0, 1]: $minChangeFrac")
+    import spark.implicits._
+    files
+      .select(col("path").cast("string"), col("content").cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        val frames = content.grouped(chunkBytes).toArray
+        var prev: Array[Byte] = null
+        frames.iterator.zipWithIndex.flatMap { case (f, i) =>
+          val out =
+            if (prev == null) Some((path, i, -1.0, f))
+            else {
+              val n = math.max(f.length, prev.length)
+              var diff = 0
+              var b = 0
+              val common = math.min(f.length, prev.length)
+              while (b < common) {
+                if (f(b) != prev(b)) diff += 1
+                b += 1
+              }
+              diff += n - common // length mismatch counts as changed bytes
+              val frac = if (n == 0) 0.0 else diff.toDouble / n
+              if (frac >= minChangeFrac) Some((path, i, frac, f)) else None
+            }
+          prev = f
+          out
+        }
+      }
+      .toDF("path", "frame_idx", "change_frac", "frame_bytes")
+  }
 }

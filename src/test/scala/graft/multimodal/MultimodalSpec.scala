@@ -136,4 +136,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.length == 6)
     assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == (0 to 5))
   }
+
+  test("keyFrames keeps frame 0 and scene changes, drops static frames") {
+    // fake video: 3 frames of scene A, 2 of scene B (1 byte flipped within
+    // B's second frame = 12.5% change), back to A
+    def frame(v: Byte) = Array.fill[Byte](8)(v)
+    val b2 = frame(2); b2(0) = 9 // 1/8 = 0.125 change vs frame(2)
+    val content = (Seq(frame(1), frame(1), frame(1), frame(2)) ++
+      Seq(b2, frame(1))).flatten.toArray
+    val files = Seq(("v1", content)).toDF("path", "content")
+    val kept = Multimodal.keyFrames(spark, files, chunkBytes = 8, minChangeFrac = 0.5)
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    // frame 0 always; frames 1,2 static; frame 3 full change; frame 4 only
+    // 12.5% (< 0.5, dropped); frame 5 differs from b2 in every byte (byte 0:
+    // 1 vs 9, bytes 1-7: 1 vs 2) -> kept at 1.0
+    assert(kept.map(_._1).toSeq == Seq(0, 3, 5))
+    assert(kept(0)._2 == -1.0)
+    assert(kept(1)._2 == 1.0)
+    assert(kept(2)._2 == 1.0)
+  }
+
+  test("keyFrames: a ragged tail counts missing bytes as changed") {
+    val content = (Array.fill[Byte](8)(5) ++ Array.fill[Byte](4)(5))
+    val files = Seq(("v1", content)).toDF("path", "content")
+    val all = Multimodal.keyFrames(spark, files, chunkBytes = 8, minChangeFrac = 0.0)
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    // tail frame: 4 common bytes equal, 4 missing -> 4/8 = 0.5 change
+    assert(all.map(_._1).toSeq == Seq(0, 1))
+    assert(all(1)._2 == 0.5)
+  }
 }
