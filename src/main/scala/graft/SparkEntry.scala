@@ -5342,6 +5342,51 @@ object SparkEntry {
       .orderBy(col("shard_id"))
   }
 
+  // q222 — CCNet perplexity filter (X19): add-α bigram LM trained on the
+  // English slice, every doc scored in bits-per-bigram, head/middle/tail
+  // terciles over the ROUNDED cross-entropy (GlobalRank ntile — one range
+  // exchange, no single-partition window). LM counts are exact integers,
+  // so the smoothed probabilities reproduce bit-for-bit in the oracle.
+  private def lmPerplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = graft.text.LanguageModel
+      .bigramCrossEntropy(docs.filter(col("lang") === "en"), docs, "doc_id", "text", alpha = 0.1)
+      .withColumn("ce", rnd(col("cross_entropy"), 4))
+      .drop("cross_entropy")
+    graft.text.LanguageModel
+      .ccnetBuckets(scored, "doc_id", "ce")
+      .select(col("doc_id"), col("n_bigrams"), col("ce"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q223 — DSIR importance weights (X20): bag-of-unigrams log-likelihood
+  // ratio of the English-target distribution vs the whole raw corpus,
+  // add-α smoothed over the union vocabulary. `selected` is the
+  // target-leaning sign on the ROUNDED weight (cross-engine stable). The
+  // hashed-feature scale path (buckets > 0) is DsirSpec's job.
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.text.Dsir
+      .importanceWeights(docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+        alpha = 0.01)
+      .withColumn("log_weight", rnd(col("log_weight"), 4))
+      .withColumn("selected", col("log_weight") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  // q224 — SemDeDup (X21): sign-bucket partition of the embedding space
+  // (deterministic axis-aligned LSH, 64 buckets), within-bucket cosine ≥
+  // 0.3 pairs, lowest-id kept. The KMeans-clustered form of the paper is
+  // SemDedupSpec's job (model-dependent ⇒ no SQL oracle).
+  private def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.SemDedup
+      .markDuplicates(emb, "vec_id", "embedding",
+        graft.operators.SemDedup.signBucket(col("embedding"), 6), tau = 0.3)
+      .withColumn("is_dup", col("dup_of").isNotNull)
+      .orderBy(col("vec_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5564,7 +5609,10 @@ object SparkEntry {
     "q218_span_dedup" -> spanDedup,
     "q219_soft_quality_sample" -> softQualitySample,
     "q220_shard_plan" -> shardPlan,
-    "q221_bpe_segment" -> bpeSegment)
+    "q221_bpe_segment" -> bpeSegment,
+    "q222_lm_perplexity" -> lmPerplexityFilter,
+    "q223_dsir_weights" -> dsirWeights,
+    "q224_semantic_dedup" -> semanticDedup)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -9761,5 +9809,90 @@ object SparkEntry {
         |SELECT CAST((cum - n_tok) // 4096 AS BIGINT) AS shard_id,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // add-α bigram LM trained on the en slice; P(w2|w1) from exact integer
+    // counts; CCNet terciles over the rounded cross-entropy
+    "q222_lm_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''
+        |), bi AS (
+        |  SELECT doc_id, lang,
+        |    toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+        |  FROM tok, unnest(range(1, len(toks))) t(i)
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bi WHERE lang = 'en' GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT w) + 1 AS v_
+        |  FROM (SELECT unnest(toks) AS w FROM tok WHERE lang = 'en')
+        |), ce AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams,
+        |    avg(-log2((coalesce(c2.c2, 0) + 0.1)
+        |      / (coalesce(c1.c1, 0) + 0.1 * v.v_))) AS ce_raw
+        |  FROM bi b LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1), v
+        |  GROUP BY 1
+        |), r AS (
+        |  SELECT doc_id, n_bigrams, round(ce_raw + 1e-9, 4) AS ce FROM ce
+        |), nt AS (
+        |  SELECT doc_id, n_bigrams, ce,
+        |    ntile(3) OVER (ORDER BY ce, doc_id) AS terc
+        |  FROM r
+        |)
+        |SELECT doc_id, n_bigrams, ce,
+        |  CASE terc WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM nt ORDER BY doc_id""".stripMargin,
+    // bag-of-unigrams importance weight log p_target/p_raw, add-α smoothed
+    // over the union vocabulary (target ⊆ raw here, so union = raw vocab)
+    "q223_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE trim(text) <> ''
+        |), cr AS (
+        |  SELECT w, count(*) AS cr FROM tok GROUP BY 1
+        |), ct AS (
+        |  SELECT w, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1
+        |), counts AS (
+        |  SELECT cr.w, cr.cr, coalesce(ct.ct, 0) AS ct
+        |  FROM cr LEFT JOIN ct USING (w)
+        |), tot AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v_,
+        |    CAST(sum(cr) AS DOUBLE) AS nr_, CAST(sum(ct) AS DOUBLE) AS nt_
+        |  FROM counts
+        |), sc AS (
+        |  SELECT t.doc_id, count(*) AS n_feat,
+        |    sum(ln((c.ct + 0.01) / (tot.nt_ + 0.01 * tot.v_))
+        |      - ln((c.cr + 0.01) / (tot.nr_ + 0.01 * tot.v_))) AS lw
+        |  FROM tok t JOIN counts c USING (w), tot
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_feat, round(lw + 1e-9, 4) AS log_weight,
+        |  round(lw + 1e-9, 4) > 0 AS selected
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // sign-bucket LSH (dims 1..6, weights 1,2,4,8,16,32), within-bucket
+    // cosine >= 0.3 pairs, dup_of = smallest matching lower id
+    "q224_semantic_dedup" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT b.vec_id AS bid, min(a.vec_id) AS dup_of
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e)
+        |      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        |      >= 0.3
+        |  GROUP BY 1
+        |)
+        |SELECT v.vec_id, CAST(v.bucket AS BIGINT) AS bucket, p.dup_of,
+        |  p.dup_of IS NOT NULL AS is_dup
+        |FROM v LEFT JOIN pairs p ON v.vec_id = p.bid
+        |ORDER BY v.vec_id""".stripMargin)
 }

@@ -56,7 +56,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q209: the kNN stage is the declared broadcast-queries brute-force
     // baseline (swap to ivfTopK at scale) + two 1-row stat combines;
     // q213 rides Mixture's broadcast 1-row normalizer
-    "q209_knn_triangles", "q213_curriculum_plan")
+    "q209_knn_triangles", "q213_curriculum_plan",
+    // q223: Dsir's broadcast 1-row totals bind (V, N_raw, N_target)
+    "q223_dsir_weights")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each window
     * provably rides a BOUNDED aggregate frame (cardinality set by the
