@@ -144,7 +144,10 @@ object Bench {
     "q216_sequence_packing" -> 0.380, "q217_bpe_merges" -> 2.360,
     "q218_span_dedup" -> 2.620, "q219_soft_quality_sample" -> 1.440,
     "q220_shard_plan" -> 1.230,
-    "q221_bpe_segment" -> 2.090)
+    "q221_bpe_segment" -> 2.090,
+    // q222-q224 first declared (and measured) in round 5
+    "q222_lm_perplexity" -> 4.440, "q223_dsir_weights" -> 1.850,
+    "q224_semantic_dedup" -> 1.150)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
