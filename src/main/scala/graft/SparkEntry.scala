@@ -605,7 +605,12 @@ object SparkEntry {
     val linked: Seq[java.nio.file.Path] =
       if (java.nio.file.Files.isDirectory(eventsPath)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(eventsPath).iterator().asScala.toSeq
+        val listing = java.nio.file.Files.list(eventsPath)
+        // Files.list requires an explicit close (directory fd leak otherwise)
+        val parts =
+          try listing.iterator().asScala.toSeq
+          finally listing.close()
+        parts
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map { p =>
             java.nio.file.Files.createSymbolicLink(
@@ -615,6 +620,12 @@ object SparkEntry {
         Seq(java.nio.file.Files.createSymbolicLink(
           streamDir.resolve("events.parquet"), eventsPath))
       }
+    // fail LOUD, not with an empty replay: a nested/Hive-partitioned layout
+    // (key=x/part.parquet) has no top-level leaf files and would otherwise
+    // stream zero events and green-light every downstream assertion
+    require(
+      linked.nonEmpty,
+      s"replay source $eventsPath contains no top-level *.parquet leaf files")
     try {
       val read = ss.readStream.schema(schema).parquet(streamDir.toString)
       val raw = schema("ts").dataType match {
@@ -1070,9 +1081,13 @@ object SparkEntry {
       // EXACT length prune before the O(|A|+|B|) merge: J(A,B) ≤ min/max of
       // the SET sizes, so a pair failing min ≥ t·max can never reach the
       // threshold — two int reads replace a full array intersection (~30%
-      // of same-lang pairs at sf0.1, measured; false-negative-free)
+      // of same-lang pairs at sf0.1, measured). The −0.5 slack keeps it
+      // false-negative-free under FP rounding of t·max (e.g. t=0.65,
+      // max=20 → 13.000000000000002 would drop a true J=0.65 pair); the
+      // sizes are integers, so half a count can never admit a wrong prune
+      // DECISION beyond pairs the exact verify below re-gates anyway
       .filter(least(size(col("a.h")), size(col("b.h")))
-        >= lit(threshold) * greatest(size(col("a.h")), size(col("b.h"))))
+        >= lit(threshold) * greatest(size(col("a.h")), size(col("b.h"))) - lit(0.5))
       .select(
         col("a.doc_id").as("id_a"),
         col("b.doc_id").as("id_b"),
@@ -5267,6 +5282,11 @@ object SparkEntry {
   // in text/Bpe.scala.
   private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     val merges = graft.text.Bpe.learnMerges(t(s, dir, "documents"), "text", k = 5)
+    // the oracle unrolls EXACTLY 5 iterations — a corpus that exhausts its
+    // pair table earlier must fail loud, not emit a short result the
+    // oracle's empty m4/m5 CTEs silently zero out
+    require(merges.size == 5,
+      s"q217 oracle unrolls 5 merge iterations; corpus supported ${merges.size}")
     import s.implicits._
     merges.zipWithIndex
       .map { case (m, i) => ((i + 1).toLong, m.left, m.right, m.count) }
@@ -5281,6 +5301,8 @@ object SparkEntry {
   private def bpeSegment(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val merges = graft.text.Bpe.learnMerges(docs, "text", k = 5)
+    require(merges.size == 5,
+      s"q221 oracle unrolls 5 merge iterations; corpus supported ${merges.size}")
     val seg = graft.text.Bpe
       .segment(docs.filter(trim(col("text")) =!= ""), "doc_id", "text", merges)
     seg

@@ -290,8 +290,11 @@ case class JaccardSortedMinExpr(left: Expression, right: Expression, minJ: Doubl
     val m = y.numElements()
     if (n == 0 && m == 0) return java.lang.Double.valueOf(-1.0) // J defined 0 < minJ
     // J ≥ minJ ⟺ (1+minJ)·inter ≥ minJ·(n+m) — K is that bound on the
-    // optimistic inter (current + all remaining could still match)
-    val k = math.ceil(minJ * (n + m) / (1.0 + minJ)).toLong
+    // optimistic inter (current + all remaining could still match).
+    // −1 safety margin (same as IntersectSortedMinExpr): a half-ulp of FP
+    // error in K must never early-exit a pair whose true J is exactly minJ
+    // — the final exact jac >= minJ compare still gates what survives
+    val k = math.max(1L, math.ceil(minJ * (n + m) / (1.0 + minJ)).toLong - 1L)
     var i = 0
     var j = 0
     var inter = 0L

@@ -158,12 +158,25 @@ object Features {
     * pushdown-friendly, no shuffle, codegen'd end-to-end.
     */
   def softSample(df: DataFrame, idCol: String, probCol: Column): DataFrame = {
-    // (id mod 2^31) * 2654435761 stays < 2^63 — exact in long arithmetic at
-    // any id scale (a raw id*m product overflows past id ~ 3.4e9)
-    val u = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L)).cast("double") / lit(4294967296.0)
-    df.filter(u < greatest(least(probCol, lit(1.0)), lit(0.0)))
+    val u = knuthHashU32(col(idCol)).cast("double") / lit(4294967296.0)
+    // NULL p drops the row (coalesce to 0), matching a strict-SQL
+    // re-derivation where `u < NULL` filters — Spark's least/greatest skip
+    // nulls, which would otherwise clamp NULL to keep-always
+    df.filter(u < greatest(least(coalesce(probCol, lit(0.0)), lit(1.0)), lit(0.0)))
   }
+
+  /** Overflow-safe Knuth multiplicative hash of an integer id into
+    * [0, 2^32): (id mod 2^31) · 2654435761 mod 2^32. The inner mod keeps
+    * the product < 2^63 — exact long arithmetic at any id scale (a raw
+    * id·m product overflows past id ~ 3.4e9) — and the whole expression is
+    * four integer ops re-derivable in plain SQL, so every engine computes
+    * the identical value. SHARED single source for the deterministic
+    * sampling/ordering family ([[softSample]], graft.text.Dsir.resample,
+    * graft.operators.Packing.shardByTokenBudget) — their SQL oracles
+    * mirror this form literally; change it here and ONLY here.
+    */
+  def knuthHashU32(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
 
   /** M2 (exact form) — stratified split with sklearn's EXACT per-class
     * counts (`train_test_split(stratify=y)` takes ⌈n_c·frac⌉ per class, not

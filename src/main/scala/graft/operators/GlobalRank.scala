@@ -274,7 +274,9 @@ object GlobalRank {
     parted
       .join(
         broadcast(offDf),
-        parted("_grk_pid") === offDf("_grk_pid") && col(groupCol) === offDf("_grk_g"))
+        // <=> not ===: the driver offsets include a NULL group (groupBy
+        // keeps nulls), so the join-back must too or those rows vanish
+        parted("_grk_pid") === offDf("_grk_pid") && col(groupCol) <=> offDf("_grk_g"))
       .drop(offDf("_grk_pid"))
       .withColumn(outCol, bucket.cast("int"))
       .drop("_grk_pid", "_grk_g", "_grk_off", "_grk_tot")

@@ -77,10 +77,8 @@ object Packing {
       tokenCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"shard token budget must be positive: $budget")
-    // overflow-safe Knuth hash (same form as Features.softSample): exact
-    // long arithmetic at any id scale, re-derivable in plain SQL
-    val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L))
+    // shared overflow-safe Knuth hash (single source: Features.knuthHashU32)
+    val h = graft.ml.Features.knuthHashU32(col(idCol))
     val ranked = GlobalRank.globalCumSum(
       docs.select(col(idCol), col(tokenCol).cast("long").as("n_tok"),
         h.as("_h")),

@@ -102,8 +102,8 @@ object Dsir {
     // u in (0, 1): Knuth multiplicative hash of the id over 2^32, offset by
     // half a step so u is never 0 or 1 (the Gumbel quantile is finite)
     val u =
-      (pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
-        .cast("double") + lit(0.5)) / lit(4294967296.0)
+      (graft.ml.Features.knuthHashU32(col(idCol)).cast("double") + lit(0.5)) /
+        lit(4294967296.0)
     val gumbel = -log(-log(u))
     weights.withColumn("keep", (col(logWeightCol) + gumbel) > lit(cut))
   }

@@ -37,8 +37,10 @@ object SpanDedup {
     * span was claimed by an earlier document).
     *
     * The global order key packs (docId, spanIdx) into one long — valid while
-    * spanIdx < 2^20 (a 2^20·w-token document; require()d) — so the
-    * first-occurrence winner is a single `min` aggregate, not a struct sort.
+    * spanIdx < 2^20 (a 2^20·w-token document; enforced per-row with a
+    * raise_error guard, so an oversize doc fails LOUD instead of silently
+    * corrupting the packed order key) — so the first-occurrence winner is a
+    * single `min` aggregate, not a struct sort.
     */
   def dedupSpans(
       docs: DataFrame,
@@ -57,7 +59,12 @@ object SpanDedup {
       col("span_idx"),
       col("span"),
       md5(col("span").cast("binary")).as("_digest"),
-      (col(idCol) * lit(1048576L) + col("span_idx")).as("_ord"))
+      when(col("span_idx") < lit(1048576),
+        col(idCol) * lit(1048576L) + col("span_idx"))
+        .otherwise(raise_error(format_string(
+          "dedupSpans: doc %s has >= 2^20 spans — chunk oversize docs first",
+          col(idCol))).cast("long"))
+        .as("_ord"))
     val firsts = keyed
       .groupBy(col("_digest"))
       .agg(min(col("_ord")).as("_first_ord"))

@@ -18,8 +18,10 @@ for name, d in sf1.items():
     b = base.get(name)
     if b is None:
         continue
-    # ratio vs linear scaling, with a 1.5s fixed-latency allowance on both
-    # sides (job-submission overhead doesn't scale with data)
+    # ratio vs linear scaling from a 0.3s-floored baseline (sub-0.3s
+    # queries are pure job-submission latency, which doesn't scale with
+    # data); the >5s absolute gate below is what keeps fixed-latency
+    # queries from flagging spuriously
     lin = max(b, 0.3) * factor
     rows.append((name, d["sec"], b, d["sec"] / lin))
 
