@@ -5409,6 +5409,24 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  // q225 — Count-Min heavy hitters (X22): bounded-memory frequency
+  // estimation — the depth·width sketch table is the whole summary at any
+  // corpus size. Heavy tokens (exact ≥ 50) estimated from the sketch;
+  // `overcount ≥ 0` is the CMS one-sided guarantee, checked value-exactly
+  // by the oracle recomputing the identical md5-slice buckets.
+  private def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(explode(TF.tokens(lower(col("text")))).as("w"))
+    val sk = graft.functions.CountMin.sketch(toks, col("w"), depth = 4, width = 512)
+    val heavy = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+      .filter(col("exact_cnt") >= 50)
+    graft.functions.CountMin.estimate(sk, heavy, "w", depth = 4, width = 512)
+      .select(col("w"), col("exact_cnt"), col("est").as("est_cnt"),
+        (col("est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("w"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5634,7 +5652,8 @@ object SparkEntry {
     "q221_bpe_segment" -> bpeSegment,
     "q222_lm_perplexity" -> lmPerplexityFilter,
     "q223_dsir_weights" -> dsirWeights,
-    "q224_semantic_dedup" -> semanticDedup)
+    "q224_semantic_dedup" -> semanticDedup,
+    "q225_cms_heavy_hitters" -> cmsHeavyHitters)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -9916,5 +9935,31 @@ object SparkEntry {
         |SELECT v.vec_id, CAST(v.bucket AS BIGINT) AS bucket, p.dup_of,
         |  p.dup_of IS NOT NULL AS is_dup
         |FROM v LEFT JOIN pairs p ON v.vec_id = p.bid
-        |ORDER BY v.vec_id""".stripMargin)
+        |ORDER BY v.vec_id""".stripMargin,
+    // CMS cells from 4 disjoint 8-hex md5 slices mod 512; estimate = min
+    // over the 4 row-counters; overcount >= 0 is the one-sided guarantee
+    "q225_cms_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE trim(text) <> ''
+        |), hh AS (
+        |  SELECT w, count(*) AS exact_cnt FROM tok GROUP BY 1
+        |  HAVING count(*) >= 50
+        |), cells AS (
+        |  SELECT d,
+        |    CAST(CAST(concat('0x', substr(md5(w), 1 + 8*d, 8)) AS BIGINT)
+        |      % 512 AS BIGINT) AS bucket,
+        |    count(*) AS cnt
+        |  FROM tok, unnest([0, 1, 2, 3]) t(d)
+        |  GROUP BY 1, 2
+        |), est AS (
+        |  SELECT hh.w, hh.exact_cnt, min(coalesce(c.cnt, 0)) AS est_cnt
+        |  FROM hh CROSS JOIN unnest([0, 1, 2, 3]) t(d)
+        |  LEFT JOIN cells c ON c.d = t.d
+        |    AND c.bucket = CAST(CAST(concat('0x',
+        |      substr(md5(hh.w), 1 + 8*t.d, 8)) AS BIGINT) % 512 AS BIGINT)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT w, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
+        |FROM est ORDER BY w""".stripMargin)
 }

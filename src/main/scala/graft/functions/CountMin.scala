@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) as a DECLARATIVE
+  * relational sketch — the bounded-memory frequency summary a 100-TB corpus
+  * profile needs: the sketch table has exactly depth·width rows no matter
+  * how many token instances flow in, estimates never undercount
+  * (est ≥ true), and overcount by ≤ εN with probability 1−δ for
+  * width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+  *
+  * Scale shape: one explode + groupBy — Spark's partial aggregation caps
+  * the map-side state at depth·width counters per partition (the same
+  * bound a hand-written TypedImperativeAggregate would give), and the
+  * exchange carries at most numPartitions·depth·width rows regardless of
+  * corpus size. Sketches MERGE by (depth, bucket) sum — per-shard sketches
+  * roll up to a corpus sketch without touching the data again.
+  *
+  * Hashing: the d row-hashes are disjoint 8-hex-char slices of md5(item) —
+  * cryptographically mixed, pairwise independent for d ≤ 4, and portable
+  * (any engine recomputes the identical buckets from the md5 hex string,
+  * which is how the DuckDB oracle re-derives the whole sketch).
+  */
+object CountMin {
+
+  private def checkParams(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= 4,
+      s"depth must be in [1, 4] (md5 yields 4 disjoint 32-bit slices): $depth")
+    require(width >= 1, s"width must be positive: $width")
+  }
+
+  /** Bucket of `item` under row-hash `d` (0-based): slice hex chars
+    * [8d+1, 8d+8] of md5(item), parse as unsigned 32-bit, mod width.
+    */
+  def bucket(item: Column, d: Int, width: Int): Column =
+    conv(substring(md5(item), 1 + 8 * d, 8), 16, 10).cast("long") % width
+
+  /** Build the sketch table (d, bucket, cnt) over every row's `item` —
+    * depth·width rows at most, the whole summary.
+    */
+  def sketch(df: DataFrame, item: Column, depth: Int, width: Int): DataFrame = {
+    checkParams(depth, width)
+    val hashed = TextFunctions.bindOnce(item) { it =>
+      array((0 until depth).map(d => bucket(it, d, width)): _*)
+    }
+    df.select(posexplode(hashed).as(Seq("d", "bucket")))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge two sketch tables built with the SAME (depth, width): cell-wise
+    * sum — the linearity that lets per-shard sketches roll up.
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("d"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate the count of each row of `items` (column `itemCol`):
+    * min over the depth row-counters, 0 for a never-seen item (all-empty
+    * cells read as 0 via the left join). Returns `items` + `est`.
+    *
+    * The join is depth broadcast-size equi-joins in one: items explode to
+    * depth (d, bucket) probes against the depth·width-row sketch —
+    * broadcastable at any realistic width.
+    */
+  def estimate(
+      sketchDf: DataFrame,
+      items: DataFrame,
+      itemCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    checkParams(depth, width)
+    val probes = TextFunctions.bindOnce(col(itemCol)) { it =>
+      array((0 until depth).map(d => bucket(it, d, width)): _*)
+    }
+    items
+      .select(col("*"), posexplode(probes).as(Seq("d", "bucket")))
+      .join(broadcast(sketchDf), Seq("d", "bucket"), "left")
+      .groupBy(items.columns.map(col).toIndexedSeq: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}
