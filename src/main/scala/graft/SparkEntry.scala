@@ -5427,6 +5427,19 @@ object SparkEntry {
       .orderBy(col("w"))
   }
 
+  // q226 — streaming Count-Min (X22 × phase E): the CMS cell table
+  // maintained as a running streaming aggregation over the replayed events
+  // (items = user ids as decimal strings — 10k+ distinct keys squeezed
+  // into 4×64 bounded cells). The drained table must equal the batch CMS
+  // the oracle recomputes from the same md5-slice buckets.
+  private def streamCms(s: SparkSession, dir: String): DataFrame =
+    replayStream(s, dir, "complete") { ev =>
+      graft.streaming.StreamOps
+        .cmsCells(ev, col("user_id").cast("string"), depth = 4, width = 64)
+    }
+      .select(col("d").cast("long").as("d"), col("bucket"), col("cnt"))
+      .orderBy(col("d"), col("bucket"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5653,7 +5666,8 @@ object SparkEntry {
     "q222_lm_perplexity" -> lmPerplexityFilter,
     "q223_dsir_weights" -> dsirWeights,
     "q224_semantic_dedup" -> semanticDedup,
-    "q225_cms_heavy_hitters" -> cmsHeavyHitters)
+    "q225_cms_heavy_hitters" -> cmsHeavyHitters,
+    "q226_stream_cms" -> streamCms)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -9961,5 +9975,16 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |)
         |SELECT w, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
-        |FROM est ORDER BY w""".stripMargin)
+        |FROM est ORDER BY w""".stripMargin,
+    // the streamed CMS cell table must equal the batch recomputation from
+    // the same md5-slice buckets over user ids rendered as decimal strings
+    "q226_stream_cms" ->
+      """SELECT CAST(d AS BIGINT) AS d,
+        |  CAST(CAST(concat('0x',
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1 + 8*d, 8)) AS BIGINT)
+        |    % 64 AS BIGINT) AS bucket,
+        |  count(*) AS cnt
+        |FROM events, unnest([0, 1, 2, 3]) t(d)
+        |GROUP BY 1, 2
+        |ORDER BY d, bucket""".stripMargin)
 }

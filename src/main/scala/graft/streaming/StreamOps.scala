@@ -171,6 +171,25 @@ object StreamOps {
       }
   }
 
+  /** Streaming Count-Min maintenance: the identical declarative sketch
+    * graft.functions.CountMin.sketch builds in batch, maintained
+    * incrementally over an unbounded stream (same expression tree — the
+    * streaming planner turns the groupBy into a stateful agg). The state is
+    * BOUNDED BY CONSTRUCTION: at most depth·width keys regardless of stream
+    * length or item cardinality, which is what makes an unwatermarked
+    * running aggregation safe here — contrast per-key aggregations over
+    * unbounded key spaces, which need watermark eviction. This is the
+    * streaming answer to "frequency profile of an unbounded ingest feed":
+    * heavy-hitter estimates at any moment via CountMin.estimate on the
+    * current cell table.
+    */
+  def cmsCells(
+      stream: DataFrame,
+      item: org.apache.spark.sql.Column,
+      depth: Int,
+      width: Int): DataFrame =
+    graft.functions.CountMin.sketch(stream, item, depth, width)
+
   /** Streaming trend detection (the VEG adjacent-period comparison as a
     * stateful operator): per (event_type) group, compare each micro-batch's
     * day-average against the previous day's retained in state and emit
