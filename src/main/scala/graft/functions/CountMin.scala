@@ -44,7 +44,10 @@ object CountMin {
     val hashed = TextFunctions.bindOnce(item) { it =>
       array((0 until depth).map(d => bucket(it, d, width)): _*)
     }
-    df.select(posexplode(hashed).as(Seq("d", "bucket")))
+    // a NULL item would otherwise emit depth (d, NULL-bucket) junk cells
+    // (the array's ELEMENTS go null, not the array, so posexplode keeps them)
+    df.where(item.isNotNull)
+      .select(posexplode(hashed).as(Seq("d", "bucket")))
       .groupBy(col("d"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
