@@ -5440,6 +5440,20 @@ object SparkEntry {
       .select(col("d").cast("long").as("d"), col("bucket"), col("cnt"))
       .orderBy(col("d"), col("bucket"))
 
+  // q227 — contrastive triplet mining (X23): positives = q224's bucketed
+  // near-dup pairs (cos ≥ 0.3), hard negative = the anchor's most-similar
+  // corpus vector strictly below 0.3 (broadcast-anchors brute-force
+  // baseline, bounded-heap top-1; ivfTopK is the cluster-scale swap).
+  private def contrastiveTriplets(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.ml.Contrastive
+      .mineTriplets(emb, "vec_id", "embedding",
+        graft.operators.SemDedup.signBucket(col("embedding"), 6), tauPos = 0.3)
+      .select(col("anchor"), col("positive"), col("negative"),
+        rnd(col("pos_sim"), 6).as("pos_sim"), rnd(col("neg_sim"), 6).as("neg_sim"))
+      .orderBy(col("anchor"), col("positive"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5667,7 +5681,8 @@ object SparkEntry {
     "q223_dsir_weights" -> dsirWeights,
     "q224_semantic_dedup" -> semanticDedup,
     "q225_cms_heavy_hitters" -> cmsHeavyHitters,
-    "q226_stream_cms" -> streamCms)
+    "q226_stream_cms" -> streamCms,
+    "q227_contrastive_triplets" -> contrastiveTriplets)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -9986,5 +10001,51 @@ object SparkEntry {
         |  count(*) AS cnt
         |FROM events, unnest([0, 1, 2, 3]) t(d)
         |GROUP BY 1, 2
-        |ORDER BY d, bucket""".stripMargin)
+        |ORDER BY d, bucket""".stripMargin,
+    // positives = q224's bucketed near-dup pairs; hard negative = rank-1 by
+    // (sim desc, id) among corpus vectors strictly below the 0.3 threshold
+    "q227_contrastive_triplets" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+        |    + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+        |    + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+        |    + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
+        |  FROM embeddings
+        |), pos AS (
+        |  SELECT min(a.vec_id) AS anchor, b.vec_id AS positive
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e)
+        |      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        |      >= 0.3
+        |  GROUP BY b.vec_id
+        |), anchors AS (
+        |  SELECT DISTINCT p.anchor, v.e AS ae FROM pos p JOIN v ON v.vec_id = p.anchor
+        |), neg AS (
+        |  SELECT anchor, cid, sim FROM (
+        |    SELECT a.anchor, c.vec_id AS cid,
+        |      list_dot_product(a.ae, c.e)
+        |        / (sqrt(list_dot_product(a.ae, a.ae)) * sqrt(list_dot_product(c.e, c.e))) AS sim,
+        |      row_number() OVER (PARTITION BY a.anchor
+        |        ORDER BY list_dot_product(a.ae, c.e)
+        |          / (sqrt(list_dot_product(a.ae, a.ae)) * sqrt(list_dot_product(c.e, c.e))) DESC,
+        |        c.vec_id) AS rn
+        |    FROM anchors a, v c
+        |    WHERE c.vec_id != a.anchor
+        |      AND list_dot_product(a.ae, c.e)
+        |        / (sqrt(list_dot_product(a.ae, a.ae)) * sqrt(list_dot_product(c.e, c.e))) < 0.3
+        |  ) WHERE rn = 1
+        |)
+        |SELECT p.anchor, p.positive, n.cid AS negative,
+        |  round(list_dot_product(va.e, vp.e)
+        |    / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vp.e, vp.e)))
+        |    + 1e-9, 6) AS pos_sim,
+        |  round(n.sim + 1e-9, 6) AS neg_sim
+        |FROM pos p
+        |JOIN v va ON va.vec_id = p.anchor
+        |JOIN v vp ON vp.vec_id = p.positive
+        |JOIN neg n ON n.anchor = p.anchor
+        |ORDER BY p.anchor, p.positive""".stripMargin)
 }

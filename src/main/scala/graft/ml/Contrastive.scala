@@ -1,0 +1,72 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TopK, VectorFunctions}
+import graft.operators.SemDedup
+
+/** Contrastive-pair mining — the training-data prep for embedding models
+  * (E5/GTE-style: positives from near-duplicate detection, hard negatives
+  * from high-similarity non-duplicates). Each mined triplet is
+  * (anchor, positive, negative): `positive` is a near-dup of `anchor`
+  * (cosine ≥ tauPos inside a bucket), `negative` is the corpus vector MOST
+  * similar to the anchor while still below tauPos — the hard negative that
+  * makes the contrastive loss informative (a random negative is trivially
+  * separable).
+  *
+  * Scale shape: positives ride SemDeDup's bucket equi-join (never
+  * all-pairs). Hard negatives score the ANCHOR set (|anchors| ≤ number of
+  * near-dup pairs, typically ≪ corpus) broadcast against the streamed
+  * corpus with the bounded-heap top-k aggregation — the declared
+  * brute-force-exact baseline of the kNN family; swap the scorer for
+  * `VectorFunctions.ivfTopK` at cluster scale, same contract as q14/q45.
+  */
+object Contrastive {
+
+  /** Mine triplets from `emb` (idCol: long-castable, vecCol: float array).
+    * Returns (anchor, positive, negative, pos_sim, neg_sim) — one row per
+    * near-dup pair, the anchor's single hardest negative repeated across
+    * its positives. Deterministic: pair generation keeps the lowest
+    * matching id (SemDeDup), negative ranking ties break on id.
+    */
+  def mineTriplets(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bucket: Column,
+      tauPos: Double): DataFrame = {
+    val base = emb.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+
+    val pos = SemDedup
+      .markDuplicates(emb, idCol, vecCol, bucket, tauPos)
+      .filter(col("dup_of").isNotNull)
+      .select(col("dup_of").as("anchor"), col(idCol).cast("long").as("positive"))
+
+    val anchorVecs = pos.select(col("anchor")).distinct()
+      .join(base, col("anchor") === col("_id"))
+      .select(col("anchor"), col("_v").as("_av"))
+
+    // broadcast anchors × streamed corpus; candidates strictly below tauPos
+    // (the anchor's positives sit at/above it, so they self-exclude)
+    val scored = base
+      .crossJoin(broadcast(anchorVecs))
+      .filter(col("_id") =!= col("anchor"))
+      .withColumn("_sim", VectorFunctions.cosine(col("_av"), col("_v")))
+      .filter(col("_sim") < tauPos)
+    val negatives = TopK
+      .topKPerKey(scored, "anchor", col("_sim"), col("_id"), lit(0L), k = 1)
+      .select(col("anchor"), col("id").as("negative"), col("sim").as("neg_sim"))
+
+    val posSim = pos
+      .join(anchorVecs, Seq("anchor"))
+      .join(base, col("positive") === col("_id"))
+      .select(col("anchor"), col("positive"),
+        VectorFunctions.cosine(col("_av"), col("_v")).as("pos_sim"))
+
+    posSim
+      .join(negatives, Seq("anchor"))
+      .select(col("anchor"), col("positive"), col("negative"),
+        col("pos_sim"), col("neg_sim"))
+  }
+}

@@ -58,7 +58,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q213 rides Mixture's broadcast 1-row normalizer
     "q209_knn_triangles", "q213_curriculum_plan",
     // q223: Dsir's broadcast 1-row totals bind (V, N_raw, N_target)
-    "q223_dsir_weights")
+    "q223_dsir_weights",
+    // q227: hard-negative scoring is the declared broadcast-anchors
+    // brute-force baseline (anchor set ≪ corpus; ivfTopK is the scale swap)
+    "q227_contrastive_triplets")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each window
     * provably rides a BOUNDED aggregate frame (cardinality set by the
