@@ -27,14 +27,19 @@ object LanguageModel {
 
   /** Adjacent word-pair structs (w1, w2) of a token array; empty when the
     * doc has fewer than 2 tokens (`sequence(1, 0)` in Spark is DESCENDING,
-    * not empty — the guard is mandatory).
+    * not empty — the guard is mandatory). `bindOnce` pins the token array:
+    * HOF lambdas re-evaluate referenced outer expressions per element, so
+    * an unbound `toks` (a split() tree) would re-tokenize the whole text
+    * for every element_at — O(len²) per doc.
     */
   private[graft] def bigrams(toks: Column): Column =
-    when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(toks) - 1),
-          i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+    TextFunctions.bindOnce(toks) { tk =>
+      when(size(tk) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(
+          transform(
+            sequence(lit(1), size(tk) - 1),
+            i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+    }
 
   /** Score `score` docs with an add-α-smoothed bigram LM trained on `train`
     * docs (both whitespace-tokenized, lowercased).

@@ -189,6 +189,51 @@ class VectorExpressionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("jaccardSortedMin: FP-safe at exact-boundary thresholds") {
+    // the hazard class: A ⊂ B with J = |A|/|B| EXACTLY equal to the
+    // threshold, B's extras sorted first so the merge hits its early-exit
+    // check before any match — double rounding of K must never return -1
+    // for these (the -1 margin in the kernel is what this pins)
+    def pair(nA: Int, nB: Int): (Seq[Long], Seq[Long]) = {
+      val a = (1 to nA).map(_.toLong)
+      val extras = (1 to (nB - nA)).map(i => -i.toLong) // sort before a
+      (a, (a ++ extras).sorted)
+    }
+    val cases = Seq(
+      (0.8, 28, 35), (0.65, 13, 20), (0.9, 9, 10), (2.0 / 3.0, 2, 3),
+      (0.5, 10, 20), (0.75, 3, 4))
+    cases.foreach { case (t, nA, nB) =>
+      val (x, y) = pair(nA, nB)
+      val got = Seq((x, y)).toDF("x", "y")
+        .select(VectorExpressions.jaccardSortedMin(col("x"), col("y"), t))
+        .head.getDouble(0)
+      assert(math.abs(got - nA.toDouble / nB) < 1e-12,
+        s"t=$t |A|=$nA |B|=$nB: expected exact J=${nA.toDouble / nB}, got $got")
+    }
+  }
+
+  test("jaccardSortedMin matches jaccardSorted across random thresholds") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 200).map { _ =>
+      val base = Seq.fill(rnd.nextInt(60) + 1)(rnd.nextInt(80).toLong).distinct
+      val keep = base.filter(_ => rnd.nextDouble() < rnd.nextDouble())
+      val extra = Seq.fill(rnd.nextInt(40))(100L + rnd.nextInt(80))
+      (base.sorted, (keep ++ extra).distinct.sorted)
+    }
+    val df = rows.toDF("x", "y")
+    Seq(0.1, 0.3, 0.65, 0.8, 0.9, 0.99).foreach { t =>
+      df.select(
+        VectorExpressions.jaccardSortedMin(col("x"), col("y"), t).as("jm"),
+        VectorExpressions.jaccardSorted(col("x"), col("y")).as("j"))
+        .collect()
+        .foreach { r =>
+          val (jm, j) = (r.getDouble(0), r.getDouble(1))
+          if (j >= t) assert(math.abs(jm - j) < 1e-12, s"t=$t: expected $j, got $jm")
+          else assert(jm == -1.0, s"t=$t: expected -1 for j=$j, got $jm")
+        }
+    }
+  }
+
   test("intersectSortedMin: exact |A∩B| when containment can reach the bar") {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 300).map { _ =>
