@@ -5454,6 +5454,26 @@ object SparkEntry {
       .orderBy(col("anchor"), col("positive"))
   }
 
+  // q228 — incremental ingest dedup via the prefix-filtered EXACT
+  // similarity join (X24, AllPairs/PPJoin family): every 10th doc plays
+  // the incoming batch, matched against the standing corpus at exact
+  // 5-gram Jaccard ≥ 0.25 with NO all-pairs stage and NO banding recall
+  // loss — the lossless counterpart of q16's MinHash screen.
+  private def incrementalNearDups(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents").select(
+      col("doc_id"),
+      sort_array(array_distinct(
+        transform(TF.charShingles(col("text"), 5), x => xxhash64(x)))).as("h"))
+    val incoming = sh.filter(col("doc_id") % 10 === 0)
+      .withColumnRenamed("doc_id", "inc_id")
+    val corpus = sh.filter(col("doc_id") % 10 =!= 0)
+      .withColumnRenamed("doc_id", "corp_id")
+    graft.operators.SimilarityJoin
+      .jaccardJoin(incoming, "inc_id", corpus, "corp_id", "h", threshold = 0.25)
+      .select(col("inc_id"), col("corp_id"), rnd(col("jac"), 4).as("jac"))
+      .orderBy(col("inc_id"), col("corp_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5682,7 +5702,8 @@ object SparkEntry {
     "q224_semantic_dedup" -> semanticDedup,
     "q225_cms_heavy_hitters" -> cmsHeavyHitters,
     "q226_stream_cms" -> streamCms,
-    "q227_contrastive_triplets" -> contrastiveTriplets)
+    "q227_contrastive_triplets" -> contrastiveTriplets,
+    "q228_incremental_neardup" -> incrementalNearDups)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -10047,5 +10068,27 @@ object SparkEntry {
         |JOIN v va ON va.vec_id = p.anchor
         |JOIN v vp ON vp.vec_id = p.positive
         |JOIN neg n ON n.anchor = p.anchor
-        |ORDER BY p.anchor, p.positive""".stripMargin)
+        |ORDER BY p.anchor, p.positive""".stripMargin,
+    // brute-force cross-split exact Jaccard on the raw shingle STRING sets
+    // (q46 precedent: 64-bit shingle hashing is injective in practice)
+    "q228_incremental_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)])
+        |    END AS s
+        |  FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS inc_id, b.doc_id AS corp_id,
+        |    len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) AS j
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |)
+        |SELECT inc_id, corp_id, round(j + 1e-9, 4) AS jac
+        |FROM pairs WHERE j >= 0.25
+        |ORDER BY inc_id, corp_id""".stripMargin)
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.expressions.VectorExpressions
+
+class SimilarityJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def randomSets(seed: Int, n: Int): Seq[(Long, Seq[Long])] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val base = Seq.fill(rnd.nextInt(40) + 5)(rnd.nextInt(120).toLong).distinct
+      (i.toLong, base.sorted)
+    }
+  }
+
+  private def bruteForce(
+      left: Seq[(Long, Seq[Long])],
+      right: Seq[(Long, Seq[Long])],
+      t: Double): Set[(Long, Long)] =
+    (for {
+      (li, ls) <- left
+      (ri, rs) <- right
+      inter = ls.toSet.intersect(rs.toSet).size
+      union = ls.toSet.union(rs.toSet).size
+      if union > 0 && inter.toDouble / union >= t
+    } yield (li, ri)).toSet
+
+  test("prefix-filtered join equals brute force across thresholds on random sets") {
+    val all = randomSets(3, 120)
+    val (lRows, rRows) = all.partition(_._1 <= 60)
+    val l = lRows.toDF("lid", "s")
+    val r = rRows.toDF("rid", "s")
+    Seq(0.25, 0.5, 0.8).foreach { t =>
+      val got = SimilarityJoin.jaccardJoin(l, "lid", r, "rid", "s", t)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val want = bruteForce(lRows, rRows, t)
+      assert(got == want, s"t=$t: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("boundary pair with J exactly == threshold survives the filter") {
+    // |A|=3 ⊂ |B|=4 ⇒ J = 3/4 exactly at t = 0.75
+    val l = Seq((1L, Seq(10L, 20L, 30L))).toDF("lid", "s")
+    val r = Seq((2L, Seq(5L, 10L, 20L, 30L))).toDF("rid", "s")
+    val got = SimilarityJoin.jaccardJoin(l, "lid", r, "rid", "s", 0.75).collect()
+    assert(got.length == 1)
+    assert(math.abs(got.head.getDouble(2) - 0.75) < 1e-12)
+  }
+
+  test("a hub element present in every set does not break exactness") {
+    val hub = 999L
+    val all = randomSets(7, 80).map { case (i, s) => (i, (s :+ hub).distinct.sorted) }
+    val (lRows, rRows) = all.partition(_._1 <= 40)
+    val t = 0.5
+    val got = SimilarityJoin
+      .jaccardJoin(lRows.toDF("lid", "s"), "lid", rRows.toDF("rid", "s"), "rid", "s", t)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == bruteForce(lRows, rRows, t))
+  }
+
+  test("reported jaccard values are exact") {
+    val all = randomSets(11, 60)
+    val (lRows, rRows) = all.partition(_._1 <= 30)
+    SimilarityJoin
+      .jaccardJoin(lRows.toDF("lid", "s"), "lid", rRows.toDF("rid", "s"), "rid", "s", 0.3)
+      .collect().foreach { row =>
+        val ls = lRows.find(_._1 == row.getLong(0)).get._2.toSet
+        val rs = rRows.find(_._1 == row.getLong(1)).get._2.toSet
+        val j = ls.intersect(rs).size.toDouble / ls.union(rs).size
+        assert(math.abs(row.getDouble(2) - j) < 1e-12)
+      }
+  }
+}
