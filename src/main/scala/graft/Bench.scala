@@ -198,6 +198,14 @@ object Bench {
         // (streaming queries' memory-sink views are dropped inside
         // replayStream itself — the result is localCheckpoint-detached)
         spark.catalog.clearCache()
+        // localCheckpoint blocks (GlobalRank range exchanges, replay
+        // results, BPE vocab iterations) are NOT in the SQL cache and only
+        // die when the ContextCleaner GCs the RDD — across a 228-query
+        // sweep they pile into block storage and degrade the late-sweep
+        // band 1.4-2.5x (measured: the same queries re-bench clean in a
+        // fresh JVM). Every query is self-contained, so drop them eagerly.
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
         dt
       }
       if (singleRun) { name -> once() } else {
