@@ -47,8 +47,14 @@ object SimilarityJoin {
     require(leftId != rightId,
       s"left and right id columns must differ in the output (rename one): $leftId")
 
+    // pin both inputs: each side is read 3× (frequency pass, prefix pass,
+    // verify join-back) and the caller's set column is typically an
+    // expensive shingle+hash+sort projection — without the checkpoint the
+    // whole prep would recompute per read
     val l = left.select(col(leftId).cast("long").as("_lid"), col(setCol).as("_ls"))
+      .localCheckpoint(false)
     val r = right.select(col(rightId).cast("long").as("_rid"), col(setCol).as("_rs"))
+      .localCheckpoint(false)
 
     // global rarest-first order: document frequency over BOTH frames
     val freq = l.select(explode(col("_ls")).as("h"))
