@@ -5474,6 +5474,20 @@ object SparkEntry {
       .orderBy(col("inc_id"), col("corp_id"))
   }
 
+  // q229 — Z-order layout stats (X25): Morton-interleave (user bucket,
+  // day-of-year bucket) and report each z-slice's bounding box — the
+  // min/max-stat pruning evidence a multi-dimensionally clustered write
+  // gives. Pure bit arithmetic (no partitioner state), so the oracle
+  // recomputes the identical slices.
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      pmod(col("user_id"), lit(64)).cast("long").as("x"),
+      pmod(dayofyear(col("ts")), lit(64)).cast("long").as("y"))
+    graft.operators.ZOrder
+      .layoutStats(ev, Seq("x" -> col("x"), "y" -> col("y")), bits = 6, buckets = 32)
+      .orderBy(col("z_slice"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5703,7 +5717,8 @@ object SparkEntry {
     "q225_cms_heavy_hitters" -> cmsHeavyHitters,
     "q226_stream_cms" -> streamCms,
     "q227_contrastive_triplets" -> contrastiveTriplets,
-    "q228_incremental_neardup" -> incrementalNearDups)
+    "q228_incremental_neardup" -> incrementalNearDups,
+    "q229_zorder_layout" -> zorderLayout)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -10090,5 +10105,25 @@ object SparkEntry {
         |)
         |SELECT inc_id, corp_id, round(j + 1e-9, 4) AS jac
         |FROM pairs WHERE j >= 0.25
-        |ORDER BY inc_id, corp_id""".stripMargin)
+        |ORDER BY inc_id, corp_id""".stripMargin,
+    // Morton interleave of 6-bit (x, y): x bit b -> position 2b, y bit b ->
+    // 2b+1; 32 slices = z >> 7; per-slice bounding boxes
+    "q229_zorder_layout" ->
+      """WITH d AS (
+        |  SELECT CAST(user_id % 64 AS BIGINT) AS x,
+        |    CAST(dayofyear(ts) % 64 AS BIGINT) AS y
+        |  FROM events
+        |), z AS (
+        |  SELECT x, y,
+        |      (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1)
+        |    + (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3)
+        |    + (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)
+        |    + (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7)
+        |    + (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9)
+        |    + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) AS zv
+        |  FROM d
+        |)
+        |SELECT zv >> 7 AS z_slice, min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y, count(*) AS n_rows
+        |FROM z GROUP BY 1 ORDER BY z_slice""".stripMargin)
 }
