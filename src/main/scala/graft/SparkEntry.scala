@@ -10028,7 +10028,8 @@ object SparkEntry {
         |SELECT w, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
         |FROM est ORDER BY w""".stripMargin,
     // the streamed CMS cell table must equal the batch recomputation from
-    // the same md5-slice buckets over user ids rendered as decimal strings
+    // the same md5-slice buckets over user ids rendered as decimal strings;
+    // user_id IS NOT NULL mirrors the sketch's null-item filter
     "q226_stream_cms" ->
       """SELECT CAST(d AS BIGINT) AS d,
         |  CAST(CAST(concat('0x',
@@ -10036,6 +10037,7 @@ object SparkEntry {
         |    % 64 AS BIGINT) AS bucket,
         |  count(*) AS cnt
         |FROM events, unnest([0, 1, 2, 3]) t(d)
+        |WHERE user_id IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY d, bucket""".stripMargin,
     // positives = q224's bucketed near-dup pairs; hard negative = rank-1 by

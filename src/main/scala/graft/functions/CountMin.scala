@@ -75,6 +75,9 @@ object CountMin {
       depth: Int,
       width: Int): DataFrame = {
     checkParams(depth, width)
+    val reserved = Set("d", "bucket", "cnt", "est").intersect(items.columns.toSet)
+    require(reserved.isEmpty,
+      s"estimate's working/output columns clash with items columns: $reserved — rename them first")
     val probes = TextFunctions.bindOnce(col(itemCol)) { it =>
       array((0 until depth).map(d => bucket(it, d, width)): _*)
     }

@@ -42,6 +42,10 @@ object Contrastive {
       .markDuplicates(emb, idCol, vecCol, bucket, tauPos)
       .filter(col("dup_of").isNotNull)
       .select(col("dup_of").as("anchor"), col(idCol).cast("long").as("positive"))
+      // pin: the bucketed cosine pair-join above feeds THREE plan branches
+      // (anchor vectors, negative scoring, positive similarities) and would
+      // re-run per branch otherwise
+      .localCheckpoint(false)
 
     val anchorVecs = pos.select(col("anchor")).distinct()
       .join(base, col("anchor") === col("_id"))

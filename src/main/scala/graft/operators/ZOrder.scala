@@ -32,7 +32,10 @@ object ZOrder {
     val lim = 1L << bits
     val checked = dims.map { d =>
       val dl = d.cast("long")
-      when(dl >= 0 && dl < lim, dl)
+      // NULL propagates to a NULL z (the row groups under a NULL slice,
+      // matching plain SQL) — only a genuinely out-of-range VALUE raises
+      when(dl.isNull, lit(null).cast("long"))
+        .when(dl >= 0 && dl < lim, dl)
         .otherwise(raise_error(format_string(
           s"zValue: dimension out of [0, $lim): %s", dl)).cast("long"))
     }

@@ -29,6 +29,15 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zs.sliding(2).forall(p => p(0) < p(1)))
   }
 
+  test("NULL dimension propagates to a NULL z instead of raising") {
+    val got = Seq((Some(5L), None: Option[Long]), (Some(5L), Some(3L)))
+      .toDF("x", "y")
+      .select(ZOrder.zValue(Seq(col("x"), col("y")), 3))
+      .collect()
+    assert(got.count(_.isNullAt(0)) == 1)
+    assert(got.exists(r => !r.isNullAt(0) && r.getLong(0) == 27L))
+  }
+
   test("out-of-range dimension fails loud") {
     val ex = intercept[Exception] {
       Seq((64L, 0L)).toDF("x", "y")
