@@ -149,7 +149,9 @@ object Bench {
     "q222_lm_perplexity" -> 4.440, "q223_dsir_weights" -> 1.850,
     "q224_semantic_dedup" -> 1.150, "q225_cms_heavy_hitters" -> 1.310,
     "q226_stream_cms" -> 2.030, "q227_contrastive_triplets" -> 1.950,
-    "q228_incremental_neardup" -> 8.380, "q229_zorder_layout" -> 0.880)
+    "q228_incremental_neardup" -> 8.380, "q229_zorder_layout" -> 0.880,
+    // the capstone funnel runs four full operator pipelines end-to-end
+    "q230_curation_funnel" -> 10.250)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5488,6 +5488,55 @@ object SparkEntry {
       .orderBy(col("z_slice"))
   }
 
+  // q230 — the end-to-end curation funnel (capstone composition): the
+  // per-stage doc/token attrition report every pretraining corpus build
+  // publishes. Stages apply cumulatively — quality screen (q13's scorer),
+  // benchmark decontamination (q204's 4-gram rule), exact dedup (keep-min
+  // per identical text), near-dup removal (q46's exact 5-gram Jaccard,
+  // drop the higher id of each ≥0.5 pair). Every stage reuses the
+  // already-oracle-gated operator; the funnel proves they COMPOSE.
+  private def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        greatest(TF.tokenCount(col("text")), lit(0)).cast("long").as("toks"),
+        rnd(TF.qualityScore(col("text"), Stopwords), 6).as("q"))
+      // every stage re-reads the scored base — pin it once
+      .localCheckpoint(false)
+    val s1 = docs.filter(col("q") >= 0.5)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus1 = s1.filter(col("doc_id") % 50 =!= 0)
+    val contaminated = graft.operators.Decontaminate
+      .sharedGramCounts(corpus1, bench, "doc_id", "text", n = 4)
+      .filter(col("shared_grams") >= 5)
+      .select(col("doc_id"))
+    val s2 = corpus1.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val s3 = s2
+      .join(s2.groupBy(col("text")).agg(min(col("doc_id")).as("_keep")), Seq("text"))
+      .filter(col("doc_id") === col("_keep")).drop("_keep")
+      .localCheckpoint(false) // feeds both the shingle pass and the stage agg
+    val sh = s3.select(
+      col("doc_id"), col("lang"),
+      sort_array(array_distinct(
+        transform(TF.charShingles(col("text"), 5), x => xxhash64(x)))).as("h"))
+    val dominated = graft.operators.Pairs.allPairs(sh, "doc_id", Seq("lang"), buckets = 8)
+      .filter(least(size(col("a.h")), size(col("b.h")))
+        >= lit(0.5) * greatest(size(col("a.h")), size(col("b.h"))) - lit(0.5))
+      .filter(graft.expressions.VectorExpressions
+        .jaccardSortedMin(col("a.h"), col("b.h"), 0.5) >= 0.5)
+      .select(col("b.doc_id").as("doc_id")).distinct()
+    val s4 = s3.join(broadcast(dominated), Seq("doc_id"), "left_anti")
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("toks")), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    stage("0_raw", docs)
+      .unionByName(stage("1_quality", s1))
+      .unionByName(stage("2_decontaminated", s2))
+      .unionByName(stage("3_exact_dedup", s3))
+      .unionByName(stage("4_near_dedup", s4))
+      .orderBy(col("stage"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5718,7 +5767,8 @@ object SparkEntry {
     "q226_stream_cms" -> streamCms,
     "q227_contrastive_triplets" -> contrastiveTriplets,
     "q228_incremental_neardup" -> incrementalNearDups,
-    "q229_zorder_layout" -> zorderLayout)
+    "q229_zorder_layout" -> zorderLayout,
+    "q230_curation_funnel" -> curationFunnel)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -10127,5 +10177,67 @@ object SparkEntry {
         |)
         |SELECT zv >> 7 AS z_slice, min(x) AS min_x, max(x) AS max_x,
         |  min(y) AS min_y, max(y) AS max_y, count(*) AS n_rows
-        |FROM z GROUP BY 1 ORDER BY z_slice""".stripMargin)
+        |FROM z GROUP BY 1 ORDER BY z_slice""".stripMargin,
+    // cumulative funnel: quality (q13's scorer) -> 4-gram decontamination
+    // (q204's rule) -> exact text dedup keep-min -> 5-gram Jaccard >= 0.5
+    // near-dup removal (q46's predicate, higher id dropped)
+    "q230_curation_funnel" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+        |    ${qualitySqlExpr("text")} AS q
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT * FROM base WHERE q >= 0.5
+        |), tok4 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 3], ' ') AS g
+        |  FROM tok4, unnest(range(1, len(tk) - 2)) t(i)
+        |), benchg AS (
+        |  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+        |), hits AS (
+        |  SELECT c.doc_id FROM grams c JOIN benchg b USING (g)
+        |  WHERE c.doc_id % 50 <> 0
+        |  GROUP BY c.doc_id HAVING count(DISTINCT c.g) >= 5
+        |), s2 AS (
+        |  SELECT s1.* FROM s1
+        |  WHERE s1.doc_id % 50 <> 0
+        |    AND s1.doc_id NOT IN (SELECT doc_id FROM hits)
+        |), s3 AS (
+        |  SELECT * FROM s2
+        |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+        |), shd AS (
+        |  SELECT doc_id, lang,
+        |    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+        |  FROM s3
+        |), sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)])
+        |    END AS s
+        |  FROM shd
+        |), nd AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) >= 0.5
+        |), s4 AS (
+        |  SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+        |)
+        |SELECT * FROM (
+        |  SELECT '0_raw' AS stage, count(*) AS n_docs,
+        |    CAST(coalesce(sum(toks), 0) AS BIGINT) AS n_tokens FROM base
+        |  UNION ALL SELECT '1_quality', count(*),
+        |    CAST(coalesce(sum(toks), 0) AS BIGINT) FROM s1
+        |  UNION ALL SELECT '2_decontaminated', count(*),
+        |    CAST(coalesce(sum(toks), 0) AS BIGINT) FROM s2
+        |  UNION ALL SELECT '3_exact_dedup', count(*),
+        |    CAST(coalesce(sum(toks), 0) AS BIGINT) FROM s3
+        |  UNION ALL SELECT '4_near_dedup', count(*),
+        |    CAST(coalesce(sum(toks), 0) AS BIGINT) FROM s4
+        |) ORDER BY stage""".stripMargin)
 }
