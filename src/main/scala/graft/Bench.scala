@@ -151,7 +151,11 @@ object Bench {
     "q226_stream_cms" -> 2.030, "q227_contrastive_triplets" -> 1.950,
     "q228_incremental_neardup" -> 8.380, "q229_zorder_layout" -> 0.880,
     // the capstone funnel runs four full operator pipelines end-to-end
-    "q230_curation_funnel" -> 10.250)
+    "q230_curation_funnel" -> 10.250,
+    // round-6 addition (r6 sf0.1 measurement, BASELINE.md §3e): the
+    // lossless prefix-filter SELF-join on q46's predicate — slower than
+    // allPairs at sf0.1 (multi-pass prep) but sub-quadratic in corpus size
+    "q231_selfjoin_neardup" -> 4.460)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

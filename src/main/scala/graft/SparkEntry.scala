@@ -5510,20 +5510,27 @@ object SparkEntry {
       .filter(col("shared_grams") >= 5)
       .select(col("doc_id"))
     val s2 = corpus1.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // exact dedup keep-min: the keep-key join is NULL-SAFE (<=>) so a null
+    // text behaves like the oracle's min() OVER (PARTITION BY text) — today
+    // the stage-1 quality screen removes null/empty text, but the stage must
+    // not silently change semantics if the threshold or scorer ever does not
+    val keepMin = s2.groupBy(col("text").as("_ktext")).agg(min(col("doc_id")).as("_keep"))
     val s3 = s2
-      .join(s2.groupBy(col("text")).agg(min(col("doc_id")).as("_keep")), Seq("text"))
-      .filter(col("doc_id") === col("_keep")).drop("_keep")
+      .join(keepMin, col("text") <=> col("_ktext"))
+      .filter(col("doc_id") === col("_keep")).drop("_ktext", "_keep")
       .localCheckpoint(false) // feeds both the shingle pass and the stage agg
     val sh = s3.select(
       col("doc_id"), col("lang"),
       sort_array(array_distinct(
         transform(TF.charShingles(col("text"), 5), x => xxhash64(x)))).as("h"))
-    val dominated = graft.operators.Pairs.allPairs(sh, "doc_id", Seq("lang"), buckets = 8)
-      .filter(least(size(col("a.h")), size(col("b.h")))
-        >= lit(0.5) * greatest(size(col("a.h")), size(col("b.h"))) - lit(0.5))
-      .filter(graft.expressions.VectorExpressions
-        .jaccardSortedMin(col("a.h"), col("b.h"), 0.5) >= 0.5)
-      .select(col("b.doc_id").as("doc_id")).distinct()
+    // near-dup pairs via the LOSSLESS prefix-filtered self-join (q231's
+    // operator) — same exact ≥0.5 Jaccard predicate as the former
+    // Pairs.allPairs plan but sub-quadratic: candidates come from shared
+    // rare-prefix postings, never from per-language all-pairs, so stage 4
+    // survives a 100-TB corpus with a handful of language blocks
+    val dominated = graft.operators.SimilarityJoin
+      .jaccardSelfJoin(sh, "doc_id", "h", threshold = 0.5, blockCols = Seq("lang"))
+      .select(col("id_b").as("doc_id")).distinct()
     val s4 = s3.join(broadcast(dominated), Seq("doc_id"), "left_anti")
     def stage(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
@@ -5535,6 +5542,25 @@ object SparkEntry {
       .unionByName(stage("3_exact_dedup", s3))
       .unionByName(stage("4_near_dedup", s4))
       .orderBy(col("stage"))
+  }
+
+  // q231 — within-corpus near-dup pairs via the LOSSLESS prefix-filtered
+  // SELF-join (X24's within-corpus shape, the single most common dedup
+  // call): identical predicate and output to q46 (within-lang exact
+  // char-5-gram Jaccard ≥ 0.5) but generated by
+  // SimilarityJoin.jaccardSelfJoin instead of Pairs.allPairs — candidates
+  // come from shared rare-prefix postings, never from per-language
+  // all-pairs, so the same brute-force DuckDB oracle that gates q46 here
+  // proves the sub-quadratic engine agrees pair-for-pair.
+  private def selfJoinNearDups(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      sort_array(array_distinct(
+        transform(TF.charShingles(col("text"), 5), x => xxhash64(x)))).as("h"))
+    graft.operators.SimilarityJoin
+      .jaccardSelfJoin(sh, "doc_id", "h", threshold = 0.5, blockCols = Seq("lang"))
+      .select(col("id_a"), col("id_b"), rnd(col("jac"), 4).as("jac"))
+      .orderBy(col("jac").desc, col("id_a"), col("id_b"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -5768,7 +5794,8 @@ object SparkEntry {
     "q227_contrastive_triplets" -> contrastiveTriplets,
     "q228_incremental_neardup" -> incrementalNearDups,
     "q229_zorder_layout" -> zorderLayout,
-    "q230_curation_funnel" -> curationFunnel)
+    "q230_curation_funnel" -> curationFunnel,
+    "q231_selfjoin_neardup" -> selfJoinNearDups)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -10239,5 +10266,27 @@ object SparkEntry {
         |    CAST(coalesce(sum(toks), 0) AS BIGINT) FROM s3
         |  UNION ALL SELECT '4_near_dedup', count(*),
         |    CAST(coalesce(sum(toks), 0) AS BIGINT) FROM s4
-        |) ORDER BY stage""".stripMargin)
+        |) ORDER BY stage""".stripMargin,
+    // q231 is q46's brute-force oracle verbatim — the self-join engine must
+    // agree pair-for-pair with the all-pairs plan on the same predicate
+    "q231_selfjoin_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)])
+        |    END AS s
+        |  FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) AS j
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, round(j + 1e-9, 4) AS jac
+        |FROM pairs WHERE j >= 0.5
+        |ORDER BY jac DESC, id_a, id_b""".stripMargin)
 }

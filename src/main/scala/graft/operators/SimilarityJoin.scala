@@ -25,15 +25,60 @@ import graft.expressions.VectorExpressions
   * per-doc sort (narrow, after a broadcast-or-shuffle freq join), one
   * equi-join of prefix postings (AQE handles residual skew), then the
   * early-exit exact verify on candidates only. No window, no driver state.
+  *
+  * Fault tolerance: both entry points pin their multiply-read intermediates
+  * via the `pin` parameter — [[Pin.LocalCheckpoint]] by default (fastest,
+  * not executor-loss-safe); pass [[Pin.Persist]] on elastic clusters.
   */
 object SimilarityJoin {
+
+  /** Per-row prefix postings: for each key row of `df` (columns `keyCols`
+    * plus the element array `_set`), emit the first s − ⌈t·s⌉ + 1 elements
+    * in global rarest-first `(df, h)` order as (keyCols…, h) rows. The
+    * −1e-9 nudge before ceil errs the prefix LONGER under FP rounding of
+    * t·s — extra candidates, never a missed pair.
+    */
+  private def prefixPostings(
+      df: DataFrame,
+      keyCols: Seq[String],
+      freq: DataFrame,
+      threshold: Double): DataFrame = {
+    val s = size(col("_byRank"))
+    val plen = (s - ceil(s.cast("double") * threshold - lit(1e-9)) + 1).cast("int")
+    df.select(keyCols.map(col) :+ explode(col("_set")).as("h"): _*)
+      .join(freq, Seq("h"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("_df"), col("h")))).as("_byRank"))
+      .select(keyCols.map(col) :+ explode(
+        transform(slice(col("_byRank"), lit(1), plen), e => e.getField("h"))).as("h"): _*)
+  }
+
+  /** Exact verify on candidate id pairs: join the set arrays back, apply the
+    * exact size prune (J ≤ min/max of the DISTINCT-set sizes; −0.5 slack
+    * keeps FP rounding of t·max from dropping boundary pairs), then the
+    * early-exit sorted-merge Jaccard kernel.
+    */
+  private def verify(
+      candidates: DataFrame,
+      aSets: DataFrame, // (_aid, _as)
+      bSets: DataFrame, // (_bid, _bs)
+      threshold: Double): DataFrame =
+    candidates
+      .join(aSets, Seq("_aid"))
+      .join(bSets, Seq("_bid"))
+      .filter(least(size(col("_as")), size(col("_bs")))
+        >= lit(threshold) * greatest(size(col("_as")), size(col("_bs"))) - lit(0.5))
+      .withColumn("_j",
+        VectorExpressions.jaccardSortedMin(col("_as"), col("_bs"), threshold))
+      .filter(col("_j") >= threshold)
 
   /** All cross-frame pairs with exact Jaccard ≥ `threshold` between
     * `left` and `right` — frames of (idCol, setCol) where setCol is an
     * array<long> of DISTINCT SORTED element hashes (the q46 shingle-hash
     * contract; `sort_array(array_distinct(...))`). Returns
     * (id_l, id_r, jac). Self-pairs are the caller's concern — pass
-    * disjoint frames (the incremental-ingest shape) or filter ids after.
+    * disjoint frames (the incremental-ingest shape) or use
+    * [[jaccardSelfJoin]] for the within-corpus dedup shape.
     */
   def jaccardJoin(
       left: DataFrame,
@@ -41,7 +86,8 @@ object SimilarityJoin {
       right: DataFrame,
       rightId: String,
       setCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      pin: Pin = Pin.LocalCheckpoint): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
     require(leftId != rightId,
@@ -49,47 +95,83 @@ object SimilarityJoin {
 
     // pin both inputs: each side is read 3× (frequency pass, prefix pass,
     // verify join-back) and the caller's set column is typically an
-    // expensive shingle+hash+sort projection — without the checkpoint the
-    // whole prep would recompute per read
-    val l = left.select(col(leftId).cast("long").as("_lid"), col(setCol).as("_ls"))
-      .localCheckpoint(false)
-    val r = right.select(col(rightId).cast("long").as("_rid"), col(setCol).as("_rs"))
-      .localCheckpoint(false)
+    // expensive shingle+hash+sort projection — without the pin the whole
+    // prep would recompute per read
+    val l = pin(left.select(col(leftId).cast("long").as("_aid"), col(setCol).as("_as")))
+    val r = pin(right.select(col(rightId).cast("long").as("_bid"), col(setCol).as("_bs")))
 
-    // global rarest-first order: document frequency over BOTH frames
-    val freq = l.select(explode(col("_ls")).as("h"))
-      .unionAll(r.select(explode(col("_rs")).as("h")))
-      .groupBy(col("h")).agg(count(lit(1)).as("_df"))
+    // global rarest-first order: document frequency over BOTH frames.
+    // Pinned too — it feeds both prefixPostings calls, and recomputing it
+    // would re-read both (already pinned) sides and re-aggregate.
+    val freq = pin(l.select(explode(col("_as")).as("h"))
+      .unionAll(r.select(explode(col("_bs")).as("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("_df")))
 
-    // per-doc prefix: sort elements by (df, h), keep the first
-    // s − ⌈t·s⌉ + 1. The −1e-9 nudge before ceil errs the prefix LONGER
-    // under FP rounding of t·s — extra candidates, never a missed pair.
-    def prefixes(df: DataFrame, id: String, set: String): DataFrame = {
-      val s = size(col("_byRank"))
-      val plen = (s - ceil(s.cast("double") * threshold - lit(1e-9)) + 1).cast("int")
-      df.select(col(id), explode(col(set)).as("h"))
-        .join(freq, Seq("h"))
-        .groupBy(col(id))
-        .agg(array_sort(collect_list(struct(col("_df"), col("h")))).as("_byRank"))
-        .select(col(id), explode(
-          transform(slice(col("_byRank"), lit(1), plen), e => e.getField("h"))).as("h"))
-    }
-
-    val candidates = prefixes(l, "_lid", "_ls")
-      .join(prefixes(r, "_rid", "_rs"), Seq("h"))
-      .select(col("_lid"), col("_rid"))
+    val candidates = prefixPostings(
+        l.withColumnRenamed("_as", "_set"), Seq("_aid"), freq, threshold)
+      .join(prefixPostings(
+        r.withColumnRenamed("_bs", "_set"), Seq("_bid"), freq, threshold), Seq("h"))
+      .select(col("_aid"), col("_bid"))
       .distinct()
 
-    candidates
-      .join(l, Seq("_lid"))
-      .join(r, Seq("_rid"))
-      // exact length prune (sets are distinct): J ≤ min/max sizes — the
-      // −0.5 slack keeps FP rounding of t·max from dropping boundary pairs
-      .filter(least(size(col("_ls")), size(col("_rs")))
-        >= lit(threshold) * greatest(size(col("_ls")), size(col("_rs"))) - lit(0.5))
-      .withColumn("_j",
-        VectorExpressions.jaccardSortedMin(col("_ls"), col("_rs"), threshold))
-      .filter(col("_j") >= threshold)
-      .select(col("_lid").as(leftId), col("_rid").as(rightId), col("_j").as("jac"))
+    verify(candidates, l, r, threshold)
+      .select(col("_aid").as(leftId), col("_bid").as(rightId), col("_j").as("jac"))
+  }
+
+  /** All WITHIN-corpus pairs with exact Jaccard ≥ `threshold` — the dedup
+    * self-join shape (the single most common near-dup call). Returns
+    * (id_a, id_b, jac) with id_a < id_b, each qualifying unordered pair
+    * exactly once. Same lossless prefix filter as [[jaccardJoin]] (the
+    * proof in the header applies verbatim to the self case); the id
+    * ordering on the candidate join halves the candidate space and drops
+    * self-pairs before any verification work.
+    *
+    * `blockCols` optionally restricts pairs to rows agreeing on every
+    * block column (e.g. same language) — the block keys join the posting
+    * equi-join key, so this never enumerates cross-block candidates. Plain
+    * equi-join semantics: rows with a NULL block value pair with nothing.
+    * `idCol` must be castable to long, unique, and non-null.
+    *
+    * Unlike [[Pairs.allPairs]] (quadratic per block — the bounded-block
+    * exact regime), candidate count here scales with shared-rare-prefix
+    * co-occurrence, not block size² — this is the 100-TB path for exact
+    * within-corpus dedup.
+    */
+  def jaccardSelfJoin(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      threshold: Double,
+      blockCols: Seq[String] = Nil,
+      pin: Pin = Pin.LocalCheckpoint): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(!blockCols.contains(idCol),
+      s"idCol $idCol must not appear in blockCols")
+
+    // base is read 3× (frequency pass, prefix pass, verify join-back ×2)
+    val base = pin(df.select(
+      (col(idCol).cast("long").as("_id") +: blockCols.map(col)) :+ col(setCol).as("_set"): _*))
+
+    // freq feeds exactly one prefixPostings call here — no pin needed
+    val freq = base.select(explode(col("_set")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("_df"))
+
+    // the postings table is BOTH sides of the candidate join — pin it so
+    // the freq-join + per-doc sort run once, not twice
+    val post = pin(prefixPostings(base, "_id" +: blockCols, freq, threshold))
+
+    val candidates = post.toDF(("_aid" +: blockCols) :+ "h": _*)
+      .join(post.toDF(("_bid" +: blockCols) :+ "h": _*), "h" +: blockCols)
+      .filter(col("_aid") < col("_bid"))
+      .select(col("_aid"), col("_bid"))
+      .distinct()
+
+    verify(
+        candidates,
+        base.select(col("_id").as("_aid"), col("_set").as("_as")),
+        base.select(col("_id").as("_bid"), col("_set").as("_bs")),
+        threshold)
+      .select(col("_aid").as("id_a"), col("_bid").as("id_b"), col("_j").as("jac"))
   }
 }

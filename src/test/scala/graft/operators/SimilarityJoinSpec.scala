@@ -75,4 +75,70 @@ class SimilarityJoinSpec extends AnyFunSuite {
         assert(math.abs(row.getDouble(2) - j) < 1e-12)
       }
   }
+
+  private def bruteForceSelf(
+      rows: Seq[(Long, Seq[Long])],
+      t: Double,
+      block: Long => Any = _ => 0): Set[(Long, Long)] =
+    (for {
+      (ai, as) <- rows
+      (bi, bs) <- rows
+      if ai < bi && block(ai) == block(bi)
+      inter = as.toSet.intersect(bs.toSet).size
+      union = as.toSet.union(bs.toSet).size
+      if union > 0 && inter.toDouble / union >= t
+    } yield (ai, bi)).toSet
+
+  test("self-join equals brute force across thresholds, each pair exactly once") {
+    val rows = randomSets(13, 120)
+    val df = rows.toDF("id", "s")
+    Seq(0.25, 0.5, 0.8).foreach { t =>
+      val got = SimilarityJoin.jaccardSelfJoin(df, "id", "s", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"t=$t: duplicate pairs emitted")
+      assert(got.forall { case (a, b) => a < b }, s"t=$t: unordered pair leaked")
+      val want = bruteForceSelf(rows, t)
+      assert(got.toSet == want,
+        s"t=$t: missing=${want -- got.toSet} extra=${got.toSet -- want}")
+    }
+  }
+
+  test("self-join with blockCols never pairs across blocks and matches per-block brute force") {
+    val rows = randomSets(17, 100)
+    val blockOf = (id: Long) => id % 3
+    val df = rows.map { case (i, s) => (i, blockOf(i), s) }.toDF("id", "g", "s")
+    val t = 0.4
+    val got = SimilarityJoin.jaccardSelfJoin(df, "id", "s", t, blockCols = Seq("g"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == bruteForceSelf(rows, t, blockOf))
+    assert(got.forall { case (a, b) => blockOf(a) == blockOf(b) })
+  }
+
+  test("self-join boundary pair at J == threshold survives; jaccard values exact") {
+    val rows = Seq((1L, Seq(10L, 20L, 30L)), (2L, Seq(5L, 10L, 20L, 30L)))
+    val got = SimilarityJoin.jaccardSelfJoin(rows.toDF("id", "s"), "id", "s", 0.75).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L && got.head.getLong(1) == 2L)
+    assert(math.abs(got.head.getDouble(2) - 0.75) < 1e-12)
+  }
+
+  test("self-join with empty and hub-heavy sets stays exact") {
+    val hub = 999L
+    val base = randomSets(19, 80).map { case (i, s) => (i, (s :+ hub).distinct.sorted) }
+    val rows = base :+ (200L, Seq.empty[Long]) :+ (201L, Seq.empty[Long])
+    val t = 0.5
+    val got = SimilarityJoin.jaccardSelfJoin(rows.toDF("id", "s"), "id", "s", t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == bruteForceSelf(rows, t))
+  }
+
+  test("pin strategies agree (Persist / Off vs default)") {
+    val rows = randomSets(23, 60)
+    val df = rows.toDF("id", "s")
+    val want = bruteForceSelf(rows, 0.5)
+    Seq(Pin.Persist, Pin.Off).foreach { p =>
+      val got = SimilarityJoin.jaccardSelfJoin(df, "id", "s", 0.5, pin = p)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"pin=$p")
+    }
+  }
 }
