@@ -200,6 +200,11 @@ object Bench {
     val singleRun = sys.env.get("SPARK_GRAFT_BENCH_RUNS").contains("1")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
+        // snapshot the persistent-RDD ids BEFORE the query so the sweep
+        // only drops RDDs the query itself created — unpersisting a
+        // localCheckpoint'd RDD that predates the query (lineage already
+        // truncated) would leave any outside reference unrecoverable
+        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val dt = time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         // (streaming queries' memory-sink views are dropped inside
         // replayStream itself — the result is localCheckpoint-detached)
@@ -209,8 +214,10 @@ object Bench {
         // die when the ContextCleaner GCs the RDD — across a 228-query
         // sweep they pile into block storage and degrade the late-sweep
         // band 1.4-2.5x (measured: the same queries re-bench clean in a
-        // fresh JVM). Every query is self-contained, so drop them eagerly.
-        spark.sparkContext.getPersistentRDDs.valuesIterator
+        // fresh JVM). Every query is self-contained, so drop the ones this
+        // query created eagerly.
+        spark.sparkContext.getPersistentRDDs.iterator
+          .collect { case (id, rdd) if !preexisting.contains(id) => rdd }
           .foreach(_.unpersist(blocking = false))
         dt
       }

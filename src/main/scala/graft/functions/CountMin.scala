@@ -62,7 +62,10 @@ object CountMin {
 
   /** Point-estimate the count of each row of `items` (column `itemCol`):
     * min over the depth row-counters, 0 for a never-seen item (all-empty
-    * cells read as 0 via the left join). Returns `items` + `est`.
+    * cells read as 0 via the left join). Returns `items` + `est`,
+    * ROW-FOR-ROW: duplicate input rows each keep their own output row (a
+    * per-row tag rides through the explode/join/re-group, so multiplicity
+    * survives even though the probe regroups).
     *
     * The join is depth broadcast-size equi-joins in one: items explode to
     * depth (d, bucket) probes against the depth·width-row sketch —
@@ -75,16 +78,18 @@ object CountMin {
       depth: Int,
       width: Int): DataFrame = {
     checkParams(depth, width)
-    val reserved = Set("d", "bucket", "cnt", "est").intersect(items.columns.toSet)
+    val reserved = Set("d", "bucket", "cnt", "est", "_cm_row").intersect(items.columns.toSet)
     require(reserved.isEmpty,
       s"estimate's working/output columns clash with items columns: $reserved — rename them first")
     val probes = TextFunctions.bindOnce(col(itemCol)) { it =>
       array((0 until depth).map(d => bucket(it, d, width)): _*)
     }
     items
+      .withColumn("_cm_row", monotonically_increasing_id())
       .select(col("*"), posexplode(probes).as(Seq("d", "bucket")))
       .join(broadcast(sketchDf), Seq("d", "bucket"), "left")
-      .groupBy(items.columns.map(col).toIndexedSeq: _*)
+      .groupBy((items.columns :+ "_cm_row").map(col).toIndexedSeq: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .drop("_cm_row")
   }
 }

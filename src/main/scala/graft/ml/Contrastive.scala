@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TopK, VectorFunctions}
-import graft.operators.SemDedup
+import graft.operators.{Pin, SemDedup}
 
 /** Contrastive-pair mining — the training-data prep for embedding models
   * (E5/GTE-style: positives from near-duplicate detection, hard negatives
@@ -29,23 +29,27 @@ object Contrastive {
     * near-dup pair, the anchor's single hardest negative repeated across
     * its positives. Deterministic: pair generation keeps the lowest
     * matching id (SemDeDup), negative ranking ties break on id.
+    *
+    * `pin` controls how the multiply-read pair frame is held: the default
+    * LOCAL checkpoint is fastest but not fault-tolerant to executor loss —
+    * elastic clusters should pass [[Pin.Persist]] (see [[Pin]]).
     */
   def mineTriplets(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       bucket: Column,
-      tauPos: Double): DataFrame = {
+      tauPos: Double,
+      pin: Pin = Pin.LocalCheckpoint): DataFrame = {
     val base = emb.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
 
-    val pos = SemDedup
+    // pin: the bucketed cosine pair-join feeds THREE plan branches (anchor
+    // vectors, negative scoring, positive similarities) and would re-run
+    // per branch otherwise
+    val pos = pin(SemDedup
       .markDuplicates(emb, idCol, vecCol, bucket, tauPos)
       .filter(col("dup_of").isNotNull)
-      .select(col("dup_of").as("anchor"), col(idCol).cast("long").as("positive"))
-      // pin: the bucketed cosine pair-join above feeds THREE plan branches
-      // (anchor vectors, negative scoring, positive similarities) and would
-      // re-run per branch otherwise
-      .localCheckpoint(false)
+      .select(col("dup_of").as("anchor"), col(idCol).cast("long").as("positive")))
 
     val anchorVecs = pos.select(col("anchor")).distinct()
       .join(base, col("anchor") === col("_id"))

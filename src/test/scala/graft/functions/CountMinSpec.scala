@@ -51,6 +51,14 @@ class CountMinSpec extends AnyFunSuite {
       .filter(!(col("cnt_m") <=> col("cnt_w"))).isEmpty)
   }
 
+  test("estimate preserves input multiplicity: duplicate probe rows each keep a row") {
+    val sk = CountMin.sketch(toks, col("w"), depth = 4, width = 256)
+    val dupProbes = Seq("the", "the", "the", "zz-never-seen").toDF("w")
+    val out = CountMin.estimate(sk, dupProbes, "w", depth = 4, width = 256)
+    assert(out.count() === 4L)
+    assert(out.filter(col("w") === "the").count() === 3L)
+  }
+
   test("unseen items estimate to 0 at collision-free width") {
     val sk = CountMin.sketch(toks, col("w"), depth = 4, width = 1 << 20)
     val ghosts = Seq("zz-never-seen-1", "zz-never-seen-2").toDF("w")
