@@ -364,56 +364,55 @@ object SparkEntry {
       .orderBy(col("q_id"))
   }
 
-  // q19 — classifier bake-off endpoint (M10/M7 + GOLDEN shape): logistic
-  // regression on the embeddings, fit on vec_id ≥ 100, scored output for the
-  // rest. Float probabilities are library-specific ⇒ rows-only.
+  // q19 — classifier scored-output endpoint (M10/M7 + GOLDEN shape),
+  // VALUE-ORACLE form: nearest-centroid binary scorer (closed-form class
+  // means on the vec_id > 99 train split, sigmoid-of-margin posterior) so
+  // every probability is deterministic and DuckDB-checkable — the q55
+  // precedent. The fitted-model bake-off (LogisticRegression etc.) stays
+  // spec-gated (MlSpec) since iterative-solver floats are library-specific.
   private def scoredClassifier(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val emb = t(s, dir, "embeddings")
-      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
-      .withColumn("bin_label", (col("label") >= 5).cast("int"))
+      .select(col("vec_id"), col("embedding"), (col("label") >= 5).cast("int").as("bin_label"))
     val (test, train) = Features.chronologicalSplit(emb, "vec_id", 99L)
-    val model = new org.apache.spark.ml.classification.LogisticRegression()
-      .setLabelCol("bin_label").setMaxIter(100).fit(train)
-    Classification.scoredOutput(model.transform(test), "vec_id", "bin_label")
+    Classification.centroidScored(train, test, "vec_id", "embedding", "bin_label")
+      .select(col("sample_id"), col("label"), col("predicted"),
+        rnd(col("p_positive"), 6).as("p_positive"),
+        rnd(col("p_negative"), 6).as("p_negative"),
+        col("correct"))
       .orderBy(col("sample_id"))
   }
 
-  // q20 — clustering summary (M19/M22 + A11): KMeans k=2 over embeddings,
-  // silhouette + consistency against the binary label split. Rows-only.
+  // q20 — clustering summary (M19/M22 + A11), VALUE-ORACLE form:
+  // deterministic Lloyd k=2 (seeds = min/max vec_id rows, 3 fixed
+  // iterations — closed-form assign/update, so DuckDB unrolls the identical
+  // iterations), then single-pass summary: simplified silhouette (centroid
+  // form: s = (d_other − d_own)/max, the O(n·k) formula that scales where
+  // pairwise silhouette can't), best-orientation label consistency, cluster
+  // sizes. The library k-means (k-means|| init) stays spec-gated (MlSpec).
   private def clusterSummary(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val emb = t(s, dir, "embeddings")
-      .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
-    val clustered = Clustering.kmeans(emb, k = 2, seed = 42L).cache()
-    clustered.count() // materialize once; the three evaluations below share it
-    // silhouette / consistency / sizes are independent passes over the
-    // cached frame — run them as concurrent jobs
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    import scala.concurrent.Future
-    val (sil, cons, sizes) =
-      try {
-        val fSil = Future(Clustering.silhouette(clustered))
-        val fCons =
-          Future(Clustering.consistency(clustered.withColumn("g", col("label") >= 5), "g"))
-        val fSizes = Future(
-          clustered.groupBy("prediction").count()
-            .orderBy("count").select("count").collect().map(_.getLong(0)))
-        scala.concurrent.Await.result(
-          fSil.zip(fCons).zip(fSizes).map { case ((a, b), c) => (a, b, c) },
-          scala.concurrent.duration.Duration.Inf)
-        // shutdownNow: if one evaluation fails, don't leave the others
-        // running as zombies (no-op on the happy path — all futures done)
-      } finally pool.shutdownNow()
-    import s.implicits._
-    // n_points pins the cluster-size-sum invariant in the result shape
-    // (smaller + larger must equal the input count; asserted in
-    // PipelineQueriesSpec since the float metrics keep this rows-only)
-    Seq((math.round(sil * 10000) / 10000.0, math.round(cons * 10000) / 10000.0,
-      sizes.head, sizes.last, sizes.sum))
-      .toDF("silhouette", "consistency", "smaller_cluster", "larger_cluster", "n_points")
+    val bounds = emb.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    val (assigned, _) = Clustering.lloydDeterministic(
+      emb, "vec_id", "embedding",
+      seedIds = Seq(bounds.getLong(0), bounds.getLong(1)), iters = 3)
+    // k=2: own = dist2[prediction], other = the remaining entry (1-based
+    // element_at: own at prediction+1, other at 2-prediction)
+    val own = sqrt(element_at(col("dist2"), col("prediction") + 1))
+    val other = sqrt(element_at(col("dist2"), lit(2) - col("prediction")))
+    val sil = when(greatest(own, other) === 0, lit(0.0))
+      .otherwise((other - own) / greatest(own, other))
+    val k = col("prediction")
+    val g = (col("label") >= 5)
+    val n0 = sum(when(k === 0, 1L).otherwise(0L))
+    val n1 = sum(when(k === 1, 1L).otherwise(0L))
+    val orient1 = sum(when((k === 0 && g) || (k === 1 && !g), 1L).otherwise(0L))
+    val orient2 = sum(when((k === 0 && !g) || (k === 1 && g), 1L).otherwise(0L))
+    assigned.agg(
+      rnd(avg(sil), 4).as("silhouette"),
+      rnd(greatest(orient1, orient2).cast("double") / count(lit(1)), 4).as("consistency"),
+      least(n0, n1).as("smaller_cluster"),
+      greatest(n0, n1).as("larger_cluster"),
+      count(lit(1)).as("n_points"))
   }
 
   // q21 — rolling-origin CV (M5, the TimeSeriesSplit analog): ridge on the
@@ -6175,6 +6174,110 @@ object SparkEntry {
         |  FROM votes
         |) WHERE vr = 1
         |ORDER BY q_id""".stripMargin,
+    // q19: nearest-centroid scorer — class centroids are per-dim means over
+    // the train split, margin = (d²(x,c0) − d²(x,c1))/2 via the dot-product
+    // identity, posterior = sigmoid(margin). Closed-form ⇒ value-exact.
+    "q19_scored_classifier" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS b
+        |  FROM embeddings
+        |), tr AS (
+        |  SELECT b, i, avg(x) AS c FROM (
+        |    SELECT b, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        |    FROM e WHERE vec_id > 99
+        |  ) GROUP BY b, i
+        |), cent AS (
+        |  SELECT b, list(c ORDER BY i) AS carr FROM tr GROUP BY b
+        |), scored AS (
+        |  SELECT e.vec_id AS sample_id, e.b AS label,
+        |    ( (list_dot_product(e.v, e.v)
+        |        - 2 * list_dot_product(e.v, (SELECT carr FROM cent WHERE b = 0))
+        |        + list_dot_product((SELECT carr FROM cent WHERE b = 0),
+        |                           (SELECT carr FROM cent WHERE b = 0)))
+        |    - (list_dot_product(e.v, e.v)
+        |        - 2 * list_dot_product(e.v, (SELECT carr FROM cent WHERE b = 1))
+        |        + list_dot_product((SELECT carr FROM cent WHERE b = 1),
+        |                           (SELECT carr FROM cent WHERE b = 1))) ) / 2 AS margin
+        |  FROM e WHERE e.vec_id <= 99
+        |)
+        |SELECT sample_id, label,
+        |  CASE WHEN margin > 0 THEN 1 ELSE 0 END AS predicted,
+        |  round(1 / (1 + exp(-margin)) + 1e-9, 6) AS p_positive,
+        |  round(1 - 1 / (1 + exp(-margin)) + 1e-9, 6) AS p_negative,
+        |  (CASE WHEN margin > 0 THEN 1 ELSE 0 END) = label AS correct
+        |FROM scored ORDER BY sample_id""".stripMargin,
+    // q20: deterministic Lloyd k=2 — seeds at min/max vec_id, 3 unrolled
+    // assign(argmin d², tie → lower k)/update(per-dim mean) iterations,
+    // then the centroid-form simplified silhouette, best-orientation
+    // consistency, and cluster sizes — value-exact vs the Spark loop.
+    "q20_cluster_summary" ->
+      """WITH pts AS (
+        |  SELECT vec_id, CASE WHEN label >= 5 THEN 1 ELSE 0 END AS b,
+        |    generate_subscripts(embedding::DOUBLE[], 1) AS i,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT 0 AS k, i, v AS c FROM pts
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        |  UNION ALL
+        |  SELECT 1, i, v FROM pts
+        |  WHERE vec_id = (SELECT max(vec_id) FROM embeddings)
+        |), d1 AS (
+        |  SELECT p.vec_id, c.k, sum((p.v - c.c) * (p.v - c.c)) AS d2
+        |  FROM pts p JOIN c0 c ON p.i = c.i GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, k FROM (
+        |    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+        |    FROM d1) WHERE rn = 1
+        |), c1 AS (
+        |  SELECT a.k, p.i, avg(p.v) AS c FROM a1 a JOIN pts p USING (vec_id) GROUP BY 1, 2
+        |), d2_ AS (
+        |  SELECT p.vec_id, c.k, sum((p.v - c.c) * (p.v - c.c)) AS d2
+        |  FROM pts p JOIN c1 c ON p.i = c.i GROUP BY 1, 2
+        |), a2 AS (
+        |  SELECT vec_id, k FROM (
+        |    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+        |    FROM d2_) WHERE rn = 1
+        |), c2 AS (
+        |  SELECT a.k, p.i, avg(p.v) AS c FROM a2 a JOIN pts p USING (vec_id) GROUP BY 1, 2
+        |), d3_ AS (
+        |  SELECT p.vec_id, c.k, sum((p.v - c.c) * (p.v - c.c)) AS d2
+        |  FROM pts p JOIN c2 c ON p.i = c.i GROUP BY 1, 2
+        |), a3 AS (
+        |  SELECT vec_id, k FROM (
+        |    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+        |    FROM d3_) WHERE rn = 1
+        |), c3 AS (
+        |  SELECT a.k, p.i, avg(p.v) AS c FROM a3 a JOIN pts p USING (vec_id) GROUP BY 1, 2
+        |), d4_ AS (
+        |  SELECT p.vec_id, c.k, sum((p.v - c.c) * (p.v - c.c)) AS d2
+        |  FROM pts p JOIN c3 c ON p.i = c.i GROUP BY 1, 2
+        |), fin AS (
+        |  SELECT vec_id, k, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+        |  FROM d4_
+        |), asg AS (
+        |  SELECT f.vec_id, f.k, sqrt(f.d2) AS own, sqrt(o.d2) AS other
+        |  FROM fin f JOIN fin o ON f.vec_id = o.vec_id AND o.rn = 2
+        |  WHERE f.rn = 1
+        |), joined AS (
+        |  SELECT a.vec_id, a.k, a.own, a.other, l.b
+        |  FROM asg a JOIN (SELECT DISTINCT vec_id, b FROM pts) l USING (vec_id)
+        |), sizes AS (
+        |  SELECT k, count(*) AS n FROM joined GROUP BY k
+        |)
+        |SELECT
+        |  round(avg(CASE WHEN greatest(own, other) = 0 THEN 0
+        |            ELSE (other - own) / greatest(own, other) END) + 1e-9, 4) AS silhouette,
+        |  round(greatest(
+        |      sum(CASE WHEN (k = 0 AND b = 1) OR (k = 1 AND b = 0) THEN 1 ELSE 0 END),
+        |      sum(CASE WHEN (k = 0 AND b = 0) OR (k = 1 AND b = 1) THEN 1 ELSE 0 END)
+        |    ) / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS consistency,
+        |  CAST((SELECT min(n) FROM sizes) AS BIGINT) AS smaller_cluster,
+        |  CAST((SELECT max(n) FROM sizes) AS BIGINT) AS larger_cluster,
+        |  CAST(count(*) AS BIGINT) AS n_points
+        |FROM joined""".stripMargin,
     "q21_rolling_cv" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y

@@ -99,6 +99,59 @@ object Classification {
       (col(labelCol) === col("prediction").cast("int")).as("correct"))
   }
 
+  /** M10/M7 in ORACLE-EXACT form: nearest-centroid (Rocchio / LDA with
+    * identity covariance) binary scorer — class centroids are closed-form
+    * per-dim means over the train split, the test margin is
+    * (d²(x, c₀) − d²(x, c₁)) / 2 and the posterior its sigmoid (the exact
+    * Gaussian-equal-covariance posterior). Fully deterministic, so the
+    * scored table value-checks against an independent SQL oracle; the
+    * fitted-model bake-off (iterative solvers, library-specific floats)
+    * stays [[roster]]/[[scoredOutput]].
+    *
+    * Output matches scoredOutput's GOLDEN shape (sample_id, label,
+    * predicted, p_positive, p_negative, correct); probabilities unrounded —
+    * callers round to their oracle's precision.
+    *
+    * Scale shape: centroids are one aggregation (posexplode + per-dim avg,
+    * 2·dim cells), broadcast as a single wide row into a narrow scoring
+    * map — no shuffle of the test side. `vecCol` is an array column;
+    * `labelCol` must be 0/1.
+    */
+  def centroidScored(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val cent = train
+      .select(col(labelCol).as("_b"), posexplode(vd).as(Seq("_i", "_x")))
+      .groupBy(col("_b"), col("_i"))
+      .agg(avg(col("_x")).as("_c"))
+      .groupBy(col("_b"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_i"), col("_c")))),
+        s => s.getField("_c")).as("_arr"))
+    // one wide row (c0, c1) — array max is a no-op selector here, each class
+    // contributes exactly one non-null array
+    val wide = cent.agg(
+      max(when(col("_b") === 0, col("_arr"))).as("_c0"),
+      max(when(col("_b") === 1, col("_arr"))).as("_c1"))
+    def d2(c: Column) = aggregate(
+      zip_with(vd, c, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, y) => acc + y)
+    val margin = (d2(col("_c0")) - d2(col("_c1"))) / 2
+    val p1 = lit(1.0) / (lit(1.0) + exp(-margin))
+    test
+      .crossJoin(broadcast(wide))
+      .select(
+        col(idCol).as("sample_id"),
+        col(labelCol).as("label"),
+        (margin > 0).cast("int").as("predicted"),
+        p1.as("p_positive"),
+        (lit(1.0) - p1).as("p_negative"),
+        ((margin > 0).cast("int") === col(labelCol)).as("correct"))
+  }
+
   /** M4/M5 — k-fold cross-validated grid search (the sklearn
     * GridSearchCV(cv=5) analog): returns (bestModel, avg metric per grid
     * point as a DataFrame). Per-fold std (the reference's cv_std) comes from

@@ -29,6 +29,82 @@ object Clustering {
     new KMeans().setK(k).setSeed(seed).setFeaturesCol(featuresCol)
       .fit(df).transform(df)
 
+  /** M19 in ORACLE-EXACT form: Lloyd's k-means with caller-pinned seed rows
+    * and a FIXED iteration count — every step is closed-form (assign = argmin
+    * squared Euclidean distance with first-index tiebreak, update = per-dim
+    * mean), so any engine unrolling the same `iters` from the same seeds
+    * reproduces the assignment bit-for-bit. This is what lets a k-means
+    * query be value-checked against an independent SQL oracle; the
+    * production path (k-means|| init, convergence-based stop) stays
+    * [[kmeans]].
+    *
+    * Scale shape: per iteration, one narrow map (distances against k·dim
+    * broadcast literals — no join) + one aggregation whose partial state is
+    * k·dim per partition (`Summarizer.mean`); only the k×dim centroid table
+    * ever reaches the driver. `vecCol` is an array column; ids must be
+    * long-castable.
+    *
+    * Returns the input frame + `prediction` (int cluster, assigned against
+    * the FINAL centroids) + `dist2` (squared distance to every centroid,
+    * k-array), and the final centroids.
+    */
+  def lloydDeterministic(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seedIds: Seq[Long],
+      iters: Int): (DataFrame, Array[Array[Double]]) = {
+    require(seedIds.nonEmpty && iters >= 1, "need >= 1 seed and >= 1 iteration")
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val base = df.withColumn("_vd", vd)
+
+    val seedRows = base
+      .filter(col(idCol).cast("long").isin(seedIds: _*))
+      .select(col(idCol).cast("long").as("_id"), col("_vd"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    var cents: Array[Array[Double]] = seedIds.toArray.map { id =>
+      seedRows.getOrElse(id, sys.error(s"lloydDeterministic: seed id $id not found"))
+    }
+    val k = cents.length
+
+    def dist2Arr(cs: Array[Array[Double]]) = array(cs.toIndexedSeq.map { c =>
+      aggregate(
+        zip_with(col("_vd"), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, y) => acc + y)
+    }: _*)
+    // argmin with FIRST-index tiebreak (exact-equality ties go to the lower
+    // cluster id — the same (d2, k) ordering an oracle's row_number uses)
+    def assignExpr(cs: Array[Array[Double]]) = {
+      val d = dist2Arr(cs)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+
+    for (_ <- 1 to iters) {
+      val cells = base
+        .groupBy(assignExpr(cents).as("_k"))
+        .agg(Summarizer.mean(array_to_vector(col("_vd"))).as("_c"))
+        .select(col("_k"), vector_to_array(col("_c")).as("_c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      // an empty cluster has no closed-form update — fail loud rather than
+      // silently diverge from an oracle that can't see the degeneracy
+      cents = Array.tabulate(k)(j =>
+        cells.getOrElse(j, sys.error(s"lloydDeterministic: cluster $j went empty")))
+    }
+
+    val out = base
+      .withColumn("dist2", dist2Arr(cents))
+      .withColumn("prediction",
+        (array_position(col("dist2"), array_min(col("dist2"))) - 1).cast("int"))
+      .drop("_vd")
+    (out, cents)
+  }
+
   /** M19 with the reference's n_init semantics (红楼梦作者分析.py:176-178,
     * sklearn KMeans(n_init=10)): fit `nInit` seeded inits and keep the one
     * with the lowest within-cluster SSE (trainingCost). The inits are

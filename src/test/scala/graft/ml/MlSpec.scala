@@ -190,6 +190,55 @@ class MlSpec extends AnyFunSuite {
     assert(cons > 0.95)
   }
 
+  test("lloydDeterministic separates the blobs and is run-to-run identical") {
+    val arr = blobs.withColumn("vec", array(col("x1"), col("x2")))
+    def run() = Clustering.lloydDeterministic(arr, "id", "vec", Seq(0L, 1L), iters = 3)
+    val (assigned, cents) = run()
+    // seeds 0/1 sit one per blob (label = id % 2) — 3 Lloyd iterations must
+    // recover the blob split on clearly separable data
+    val cons = Clustering.consistency(assigned.withColumn("g", col("label") === 1), "g")
+    assert(cons > 0.95)
+    assert(cents.length == 2 && cents.forall(_.length == 2))
+    // deterministic: the full assignment (not just the summary) repeats
+    val a1 = assigned.select("id", "prediction").orderBy("id").collect().toSeq
+    val a2 = run()._1.select("id", "prediction").orderBy("id").collect().toSeq
+    assert(a1 == a2)
+    // dist2 really is the squared distance to each FINAL centroid
+    val r = assigned.filter(col("id") === 7L)
+      .select(col("x1"), col("x2"), col("dist2")).head()
+    val d2 = r.getSeq[Double](2)
+    val exp = cents.map(c =>
+      math.pow(r.getDouble(0) - c(0), 2) + math.pow(r.getDouble(1) - c(1), 2))
+    assert(d2.zip(exp).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  test("lloydDeterministic fails loud on a missing seed id") {
+    val arr = blobs.withColumn("vec", array(col("x1"), col("x2")))
+    val e = intercept[RuntimeException] {
+      Clustering.lloydDeterministic(arr, "id", "vec", Seq(0L, 999999L), iters = 1)
+    }
+    assert(e.getMessage.contains("seed id"))
+  }
+
+  test("centroidScored: closed-form posterior separates the blobs, GOLDEN shape") {
+    val arr = blobs.withColumn("vec", array(col("x1"), col("x2")))
+    val (test_, train) = Features.chronologicalSplit(arr, "id", 149L)
+    val scored = Classification.centroidScored(train, test_, "id", "vec", "label")
+    assert(scored.columns.toSeq ==
+      Seq("sample_id", "label", "predicted", "p_positive", "p_negative", "correct"))
+    val rows = scored.collect()
+    assert(rows.length == 150)
+    // well-separated blobs: the centroid scorer is near-perfect
+    assert(rows.count(_.getAs[Boolean]("correct")).toDouble / rows.length > 0.95)
+    // probabilities are complementary and the flags are internally consistent
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("p_positive") + r.getAs[Double]("p_negative") - 1.0) < 1e-9)
+      val predicted = if (r.getAs[Double]("p_positive") > 0.5) 1 else 0
+      assert(r.getAs[Int]("predicted") == predicted)
+      assert(r.getAs[Boolean]("correct") == (r.getAs[Int]("label") == predicted))
+    }
+  }
+
   test("bisecting kmeans (Ward substitute) also separates the blobs") {
     val (_, transform) = Features.standardize(blobs, Seq("x1", "x2"))
     val clustered = Clustering.bisectingKmeans(transform(blobs), k = 2, seed = 42L)
