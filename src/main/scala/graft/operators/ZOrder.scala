@@ -63,6 +63,28 @@ object ZOrder {
     withZ.repartitionByRange(p, col(zCol)).sortWithinPartitions(col(zCol))
   }
 
+  /** The write path: persist `df` as parquet PHYSICALLY clustered on the
+    * z-order of `dims` — range-partition on the z-value into `files` output
+    * files, sort within each, drop the helper column, write. Because every
+    * file then covers a tight bounding BOX of the dimension space, the
+    * parquet footer min/max statistics let a reader skip whole files /
+    * row groups for predicates on ANY of the dimensions (a linear-sorted
+    * write only ever prunes its leading column) — asserted end-to-end, with
+    * scan metrics, in ZOrderSpec.
+    *
+    * This is the OPTIMIZE ZORDER BY analog: same shuffle cost as a plain
+    * sorted write (one range exchange), pruning on every dimension at read.
+    */
+  def writeClustered(
+      df: DataFrame,
+      dims: Seq[Column],
+      bits: Int,
+      path: String,
+      files: Int): Unit =
+    zOrderBy(df, dims, bits, partitions = files)
+      .drop("_z") // projection — keeps the range partitioning + sort order
+      .write.mode("overwrite").parquet(path)
+
   /** Layout-quality report: cut the z-range into `buckets` equal slices
     * (the file-boundary proxy) and measure each slice's bounding box over
     * the dimensions. Tight boxes ⇒ min/max stats prune; a linear sort

@@ -62,6 +62,56 @@ class ZOrderSpec extends AnyFunSuite {
     assert(linSpans.forall(_ == 63L))
   }
 
+  // rows the parquet READER actually produced (post row-group/file pruning
+  // via footer min/max stats, pre residual filter) — the IO-pruning
+  // evidence. No exchange in a scan+filter+collect plan, so the plan is
+  // non-adaptive and the FileSourceScanExec metric is directly visible.
+  private def rowsScanned(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "expected a parquet FileSourceScanExec in the plan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("writeClustered: footer stats prune scans on the NON-leading dimension") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(100000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    try {
+      // z-clustered vs linear-sorted (leading column x), same file count
+      ZOrder.writeClustered(pts, Seq(col("x"), col("y")), bits = 10, s"$dir/z", files = 128)
+      pts.repartitionByRange(128, col("x")).sortWithinPartitions(col("x"))
+        .write.mode("overwrite").parquet(s"$dir/lin")
+      val z = spark.read.parquet(s"$dir/z")
+      val lin = spark.read.parquet(s"$dir/lin")
+
+      // y-only predicate: the linear layout can't prune at all (every file
+      // spans the full y range); the z layout skips every file whose y-box
+      // misses the band
+      val pred = col("y") >= 200L && col("y") <= 250L
+      val zRows = rowsScanned(z.filter(pred))
+      val linRows = rowsScanned(lin.filter(pred))
+      assert(linRows == 100000L,
+        s"linear layout was expected to scan everything for a y predicate, scanned $linRows")
+      assert(zRows < linRows / 2,
+        s"z layout should skip most files for a y predicate: scanned $zRows of $linRows")
+
+      // 2-D box predicate: both layouts return identical results, and the
+      // z layout still reads no more than the linear one
+      val box = col("x") >= 100L && col("x") <= 150L && pred
+      val zBox = z.filter(box).orderBy("x", "y").collect().toSeq
+      val linBox = lin.filter(box).orderBy("x", "y").collect().toSeq
+      assert(zBox == linBox && zBox.nonEmpty)
+      assert(rowsScanned(z.filter(box)) <= rowsScanned(lin.filter(box)))
+    } finally {
+      import java.nio.file.{Files => F, Paths}
+      import scala.jdk.CollectionConverters._
+      F.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse.foreach(p => F.deleteIfExists(p))
+    }
+  }
+
   test("zOrderBy: z is nondecreasing within every partition") {
     val rnd = new scala.util.Random(5)
     val pts = Seq.fill(5000)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
