@@ -155,7 +155,10 @@ object Bench {
     // round-6 addition (r6 sf0.1 measurement, BASELINE.md §3e): the
     // lossless prefix-filter SELF-join on q46's predicate — slower than
     // allPairs at sf0.1 (multi-pass prep) but sub-quadratic in corpus size
-    "q231_selfjoin_neardup" -> 4.460)
+    "q231_selfjoin_neardup" -> 4.460,
+    // event-time-TTL transition replay (first declared r6; replay harness
+    // cost tracks q211's 2.34 s almost exactly — the TTL adds no stages)
+    "q232_stream_ttl_transitions" -> 2.350)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

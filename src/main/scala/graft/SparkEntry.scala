@@ -5562,6 +5562,29 @@ object SparkEntry {
       .orderBy(col("jac").desc, col("id_a"), col("id_b"))
   }
 
+  // q232 — q211's stateful transition stream under a PRODUCTION state
+  // budget: event-time TTL (4 h) evicts quiet users' state once the
+  // watermark passes, and the same gap rule filters emissions, so the
+  // output is a pure function of the events — the batch lead()-window
+  // oracle with a gap predicate checks it value-exactly. Median per-user
+  // gap in `events` is ~7 h, so the TTL genuinely drops about half the
+  // q211 transitions (the query would be vacuous at a gap-free TTL).
+  private def streamTtlTransitions(s: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.duration._
+    val sink = replayStream(s, dir, "append") { raw =>
+      val ss = raw.sparkSession
+      import ss.implicits._
+      graft.streaming.StreamOps
+        .transitionsEventTtl(ss, raw
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .as[graft.streaming.StreamOps.TypedEvent],
+          ttl = 4.hours, watermarkDelay = "1 day")
+        .toDF()
+    }
+    sink.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5794,7 +5817,8 @@ object SparkEntry {
     "q228_incremental_neardup" -> incrementalNearDups,
     "q229_zorder_layout" -> zorderLayout,
     "q230_curation_funnel" -> curationFunnel,
-    "q231_selfjoin_neardup" -> selfJoinNearDups)
+    "q231_selfjoin_neardup" -> selfJoinNearDups,
+    "q232_stream_ttl_transitions" -> streamTtlTransitions)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -10391,5 +10415,18 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, round(j + 1e-9, 4) AS jac
         |FROM pairs WHERE j >= 0.5
-        |ORDER BY jac DESC, id_a, id_b""".stripMargin)
+        |ORDER BY jac DESC, id_a, id_b""".stripMargin,
+    // q232: q211's transition counts restricted to gaps <= the 4 h TTL —
+    // the TTL'd stream must equal the batch window with the gap predicate
+    "q232_stream_ttl_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type) OVER w AS dst,
+        |    lead(ts) OVER w AS dst_ts, ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT src, dst, count(*) AS c FROM seq
+        |WHERE dst IS NOT NULL AND dst_ts <= ts + INTERVAL 4 HOUR
+        |GROUP BY src, dst ORDER BY src, dst""".stripMargin)
 }

@@ -171,6 +171,58 @@ object StreamOps {
       }
   }
 
+  /** EVENT-TIME-TTL'd transitions — the production form of [[transitions]]
+    * for an unbounded user key space: a (src → dst) pair is emitted iff dst
+    * follows src for the user AND dst.ts − src.ts ≤ `ttl`; per-user state is
+    * EVICTED by the state store once the event-time watermark passes
+    * lastTs + ttl (EventTimeTimeout), so a user who goes quiet costs nothing
+    * after one TTL. The gap rule is ALSO enforced inside the fold, which
+    * makes the OUTPUT a pure function of the event data — independent of
+    * micro-batch boundaries and of exactly when eviction fires (eviction may
+    * lag the watermark by a trigger; an un-evicted quiet chain still never
+    * emits a spanning pair). That purity is what lets a replay value-check
+    * against a batch lead()-window oracle (q232) while keeping state
+    * bounded. Events later than the watermark are dropped by the engine
+    * before the operator (standard late-data filtering).
+    */
+  def transitionsEventTtl(
+      spark: SparkSession,
+      events: Dataset[TypedEvent],
+      ttl: scala.concurrent.duration.FiniteDuration,
+      watermarkDelay: String): Dataset[Transition] = {
+    import spark.implicits._
+    val ttlMs = ttl.toMillis
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[TypedEvent], state: GroupState[TransState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            var prev = state.getOption
+            val out = Vector.newBuilder[Transition]
+            sorted.foreach { e =>
+              prev.foreach { p =>
+                if (e.ts.getTime - p.lastTs <= ttlMs)
+                  out += Transition(p.lastType, e.event_type)
+              }
+              prev = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
+            }
+            prev.foreach { p =>
+              state.update(p)
+              // the engine requires a timeout strictly beyond the current
+              // watermark; a chain already past its TTL evicts next trigger
+              state.setTimeoutTimestamp(
+                math.max(p.lastTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming Count-Min maintenance: the identical declarative sketch
     * graft.functions.CountMin.sketch builds in batch, maintained
     * incrementally over an unbounded stream (same expression tree — the

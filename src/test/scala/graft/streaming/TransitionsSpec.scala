@@ -89,6 +89,60 @@ class TransitionsSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time TTL: gap rule filters output, quiet state evicts, late data drops") {
+    import scala.concurrent.duration._
+    val d = Files.createTempDirectory("trans-evttl")
+    d.toFile.deleteOnExit()
+    // batch 1 — user 1: a@0 -> b@10 (gap 10 m <= TTL 30 m, emits); user 2: x@0
+    Seq(
+      StreamOps.TypedEvent(1L, ts(0), 1L, "a"),
+      StreamOps.TypedEvent(1L, ts(10), 2L, "b"),
+      StreamOps.TypedEvent(2L, ts(0), 3L, "x"))
+      .toDF().write.mode("overwrite").parquet(d.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(d.toString).schema)
+      .parquet(d.toString)
+    val q = StreamOps
+      .transitionsEventTtl(spark, stream.as[StreamOps.TypedEvent],
+        ttl = 30.minutes, watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("trans_ev").start()
+    def rows() = spark.table("trans_ev").as[StreamOps.Transition].collect()
+      .map(t => (t.src, t.dst)).sorted.toSeq
+    try {
+      q.processAllAvailable()
+      assert(rows() == Seq(("a", "b")))
+      // batch 2 — user 1: c@100 (gap 90 m > TTL: NO b->c even though the
+      // state may not have evicted yet — the gap rule guards emission);
+      // user 2: y@5 (gap 5 m: x->y); user 3: z@3000 pushes the watermark
+      // ~2990 m, far past users 1/2's (lastTs + TTL) timeouts
+      Seq(
+        StreamOps.TypedEvent(1L, ts(100), 4L, "c"),
+        StreamOps.TypedEvent(2L, ts(5), 5L, "y"),
+        StreamOps.TypedEvent(3L, ts(3000), 6L, "z"))
+        .toDF().write.mode("append").parquet(d.toString)
+      q.processAllAvailable()
+      assert(rows() == Seq(("a", "b"), ("x", "y")))
+      // eviction is observable in the state-store metrics: after the
+      // watermark-advance batch, only user 3's chain may remain
+      val lastTotal = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(lastTotal.exists(_ <= 1),
+        s"expected TTL eviction to shrink state to <= 1 user, got $lastTotal " +
+          "(users 1/2 should be gone)")
+      // batch 3 — a LATE event for user 3 (ts far below the watermark):
+      // dropped by the engine; were it processed, the fold would emit a
+      // bogus z->w (negative gap passes the <= TTL check)
+      Seq(StreamOps.TypedEvent(3L, ts(1000), 7L, "w"))
+        .toDF().write.mode("append").parquet(d.toString)
+      q.processAllAvailable()
+      assert(rows() == Seq(("a", "b"), ("x", "y")))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS trans_ev")
+    }
+  }
+
   test("within-batch events fold in (ts, event_id) order, not arrival order") {
     val d = Files.createTempDirectory("trans-order")
     d.toFile.deleteOnExit()
