@@ -158,7 +158,10 @@ object Bench {
     "q231_selfjoin_neardup" -> 4.460,
     // event-time-TTL transition replay (first declared r6; replay harness
     // cost tracks q211's 2.34 s almost exactly — the TTL adds no stages)
-    "q232_stream_ttl_transitions" -> 2.350)
+    "q232_stream_ttl_transitions" -> 2.350,
+    // q228's operator at the production threshold τ=0.5 (first declared r6;
+    // prefixes prune hard — 3.30 s vs q228's 5.93 s in the same sweep)
+    "q233_incremental_neardup_t50" -> 3.300)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5453,12 +5453,15 @@ object SparkEntry {
       .orderBy(col("anchor"), col("positive"))
   }
 
-  // q228 — incremental ingest dedup via the prefix-filtered EXACT
+  // q228/q233 — incremental ingest dedup via the prefix-filtered EXACT
   // similarity join (X24, AllPairs/PPJoin family): every 10th doc plays
   // the incoming batch, matched against the standing corpus at exact
-  // 5-gram Jaccard ≥ 0.25 with NO all-pairs stage and NO banding recall
-  // loss — the lossless counterpart of q16's MinHash screen.
-  private def incrementalNearDups(s: SparkSession, dir: String): DataFrame = {
+  // 5-gram Jaccard ≥ τ with NO all-pairs stage and NO banding recall
+  // loss — the lossless counterpart of q16's MinHash screen. Two declared
+  // operating points: τ=0.25 (q228, the weak-pruning stress demo — prefixes
+  // span ~75% of each set) and τ=0.5 (q233, the PRODUCTION dedup regime,
+  // where prefixes shrink to ≤ half and the candidate set collapses).
+  private def incrementalNearDups(threshold: Double)(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents").select(
       col("doc_id"),
       sort_array(array_distinct(
@@ -5468,7 +5471,7 @@ object SparkEntry {
     val corpus = sh.filter(col("doc_id") % 10 =!= 0)
       .withColumnRenamed("doc_id", "corp_id")
     graft.operators.SimilarityJoin
-      .jaccardJoin(incoming, "inc_id", corpus, "corp_id", "h", threshold = 0.25)
+      .jaccardJoin(incoming, "inc_id", corpus, "corp_id", "h", threshold = threshold)
       .select(col("inc_id"), col("corp_id"), rnd(col("jac"), 4).as("jac"))
       .orderBy(col("inc_id"), col("corp_id"))
   }
@@ -5814,11 +5817,12 @@ object SparkEntry {
     "q225_cms_heavy_hitters" -> cmsHeavyHitters,
     "q226_stream_cms" -> streamCms,
     "q227_contrastive_triplets" -> contrastiveTriplets,
-    "q228_incremental_neardup" -> incrementalNearDups,
+    "q228_incremental_neardup" -> incrementalNearDups(0.25),
     "q229_zorder_layout" -> zorderLayout,
     "q230_curation_funnel" -> curationFunnel,
     "q231_selfjoin_neardup" -> selfJoinNearDups,
-    "q232_stream_ttl_transitions" -> streamTtlTransitions)
+    "q232_stream_ttl_transitions" -> streamTtlTransitions,
+    "q233_incremental_neardup_t50" -> incrementalNearDups(0.5))
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -10428,5 +10432,26 @@ object SparkEntry {
         |)
         |SELECT src, dst, count(*) AS c FROM seq
         |WHERE dst IS NOT NULL AND dst_ts <= ts + INTERVAL 4 HOUR
-        |GROUP BY src, dst ORDER BY src, dst""".stripMargin)
+        |GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+    // q233 is q228's oracle at the production threshold τ=0.5
+    "q233_incremental_neardup_t50" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)])
+        |    END AS s
+        |  FROM d
+        |), pairs AS (
+        |  SELECT a.doc_id AS inc_id, b.doc_id AS corp_id,
+        |    len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(a.s || b.s)) AS j
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |)
+        |SELECT inc_id, corp_id, round(j + 1e-9, 4) AS jac
+        |FROM pairs WHERE j >= 0.5
+        |ORDER BY inc_id, corp_id""".stripMargin)
 }
