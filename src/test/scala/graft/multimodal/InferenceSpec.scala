@@ -31,6 +31,32 @@ class InferenceSpec extends AnyFunSuite {
     assert(probs(0) > probs(1)) // red-dominant features
   }
 
+  test("wire format at a realistic model size: 512->128->10, bit-exact through bytes") {
+    // the dims an actual image-embedding head ships with — proves the
+    // length-prefixed format (not just the 6-dim toy) survives the
+    // serialize -> broadcast-shaped copy -> deserialize path bit-for-bit
+    val rng = new scala.util.Random(17)
+    def mat(r: Int, c: Int) = Array.fill(r)(Array.fill(c)(rng.nextFloat() * 2f - 1f))
+    def vec(n: Int) = Array.fill(n)(rng.nextFloat() * 2f - 1f)
+    val big = Inference.MlpModel(
+      labels = (0 until 10).map(i => s"class_$i").toArray,
+      w1 = mat(128, 512), b1 = vec(128),
+      w2 = mat(10, 128), b2 = vec(10))
+    val bytes = big.toBytes
+    // header + labels + (128*512 + 128 + 10*128 + 10) floats, 4 bytes each
+    val floats = 128 * 512 + 128 + 10 * 128 + 10
+    assert(bytes.length >= floats * 4 && bytes.length <= floats * 4 + 512,
+      s"unexpected payload size ${bytes.length} for $floats floats")
+    val back = Inference.MlpModel.fromBytes(bytes.clone())
+    assert(back.labels.toSeq == big.labels.toSeq)
+    (1 to 5).foreach { _ =>
+      val f = vec(512)
+      val (a, b) = (big.score(f), back.score(f))
+      assert(a.toSeq == b.toSeq, "scores must be IDENTICAL, not approximately equal")
+      assert(math.abs(a.sum - 1.0) < 1e-9)
+    }
+  }
+
   test("fromBytes rejects non-model payloads") {
     intercept[IllegalArgumentException] {
       Inference.MlpModel.fromBytes(Array.fill[Byte](16)(1))
