@@ -161,7 +161,10 @@ object Bench {
     "q232_stream_ttl_transitions" -> 2.350,
     // q228's operator at the production threshold τ=0.5 (first declared r6;
     // prefixes prune hard — 3.30 s vs q228's 5.93 s in the same sweep)
-    "q233_incremental_neardup_t50" -> 3.300)
+    "q233_incremental_neardup_t50" -> 3.300,
+    // declarative HyperLogLog (first declared r6): batch per-lang distinct
+    // profile and the streaming cell-table replay
+    "q234_hll_distinct" -> 0.690, "q235_stream_hll" -> 1.020)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

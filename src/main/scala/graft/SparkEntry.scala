@@ -5525,11 +5525,14 @@ object SparkEntry {
       col("doc_id"), col("lang"),
       sort_array(array_distinct(
         transform(TF.charShingles(col("text"), 5), x => xxhash64(x)))).as("h"))
-    // near-dup pairs via the LOSSLESS prefix-filtered self-join (q231's
-    // operator) — same exact ≥0.5 Jaccard predicate as the former
-    // Pairs.allPairs plan but sub-quadratic: candidates come from shared
-    // rare-prefix postings, never from per-language all-pairs, so stage 4
-    // survives a 100-TB corpus with a handful of language blocks
+    // near-dup pairs via the exact similarity SELF-join under its
+    // COST-BASED strategy (q231 gates the prefix engine; the spec proves
+    // both engines emit identical pairs): Auto measures the prefix-postings
+    // candidate volume against the blocked all-pairs volume on THIS
+    // corpus and runs the cheaper exact plan — prefix postings on the
+    // realistic big-block/low-density corpus, salted all-pairs when
+    // replica-dense clusters make prefixes degenerate (the sf1 stress
+    // corpus: 2.28 G candidate occurrences vs 0.25 G block pairs)
     val dominated = graft.operators.SimilarityJoin
       .jaccardSelfJoin(sh, "doc_id", "h", threshold = 0.5, blockCols = Seq("lang"))
       .select(col("id_b").as("doc_id")).distinct()
@@ -5560,7 +5563,11 @@ object SparkEntry {
       sort_array(array_distinct(
         transform(TF.charShingles(col("text"), 5), x => xxhash64(x)))).as("h"))
     graft.operators.SimilarityJoin
-      .jaccardSelfJoin(sh, "doc_id", "h", threshold = 0.5, blockCols = Seq("lang"))
+      .jaccardSelfJoin(sh, "doc_id", "h", threshold = 0.5, blockCols = Seq("lang"),
+        // pinned to the prefix engine: THIS query is the oracle gate for the
+        // prefix-filter candidate generator (Auto would pick allPairs on the
+        // small, near-dup-dense test corpus and leave the engine ungated)
+        strategy = graft.operators.SelfJoinStrategy.PrefixFilter)
       .select(col("id_a"), col("id_b"), rnd(col("jac"), 4).as("jac"))
       .orderBy(col("jac").desc, col("id_a"), col("id_b"))
   }
@@ -5587,6 +5594,37 @@ object SparkEntry {
     sink.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
       .orderBy(col("src"), col("dst"))
   }
+
+  // q234 — HyperLogLog distinct-token profile per language (the corpus
+  // cardinality report a 100-TB build runs where count(distinct) can't):
+  // ≤ 2^11 cells per lang vs a full-vocabulary shuffle; the exact count
+  // rides along as the accuracy pairing (the q225 CMS pattern). Portable
+  // md5-slice hashing + integer leading-zero rank ⇒ the oracle re-derives
+  // the identical cells AND the closed-form bias-corrected estimate.
+  private def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .filter(trim(col("text")) =!= "")
+      .select(col("lang"), explode(TF.tokens(lower(col("text")))).as("w"))
+    val p = 11
+    val cells = graft.functions.HyperLogLog.cells(toks, col("w"), p, Seq("lang"))
+    val est = graft.functions.HyperLogLog.estimate(cells, p, Seq("lang"))
+    toks.groupBy(col("lang")).agg(countDistinct(col("w")).as("exact_distinct"))
+      .join(est, Seq("lang"))
+      .select(col("lang"), col("exact_distinct"), rnd(col("est"), 2).as("hll_est"))
+      .orderBy(col("lang"))
+  }
+
+  // q235 — the q234 sketch maintained over the replayed event stream
+  // (X22's distinct-count dual × phase E): a running groupBy-max whose
+  // state is 2^9 cells no matter how long the stream runs — the drained
+  // cell table must equal the batch re-derivation from the same md5
+  // slices.
+  private def streamHll(s: SparkSession, dir: String): DataFrame =
+    replayStream(s, dir, "complete") { ev =>
+      graft.streaming.StreamOps.hllCells(ev, col("user_id").cast("string"), p = 9)
+    }
+      .select(col("bucket"), col("r").cast("long").as("r"))
+      .orderBy(col("bucket"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5822,7 +5860,9 @@ object SparkEntry {
     "q230_curation_funnel" -> curationFunnel,
     "q231_selfjoin_neardup" -> selfJoinNearDups,
     "q232_stream_ttl_transitions" -> streamTtlTransitions,
-    "q233_incremental_neardup_t50" -> incrementalNearDups(0.5))
+    "q233_incremental_neardup_t50" -> incrementalNearDups(0.5),
+    "q234_hll_distinct" -> hllDistinct,
+    "q235_stream_hll" -> streamHll)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -10453,5 +10493,53 @@ object SparkEntry {
         |)
         |SELECT inc_id, corp_id, round(j + 1e-9, 4) AS jac
         |FROM pairs WHERE j >= 0.5
-        |ORDER BY inc_id, corp_id""".stripMargin)
+        |ORDER BY inc_id, corp_id""".stripMargin,
+    // q234: the oracle re-derives the HLL cells from the same md5 slices
+    // (bucket = first 8 hex mod 2^11; rho = leading zeros of the next 8
+    // hex + 1, via exact integer/string logic) and applies the identical
+    // closed-form bias-corrected estimate with linear-counting switch.
+    "q234_hll_distinct" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE trim(text) <> ''
+        |), cells AS (
+        |  SELECT lang,
+        |    CAST(CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 2048 AS BIGINT) AS bucket,
+        |    max(CASE WHEN CAST(concat('0x', substr(md5(w), 9, 8)) AS BIGINT) = 0 THEN 33
+        |        ELSE instr(lpad(bin(CAST(concat('0x', substr(md5(w), 9, 8)) AS BIGINT)), 32, '0'), '1')
+        |        END) AS r
+        |  FROM tok GROUP BY 1, 2
+        |), agg_ AS (
+        |  SELECT lang, sum(power(2.0, -r)) AS sp, CAST(count(*) AS DOUBLE) AS used
+        |  FROM cells GROUP BY 1
+        |), calc AS (
+        |  SELECT lang,
+        |    0.7213 / (1 + 1.079 / 2048.0) * 2048 * 2048 / (sp + (2048 - used)) AS raw,
+        |    2048 - used AS zeros
+        |  FROM agg_
+        |), fin AS (
+        |  SELECT lang,
+        |    CASE WHEN raw <= 2.5 * 2048 AND zeros > 0
+        |         THEN 2048 * ln(2048 / zeros) ELSE raw END AS e
+        |  FROM calc
+        |), ex AS (
+        |  SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+        |  FROM tok GROUP BY 1
+        |)
+        |SELECT ex.lang, ex.exact_distinct, round(fin.e + 1e-9, 2) AS hll_est
+        |FROM ex JOIN fin USING (lang) ORDER BY lang""".stripMargin,
+    // q235: the drained streaming cell table must equal the batch sketch
+    "q235_stream_hll" ->
+      """WITH cells AS (
+        |  SELECT
+        |    CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 512 AS BIGINT) AS bucket,
+        |    max(CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT) = 0
+        |        THEN 33
+        |        ELSE instr(lpad(bin(CAST(concat('0x',
+        |          substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT)), 32, '0'), '1')
+        |        END) AS r
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |)
+        |SELECT bucket, CAST(r AS BIGINT) AS r FROM cells ORDER BY bucket""".stripMargin)
 }

@@ -242,6 +242,18 @@ object StreamOps {
       width: Int): DataFrame =
     graft.functions.CountMin.sketch(stream, item, depth, width)
 
+  /** Streaming HyperLogLog maintenance — the distinct-count dual of
+    * [[cmsCells]]: the same declarative cell table
+    * graft.functions.HyperLogLog.cells builds in batch, maintained as a
+    * running streaming aggregation (the planner turns the groupBy-max into
+    * a stateful agg). State is BOUNDED BY CONSTRUCTION at 2^p cells
+    * regardless of stream length or key cardinality — "how many distinct
+    * users/tokens has this unbounded feed seen" at any moment via
+    * HyperLogLog.estimate over the current cells.
+    */
+  def hllCells(stream: DataFrame, item: org.apache.spark.sql.Column, p: Int): DataFrame =
+    graft.functions.HyperLogLog.cells(stream, item, p)
+
   /** Streaming trend detection (the VEG adjacent-period comparison as a
     * stateful operator): per (event_type) group, compare each micro-batch's
     * day-average against the previous day's retained in state and emit

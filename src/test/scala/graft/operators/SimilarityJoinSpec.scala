@@ -131,6 +131,48 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(got == bruteForceSelf(rows, t))
   }
 
+  test("all three strategies emit identical pairs (with and without blocks)") {
+    val rows = randomSets(29, 110)
+    val blockOf = (id: Long) => id % 2
+    val df = rows.map { case (i, s) => (i, blockOf(i), s) }.toDF("id", "g", "s")
+    val t = 0.4
+    val want = bruteForceSelf(rows, t, blockOf)
+    Seq(SelfJoinStrategy.Auto, SelfJoinStrategy.PrefixFilter, SelfJoinStrategy.BlockedAllPairs)
+      .foreach { st =>
+        val got = SimilarityJoin
+          .jaccardSelfJoin(df, "id", "s", t, blockCols = Seq("g"), strategy = st)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(got == want, s"strategy=$st")
+        val noBlocks = SimilarityJoin
+          .jaccardSelfJoin(rows.toDF("id", "s"), "id", "s", t, strategy = st)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(noBlocks == bruteForceSelf(rows, t), s"strategy=$st (no blocks)")
+      }
+  }
+
+  test("cost probe identifies the regime: replica-dense -> allPairs, sparse -> prefix") {
+    // replica-dense: 20 originals x 10 near-identical copies — every
+    // cluster member shares its whole prefix, so prefix candidates blow
+    // past the block volume (the sf1 stress shape)
+    val rnd = new scala.util.Random(31)
+    val dense = (0 until 20).flatMap { o =>
+      val base = Seq.fill(60)(rnd.nextInt(100000).toLong).distinct.sorted
+      (0 until 10).map { r =>
+        (o * 10L + r, (base :+ (1000000L + o * 10 + r)).distinct.sorted)
+      }
+    }
+    val (dp, db) = SimilarityJoin.selfJoinVolumes(dense.toDF("id", "s"), "id", "s", 0.5)
+    assert(dp > db, s"dense corpus should favor allPairs: prefix=$dp blocks=$db")
+
+    // sparse: 200 docs with mostly-unique elements — rare prefixes almost
+    // never collide, so candidates stay far below the all-pairs volume
+    val sparse = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(60)(rnd.nextLong()).distinct.sorted)
+    }
+    val (sp, sb) = SimilarityJoin.selfJoinVolumes(sparse.toDF("id", "s"), "id", "s", 0.5)
+    assert(sp < sb, s"sparse corpus should favor prefix filter: prefix=$sp blocks=$sb")
+  }
+
   test("pin strategies agree (Persist / Off vs default)") {
     val rows = randomSets(23, 60)
     val df = rows.toDF("id", "s")
