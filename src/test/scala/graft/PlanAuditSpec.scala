@@ -61,7 +61,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q223_dsir_weights",
     // q227: hard-negative scoring is the declared broadcast-anchors
     // brute-force baseline (anchor set ≪ corpus; ivfTopK is the scale swap)
-    "q227_contrastive_triplets")
+    "q227_contrastive_triplets",
+    // q19: centroidScored broadcasts ONE wide row (the two class-centroid
+    // arrays, 2×dim doubles) into a narrow scoring map — the same 1-row
+    // broadcast-bind class as q203/q206/q208
+    "q19_scored_classifier")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each window
     * provably rides a BOUNDED aggregate frame (cardinality set by the
