@@ -163,8 +163,9 @@ object Bench {
     // event-time-TTL transition replay (first declared r6; replay harness
     // cost tracks q211's 2.34 s almost exactly — the TTL adds no stages)
     "q232_stream_ttl_transitions" -> 2.350,
-    // q228's operator at the production threshold τ=0.5 (first declared r6;
-    // prefixes prune hard — 3.30 s vs q228's 5.93 s in the same sweep)
+    // q228's operator at the production threshold τ=0.5 (first declared r6
+    // at 3.30 s on the pinned prefix engine; cost-based Auto measures
+    // 2.18 s at sf0.1 and 26 s — not 260 s — at sf1)
     "q233_incremental_neardup_t50" -> 3.300,
     // declarative HyperLogLog (first declared r6): batch per-lang distinct
     // profile and the streaming cell-table replay

@@ -5459,9 +5459,13 @@ object SparkEntry {
   // 5-gram Jaccard ≥ τ with NO all-pairs stage and NO banding recall
   // loss — the lossless counterpart of q16's MinHash screen. Two declared
   // operating points: τ=0.25 (q228, the weak-pruning stress demo — prefixes
-  // span ~75% of each set) and τ=0.5 (q233, the PRODUCTION dedup regime,
-  // where prefixes shrink to ≤ half and the candidate set collapses).
-  private def incrementalNearDups(threshold: Double)(s: SparkSession, dir: String): DataFrame = {
+  // span ~75% of each set; strategy-PINNED to the prefix engine, which this
+  // query oracle-gates) and τ=0.5 (q233, the PRODUCTION dedup regime on the
+  // cost-based Auto strategy — prefix postings where they prune, salted
+  // cross when replica density makes them degenerate).
+  private def incrementalNearDups(
+      threshold: Double,
+      strategy: graft.operators.SimilarityStrategy)(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents").select(
       col("doc_id"),
       sort_array(array_distinct(
@@ -5471,7 +5475,8 @@ object SparkEntry {
     val corpus = sh.filter(col("doc_id") % 10 =!= 0)
       .withColumnRenamed("doc_id", "corp_id")
     graft.operators.SimilarityJoin
-      .jaccardJoin(incoming, "inc_id", corpus, "corp_id", "h", threshold = threshold)
+      .jaccardJoin(incoming, "inc_id", corpus, "corp_id", "h",
+        threshold = threshold, strategy = strategy)
       .select(col("inc_id"), col("corp_id"), rnd(col("jac"), 4).as("jac"))
       .orderBy(col("inc_id"), col("corp_id"))
   }
@@ -5567,7 +5572,7 @@ object SparkEntry {
         // pinned to the prefix engine: THIS query is the oracle gate for the
         // prefix-filter candidate generator (Auto would pick allPairs on the
         // small, near-dup-dense test corpus and leave the engine ungated)
-        strategy = graft.operators.SelfJoinStrategy.PrefixFilter)
+        strategy = graft.operators.SimilarityStrategy.PrefixFilter)
       .select(col("id_a"), col("id_b"), rnd(col("jac"), 4).as("jac"))
       .orderBy(col("jac").desc, col("id_a"), col("id_b"))
   }
@@ -5855,12 +5860,14 @@ object SparkEntry {
     "q225_cms_heavy_hitters" -> cmsHeavyHitters,
     "q226_stream_cms" -> streamCms,
     "q227_contrastive_triplets" -> contrastiveTriplets,
-    "q228_incremental_neardup" -> incrementalNearDups(0.25),
+    "q228_incremental_neardup" ->
+      incrementalNearDups(0.25, graft.operators.SimilarityStrategy.PrefixFilter),
     "q229_zorder_layout" -> zorderLayout,
     "q230_curation_funnel" -> curationFunnel,
     "q231_selfjoin_neardup" -> selfJoinNearDups,
     "q232_stream_ttl_transitions" -> streamTtlTransitions,
-    "q233_incremental_neardup_t50" -> incrementalNearDups(0.5),
+    "q233_incremental_neardup_t50" ->
+      incrementalNearDups(0.5, graft.operators.SimilarityStrategy.Auto),
     "q234_hll_distinct" -> hllDistinct,
     "q235_stream_hll" -> streamHll)
 

@@ -5,29 +5,32 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.VectorExpressions
 
-/** How [[SimilarityJoin.jaccardSelfJoin]] generates its candidate pairs.
-  * Both strategies are EXACT (identical output); they differ only in cost,
-  * and the right one is data-dependent — see the cost model on
+/** How [[SimilarityJoin]] generates its candidate pairs (both entry
+  * points). All strategies are EXACT (identical output); they differ only
+  * in cost, and the right one is data-dependent — see the cost model on
   * [[SimilarityJoin.selfJoinVolumes]].
   */
-sealed trait SelfJoinStrategy
-object SelfJoinStrategy {
+sealed trait SimilarityStrategy
+object SimilarityStrategy {
 
   /** Measure both candidate volumes on the prepared inputs and run the
     * cheaper plan — two tiny aggregation jobs buy the decision.
     */
-  case object Auto extends SelfJoinStrategy
+  case object Auto extends SimilarityStrategy
 
   /** Force the rarest-first prefix-postings join (output-sensitive; wins on
-    * large blocks with low duplicate density — the common corpus).
+    * large blocks/frames with low duplicate density — the common corpus).
     */
-  case object PrefixFilter extends SelfJoinStrategy
+  case object PrefixFilter extends SimilarityStrategy
 
-  /** Force salted within-block all-pairs + early-exit verify (density-
-    * independent ~0.2 µs/pair; wins on replica-dense or small blocks).
+  /** Force exhaustive enumeration + early-exit verify, kept an equi-join by
+    * salting (within-block all-pairs for the self-join; salted full cross
+    * for the two-frame join). Density-independent ~0.2 µs/pair; wins on
+    * replica-dense corpora or small inputs.
     */
-  case object BlockedAllPairs extends SelfJoinStrategy
+  case object AllPairs extends SimilarityStrategy
 }
+
 
 /** Prefix-filtered EXACT set-similarity join — the AllPairs/PPJoin family
   * (Bayardo, Ma & Srikant, WWW 2007; Xiao et al., WWW 2008): every pair
@@ -103,6 +106,13 @@ object SimilarityJoin {
     * (id_l, id_r, jac). Self-pairs are the caller's concern — pass
     * disjoint frames (the incremental-ingest shape) or use
     * [[jaccardSelfJoin]] for the within-corpus dedup shape.
+    *
+    * `strategy` picks the candidate engine ([[jaccardSelfJoin]] discusses
+    * the cost model; the same degeneracy applies cross-frame — on a
+    * replica-dense corpus the prefix postings regenerate every true pair
+    * once per shared prefix element, and the salted FULL CROSS at
+    * |L|·|R| cheap pairs wins). Auto measures Σ_h n_L(h)·n_R(h) against
+    * |L|·|R| on the prepared inputs and runs the cheaper exact plan.
     */
   def jaccardJoin(
       left: DataFrame,
@@ -111,7 +121,9 @@ object SimilarityJoin {
       rightId: String,
       setCol: String,
       threshold: Double,
-      pin: Pin = Pin.LocalCheckpoint): DataFrame = {
+      pin: Pin = Pin.LocalCheckpoint,
+      strategy: SimilarityStrategy = SimilarityStrategy.Auto,
+      buckets: Int = 8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
     require(leftId != rightId,
@@ -124,22 +136,53 @@ object SimilarityJoin {
     val l = pin(left.select(col(leftId).cast("long").as("_aid"), col(setCol).as("_as")))
     val r = pin(right.select(col(rightId).cast("long").as("_bid"), col(setCol).as("_bs")))
 
-    // global rarest-first order: document frequency over BOTH frames.
-    // Pinned too — it feeds both prefixPostings calls, and recomputing it
-    // would re-read both (already pinned) sides and re-aggregate.
-    val freq = pin(l.select(explode(col("_as")).as("h"))
-      .unionAll(r.select(explode(col("_bs")).as("h")))
-      .groupBy(col("h")).agg(count(lit(1)).as("_df")))
+    def buildPosts(): (DataFrame, DataFrame) = {
+      // global rarest-first order: document frequency over BOTH frames.
+      // Pinned too — it feeds both prefixPostings calls, and recomputing it
+      // would re-read both (already pinned) sides and re-aggregate.
+      val freq = pin(l.select(explode(col("_as")).as("h"))
+        .unionAll(r.select(explode(col("_bs")).as("h")))
+        .groupBy(col("h")).agg(count(lit(1)).as("_df")))
+      (prefixPostings(l.withColumnRenamed("_as", "_set"), Seq("_aid"), freq, threshold),
+        prefixPostings(r.withColumnRenamed("_bs", "_set"), Seq("_bid"), freq, threshold))
+    }
 
-    val candidates = prefixPostings(
-        l.withColumnRenamed("_as", "_set"), Seq("_aid"), freq, threshold)
-      .join(prefixPostings(
-        r.withColumnRenamed("_bs", "_set"), Seq("_bid"), freq, threshold), Seq("h"))
-      .select(col("_aid"), col("_bid"))
-      .distinct()
+    def prefixPath(posts: (DataFrame, DataFrame)): DataFrame = {
+      val candidates = posts._1.join(posts._2, Seq("h"))
+        .select(col("_aid"), col("_bid"))
+        .distinct()
+      verify(candidates, l, r, threshold)
+    }
 
-    verify(candidates, l, r, threshold)
-      .select(col("_aid").as(leftId), col("_bid").as(rightId), col("_j").as("jac"))
+    // salted full cross: every (a, b) meets exactly once — b lands in one
+    // id-hash bucket, a replicates to all `buckets` — and the join stays an
+    // equi-join (no CartesianProduct), so AQE spreads it like any shuffle
+    def crossPath(): DataFrame = {
+      val rb = r.withColumn("_g", pmod(xxhash64(col("_bid")), lit(buckets)).cast("int"))
+      val lb = l.withColumn("_g",
+        explode(sequence(lit(0), lit(buckets - 1)).cast("array<int>")))
+      lb.join(rb, Seq("_g"))
+        .filter(least(size(col("_as")), size(col("_bs")))
+          >= lit(threshold) * greatest(size(col("_as")), size(col("_bs"))) - lit(0.5))
+        .withColumn("_j",
+          VectorExpressions.jaccardSortedMin(col("_as"), col("_bs"), threshold))
+        .filter(col("_j") >= threshold)
+    }
+
+    val out = strategy match {
+      case SimilarityStrategy.PrefixFilter => prefixPath(buildPosts())
+      case SimilarityStrategy.AllPairs => crossPath()
+      case SimilarityStrategy.Auto =>
+        val posts = buildPosts()
+        val nl = posts._1.groupBy(col("h")).count().withColumnRenamed("count", "_nl")
+        val nr = posts._2.groupBy(col("h")).count().withColumnRenamed("count", "_nr")
+        val cPrefix = nl.join(nr, Seq("h"))
+          .agg(coalesce(sum(col("_nl").cast("double") * col("_nr")), lit(0.0)))
+          .head().getDouble(0)
+        val cCross = l.count().toDouble * r.count().toDouble
+        if (cPrefix <= cCross) prefixPath(posts) else crossPath()
+    }
+    out.select(col("_aid").as(leftId), col("_bid").as(rightId), col("_j").as("jac"))
   }
 
   /** All WITHIN-corpus pairs with exact Jaccard ≥ `threshold` — the dedup
@@ -149,7 +192,7 @@ object SimilarityJoin {
     *
     * TWO exact engines, chosen by `strategy` (default: cost-based Auto):
     *
-    *  - [[SelfJoinStrategy.PrefixFilter]] — the lossless rarest-first
+    *  - [[SimilarityStrategy.PrefixFilter]] — the lossless rarest-first
     *    prefix-postings join of [[jaccardJoin]] (proof in the header applies
     *    verbatim to the self case; id ordering halves the candidate space).
     *    OUTPUT-SENSITIVE: candidate volume is Σ_h n_p(h)·(n_p(h)−1)/2 over
@@ -160,7 +203,7 @@ object SimilarityJoin {
     *    regenerated once per shared prefix element (measured: 2.28 G
     *    candidate occurrences for ~0.25 M true pairs on the 10×-replica
     *    sf1 stress corpus).
-    *  - [[SelfJoinStrategy.BlockedAllPairs]] — [[Pairs.allPairs]] salted
+    *  - [[SimilarityStrategy.AllPairs]] — [[Pairs.allPairs]] salted
     *    within-block enumeration + the same early-exit verify kernel.
     *    DENSITY-INDEPENDENT: Σ_b m_b·(m_b−1)/2 pairs at ~0.2 µs each
     *    (length-prune + early-exit), quadratic in block size but immune to
@@ -186,7 +229,7 @@ object SimilarityJoin {
       threshold: Double,
       blockCols: Seq[String] = Nil,
       pin: Pin = Pin.LocalCheckpoint,
-      strategy: SelfJoinStrategy = SelfJoinStrategy.Auto,
+      strategy: SimilarityStrategy = SimilarityStrategy.Auto,
       buckets: Int = 8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
@@ -233,9 +276,9 @@ object SimilarityJoin {
         .select(col("_aid").as("id_a"), col("_bid").as("id_b"), col("_j").as("jac"))
 
     strategy match {
-      case SelfJoinStrategy.PrefixFilter => prefixPath(buildPost())
-      case SelfJoinStrategy.BlockedAllPairs => allPairsPath()
-      case SelfJoinStrategy.Auto =>
+      case SimilarityStrategy.PrefixFilter => prefixPath(buildPost())
+      case SimilarityStrategy.AllPairs => allPairsPath()
+      case SimilarityStrategy.Auto =>
         val post = buildPost()
         val cPrefix = pairVolume(post.groupBy(("h" +: blockCols).map(col): _*).count())
         val cBlocks = pairVolume(base.groupBy(blockCols.map(col): _*).count())
@@ -244,7 +287,7 @@ object SimilarityJoin {
   }
 
   /** Σ over groups of n·(n−1)/2 from a grouped `.count()` frame — the
-    * candidate-volume estimate behind [[SelfJoinStrategy.Auto]]. Double to
+    * candidate-volume estimate behind [[SimilarityStrategy.Auto]]. Double to
     * stay overflow-safe at any corpus size (it's an estimate, not a count).
     */
   private def pairVolume(counts: DataFrame): Double =

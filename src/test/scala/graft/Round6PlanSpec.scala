@@ -49,7 +49,7 @@ class Round6PlanSpec extends AnyFunSuite {
     val rows = (1L to 50L).map(i => (i, Seq(i, i + 1, i + 2)))
     val p = plan(graft.operators.SimilarityJoin.jaccardSelfJoin(
       rows.toDF("id", "s"), "id", "s", 0.5,
-      strategy = graft.operators.SelfJoinStrategy.BlockedAllPairs))
+      strategy = graft.operators.SimilarityStrategy.AllPairs))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs path must stay an equi-join:\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||

@@ -131,13 +131,31 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(got == bruteForceSelf(rows, t))
   }
 
+  test("cross-frame strategies (Auto / PrefixFilter / AllPairs salted cross) agree") {
+    val all = randomSets(37, 100)
+    val (lRows, rRows) = all.partition(_._1 <= 50)
+    val l = lRows.toDF("lid", "s")
+    val r = rRows.toDF("rid", "s")
+    Seq(0.3, 0.6).foreach { t =>
+      val want = bruteForce(lRows, rRows, t)
+      Seq(SimilarityStrategy.Auto, SimilarityStrategy.PrefixFilter, SimilarityStrategy.AllPairs)
+        .foreach { st =>
+          val got = SimilarityJoin.jaccardJoin(l, "lid", r, "rid", "s", t, strategy = st)
+            .select("lid", "rid").as[(Long, Long)].collect()
+          assert(got.length == got.toSet.size, s"t=$t $st: duplicate pairs")
+          assert(got.toSet == want,
+            s"t=$t $st: missing=${want -- got.toSet} extra=${got.toSet -- want}")
+        }
+    }
+  }
+
   test("all three strategies emit identical pairs (with and without blocks)") {
     val rows = randomSets(29, 110)
     val blockOf = (id: Long) => id % 2
     val df = rows.map { case (i, s) => (i, blockOf(i), s) }.toDF("id", "g", "s")
     val t = 0.4
     val want = bruteForceSelf(rows, t, blockOf)
-    Seq(SelfJoinStrategy.Auto, SelfJoinStrategy.PrefixFilter, SelfJoinStrategy.BlockedAllPairs)
+    Seq(SimilarityStrategy.Auto, SimilarityStrategy.PrefixFilter, SimilarityStrategy.AllPairs)
       .foreach { st =>
         val got = SimilarityJoin
           .jaccardSelfJoin(df, "id", "s", t, blockCols = Seq("g"), strategy = st)
