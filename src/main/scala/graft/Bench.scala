@@ -202,6 +202,15 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // drop the warmup queries' persistent RDDs wholesale before timing
+    // starts: the per-query sweep below scopes its unpersist to RDDs the
+    // query itself created (so it can't break a pre-existing pinned frame),
+    // which would otherwise leave ~200 warmup-era localCheckpoint blocks
+    // alive for the entire sweep — measured late-sweep inflation up to 4×
+    // (q227 at sf1: 16 s in-sweep vs 4.2 s standalone)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
 
     // min of two runs per query: first-touch JIT and ambient GC noise
     // inflated single-shot numbers up to 4x in testing. Caches from
