@@ -61,9 +61,12 @@ object SimilarityJoin {
 
   /** Per-row prefix postings: for each key row of `df` (columns `keyCols`
     * plus the element array `_set`), emit the first s − ⌈t·s⌉ + 1 elements
-    * in global rarest-first `(df, h)` order as (keyCols…, h) rows. The
-    * −1e-9 nudge before ceil errs the prefix LONGER under FP rounding of
-    * t·s — extra candidates, never a missed pair.
+    * in global rarest-first `(df, h)` order as (keyCols…, _sz, _pos, h)
+    * rows — `_pos` is the element's 1-based rank in the FULL set ordering
+    * and `_sz` the set size, which is what the PPJoin positional filter
+    * needs at candidate time. The −1e-9 nudge before ceil errs the prefix
+    * LONGER under FP rounding of t·s — extra candidates, never a missed
+    * pair.
     */
   private def prefixPostings(
       df: DataFrame,
@@ -76,8 +79,27 @@ object SimilarityJoin {
       .join(freq, Seq("h"))
       .groupBy(keyCols.map(col): _*)
       .agg(array_sort(collect_list(struct(col("_df"), col("h")))).as("_byRank"))
-      .select(keyCols.map(col) :+ explode(
-        transform(slice(col("_byRank"), lit(1), plen), e => e.getField("h"))).as("h"): _*)
+      .select(keyCols.map(col) :+ s.as("_sz") :+ posexplode(
+        transform(slice(col("_byRank"), lit(1), plen), e => e.getField("h")))
+        .as(Seq("_pos0", "h")): _*)
+      .select(keyCols.map(col) :+ col("_sz") :+ (col("_pos0") + 1).as("_pos") :+ col("h"): _*)
+  }
+
+  /** PPJoin positional filter (Xiao et al., WWW 2008) on a candidate
+    * OCCURRENCE: the shared element sits at 1-based ranks (pa, pb) of sets
+    * sized (sa, sb); the overlap still reachable from here is
+    * 1 + min(sa − pa, sb − pb), and J ≥ t needs overlap
+    * α = ⌈t/(1+t)·(sa+sb)⌉. LOSSLESS on pairs: a qualifying pair's FIRST
+    * common element always passes (everything before it on either side is
+    * non-shared), so the pair survives through that occurrence; deep-prefix
+    * occurrences of non-qualifying pairs — the bulk of the candidate mass
+    * at low thresholds — die before the dedup shuffle. The −1e-9 nudge
+    * errs α SMALLER (keeps more), never drops a boundary pair.
+    */
+  private def positionalKeep(
+      sa: Column, pa: Column, sb: Column, pb: Column, threshold: Double): Column = {
+    val alpha = ceil((sa + sb).cast("double") * (threshold / (1 + threshold)) - lit(1e-9))
+    lit(1) + least(sa - pa, sb - pb) >= alpha
   }
 
   /** Exact verify on candidate id pairs: join the set arrays back, apply the
@@ -148,7 +170,13 @@ object SimilarityJoin {
     }
 
     def prefixPath(posts: (DataFrame, DataFrame)): DataFrame = {
-      val candidates = posts._1.join(posts._2, Seq("h"))
+      val pa = posts._1
+        .withColumnRenamed("_sz", "_asz").withColumnRenamed("_pos", "_apos")
+      val pb = posts._2
+        .withColumnRenamed("_sz", "_bsz").withColumnRenamed("_pos", "_bpos")
+      val candidates = pa.join(pb, Seq("h"))
+        .filter(positionalKeep(
+          col("_asz"), col("_apos"), col("_bsz"), col("_bpos"), threshold))
         .select(col("_aid"), col("_bid"))
         .distinct()
       verify(candidates, l, r, threshold)
@@ -251,9 +279,13 @@ object SimilarityJoin {
     }
 
     def prefixPath(post: DataFrame): DataFrame = {
-      val candidates = post.toDF(("_aid" +: blockCols) :+ "h": _*)
-        .join(post.toDF(("_bid" +: blockCols) :+ "h": _*), "h" +: blockCols)
+      val candidates = post
+        .toDF(("_aid" +: blockCols) ++ Seq("_asz", "_apos", "h"): _*)
+        .join(post.toDF(("_bid" +: blockCols) ++ Seq("_bsz", "_bpos", "h"): _*),
+          "h" +: blockCols)
         .filter(col("_aid") < col("_bid"))
+        .filter(positionalKeep(
+          col("_asz"), col("_apos"), col("_bsz"), col("_bpos"), threshold))
         .select(col("_aid"), col("_bid"))
         .distinct()
       verify(
