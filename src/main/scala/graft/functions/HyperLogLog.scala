@@ -90,7 +90,10 @@ object HyperLogLog {
     checkP(p)
     val m = (1L << p).toDouble
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val sumPow = sum(pow(lit(2.0), -col("r")))
+    // coalesce: an EMPTY cell table (no items at all) must estimate 0, not
+    // null — with sumPow=0 and zeros=m the linear-counting branch returns
+    // exactly m·ln(m/m) = 0
+    val sumPow = coalesce(sum(pow(lit(2.0), -col("r"))), lit(0.0))
     val used = count(lit(1)).cast("double")
     val zeros = lit(m) - used
     val raw = lit(alpha * m * m) / (sumPow + zeros)

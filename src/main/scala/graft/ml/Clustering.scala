@@ -53,12 +53,16 @@ object Clustering {
       idCol: String,
       vecCol: String,
       seedIds: Seq[Long],
-      iters: Int): (DataFrame, Array[Array[Double]]) = {
+      iters: Int,
+      pin: graft.operators.Pin = graft.operators.Pin.LocalCheckpoint): (DataFrame, Array[Array[Double]]) = {
     require(seedIds.nonEmpty && iters >= 1, "need >= 1 seed and >= 1 iteration")
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     import org.apache.spark.ml.stat.Summarizer
     val vd = transform(col(vecCol), x => x.cast("double"))
-    val base = df.withColumn("_vd", vd)
+    // pin: the loop drives iters + 2 driver actions over this frame (seed
+    // collect, one aggregate per iteration, the final assignment) — without
+    // it every action re-scans the source and recomputes the cast
+    val base = pin(df.withColumn("_vd", vd))
 
     val seedRows = base
       .filter(col(idCol).cast("long").isin(seedIds: _*))

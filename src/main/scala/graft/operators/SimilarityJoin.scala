@@ -150,6 +150,7 @@ object SimilarityJoin {
       s"threshold must be in (0, 1]: $threshold")
     require(leftId != rightId,
       s"left and right id columns must differ in the output (rename one): $leftId")
+    require(buckets > 0, s"buckets must be positive: $buckets")
 
     // pin both inputs: each side is read 3× (frequency pass, prefix pass,
     // verify join-back) and the caller's set column is typically an
@@ -165,8 +166,11 @@ object SimilarityJoin {
       val freq = pin(l.select(explode(col("_as")).as("h"))
         .unionAll(r.select(explode(col("_bs")).as("h")))
         .groupBy(col("h")).agg(count(lit(1)).as("_df")))
-      (prefixPostings(l.withColumnRenamed("_as", "_set"), Seq("_aid"), freq, threshold),
-        prefixPostings(r.withColumnRenamed("_bs", "_set"), Seq("_bid"), freq, threshold))
+      // pin the postings too: under Auto each side is read twice (cost
+      // probe, then the candidate join) — without the pin the whole
+      // explode + freq-join + per-doc sort prep would recompute per read
+      (pin(prefixPostings(l.withColumnRenamed("_as", "_set"), Seq("_aid"), freq, threshold)),
+        pin(prefixPostings(r.withColumnRenamed("_bs", "_set"), Seq("_bid"), freq, threshold)))
     }
 
     def prefixPath(posts: (DataFrame, DataFrame)): DataFrame = {
@@ -263,20 +267,16 @@ object SimilarityJoin {
       s"threshold must be in (0, 1]: $threshold")
     require(!blockCols.contains(idCol),
       s"idCol $idCol must not appear in blockCols")
+    require(buckets > 0, s"buckets must be positive: $buckets")
 
     // base is read by every strategy 2-3× (stats/frequency pass, candidate
     // pass, verify join-back)
-    val base = pin(df.select(
-      (col(idCol).cast("long").as("_id") +: blockCols.map(col)) :+ col(setCol).as("_set"): _*))
+    val base = selfBase(df, idCol, setCol, blockCols, pin)
 
     // the postings table is BOTH sides of the candidate join (and the Auto
-    // cost probe) — pin it so the freq-join + per-doc sort run once
-    def buildPost(): DataFrame = {
-      // freq feeds exactly one prefixPostings call here — no pin needed
-      val freq = base.select(explode(col("_set")).as("h"))
-        .groupBy(col("h")).agg(count(lit(1)).as("_df"))
-      pin(prefixPostings(base, "_id" +: blockCols, freq, threshold))
-    }
+    // cost probe) — pin it so the freq-join + per-doc sort run once; built
+    // lazily so a forced AllPairs run never pays the prefix prep
+    def buildPost(): DataFrame = selfPost(base, blockCols, threshold, pin)
 
     def prefixPath(post: DataFrame): DataFrame = {
       val candidates = post
@@ -312,11 +312,35 @@ object SimilarityJoin {
       case SimilarityStrategy.AllPairs => allPairsPath()
       case SimilarityStrategy.Auto =>
         val post = buildPost()
-        val cPrefix = pairVolume(post.groupBy(("h" +: blockCols).map(col): _*).count())
-        val cBlocks = pairVolume(base.groupBy(blockCols.map(col): _*).count())
+        val (cPrefix, cBlocks) = selfVolumes(base, post, blockCols)
         if (cPrefix <= cBlocks) prefixPath(post) else allPairsPath()
     }
   }
+
+  /** Shared self-join prep: the projected/pinned base frame. */
+  private def selfBase(
+      df: DataFrame, idCol: String, setCol: String,
+      blockCols: Seq[String], pin: Pin): DataFrame =
+    pin(df.select(
+      (col(idCol).cast("long").as("_id") +: blockCols.map(col)) :+ col(setCol).as("_set"): _*))
+
+  /** Shared self-join prep: prefix postings over `base` (freq feeds exactly
+    * one prefixPostings call here — no pin needed on it).
+    */
+  private def selfPost(
+      base: DataFrame, blockCols: Seq[String], threshold: Double, pin: Pin): DataFrame = {
+    val freq = base.select(explode(col("_set")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("_df"))
+    pin(prefixPostings(base, "_id" +: blockCols, freq, threshold))
+  }
+
+  /** The two candidate volumes Auto compares — shared with the public
+    * [[selfJoinVolumes]] probe so the planner and the probe can't drift.
+    */
+  private def selfVolumes(
+      base: DataFrame, post: DataFrame, blockCols: Seq[String]): (Double, Double) =
+    (pairVolume(post.groupBy(("h" +: blockCols).map(col): _*).count()),
+      pairVolume(base.groupBy(blockCols.map(col): _*).count()))
 
   /** Σ over groups of n·(n−1)/2 from a grouped `.count()` frame — the
     * candidate-volume estimate behind [[SimilarityStrategy.Auto]]. Double to
@@ -339,12 +363,8 @@ object SimilarityJoin {
       setCol: String,
       threshold: Double,
       blockCols: Seq[String] = Nil): (Double, Double) = {
-    val base = df.select(
-      (col(idCol).cast("long").as("_id") +: blockCols.map(col)) :+ col(setCol).as("_set"): _*)
-    val freq = base.select(explode(col("_set")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("_df"))
-    val post = prefixPostings(base, "_id" +: blockCols, freq, threshold)
-    (pairVolume(post.groupBy(("h" +: blockCols).map(col): _*).count()),
-      pairVolume(base.groupBy(blockCols.map(col): _*).count()))
+    val base = selfBase(df, idCol, setCol, blockCols, Pin.Off)
+    val post = selfPost(base, blockCols, threshold, Pin.Off)
+    selfVolumes(base, post, blockCols)
   }
 }

@@ -184,6 +184,17 @@ object StreamOps {
     * against a batch lead()-window oracle (q232) while keeping state
     * bounded. Events later than the watermark are dropped by the engine
     * before the operator (standard late-data filtering).
+    *
+    * Out-of-order arrivals WITHIN the watermark: inside one micro-batch the
+    * fold sorts by (ts, event_id), so disorder there is invisible; an event
+    * that arrives in a LATER batch but carries an event time at or before
+    * the user's current state is STALE — it is skipped (no emission, no
+    * state regression), never folded as a bogus negative-gap transition.
+    * The purity contract is therefore: output equals the batch gap-filtered
+    * lead() window whenever cross-batch arrival respects per-user (ts, id)
+    * order; a cross-batch straggler costs at most its own two adjacent
+    * pairs, and can never fabricate a pair the oracle lacks or corrupt
+    * later chains by moving state backwards.
     */
   def transitionsEventTtl(
       spark: SparkSession,
@@ -205,11 +216,20 @@ object StreamOps {
             var prev = state.getOption
             val out = Vector.newBuilder[Transition]
             sorted.foreach { e =>
-              prev.foreach { p =>
-                if (e.ts.getTime - p.lastTs <= ttlMs)
-                  out += Transition(p.lastType, e.event_type)
+              // stale cross-batch straggler (event time not after the
+              // state's): skip — folding it would emit a negative-gap pair
+              // the batch oracle never produces and regress state to an
+              // older event, corrupting every later gap in the chain
+              val stale = prev.exists(p =>
+                e.ts.getTime < p.lastTs ||
+                  (e.ts.getTime == p.lastTs && e.event_id <= p.lastId))
+              if (!stale) {
+                prev.foreach { p =>
+                  if (e.ts.getTime - p.lastTs <= ttlMs)
+                    out += Transition(p.lastType, e.event_type)
+                }
+                prev = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
               }
-              prev = Some(TransState(e.ts.getTime, e.event_id, e.event_type))
             }
             prev.foreach { p =>
               state.update(p)

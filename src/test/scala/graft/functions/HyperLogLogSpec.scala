@@ -50,6 +50,12 @@ class HyperLogLogSpec extends AnyFunSuite {
     assert(math.abs(est - 20.0) / 20.0 < 0.05, s"linear counting should be sharp, got $est")
   }
 
+  test("empty input estimates 0, not null") {
+    val empty = Seq.empty[String].toDF("w")
+    val est = HyperLogLog.estimate(HyperLogLog.cells(empty, col("w"), 9), 9).head()
+    assert(!est.isNullAt(0) && est.getDouble(0) == 0.0)
+  }
+
   test("NULL items are skipped, matching count(distinct)") {
     val withNulls = Seq(Some("a"), None, Some("b"), None, Some("a")).toDF("w")
     val cells = HyperLogLog.cells(withNulls, col("w"), 9)

@@ -191,6 +191,17 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(sp < sb, s"sparse corpus should favor prefix filter: prefix=$sp blocks=$sb")
   }
 
+  test("non-positive buckets fail loud at entry (not as a silent empty join)") {
+    val rows = randomSets(41, 10).toDF("id", "s")
+    intercept[IllegalArgumentException] {
+      SimilarityJoin.jaccardSelfJoin(rows, "id", "s", 0.5, buckets = 0)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityJoin.jaccardJoin(rows, "id", rows.toDF("rid", "s"), "rid", "s", 0.5,
+        buckets = -1)
+    }
+  }
+
   test("pin strategies agree (Persist / Off vs default)") {
     val rows = randomSets(23, 60)
     val df = rows.toDF("id", "s")

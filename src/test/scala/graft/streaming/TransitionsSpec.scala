@@ -143,6 +143,44 @@ class TransitionsSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time TTL: a cross-batch out-of-order straggler neither emits nor regresses state") {
+    import scala.concurrent.duration._
+    val d = Files.createTempDirectory("trans-ooo")
+    d.toFile.deleteOnExit()
+    // batch 1 — user 1: a@60 (state now at 60)
+    Seq(StreamOps.TypedEvent(1L, ts(60), 1L, "a"))
+      .toDF().write.mode("overwrite").parquet(d.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(d.toString).schema)
+      .parquet(d.toString)
+    // generous watermark: the straggler below is NOT late-droppable — the
+    // operator itself must handle it
+    val q = StreamOps
+      .transitionsEventTtl(spark, stream.as[StreamOps.TypedEvent],
+        ttl = 2.hours, watermarkDelay = "10 days")
+      .writeStream.outputMode("append").format("memory").queryName("trans_ooo").start()
+    def rows() = spark.table("trans_ooo").as[StreamOps.Transition].collect()
+      .map(t => (t.src, t.dst)).sorted.toSeq
+    try {
+      q.processAllAvailable()
+      // batch 2 — b@30 arrives AFTER a@60 but carries an earlier event
+      // time: folding it would emit a bogus negative-gap (a -> b) the batch
+      // lead()-window oracle never produces, and would move state back to 30
+      Seq(StreamOps.TypedEvent(1L, ts(30), 2L, "b"))
+        .toDF().write.mode("append").parquet(d.toString)
+      q.processAllAvailable()
+      assert(rows() == Seq.empty, "stale straggler must not emit")
+      // batch 3 — c@90: chains from a@60 (gap 30 m), NOT from the stale b@30
+      Seq(StreamOps.TypedEvent(1L, ts(90), 3L, "c"))
+        .toDF().write.mode("append").parquet(d.toString)
+      q.processAllAvailable()
+      assert(rows() == Seq(("a", "c")), "state must still sit at the newest event")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS trans_ooo")
+    }
+  }
+
   test("within-batch events fold in (ts, event_id) order, not arrival order") {
     val d = Files.createTempDirectory("trans-order")
     d.toFile.deleteOnExit()
