@@ -159,18 +159,19 @@ object SimilarityJoin {
     val l = pin(left.select(col(leftId).cast("long").as("_aid"), col(setCol).as("_as")))
     val r = pin(right.select(col(rightId).cast("long").as("_bid"), col(setCol).as("_bs")))
 
-    def buildPosts(): (DataFrame, DataFrame) = {
+    def buildPosts(pinPosts: Boolean): (DataFrame, DataFrame) = {
       // global rarest-first order: document frequency over BOTH frames.
       // Pinned too — it feeds both prefixPostings calls, and recomputing it
       // would re-read both (already pinned) sides and re-aggregate.
       val freq = pin(l.select(explode(col("_as")).as("h"))
         .unionAll(r.select(explode(col("_bs")).as("h")))
         .groupBy(col("h")).agg(count(lit(1)).as("_df")))
-      // pin the postings too: under Auto each side is read twice (cost
-      // probe, then the candidate join) — without the pin the whole
-      // explode + freq-join + per-doc sort prep would recompute per read
-      (pin(prefixPostings(l.withColumnRenamed("_as", "_set"), Seq("_aid"), freq, threshold)),
-        pin(prefixPostings(r.withColumnRenamed("_bs", "_set"), Seq("_bid"), freq, threshold)))
+      // pin the postings ONLY when they'll be read twice (Auto: cost probe
+      // + candidate join); the forced prefix path reads each side once, so
+      // a pin there would be pure storage overhead
+      val pp: Pin = if (pinPosts) pin else Pin.Off
+      (pp(prefixPostings(l.withColumnRenamed("_as", "_set"), Seq("_aid"), freq, threshold)),
+        pp(prefixPostings(r.withColumnRenamed("_bs", "_set"), Seq("_bid"), freq, threshold)))
     }
 
     def prefixPath(posts: (DataFrame, DataFrame)): DataFrame = {
@@ -202,10 +203,10 @@ object SimilarityJoin {
     }
 
     val out = strategy match {
-      case SimilarityStrategy.PrefixFilter => prefixPath(buildPosts())
+      case SimilarityStrategy.PrefixFilter => prefixPath(buildPosts(pinPosts = false))
       case SimilarityStrategy.AllPairs => crossPath()
       case SimilarityStrategy.Auto =>
-        val posts = buildPosts()
+        val posts = buildPosts(pinPosts = true)
         val nl = posts._1.groupBy(col("h")).count().withColumnRenamed("count", "_nl")
         val nr = posts._2.groupBy(col("h")).count().withColumnRenamed("count", "_nr")
         val cPrefix = nl.join(nr, Seq("h"))
