@@ -63,13 +63,15 @@ object CountMin {
   /** Point-estimate the count of each row of `items` (column `itemCol`):
     * min over the depth row-counters, 0 for a never-seen item (all-empty
     * cells read as 0 via the left join). Returns `items` + `est`,
-    * ROW-FOR-ROW: duplicate input rows each keep their own output row (a
-    * per-row tag rides through the explode/join/re-group, so multiplicity
-    * survives even though the probe regroups).
+    * ROW-FOR-ROW: duplicate input rows each keep their own output row.
     *
-    * The join is depth broadcast-size equi-joins in one: items explode to
-    * depth (d, bucket) probes against the depth·width-row sketch —
-    * broadcastable at any realistic width.
+    * Shape: `depth` (≤ 4) broadcast left joins, one per row-hash — each
+    * probe column is a pure function of the item value, so the plan is
+    * fully DETERMINISTIC (no row tag, no regroup): a retried or speculated
+    * upstream task recomputes identical probes, and the items frame never
+    * shuffles at all (the earlier explode/regroup form keyed groups on
+    * `monotonically_increasing_id`, whose values depend on partition-local
+    * row order — a retry hazard flagged in round-6 ADVICE).
     */
   def estimate(
       sketchDf: DataFrame,
@@ -78,18 +80,24 @@ object CountMin {
       depth: Int,
       width: Int): DataFrame = {
     checkParams(depth, width)
-    val reserved = Set("d", "bucket", "cnt", "est", "_cm_row").intersect(items.columns.toSet)
+    val working = (0 until depth).flatMap(d => Seq(s"_cmb$d", s"_cmc$d")).toSet + "est"
+    val reserved = working.intersect(items.columns.toSet)
     require(reserved.isEmpty,
       s"estimate's working/output columns clash with items columns: $reserved — rename them first")
-    val probes = TextFunctions.bindOnce(col(itemCol)) { it =>
-      array((0 until depth).map(d => bucket(it, d, width)): _*)
+    val joined = (0 until depth).foldLeft(items) { (acc, d) =>
+      acc
+        .withColumn(s"_cmb$d", bucket(col(itemCol), d, width))
+        .join(
+          broadcast(sketchDf.where(col("d") === d)
+            .select(col("bucket").as(s"_cmb$d"), col("cnt").as(s"_cmc$d"))),
+          Seq(s"_cmb$d"), "left")
     }
-    items
-      .withColumn("_cm_row", monotonically_increasing_id())
-      .select(col("*"), posexplode(probes).as(Seq("d", "bucket")))
-      .join(broadcast(sketchDf), Seq("d", "bucket"), "left")
-      .groupBy((items.columns :+ "_cm_row").map(col).toIndexedSeq: _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
-      .drop("_cm_row")
+    // a NULL item probes nothing (matches sketch(), which drops NULL items):
+    // its est is NULL, not 0 — callers filter or coalesce per their contract
+    val est = when(col(itemCol).isNull, lit(null).cast("long"))
+      .otherwise(least((0 until depth).map(d => coalesce(col(s"_cmc$d"), lit(0L))): _*))
+    joined
+      .withColumn("est", est)
+      .drop((0 until depth).flatMap(d => Seq(s"_cmb$d", s"_cmc$d")): _*)
   }
 }

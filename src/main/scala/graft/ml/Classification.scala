@@ -133,12 +133,27 @@ object Classification {
         array_sort(collect_list(struct(col("_i"), col("_c")))),
         s => s.getField("_c")).as("_arr"))
     // one wide row (c0, c1) — array max is a no-op selector here, each class
-    // contributes exactly one non-null array
-    val wide = cent.agg(
-      max(when(col("_b") === 0, col("_arr"))).as("_c0"),
-      max(when(col("_b") === 1, col("_arr"))).as("_c1"))
-    def d2(c: Column) = aggregate(
-      zip_with(vd, c, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, y) => acc + y)
+    // contributes exactly one non-null array. A train split missing a class
+    // leaves its centroid NULL, which would silently null every margin /
+    // probability / prediction downstream — fail loud instead (the
+    // lloydDeterministic empty-cluster contract).
+    val wide = cent
+      .agg(
+        max(when(col("_b") === 0, col("_arr"))).as("_c0"),
+        max(when(col("_b") === 1, col("_arr"))).as("_c1"))
+      .select(
+        coalesce(col("_c0"), raise_error(lit(
+          "centroidScored: train split contains no label=0 rows"))).as("_c0"),
+        coalesce(col("_c1"), raise_error(lit(
+          "centroidScored: train split contains no label=1 rows"))).as("_c1"))
+    // margin via the dot-product EXPANSION (x·x − 2x·c + c·c per class),
+    // not a direct Σ(x−c)² fold: the value oracle (SparkEntry q19) computes
+    // this exact form with list_dot_product, and matching the algebraic
+    // shape keeps the cross-engine FP divergence at ulp level instead of
+    // summation-form level (round-6 ADVICE — a 6-dp rounding-boundary flake)
+    def dot(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, y) => acc + y)
+    def d2(c: Column) = dot(vd, vd) - lit(2.0) * dot(vd, c) + dot(c, c)
     val margin = (d2(col("_c0")) - d2(col("_c1"))) / 2
     val p1 = lit(1.0) / (lit(1.0) + exp(-margin))
     test

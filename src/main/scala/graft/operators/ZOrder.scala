@@ -56,6 +56,11 @@ object ZOrder {
       bits: Int,
       zCol: String = "_z",
       partitions: Int = 0): DataFrame = {
+    // withColumn would silently REPLACE an existing column of that name —
+    // the caller's data would vanish from the layout (and from a
+    // writeClustered output, which drops zCol after the sort)
+    require(!df.columns.contains(zCol),
+      s"zOrderBy: input already has a column named '$zCol' — pass a different zCol")
     val withZ = df.withColumn(zCol, zValue(dims, bits))
     val p =
       if (partitions > 0) partitions
@@ -80,10 +85,14 @@ object ZOrder {
       dims: Seq[Column],
       bits: Int,
       path: String,
-      files: Int): Unit =
+      files: Int): Unit = {
+    // zOrderBy treats partitions <= 0 as "use the session default" — a
+    // reasonable layout-pass fallback, but silent surprise as a FILE COUNT
+    require(files > 0, s"writeClustered: files must be positive: $files")
     zOrderBy(df, dims, bits, partitions = files)
       .drop("_z") // projection — keeps the range partitioning + sort order
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Layout-quality report: cut the z-range into `buckets` equal slices
     * (the file-boundary proxy) and measure each slice's bounding box over
