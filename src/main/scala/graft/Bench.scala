@@ -170,7 +170,9 @@ object Bench {
     "q233_incremental_neardup_t50" -> 3.300,
     // declarative HyperLogLog (first declared r6): batch per-lang distinct
     // profile and the streaming cell-table replay
-    "q234_hll_distinct" -> 0.690, "q235_stream_hll" -> 1.020)
+    "q234_hll_distinct" -> 0.690, "q235_stream_hll" -> 1.020,
+    // round-7 additions (r7 sf0.1 measurements, BASELINE.md §3f)
+    "q236_stream_ttl_sessions" -> 1.950)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5631,6 +5631,25 @@ object SparkEntry {
       .select(col("bucket"), col("r").cast("long").as("r"))
       .orderBy(col("bucket"))
 
+  // q236 — q24's sessionization under a PRODUCTION state budget (the q28
+  // family's 100-TB form): TTL'd stateful sessionize emits one row per
+  // CLOSED session and evicts per-user state one gap after the last event
+  // — for sessionization that eviction is lossless (sessionizeEventTtl's
+  // contract), so the replay value-checks against the batch lag()-window
+  // oracle restricted to sessions that have closed: followed by a later
+  // session, or past the final watermark's ms-floor timeout rule.
+  private def streamTtlSessions(s: SparkSession, dir: String): DataFrame =
+    replayStream(s, dir, "append") { raw =>
+      val ss = raw.sparkSession
+      import ss.implicits._
+      graft.streaming.StreamOps
+        .sessionizeEventTtl(ss, raw
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .as[graft.streaming.StreamOps.Event],
+          gapSeconds = 1800, watermarkDelay = "1 day")
+        .toDF()
+    }.orderBy(col("user_id"), col("session_start"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5869,7 +5888,8 @@ object SparkEntry {
     "q233_incremental_neardup_t50" ->
       incrementalNearDups(0.5, graft.operators.SimilarityStrategy.Auto),
     "q234_hll_distinct" -> hllDistinct,
-    "q235_stream_hll" -> streamHll)
+    "q235_stream_hll" -> streamHll,
+    "q236_stream_ttl_sessions" -> streamTtlSessions)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -10548,5 +10568,38 @@ object SparkEntry {
         |        END) AS r
         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
         |)
-        |SELECT bucket, CAST(r AS BIGINT) AS r FROM cells ORDER BY bucket""".stripMargin)
+        |SELECT bucket, CAST(r AS BIGINT) AS r FROM cells ORDER BY bucket""".stripMargin,
+    // q236: batch sessionization (q24's lag/gap pipeline, integer-μs gap
+    // compare matching the fold exactly) restricted to CLOSED sessions —
+    // followed by a later same-user session, or flushed by the event-time
+    // timeout: the engine's watermark/timeout arithmetic runs at ms
+    // granularity (floor), mirrored via epoch_ms
+    "q236_stream_ttl_sessions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM lagged
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |), grouped AS (
+        |  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+        |    count(*) AS n_events
+        |  FROM sess GROUP BY user_id, sid
+        |), marked AS (
+        |  SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM grouped
+        |), wm AS (
+        |  SELECT epoch_ms(max(ts)) - 86400000 AS w FROM events
+        |)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM marked, wm
+        |WHERE sid < max_sid OR epoch_ms(session_end) + 1800000 < w
+        |ORDER BY user_id, session_start""".stripMargin)
 }

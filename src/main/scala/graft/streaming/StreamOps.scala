@@ -46,6 +46,15 @@ object StreamOps {
     * equivalent of the batch q24 (gap > `gapSeconds` starts a session).
     * Within a micro-batch the group's events are sorted by (ts, event_id);
     * state carries (last event time, session count) across batches.
+    *
+    * BOUNDED-REPLAY FORM ONLY: per-user state under NoTimeout grows with
+    * the number of distinct users ever seen — the Update-mode running
+    * totals (n_sessions/n_events since the beginning of time) require
+    * exactly that unbounded memory. The production operator is
+    * [[sessionizeEventTtl]], which emits per-SESSION rows in append mode
+    * and evicts each user's state one gap after their last event — for
+    * sessionization that eviction is LOSSLESS (see its contract), so
+    * unbounded state buys nothing but the running-total output shape.
     */
   def sessionize(spark: SparkSession, events: Dataset[Event], gapSeconds: Long): Dataset[SessionSummary] = {
     import spark.implicits._
@@ -62,6 +71,104 @@ object StreamOps {
           }
           state.update(s)
           Iterator(SessionSummary(userId, s.sessions, s.events))
+      }
+  }
+
+  case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+  case class OpenSession(start: Timestamp, last: Timestamp, lastId: Long, n: Long)
+
+  /** Event-time μs of a Timestamp: getTime() floors to ms, so sub-ms
+    * precision (the testdata ships μs-precision events) must come from the
+    * nanos field — ordering/gap arithmetic at anything coarser than the
+    * data's own precision silently disagrees with a batch min/max(ts)
+    * oracle on same-ms ties.
+    */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+  /** EVENT-TIME-TTL'd sessionization — the PRODUCTION form of
+    * [[sessionize]] for an unbounded user key space (the q24/q28 family's
+    * 100-TB shape). Emits one append-mode row per CLOSED session
+    * (user_id, session_start, session_end, n_events); a session closes when
+    *
+    *  - a later event of the same user arrives with gap > `gapSeconds`
+    *    (enforced INSIDE the fold), or
+    *  - the event-time watermark passes lastTs + gap and the state-store
+    *    timeout flushes it (EventTimeTimeout; per-user state is REMOVED,
+    *    so a quiet user costs nothing after one gap).
+    *
+    * Unlike [[transitionsEventTtl]] — where the TTL intentionally DROPS
+    * pairs spanning a quiet gap — this eviction is LOSSLESS: once the
+    * watermark passes lastTs + gap, every event the engine will still
+    * accept (ts ≥ watermark) necessarily starts a NEW session under the
+    * same gap rule, so flushing the old session early can never change
+    * which sessions exist or their contents. Output is therefore a pure
+    * function of the events plus the final watermark (which only gates
+    * WHICH trailing sessions have flushed yet), and a replay value-checks
+    * against the batch lag()-window sessionization (q236): a session
+    * appears iff it is followed by a later same-user session, or
+    * floor-ms(session_end) + gap·1000 < floor-ms(max ts) − watermarkDelay
+    * (the engine's ms-granularity watermark/timeout arithmetic, mirrored
+    * exactly in the oracle via epoch_ms).
+    *
+    * Gap comparisons inside the fold run on integer MICROSECONDS (strict
+    * `>`, matching the batch `epoch(ts − prev) > gap` predicate exactly);
+    * the stale-straggler guard of [[transitionsEventTtl]] applies verbatim:
+    * a cross-batch arrival at or before the user's state (μs, event_id) is
+    * skipped — no emission, no state regression — so disorder within the
+    * watermark costs at most that event's own membership, never a
+    * corrupted session chain.
+    */
+  def sessionizeEventTtl(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapSeconds: Long,
+      watermarkDelay: String): Dataset[Session] = {
+    import spark.implicits._
+    require(gapSeconds > 0, s"gapSeconds must be positive: $gapSeconds")
+    val gapUs = gapSeconds * 1000000L
+    val gapMs = gapSeconds * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.last, s.n))
+          } else {
+            val sorted = it.toVector.sortBy(e => (micros(e.ts), e.event_id))
+            val out = Vector.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              cur match {
+                case None =>
+                  cur = Some(OpenSession(e.ts, e.ts, e.event_id, 1L))
+                case Some(s) =>
+                  val last = micros(s.last)
+                  // stale cross-batch straggler: skip (see header)
+                  if (!(t < last || (t == last && e.event_id <= s.lastId))) {
+                    if (t - last > gapUs) {
+                      out += Session(userId, s.start, s.last, s.n)
+                      cur = Some(OpenSession(e.ts, e.ts, e.event_id, 1L))
+                    } else {
+                      cur = Some(OpenSession(s.start, e.ts, e.event_id, s.n + 1))
+                    }
+                  }
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout must land strictly beyond the current watermark; a
+              // session already past its gap flushes next trigger
+              state.setTimeoutTimestamp(
+                math.max(s.last.getTime + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
       }
   }
 
