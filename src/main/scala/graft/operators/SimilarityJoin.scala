@@ -297,8 +297,8 @@ object SimilarityJoin {
         .select(col("_aid").as("id_a"), col("_bid").as("id_b"), col("_j").as("jac"))
     }
 
-    def allPairsPath(): DataFrame =
-      Pairs.allPairs(base, "_id", blockCols, buckets)
+    def allPairsPath(pairsBase: DataFrame): DataFrame =
+      Pairs.allPairs(pairsBase, "_id", blockCols, buckets)
         .select(col("a._id").as("_aid"), col("b._id").as("_bid"),
           col("a._set").as("_as"), col("b._set").as("_bs"))
         .filter(least(size(col("_as")), size(col("_bs")))
@@ -310,11 +310,50 @@ object SimilarityJoin {
 
     strategy match {
       case SimilarityStrategy.PrefixFilter => prefixPath(buildPost())
-      case SimilarityStrategy.AllPairs => allPairsPath()
-      case SimilarityStrategy.Auto =>
+      case SimilarityStrategy.AllPairs => allPairsPath(base)
+      case SimilarityStrategy.Auto if blockCols.isEmpty =>
+        // one block — one regime: the global comparison IS the per-block one
         val post = buildPost()
         val (cPrefix, cBlocks) = selfVolumes(base, post, blockCols)
-        if (cPrefix <= cBlocks) prefixPath(post) else allPairsPath()
+        if (cPrefix <= cBlocks) prefixPath(post) else allPairsPath(base)
+      case SimilarityStrategy.Auto =>
+        // PER-BLOCK routing: the regime is a property of each block, not of
+        // the corpus — a realistic mixed corpus (one replica-dense language
+        // from scraper echo, the rest sparse) would pay the worse engine on
+        // half its blocks under a single global choice. Both volumes are
+        // already per-block aggregations; route each block to its cheaper
+        // exact engine and union the outputs (identical pairs either way,
+        // so routing is invisible in the result).
+        val post = buildPost()
+        val regimes = blockVolumes(base, post, blockCols)
+          .select(blockCols.map(col) :+ (col("_cp") <= col("_cb")).as("_pr"): _*)
+        // one tiny agg decides degenerate corpora: all-one-regime runs the
+        // single engine with no routing join at all
+        val Seq(nPrefix, nBlocks) = regimes
+          .agg(sum(col("_pr").cast("long")), count(lit(1)))
+          .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long])
+        if (nPrefix == nBlocks) prefixPath(post)
+        else if (nPrefix == 0L) allPairsPath(base)
+        else {
+          // mixed: split by the regime flag. The postings were built over
+          // the FULL corpus (one global rarest-first order — any consistent
+          // order keeps the prefix filter lossless, per the header proof),
+          // so restricting them to prefix-regime blocks is a filter, not a
+          // rebuild; candidates never crossed blocks to begin with. The
+          // regime table is one row per distinct block value — leave the
+          // join to AQE (broadcast when small, shuffle when a high-
+          // cardinality block column makes it big).
+          // re-select the canonical column ORDER after each routing join
+          // (equi-joins move the key columns first, and prefixPath /
+          // Pairs.allPairs address the frame positionally via toDF)
+          val prefixPost = post
+            .join(regimes.filter(col("_pr")).drop("_pr"), blockCols.toSeq)
+            .select(("_id" +: blockCols).map(col) ++ Seq(col("_sz"), col("_pos"), col("h")): _*)
+          val denseBase = base
+            .join(regimes.filter(!col("_pr")).drop("_pr"), blockCols.toSeq)
+            .select(("_id" +: blockCols).map(col) :+ col("_set"): _*)
+          prefixPath(prefixPost).unionAll(allPairsPath(denseBase))
+        }
     }
   }
 
@@ -343,6 +382,24 @@ object SimilarityJoin {
     (pairVolume(post.groupBy(("h" +: blockCols).map(col): _*).count()),
       pairVolume(base.groupBy(blockCols.map(col): _*).count()))
 
+  /** PER-BLOCK candidate volumes: one row per distinct `blockCols` value
+    * with `_cp` (prefix-filter candidate volume within the block) and `_cb`
+    * (blocked all-pairs volume). The same two aggregations as
+    * [[selfVolumes]], just not collapsed across blocks — what Auto's
+    * per-block routing compares. A block whose rows emitted no postings
+    * (every set empty) reads `_cp` = 0 via the left join.
+    */
+  private def blockVolumes(
+      base: DataFrame, post: DataFrame, blockCols: Seq[String]): DataFrame = {
+    val cp = post.groupBy(("h" +: blockCols).map(col): _*).count()
+      .groupBy(blockCols.map(col): _*)
+      .agg(sum(col("count").cast("double") * (col("count") - 1) / 2).as("_cp"))
+    val cb = base.groupBy(blockCols.map(col): _*)
+      .agg((count(lit(1)).cast("double") * (count(lit(1)) - 1) / 2).as("_cb"))
+    cb.join(cp, blockCols.toSeq, "left")
+      .select(blockCols.map(col) :+ coalesce(col("_cp"), lit(0.0)).as("_cp") :+ col("_cb"): _*)
+  }
+
   /** Σ over groups of n·(n−1)/2 from a grouped `.count()` frame — the
     * candidate-volume estimate behind [[SimilarityStrategy.Auto]]. Double to
     * stay overflow-safe at any corpus size (it's an estimate, not a count).
@@ -367,5 +424,30 @@ object SimilarityJoin {
     val base = selfBase(df, idCol, setCol, blockCols, Pin.Off)
     val post = selfPost(base, blockCols, threshold, Pin.Off)
     selfVolumes(base, post, blockCols)
+  }
+
+  /** Per-block planning probe: one row per distinct `blockCols` value with
+    * the prefix-filter candidate volume (`prefix_volume`), the blocked
+    * all-pairs volume (`allpairs_volume`), and the engine Auto routes that
+    * block to (`engine`: "prefix" | "allpairs"). [[jaccardSelfJoin]]'s Auto
+    * runs exactly this comparison per block — exposed so capacity planning
+    * (and the routing spec) can see each block's regime without running the
+    * join.
+    */
+  def selfJoinBlockVolumes(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      threshold: Double,
+      blockCols: Seq[String]): DataFrame = {
+    require(blockCols.nonEmpty,
+      "selfJoinBlockVolumes needs block columns — use selfJoinVolumes for the unblocked corpus")
+    val base = selfBase(df, idCol, setCol, blockCols, Pin.Off)
+    val post = selfPost(base, blockCols, threshold, Pin.Off)
+    blockVolumes(base, post, blockCols)
+      .select(blockCols.map(col)
+        :+ col("_cp").as("prefix_volume")
+        :+ col("_cb").as("allpairs_volume")
+        :+ when(col("_cp") <= col("_cb"), lit("prefix")).otherwise(lit("allpairs")).as("engine"): _*)
   }
 }

@@ -191,6 +191,56 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(sp < sb, s"sparse corpus should favor prefix filter: prefix=$sp blocks=$sb")
   }
 
+  test("per-block routing: a mixed dense+sparse corpus routes each block to its engine, output identical") {
+    // block "d": 12 originals x 8 near-replicas — prefix candidates blow
+    // past the block volume (scraper-echo language). block "s": 150
+    // mostly-unique docs — prefix stays far below all-pairs. A single
+    // global choice pays the worse engine on one of the two.
+    val rnd = new scala.util.Random(37)
+    val dense = (0 until 12).flatMap { o =>
+      val base = Seq.fill(60)(rnd.nextInt(100000).toLong).distinct.sorted
+      (0 until 8).map { r =>
+        (o * 8L + r, "d", (base :+ (1000000L + o * 8 + r)).distinct.sorted)
+      }
+    }
+    val sparse = (0 until 150).map { i =>
+      (1000L + i, "s", Seq.fill(60)(rnd.nextLong()).distinct.sorted)
+    }
+    val df = (dense ++ sparse).toDF("id", "g", "s")
+    val t = 0.5
+
+    // the probe sees the two regimes
+    val regimes = SimilarityJoin
+      .selfJoinBlockVolumes(df, "id", "s", t, Seq("g"))
+      .select("g", "engine", "prefix_volume", "allpairs_volume")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(regimes("d")._1 == "allpairs", s"dense block misrouted: $regimes")
+    assert(regimes("s")._1 == "prefix", s"sparse block misrouted: $regimes")
+
+    // routed cost strictly below EITHER single-engine run's candidate volume
+    val routed = regimes.values.map(v => math.min(v._2, v._3)).sum
+    val allPrefix = regimes.values.map(_._2).sum
+    val allPairs = regimes.values.map(_._3).sum
+    assert(routed < allPrefix && routed < allPairs,
+      s"routing should beat both single engines: routed=$routed prefix=$allPrefix pairs=$allPairs")
+
+    // and the OUTPUT is identical to both forced single-engine runs (and
+    // to brute force) — routing is invisible in the result
+    val rows = (dense ++ sparse).map { case (i, _, s) => (i, s) }
+    val blockOf = (id: Long) => if (id < 1000L) "d" else "s"
+    val want = bruteForceSelf(rows, t, blockOf)
+    Seq(SimilarityStrategy.Auto, SimilarityStrategy.PrefixFilter, SimilarityStrategy.AllPairs)
+      .foreach { st =>
+        val got = SimilarityJoin
+          .jaccardSelfJoin(df, "id", "s", t, blockCols = Seq("g"), strategy = st)
+          .select("id_a", "id_b").as[(Long, Long)].collect()
+        assert(got.length == got.toSet.size, s"strategy=$st: duplicate pairs")
+        assert(got.toSet == want,
+          s"strategy=$st: missing=${want -- got.toSet} extra=${got.toSet -- want}")
+      }
+  }
+
   test("non-positive buckets fail loud at entry (not as a silent empty join)") {
     val rows = randomSets(41, 10).toDF("id", "s")
     intercept[IllegalArgumentException] {
