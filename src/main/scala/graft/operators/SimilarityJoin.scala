@@ -29,6 +29,34 @@ object SimilarityStrategy {
     * replica-dense corpora or small inputs.
     */
   case object AllPairs extends SimilarityStrategy
+
+  /** The APPROXIMATE tier — MinHash banding (q16's engine behind the same
+    * API): candidates are an equi-join on (band, band-hash) over
+    * `bands`·`rowsPerBand`-long MinHash signatures, then the SAME exact
+    * verify as every other strategy. Precision is therefore 1.0 (every
+    * emitted pair truly has J ≥ t, with its exact Jaccard); RECALL is
+    * 1 − (1 − j^r)^b per pair of true similarity j — the classic LSH
+    * S-curve. The defaults (4 × 4) put the 50% point at j ≈ 0.69: right
+    * for τ ≈ 0.8 near-dup detection, far too lossy for τ ≤ 0.5 — size
+    * bands/rows to the threshold (r ≈ log(1/b)/log(t) at the curve knee).
+    *
+    * Candidate volume is Σ over (band, bucket) of n·(n−1)/2 — near-linear
+    * whenever signatures discriminate, and UNLIKE the prefix filter it does
+    * not degenerate on replica-dense corpora (a cluster collapses into one
+    * bucket per band: its true pairs are regenerated at most `bands`
+    * times, not once per shared prefix element). This is the τ-low 100-TB
+    * path when neither exact engine's volume is affordable.
+    *
+    * [[Auto]] NEVER silently picks this: Auto chooses among EXACT plans
+    * only (identical output, cost-only choice) — trading recall is a
+    * semantic decision the caller must make explicitly.
+    */
+  final case class MinHashLsh(bands: Int = 4, rowsPerBand: Int = 4)
+      extends SimilarityStrategy {
+    require(bands > 0 && rowsPerBand > 0 && bands * rowsPerBand <= 1024,
+      s"MinHashLsh needs positive bands/rowsPerBand with bands*rowsPerBand <= 1024: " +
+        s"$bands x $rowsPerBand")
+  }
 }
 
 
@@ -202,9 +230,30 @@ object SimilarityJoin {
         .filter(col("_j") >= threshold)
     }
 
+    // the approximate tier (see SimilarityStrategy.MinHashLsh): band-bucket
+    // candidates across the two frames + the same exact verify. Empty sets
+    // sign as all-sentinel and would cross-match — excluded up front.
+    def minHashPath(bands: Int, rowsPerBand: Int): DataFrame = {
+      val k = bands * rowsPerBand
+      def banded(df: DataFrame, id: String, setC: String) = df
+        .filter(size(col(setC)) > 0)
+        .withColumn("_mh",
+          graft.expressions.HashExpressions.minhashSignature(col(setC), k))
+        .select(col(id), posexplode(array((0 until bands).map { bd =>
+          hash((0 until rowsPerBand).map(rr =>
+            element_at(col("_mh"), bd * rowsPerBand + rr + 1)): _*)
+        }: _*)).as(Seq("_band", "_bh")))
+      val candidates = banded(l, "_aid", "_as")
+        .join(banded(r, "_bid", "_bs"), Seq("_band", "_bh"))
+        .select(col("_aid"), col("_bid"))
+        .distinct()
+      verify(candidates, l, r, threshold)
+    }
+
     val out = strategy match {
       case SimilarityStrategy.PrefixFilter => prefixPath(buildPosts(pinPosts = false))
       case SimilarityStrategy.AllPairs => crossPath()
+      case SimilarityStrategy.MinHashLsh(b, rr) => minHashPath(b, rr)
       case SimilarityStrategy.Auto =>
         val posts = buildPosts(pinPosts = true)
         val nl = posts._1.groupBy(col("h")).count().withColumnRenamed("count", "_nl")
@@ -308,9 +357,43 @@ object SimilarityJoin {
         .filter(col("_j") >= threshold)
         .select(col("_aid").as("id_a"), col("_bid").as("id_b"), col("_j").as("jac"))
 
+    // the approximate tier: band-bucket candidates + the same exact verify
+    // — see SimilarityStrategy.MinHashLsh for the recall contract. Empty
+    // sets are excluded BEFORE signing (an all-sentinel signature would
+    // cross-match every empty doc; the exact engines pair them with
+    // nothing, since J(∅, X) < t for any t > 0).
+    def minHashPath(bands: Int, rowsPerBand: Int): DataFrame = {
+      val k = bands * rowsPerBand
+      // pinned: the banded table is BOTH sides of the candidate join, and
+      // the signature pass (k XXH64 probes per element) is the expensive bit
+      val banded = pin(base
+        .filter(size(col("_set")) > 0)
+        .withColumn("_mh",
+          graft.expressions.HashExpressions.minhashSignature(col("_set"), k))
+        .select((col("_id") +: blockCols.map(col)) :+
+          posexplode(array((0 until bands).map { bd =>
+            hash((0 until rowsPerBand).map(r =>
+              element_at(col("_mh"), bd * rowsPerBand + r + 1)): _*)
+          }: _*)).as(Seq("_band", "_bh")): _*))
+      val candidates = banded
+        .toDF(("_aid" +: blockCols) ++ Seq("_band", "_bh"): _*)
+        .join(banded.toDF(("_bid" +: blockCols) ++ Seq("_band", "_bh"): _*),
+          Seq("_band", "_bh") ++ blockCols)
+        .filter(col("_aid") < col("_bid"))
+        .select(col("_aid"), col("_bid"))
+        .distinct()
+      verify(
+          candidates,
+          base.select(col("_id").as("_aid"), col("_set").as("_as")),
+          base.select(col("_id").as("_bid"), col("_set").as("_bs")),
+          threshold)
+        .select(col("_aid").as("id_a"), col("_bid").as("id_b"), col("_j").as("jac"))
+    }
+
     strategy match {
       case SimilarityStrategy.PrefixFilter => prefixPath(buildPost())
       case SimilarityStrategy.AllPairs => allPairsPath(base)
+      case SimilarityStrategy.MinHashLsh(b, r) => minHashPath(b, r)
       case SimilarityStrategy.Auto if blockCols.isEmpty =>
         // one block — one regime: the global comparison IS the per-block one
         val post = buildPost()

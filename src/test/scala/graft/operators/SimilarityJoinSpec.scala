@@ -241,6 +241,80 @@ class SimilarityJoinSpec extends AnyFunSuite {
       }
   }
 
+  test("MinHashLsh: precision 1 (subset of exact, values exact) with high recall on BOTH regimes") {
+    val rnd = new scala.util.Random(43)
+    val t = 0.8
+    // dense regime: 15 originals x 6 near-replicas (j ~ 0.97 within a
+    // cluster) — the corpus where Auto routes to allPairs
+    val dense = (0 until 15).flatMap { o =>
+      val base = Seq.fill(70)(rnd.nextInt(100000).toLong).distinct.sorted
+      (0 until 6).map { r =>
+        (o * 6L + r, (base :+ (1000000L + o * 6 + r)).distinct.sorted)
+      }
+    }
+    // sparse regime: 150 mostly-unique docs (prefix regime) + 25 planted
+    // near-dup pairs at j ~ 0.97
+    val uniques = (0 until 150).map { i =>
+      (2000L + i, Seq.fill(70)(rnd.nextLong()).distinct.sorted)
+    }
+    val planted = (0 until 25).flatMap { p =>
+      val base = Seq.fill(70)(rnd.nextLong()).distinct.sorted
+      Seq((4000L + 2 * p, base), (4000L + 2 * p + 1, (base :+ rnd.nextLong()).distinct.sorted))
+    }
+    Seq("dense" -> dense, "sparse" -> (uniques ++ planted)).foreach { case (regime, rows) =>
+      val df = rows.toDF("id", "s")
+      val exact = SimilarityJoin.jaccardSelfJoin(df, "id", "s", t)
+        .select("id_a", "id_b", "jac").as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      val approx = SimilarityJoin
+        .jaccardSelfJoin(df, "id", "s", t,
+          strategy = SimilarityStrategy.MinHashLsh(bands = 4, rowsPerBand = 4))
+        .select("id_a", "id_b", "jac").as[(Long, Long, Double)].collect()
+      // precision 1: every emitted pair is a true pair with its EXACT value
+      approx.foreach { case (a, b, j) =>
+        assert(exact.contains((a, b)), s"$regime: false positive ($a,$b)")
+        assert(math.abs(exact((a, b)) - j) < 1e-12, s"$regime: inexact jaccard on ($a,$b)")
+      }
+      assert(approx.length == approx.map(p => (p._1, p._2)).toSet.size,
+        s"$regime: duplicate pairs")
+      // recall: at j ~ 0.97 the 4x4 banding misses a pair with prob
+      // (1 - j^4)^4 ~ 2e-4 — and the run is fully deterministic (seeded
+      // corpus, fixed XXH64 family), so this bound cannot flake
+      val recall = approx.length.toDouble / exact.size
+      assert(exact.nonEmpty && recall >= 0.95,
+        s"$regime: recall $recall (${approx.length}/${exact.size})")
+    }
+  }
+
+  test("MinHashLsh cross-frame: subset of the exact join with exact values") {
+    val rnd = new scala.util.Random(47)
+    val lRows = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(70)(rnd.nextInt(5000).toLong).distinct.sorted)
+    }
+    // right side: perturbed copies of the left (true cross-frame matches)
+    val rRows = lRows.map { case (i, s) =>
+      (1000L + i, (s :+ (900000L + i)).distinct.sorted)
+    }
+    val l = lRows.toDF("lid", "s")
+    val r = rRows.toDF("rid", "s")
+    val exact = SimilarityJoin.jaccardJoin(l, "lid", r, "rid", "s", 0.8)
+      .select("lid", "rid", "jac").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val approx = SimilarityJoin.jaccardJoin(l, "lid", r, "rid", "s", 0.8,
+        strategy = SimilarityStrategy.MinHashLsh(4, 4))
+      .select("lid", "rid", "jac").as[(Long, Long, Double)].collect()
+    approx.foreach { case (a, b, j) =>
+      assert(exact.contains((a, b)) && math.abs(exact((a, b)) - j) < 1e-12)
+    }
+    assert(exact.nonEmpty && approx.length.toDouble / exact.size >= 0.95)
+  }
+
+  test("MinHashLsh parameter validation fails loud") {
+    intercept[IllegalArgumentException] { SimilarityStrategy.MinHashLsh(0, 4) }
+    intercept[IllegalArgumentException] { SimilarityStrategy.MinHashLsh(4, 0) }
+    intercept[IllegalArgumentException] { SimilarityStrategy.MinHashLsh(64, 64) }
+  }
+
   test("non-positive buckets fail loud at entry (not as a silent empty join)") {
     val rows = randomSets(41, 10).toDF("id", "s")
     intercept[IllegalArgumentException] {
