@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Incremental corpus curation — the PRODUCTION shape of the batch
+  * curation funnel (SparkEntry q230): a standing curated corpus absorbs
+  * new-batch ticks without ever re-processing itself. Each tick runs the
+  * funnel's stages on the BATCH ONLY:
+  *
+  *   1. quality screen (per-doc pure function),
+  *   2. n-gram decontamination against the benchmark set (per-doc pure
+  *      function of text × bench),
+  *   3. exact dedup — within-batch keep-min by content digest, then an
+  *      anti-join against the corpus digest set,
+  *   4. near-dup removal — cross-frame Jaccard vs the corpus
+  *      ([[SimilarityJoin.jaccardJoin]] under cost-based Auto; any match
+  *      rejects) plus a GREEDY-BY-RANK resolution of the within-batch
+  *      pair graph ([[SimilarityJoin.jaccardSelfJoin]] Auto candidates).
+  *
+  * The near-dup stage is deliberately GREEDY (a doc is rejected iff it
+  * matches the corpus or an ACCEPTED earlier-rank batch doc — rejected
+  * docs never block anyone), because greedy sequential acceptance is the
+  * unique pairwise rule that makes ticks COMPOSE: processing docs one at a
+  * time in rank order, the accept/reject decision for each doc depends
+  * only on the accepted set before it, so cutting the sequence into ticks
+  * (each tick's ranks after every earlier tick's — the natural ingest
+  * order) cannot change any decision. Two sequential ticks therefore
+  * produce EXACTLY the docs of one combined tick (CurationSpec proves it
+  * end-to-end, and q237's oracle recomputes a tick declaratively). The
+  * batch q230 rule ("dominated by ANY smaller stage-3 survivor") is NOT
+  * composable: a chain d ~ e, e ~ corpus, d !~ corpus flips d's fate
+  * depending on whether e was still visible — greedy resolves it the same
+  * way in every split.
+  *
+  * Scale shape: stages 1-3 are narrow maps + one digest aggregation + one
+  * digest anti-join (32 B/row against the corpus, never payloads); stage 4
+  * is the cost-based similarity machinery (bucketed candidates, never
+  * all-pairs) and [[greedyDominated]]'s resolution runs on the PAIR frame
+  * only — edge-linear rounds bounded by the pair graph's dependency depth,
+  * the same localCheckpoint-per-round loop as Dedup.connectedComponents.
+  * Nothing re-reads the standing corpus except the digest projection and
+  * the similarity join's own prepared side.
+  */
+object Curation {
+
+  /** Greedy minimum-rank acceptance over an undirected conflict-pair
+    * graph: process nodes in ascending rank; accept a node iff no ACCEPTED
+    * smaller-rank neighbor exists. Returns the REJECTED node ids (column
+    * `id`) — callers anti-join survivors against it; nodes with no pairs
+    * are accepted by construction and never appear.
+    *
+    * `pairs` carries one row per conflict with rank(`aCol`) < rank(`bCol`).
+    * Resolution is iterative on the pair frame alone: each round accepts
+    * every node with no smaller UNDECIDED neighbor (the rank-minimal
+    * frontier), rejects their larger neighbors, and drops decided edges;
+    * rounds = the graph's dependency-chain depth (1 for clique-shaped
+    * near-dup clusters, k−2 for a k-chain of pairwise-only overlaps).
+    * Convergence is structural — every round decides at least the current
+    * frontier — but a `maxIters` guard fails loud rather than loop on a
+    * pathological input.
+    */
+  def greedyDominated(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIters: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    var edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var rejected = spark.emptyDataset[Long].toDF("id").localCheckpoint()
+    var iter = 0
+    while (!edges.isEmpty) {
+      require(iter < maxIters,
+        s"greedyDominated did not converge in $maxIters rounds; raise maxIters")
+      // frontier: nodes with NO smaller undecided neighbor = a-side nodes
+      // absent from the b side (b-side nodes are blocked this round)
+      val blocked = edges.select(col("b")).distinct()
+      val accepted = edges.select(col("a")).distinct()
+        .join(blocked.withColumnRenamed("b", "a"), Seq("a"), "left_anti")
+      val rejectedRound = edges
+        .join(accepted, Seq("a"))
+        .select(col("b").as("id"))
+        .distinct()
+        .localCheckpoint()
+      rejected = rejected.unionAll(rejectedRound).localCheckpoint()
+      // keep only edges between still-undecided nodes: a must still be
+      // blocked (undecided) and neither endpoint rejected this round
+      edges = edges
+        .join(blocked.withColumnRenamed("b", "a"), Seq("a"), "left_semi")
+        .join(rejectedRound.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+        .join(rejectedRound.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      iter += 1
+    }
+    rejected.distinct()
+  }
+
+  /** One curation tick: run the funnel stages on `batch` against the
+    * standing `corpus` and `bench`, returning the ACCEPTED batch rows
+    * (original columns). The caller appends them to the corpus for the
+    * next tick (`corpus.unionByName(accepted)`); two sequential ticks give
+    * exactly one combined tick's output when ranks (ids) are monotone
+    * across ticks — see the object header for why.
+    *
+    * `quality` is the per-row score expression (e.g.
+    * `TextFunctions.qualityScore(col("text"), stopwords)`); docs below
+    * `minQuality` drop at stage 1. Decontamination drops docs sharing
+    * ≥ `decontShared` distinct word-`decontN`-grams with `bench`. Near-dup
+    * is exact char-`shingleN`-gram Jaccard ≥ `tau`, blocked on `langCol`.
+    * `idCol` must be castable to long, unique, non-null, and is the greedy
+    * RANK (ingest order).
+    */
+  def tick(
+      corpus: DataFrame,
+      batch: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      quality: Column,
+      minQuality: Double = 0.5,
+      decontN: Int = 4,
+      decontShared: Int = 5,
+      shingleN: Int = 5,
+      tau: Double = 0.5,
+      pin: Pin = Pin.LocalCheckpoint): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
+    require(minQuality >= 0.0, s"minQuality must be non-negative: $minQuality")
+
+    // stage 1 — quality screen (per-doc, trivially tick-composable)
+    val s1 = batch.filter(quality >= minQuality)
+
+    // stage 2 — decontamination (per-doc function of text × bench)
+    val contaminated = Decontaminate
+      .sharedGramCounts(s1, bench, idCol, textCol, decontN)
+      .filter(col("shared_grams") >= decontShared)
+      .select(col(idCol))
+    val s2 = s1.join(broadcast(contaminated), Seq(idCol), "left_anti")
+
+    // stage 3 — exact dedup: keep-min within the batch by content digest,
+    // then drop anything whose digest the corpus already holds (the batch
+    // analog of StreamOps.dedupByDigest: 32-byte digests shuffle, payloads
+    // don't). Null-safe digest grouping mirrors q230's <=> keep-key join.
+    val dg = sha2(col(textCol), 256)
+    val keepMin = s2.groupBy(dg.as("_ctext")).agg(min(col(idCol)).as("_keep"))
+    val s3 = pin(s2
+      .join(keepMin, dg <=> col("_ctext"))
+      .filter(col(idCol) === col("_keep")).drop("_ctext", "_keep")
+      .join(corpus.select(dg.as("_cdg")).distinct()
+        .withColumnRenamed("_cdg", "_ctext"),
+        dg === col("_ctext"), "left_anti"))
+
+    // stage 4 — near-dup: shingle both sides once...
+    def sh(df: DataFrame) = df.select(
+      col(idCol), col(langCol),
+      sort_array(array_distinct(
+        transform(TextFunctions.charShingles(col(textCol), shingleN),
+          x => xxhash64(x)))).as("_h"))
+    val batchSh = pin(sh(s3))
+    // ...reject any batch doc matching the standing corpus (corpus docs
+    // outrank every batch doc — cost-based cross-frame join, lang-blocked)...
+    require(idCol != "_cid", "idCol '_cid' clashes with the tick's working column")
+    val corpusMatched = SimilarityJoin
+      .jaccardJoin(sh(corpus).withColumnRenamed(idCol, "_cid"), "_cid",
+        batchSh, idCol, "_h", tau, pin = pin, blockCols = Seq(langCol))
+      .select(col(idCol)).distinct()
+    val free = pin(batchSh.join(broadcast(corpusMatched), Seq(idCol), "left_anti"))
+    // ...then greedily resolve the within-batch pair graph over the docs
+    // that survived the corpus check (corpus-rejected docs never block —
+    // that is what makes ticks compose)
+    val selfPairs = SimilarityJoin
+      .jaccardSelfJoin(free, idCol, "_h", tau, blockCols = Seq(langCol), pin = pin)
+    val dominated = greedyDominated(selfPairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    s3.join(broadcast(corpusMatched.unionByName(dominated)), Seq(idCol), "left_anti")
+  }
+}

@@ -49,7 +49,15 @@ object Decontaminate {
       if (useBloom) {
         // two driver-visible jobs over the SMALL side only (count sizes the
         // filter, then one pass builds it); the corpus side stays lazy
-        val expected = math.max(benchGrams.count(), 1L)
+        val expected = benchGrams.count()
+        // an empty benchmark contaminates nothing — and Spark's bloomFilter
+        // aggregation returns a NULL buffer on zero rows (NPE on readFrom).
+        // Same output schema, zero rows:
+        if (expected == 0L)
+          return corpusGrams
+            .groupBy(col(idCol))
+            .agg(count_distinct(col("g")).as("shared_grams"))
+            .limit(0)
         val bloom = benchGrams.stat.bloomFilter("g", expected, fpp)
         val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
         val mightContain = udf((g: String) => g != null && bc.value.mightContain(g))

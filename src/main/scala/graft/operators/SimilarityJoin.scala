@@ -162,7 +162,13 @@ object SimilarityJoin {
     * replica-dense corpus the prefix postings regenerate every true pair
     * once per shared prefix element, and the salted FULL CROSS at
     * |L|·|R| cheap pairs wins). Auto measures Σ_h n_L(h)·n_R(h) against
-    * |L|·|R| on the prepared inputs and runs the cheaper exact plan.
+    * Σ_b |L_b|·|R_b| on the prepared inputs and runs the cheaper exact
+    * plan.
+    *
+    * `blockCols` (present in BOTH frames) restricts pairs to rows agreeing
+    * on every block column, exactly as on [[jaccardSelfJoin]]: block keys
+    * join the posting / salt-bucket key, so no engine enumerates
+    * cross-block candidates; NULL block values pair with nothing.
     */
   def jaccardJoin(
       left: DataFrame,
@@ -173,24 +179,32 @@ object SimilarityJoin {
       threshold: Double,
       pin: Pin = Pin.LocalCheckpoint,
       strategy: SimilarityStrategy = SimilarityStrategy.Auto,
-      buckets: Int = 8): DataFrame = {
+      buckets: Int = 8,
+      blockCols: Seq[String] = Nil): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
     require(leftId != rightId,
       s"left and right id columns must differ in the output (rename one): $leftId")
     require(buckets > 0, s"buckets must be positive: $buckets")
+    require(!blockCols.contains(leftId) && !blockCols.contains(rightId),
+      s"id columns must not appear in blockCols: $blockCols")
 
     // pin both inputs: each side is read 3× (frequency pass, prefix pass,
     // verify join-back) and the caller's set column is typically an
     // expensive shingle+hash+sort projection — without the pin the whole
     // prep would recompute per read
-    val l = pin(left.select(col(leftId).cast("long").as("_aid"), col(setCol).as("_as")))
-    val r = pin(right.select(col(rightId).cast("long").as("_bid"), col(setCol).as("_bs")))
+    val l = pin(left.select(
+      (col(leftId).cast("long").as("_aid") +: blockCols.map(col)) :+ col(setCol).as("_as"): _*))
+    val r = pin(right.select(
+      (col(rightId).cast("long").as("_bid") +: blockCols.map(col)) :+ col(setCol).as("_bs"): _*))
 
     def buildPosts(pinPosts: Boolean): (DataFrame, DataFrame) = {
       // global rarest-first order: document frequency over BOTH frames.
       // Pinned too — it feeds both prefixPostings calls, and recomputing it
-      // would re-read both (already pinned) sides and re-aggregate.
+      // would re-read both (already pinned) sides and re-aggregate. One
+      // GLOBAL order even under blockCols: the lossless-prefix proof only
+      // needs SOME consistent element order, and a shared one keeps the
+      // frequency pass a single aggregation.
       val freq = pin(l.select(explode(col("_as")).as("h"))
         .unionAll(r.select(explode(col("_bs")).as("h")))
         .groupBy(col("h")).agg(count(lit(1)).as("_df")))
@@ -198,8 +212,10 @@ object SimilarityJoin {
       // + candidate join); the forced prefix path reads each side once, so
       // a pin there would be pure storage overhead
       val pp: Pin = if (pinPosts) pin else Pin.Off
-      (pp(prefixPostings(l.withColumnRenamed("_as", "_set"), Seq("_aid"), freq, threshold)),
-        pp(prefixPostings(r.withColumnRenamed("_bs", "_set"), Seq("_bid"), freq, threshold)))
+      (pp(prefixPostings(
+          l.withColumnRenamed("_as", "_set"), "_aid" +: blockCols, freq, threshold)),
+        pp(prefixPostings(
+          r.withColumnRenamed("_bs", "_set"), "_bid" +: blockCols, freq, threshold)))
     }
 
     def prefixPath(posts: (DataFrame, DataFrame)): DataFrame = {
@@ -207,22 +223,23 @@ object SimilarityJoin {
         .withColumnRenamed("_sz", "_asz").withColumnRenamed("_pos", "_apos")
       val pb = posts._2
         .withColumnRenamed("_sz", "_bsz").withColumnRenamed("_pos", "_bpos")
-      val candidates = pa.join(pb, Seq("h"))
+      val candidates = pa.join(pb, "h" +: blockCols)
         .filter(positionalKeep(
           col("_asz"), col("_apos"), col("_bsz"), col("_bpos"), threshold))
         .select(col("_aid"), col("_bid"))
         .distinct()
-      verify(candidates, l, r, threshold)
+      verify(candidates, l.drop(blockCols: _*), r.drop(blockCols: _*), threshold)
     }
 
     // salted full cross: every (a, b) meets exactly once — b lands in one
     // id-hash bucket, a replicates to all `buckets` — and the join stays an
-    // equi-join (no CartesianProduct), so AQE spreads it like any shuffle
+    // equi-join (no CartesianProduct), so AQE spreads it like any shuffle.
+    // Block keys ride the join key, so the cross is per-block.
     def crossPath(): DataFrame = {
       val rb = r.withColumn("_g", pmod(xxhash64(col("_bid")), lit(buckets)).cast("int"))
       val lb = l.withColumn("_g",
         explode(sequence(lit(0), lit(buckets - 1)).cast("array<int>")))
-      lb.join(rb, Seq("_g"))
+      lb.join(rb, "_g" +: blockCols)
         .filter(least(size(col("_as")), size(col("_bs")))
           >= lit(threshold) * greatest(size(col("_as")), size(col("_bs"))) - lit(0.5))
         .withColumn("_j",
@@ -239,15 +256,16 @@ object SimilarityJoin {
         .filter(size(col(setC)) > 0)
         .withColumn("_mh",
           graft.expressions.HashExpressions.minhashSignature(col(setC), k))
-        .select(col(id), posexplode(array((0 until bands).map { bd =>
-          hash((0 until rowsPerBand).map(rr =>
-            element_at(col("_mh"), bd * rowsPerBand + rr + 1)): _*)
-        }: _*)).as(Seq("_band", "_bh")))
+        .select((col(id) +: blockCols.map(col)) :+
+          posexplode(array((0 until bands).map { bd =>
+            hash((0 until rowsPerBand).map(rr =>
+              element_at(col("_mh"), bd * rowsPerBand + rr + 1)): _*)
+          }: _*)).as(Seq("_band", "_bh")): _*)
       val candidates = banded(l, "_aid", "_as")
-        .join(banded(r, "_bid", "_bs"), Seq("_band", "_bh"))
+        .join(banded(r, "_bid", "_bs"), Seq("_band", "_bh") ++ blockCols)
         .select(col("_aid"), col("_bid"))
         .distinct()
-      verify(candidates, l, r, threshold)
+      verify(candidates, l.drop(blockCols: _*), r.drop(blockCols: _*), threshold)
     }
 
     val out = strategy match {
@@ -256,12 +274,19 @@ object SimilarityJoin {
       case SimilarityStrategy.MinHashLsh(b, rr) => minHashPath(b, rr)
       case SimilarityStrategy.Auto =>
         val posts = buildPosts(pinPosts = true)
-        val nl = posts._1.groupBy(col("h")).count().withColumnRenamed("count", "_nl")
-        val nr = posts._2.groupBy(col("h")).count().withColumnRenamed("count", "_nr")
-        val cPrefix = nl.join(nr, Seq("h"))
+        val hKey = ("h" +: blockCols).map(col)
+        val nl = posts._1.groupBy(hKey: _*).count().withColumnRenamed("count", "_nl")
+        val nr = posts._2.groupBy(hKey: _*).count().withColumnRenamed("count", "_nr")
+        val cPrefix = nl.join(nr, "h" +: blockCols)
           .agg(coalesce(sum(col("_nl").cast("double") * col("_nr")), lit(0.0)))
           .head().getDouble(0)
-        val cCross = l.count().toDouble * r.count().toDouble
+        val cCross =
+          if (blockCols.isEmpty) l.count().toDouble * r.count().toDouble
+          else l.groupBy(blockCols.map(col): _*).count().withColumnRenamed("count", "_nl")
+            .join(r.groupBy(blockCols.map(col): _*).count().withColumnRenamed("count", "_nr"),
+              blockCols.toSeq)
+            .agg(coalesce(sum(col("_nl").cast("double") * col("_nr")), lit(0.0)))
+            .head().getDouble(0)
         if (cPrefix <= cCross) prefixPath(posts) else crossPath()
     }
     out.select(col("_aid").as(leftId), col("_bid").as(rightId), col("_j").as("jac"))

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Curation.tick: the incremental curation operator. The load-bearing
+  * property is COMPOSABILITY — two sequential ticks must equal one combined
+  * tick — which the greedy near-dup rule guarantees and the "dominated by
+  * any survivor" rule (batch q230's within-corpus form) does not.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- greedyDominated unit behavior -------------------------------------
+
+  test("greedyDominated: clique rejects all but the minimum") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val rejected = Curation.greedyDominated(pairs, "id_a", "id_b")
+      .as[Long].collect().sorted.toSeq
+    assert(rejected == Seq(2L, 3L))
+  }
+
+  test("greedyDominated: a chain alternates (multi-round resolution)") {
+    // 1-2, 2-3, 3-4, 4-5: greedy accepts 1, rejects 2; 3 unblocks and is
+    // accepted (round 2), rejecting 4; 5 unblocks and survives
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val rejected = Curation.greedyDominated(pairs, "id_a", "id_b")
+      .as[Long].collect().sorted.toSeq
+    assert(rejected == Seq(2L, 4L))
+  }
+
+  test("greedyDominated: rejected nodes never block (vs dominated-by-any)") {
+    // 1-2 and 2-3 only: greedy accepts {1, 3} (2 is rejected, so it cannot
+    // block 3); the non-composable dominated-by-any rule would drop 3 too
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val rejected = Curation.greedyDominated(pairs, "id_a", "id_b")
+      .as[Long].collect().sorted.toSeq
+    assert(rejected == Seq(2L))
+  }
+
+  test("greedyDominated: empty input converges immediately") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Curation.greedyDominated(pairs, "id_a", "id_b").count() == 0)
+  }
+
+  // ---- tick vs a sequential reference ------------------------------------
+
+  private def shingles(text: String): Set[String] = {
+    val norm = text.trim.replaceAll("\\s+", " ").toLowerCase
+    if (norm.length < 5) Set.empty
+    else (0 to norm.length - 5).map(i => norm.substring(i, i + 5)).toSet
+  }
+
+  private def jac(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty || b.isEmpty) 0.0
+    else a.intersect(b).size.toDouble / a.union(b).size
+
+  /** Sequential greedy reference: ingest batch docs in id order against the
+    * corpus; quality bypassed (lit(1.0) in these tests), no bench.
+    */
+  private def reference(
+      corpus: Seq[(Long, String, String)],
+      batch: Seq[(Long, String, String)],
+      tau: Double): Seq[Long] = {
+    val corpusTexts = corpus.map(_._3).toSet
+    val corpusSh = corpus.map { case (_, l, t) => (l, shingles(t)) }
+    var accepted = Vector.empty[(Long, String, Set[String])]
+    var acceptedTexts = Set.empty[String]
+    batch.sortBy(_._1).foreach { case (id, lang, text) =>
+      val sh = shingles(text)
+      val exactDup = corpusTexts.contains(text) || acceptedTexts.contains(text)
+      val nearCorpus = corpusSh.exists { case (l, s) => l == lang && jac(sh, s) >= tau }
+      val nearAccepted = accepted.exists { case (_, l, s) => l == lang && jac(sh, s) >= tau }
+      if (!exactDup && !nearCorpus && !nearAccepted) {
+        accepted :+= ((id, lang, sh))
+        acceptedTexts += text
+      }
+    }
+    accepted.map(_._1)
+  }
+
+  /** Random corpus with planted mutation chains: each chain extends a base
+    * string so adjacent links are near-dups but distant links are not.
+    */
+  private def mutationCorpus(seed: Int): (Seq[(Long, String, String)], Seq[(Long, String, String)]) = {
+    val rnd = new scala.util.Random(seed)
+    def randStr(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val corpus = (0 until 30).map(i => (i.toLong, s"l${i % 2}", randStr(120)))
+    // batch: fresh docs + docs near corpus docs + chains within the batch +
+    // exact dups of corpus and of earlier batch docs
+    val fresh = (100 until 115).map(i => (i.toLong, s"l${i % 2}", randStr(120)))
+    val nearCorpus = (115 until 122).map { i =>
+      val (_, l, t) = corpus(rnd.nextInt(corpus.size))
+      (i.toLong, l, t + randStr(40)) // J ~ 116/156 >= 0.5 vs the base
+    }
+    val chains = (122 until 128).flatMap { i0 =>
+      val base = randStr(100)
+      Seq(
+        (i0 * 10L, "l0", base),
+        (i0 * 10L + 1, "l0", base + randStr(60)), // ~0.61 vs base
+        (i0 * 10L + 2, "l0", base + randStr(60) + randStr(60))) // ~0.44 vs base, ~0.72 vs mid
+    }
+    val exactDups = Seq(
+      (5000L, corpus(3)._2, corpus(3)._3), // corpus text verbatim
+      (5001L, "l0", chains.head._3)) // earlier batch text verbatim
+    (corpus, (fresh ++ nearCorpus ++ chains ++ exactDups).sortBy(_._1))
+  }
+
+  private def runTick(
+      corpus: Seq[(Long, String, String)],
+      batch: Seq[(Long, String, String)],
+      tau: Double): Seq[Long] = {
+    val bench = spark.emptyDataset[(Long, String, String)].toDF("doc_id", "lang", "text")
+    Curation.tick(
+        corpus.toDF("doc_id", "lang", "text"),
+        batch.toDF("doc_id", "lang", "text"),
+        bench, "doc_id", "text", "lang",
+        quality = lit(1.0), minQuality = 0.0, tau = tau)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+  }
+
+  test("tick equals the sequential greedy reference on a mutation corpus") {
+    val (corpus, batch) = mutationCorpus(61)
+    val got = runTick(corpus, batch, tau = 0.5)
+    val want = reference(corpus, batch, tau = 0.5).sorted
+    assert(got == want, s"missing=${want.toSet -- got} extra=${got.toSet -- want.toSet}")
+    // the corpus must make every stage bite: some fresh accepts, some
+    // near-corpus rejects, some chain middles rejected with ends accepted
+    assert(got.nonEmpty && got.size < batch.size)
+  }
+
+  test("two sequential ticks equal one combined tick (composability)") {
+    val (corpus, batch) = mutationCorpus(67)
+    // split point chosen mid-corpus so chains STRADDLE the tick boundary
+    // (ranks stay monotone across ticks — the operator's contract)
+    val (b1, b2) = batch.partition(_._1 < 1240L)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val combined = runTick(corpus, batch, tau = 0.5)
+
+    val acc1 = runTick(corpus, b1, tau = 0.5)
+    val corpus2 = corpus ++ b1.filter(d => acc1.contains(d._1))
+    val acc2 = runTick(corpus2, b2, tau = 0.5)
+    assert((acc1 ++ acc2).sorted == combined,
+      s"tick composition diverged: combined=$combined split=${(acc1 ++ acc2).sorted}")
+  }
+
+  test("composability holds on the chain-through-corpus counterexample") {
+    // e ~ corpus c, d ~ e, d !~ c: the dominated-by-any rule accepts d or
+    // not depending on where the tick boundary falls; greedy always
+    // accepts d (e is rejected by the corpus and cannot block)
+    val rnd = new scala.util.Random(71)
+    def randStr(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val base = randStr(100)
+    val sufA = randStr(60)
+    val corpus = Seq((1L, "l0", base + sufA + randStr(60))) // c = long form
+    val e = (10L, "l0", base + sufA) // J(e, c) ~ 156/212 >= 0.5 (shared prefix)
+    val d = (11L, "l0", base) // J(d, e) ~ 0.62; J(d, c) ~ 0.45 < 0.5
+    Seq(Seq(e, d) -> "same tick", Seq(e) -> "e first").foreach { case (b1, label) =>
+      val combined = runTick(corpus, Seq(e, d), tau = 0.5)
+      assert(combined == Seq(11L), s"greedy must accept d, reject e ($label)")
+    }
+    // split across ticks: e in tick 1 (rejected), d in tick 2 — same outcome
+    val acc1 = runTick(corpus, Seq(e), tau = 0.5)
+    assert(acc1.isEmpty)
+    val acc2 = runTick(corpus, Seq(d), tau = 0.5)
+    assert(acc2 == Seq(11L))
+  }
+}
