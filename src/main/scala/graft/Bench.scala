@@ -172,7 +172,10 @@ object Bench {
     // profile and the streaming cell-table replay
     "q234_hll_distinct" -> 0.690, "q235_stream_hll" -> 1.020,
     // round-7 additions (r7 sf0.1 measurements, BASELINE.md §3f)
-    "q236_stream_ttl_sessions" -> 1.950)
+    "q236_stream_ttl_sessions" -> 1.950,
+    // the tick capstone: two cost-based similarity joins (cross + self,
+    // each with Auto's volume probes) + the greedy resolution rounds
+    "q237_curation_tick" -> 11.790)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

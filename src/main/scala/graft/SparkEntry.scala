@@ -5650,6 +5650,32 @@ object SparkEntry {
         .toDF()
     }.orderBy(col("user_id"), col("session_start"))
 
+  // q237 — ONE incremental curation tick (the production shape of q230's
+  // batch funnel): the newest 20% of docs arrive as the ingest batch
+  // against the standing corpus (older docs minus the %50 benchmark
+  // holdout). Quality screen → 4-gram decontamination → digest exact-dedup
+  // (within batch + vs corpus) → cost-based near-dup vs corpus + GREEDY
+  // within-batch resolution (Curation.tick's composable rule; CurationSpec
+  // proves two ticks ≡ one). The oracle recomputes the tick declaratively,
+  // unrolling the greedy rounds as CTEs (8 rounds ≫ the pair graph's
+  // dependency depth at the gate scales; a residual round would surface as
+  // a row diff, never silently).
+  private def curationTick(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // one bounded driver action sizes the split (the GlobalRank-offset
+    // precedent): ingest boundary at 80% of the id range
+    val x = docs.agg(max(col("doc_id"))).head().getLong(0) * 4 / 5
+    val batch = docs.filter(col("doc_id") >= x)
+    val bench = docs.filter(col("doc_id") < x && col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") < x && col("doc_id") % 50 =!= 0)
+    graft.operators.Curation
+      .tick(corpus, batch, bench, "doc_id", "text", "lang",
+        quality = TF.qualityScore(col("text"), Stopwords))
+      .select(col("doc_id"), col("lang"),
+        greatest(TF.tokenCount(col("text")), lit(0)).cast("long").as("toks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5889,7 +5915,8 @@ object SparkEntry {
       incrementalNearDups(0.5, graft.operators.SimilarityStrategy.Auto),
     "q234_hll_distinct" -> hllDistinct,
     "q235_stream_hll" -> streamHll,
-    "q236_stream_ttl_sessions" -> streamTtlSessions)
+    "q236_stream_ttl_sessions" -> streamTtlSessions,
+    "q237_curation_tick" -> curationTick)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -5899,6 +5926,98 @@ object SparkEntry {
     * query that scores quality, so the weights/threshold can never drift
     * between copies.
     */
+  /** q237's oracle: Curation.tick recomputed in SQL. The greedy rounds are
+    * GENERATED (8 unrolled rounds over the within-batch pair frame e0):
+    * round k accepts every node with no smaller undecided neighbor (a-side
+    * nodes absent from the b side), rejects their larger neighbors, and
+    * keeps only edges between still-undecided nodes — exactly
+    * Curation.greedyDominated's loop. 8 rounds covers dependency chains of
+    * 9+ docs; the gate corpora measure depth ≤ 1, and a deeper graph would
+    * fail the compare loudly (extra rows), never pass silently.
+    */
+  private def curationTickOracleSql: String = {
+    val rounds = (1 to 8).map { k =>
+      val p = k - 1
+      s""", rej$k AS MATERIALIZED (
+         |  SELECT DISTINCT b FROM e$p WHERE a NOT IN (SELECT b FROM e$p)
+         |), e$k AS MATERIALIZED (
+         |  SELECT a, b FROM e$p
+         |  WHERE a IN (SELECT b FROM e$p)
+         |    AND a NOT IN (SELECT b FROM rej$k)
+         |    AND b NOT IN (SELECT b FROM rej$k)
+         |)""".stripMargin
+    }.mkString
+    val rejUnion = (1 to 8).map(k => s"SELECT b FROM rej$k").mkString(" UNION ")
+    s"""WITH batch AS (
+       |  SELECT doc_id, lang, text,
+       |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+       |    ${qualitySqlExpr("text")} AS q
+       |  FROM documents
+       |  WHERE doc_id >= (SELECT max(doc_id) * 4 // 5 FROM documents)
+       |), corpus AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE doc_id < (SELECT max(doc_id) * 4 // 5 FROM documents)
+       |    AND doc_id % 50 <> 0
+       |), s1 AS (
+       |  SELECT * FROM batch WHERE q >= 0.5
+       |), tokb AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM s1 WHERE trim(text) <> ''
+       |), bgrams AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 3], ' ') AS g
+       |  FROM tokb, unnest(range(1, len(tk) - 2)) t(i)
+       |), benchtok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+       |  FROM documents
+       |  WHERE doc_id < (SELECT max(doc_id) * 4 // 5 FROM documents)
+       |    AND doc_id % 50 = 0 AND trim(text) <> ''
+       |), benchg AS (
+       |  SELECT DISTINCT array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 3], ' ') AS g
+       |  FROM benchtok, unnest(range(1, len(tk) - 2)) t(i)
+       |), hits AS (
+       |  SELECT c.doc_id FROM bgrams c JOIN benchg b USING (g)
+       |  GROUP BY c.doc_id HAVING count(DISTINCT c.g) >= 5
+       |), s2 AS (
+       |  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+       |), s3 AS (
+       |  SELECT * FROM (
+       |    SELECT * FROM s2 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+       |  ) WHERE text NOT IN (SELECT text FROM corpus)
+       |), shb AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+       |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)]) END AS s
+       |  FROM (SELECT doc_id, lang,
+       |          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM s3)
+       |), shc AS MATERIALIZED (
+       |  SELECT lang,
+       |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+       |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)]) END AS s
+       |  FROM (SELECT lang,
+       |          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM corpus)
+       |), r1 AS MATERIALIZED (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM shb b JOIN shc c ON b.lang = c.lang
+       |  WHERE len(b.s) > 0 AND len(c.s) > 0
+       |    AND len(list_intersect(b.s, c.s))::DOUBLE
+       |      / len(list_distinct(b.s || c.s)) >= 0.5
+       |), free AS MATERIALIZED (
+       |  SELECT * FROM shb WHERE doc_id NOT IN (SELECT doc_id FROM r1)
+       |), e0 AS MATERIALIZED (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM free x JOIN free y ON x.lang = y.lang AND x.doc_id < y.doc_id
+       |  WHERE len(x.s) > 0 AND len(y.s) > 0
+       |    AND len(list_intersect(x.s, y.s))::DOUBLE
+       |      / len(list_distinct(x.s || y.s)) >= 0.5
+       |)$rounds, r2 AS ($rejUnion)
+       |SELECT doc_id, lang, toks FROM s3
+       |WHERE doc_id NOT IN (SELECT doc_id FROM r1)
+       |  AND doc_id NOT IN (SELECT b FROM r2)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def qualitySqlExpr(textCol: String): String =
     s"""CASE WHEN trim($textCol) = '' THEN 0.3 ELSE round(
        |      least(len(regexp_split_to_array(trim($textCol), '\\s+')) / 50.0, 1.0) * 0.4 +
@@ -10601,5 +10720,10 @@ object SparkEntry {
         |SELECT user_id, session_start, session_end, n_events
         |FROM marked, wm
         |WHERE sid < max_sid OR epoch_ms(session_end) + 1800000 < w
-        |ORDER BY user_id, session_start""".stripMargin)
+        |ORDER BY user_id, session_start""".stripMargin,
+    // q237: the tick recomputed declaratively — q230's stage fragments on
+    // the batch slice, then greedy-by-rank near-dup resolution unrolled as
+    // CTE rounds (MATERIALIZED: each round references the previous twice,
+    // and inlining would re-evaluate the pair join exponentially)
+    "q237_curation_tick" -> curationTickOracleSql)
 }
