@@ -175,7 +175,8 @@ object Bench {
     "q236_stream_ttl_sessions" -> 1.950,
     // the tick capstone: two cost-based similarity joins (cross + self,
     // each with Auto's volume probes) + the greedy resolution rounds
-    "q237_curation_tick" -> 11.790)
+    "q237_curation_tick" -> 11.790,
+    "q238_quantile_sketch" -> 1.897, "q239_stream_hist" -> 1.010)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5676,6 +5676,48 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // q238 — mergeable quantile sketch (the sketch tier's order-statistics
+  // member: CMS q225 = frequency, HLL q234 = distinct, THIS = percentiles):
+  // lineitem prices per return flag summarized into a 2048-bin fixed-range
+  // histogram over [0, 110000) — bin width 6875/128, DYADIC, so the bin
+  // ids, cumulative ranks and interpolation are the same IEEE arithmetic in
+  // any engine and the oracle re-derives cells AND estimates verbatim. The
+  // exact percentile rides along as the accuracy pairing (the q225/q234
+  // convention): at 2048 bins the sketch lands within ~0.06% of exact while
+  // holding ≤ 2048 rows of state per flag vs a full per-group value buffer.
+  private def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val (lo, hi, bins) = (0.0, 110000.0, 2048)
+    val qs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+    val cells = graft.functions.QuantileSketch
+      .cells(li, col("l_extendedprice"), lo, hi, bins, Seq("l_returnflag"))
+    val est = graft.functions.QuantileSketch
+      .quantiles(cells, qs, lo, hi, bins, Seq("l_returnflag"))
+    val qArr = array(qs.map(lit): _*)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), qArr).as("evs"))
+      .select(col("l_returnflag"), posexplode(col("evs")).as(Seq("i", "ev")))
+      .select(col("l_returnflag"), element_at(qArr, col("i") + 1).as("q"), col("ev"))
+    est.join(exact, Seq("l_returnflag", "q"))
+      .select(col("l_returnflag"), col("q"),
+        rnd(col("est"), 4).as("sketch_est"),
+        rnd(col("ev"), 4).as("exact_v"),
+        col("n"))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
+  // q239 — the q238 histogram maintained over the replayed event stream
+  // (phase E of the sketch tier, the q226/q235 pattern): a running
+  // groupBy-count whose state is 256 cells no matter how long the stream
+  // runs — the drained cell table must equal the batch re-derivation, and
+  // QuantileSketch.quantiles over it answers "p99 of value right now".
+  private def streamHist(s: SparkSession, dir: String): DataFrame =
+    replayStream(s, dir, "complete") { ev =>
+      graft.streaming.StreamOps.histCells(ev, col("value"), lo = 0.0, hi = 512.0, bins = 256)
+    }
+      .select(col("bin"), col("cnt").cast("long").as("cnt"))
+      .orderBy(col("bin"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5916,7 +5958,9 @@ object SparkEntry {
     "q234_hll_distinct" -> hllDistinct,
     "q235_stream_hll" -> streamHll,
     "q236_stream_ttl_sessions" -> streamTtlSessions,
-    "q237_curation_tick" -> curationTick)
+    "q237_curation_tick" -> curationTick,
+    "q238_quantile_sketch" -> quantileSketch,
+    "q239_stream_hist" -> streamHist)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -10725,5 +10769,52 @@ object SparkEntry {
     // the batch slice, then greedy-by-rank near-dup resolution unrolled as
     // CTE rounds (MATERIALIZED: each round references the previous twice,
     // and inlining would re-evaluate the pair join exponentially)
-    "q237_curation_tick" -> curationTickOracleSql)
+    "q237_curation_tick" -> curationTickOracleSql,
+    // q238: the oracle re-derives the histogram cells from the identical
+    // dyadic-width bin formula (w = 110000/2048 = 53.7109375, exact in
+    // binary), the cumulative ranks, and the same interpolation written in
+    // the same algebraic order; exact percentiles via quantile_cont (type-7,
+    // = Spark `percentile`, the q34 precedent)
+    "q238_quantile_sketch" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag,
+        |    CAST(least(greatest(floor((l_extendedprice - 0.0) / 53.7109375), 0), 2047)
+        |      AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT l_returnflag, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM cells
+        |), qv AS (
+        |  SELECT unnest(CAST([0.25, 0.5, 0.75, 0.95, 0.99] AS DOUBLE[])) AS q
+        |), hit AS (
+        |  SELECT c.l_returnflag, q.q, c.n,
+        |    0.0 + 53.7109375 * c.bin
+        |        + 53.7109375 * ((q.q * c.n - (c.cum - c.cnt)) / c.cnt) AS est
+        |  FROM cum c, qv q
+        |  WHERE c.cum >= q.q * c.n AND (c.cum - c.cnt) < q.q * c.n
+        |), ex0 AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95, 0.99]) AS evs
+        |  FROM lineitem GROUP BY 1
+        |), ex AS (
+        |  SELECT l_returnflag,
+        |    unnest(CAST([0.25, 0.5, 0.75, 0.95, 0.99] AS DOUBLE[])) AS q,
+        |    unnest(evs) AS ev
+        |  FROM ex0
+        |)
+        |SELECT h.l_returnflag, h.q, round(h.est + 1e-9, 4) AS sketch_est,
+        |  round(ex.ev + 1e-9, 4) AS exact_v, CAST(h.n AS BIGINT) AS n
+        |FROM hit h JOIN ex ON h.l_returnflag = ex.l_returnflag AND h.q = ex.q
+        |ORDER BY 1, 2""".stripMargin,
+    // q239: the drained streaming cell table must equal the batch histogram
+    "q239_stream_hist" ->
+      """SELECT
+        |  CAST(least(greatest(floor((value - 0.0) / 2.0), 0), 255) AS BIGINT) AS bin,
+        |  count(*) AS cnt
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin)
 }

@@ -381,6 +381,22 @@ object StreamOps {
   def hllCells(stream: DataFrame, item: org.apache.spark.sql.Column, p: Int): DataFrame =
     graft.functions.HyperLogLog.cells(stream, item, p)
 
+  /** Streaming fixed-bin histogram maintenance — the order-statistics third
+    * of the sketch tier ([[cmsCells]] = frequency, [[hllCells]] = distinct):
+    * the same cell table graft.functions.QuantileSketch.cells builds in
+    * batch, maintained as a running streaming groupBy-count. State is
+    * BOUNDED BY CONSTRUCTION at `bins` cells regardless of stream length —
+    * "what is the p99 of this unbounded feed right now" at any moment via
+    * QuantileSketch.quantiles over the current cells.
+    */
+  def histCells(
+      stream: DataFrame,
+      value: org.apache.spark.sql.Column,
+      lo: Double,
+      hi: Double,
+      bins: Int): DataFrame =
+    graft.functions.QuantileSketch.cells(stream, value, lo, hi, bins)
+
   /** Streaming trend detection (the VEG adjacent-period comparison as a
     * stateful operator): per (event_type) group, compare each micro-batch's
     * day-average against the previous day's retained in state and emit

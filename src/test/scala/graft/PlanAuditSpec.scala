@@ -65,7 +65,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q19: centroidScored broadcasts ONE wide row (the two class-centroid
     // arrays, 2×dim doubles) into a narrow scoring map — the same 1-row
     // broadcast-bind class as q203/q206/q208
-    "q19_scored_classifier")
+    "q19_scored_classifier",
+    // q238: QuantileSketch.quantiles binds a broadcast |qs|-literal-row
+    // frame (5 rows) against ≤ bins histogram cells per group — a
+    // constant × sketch-bounded product, never input-cardinality work
+    "q238_quantile_sketch")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each window
     * provably rides a BOUNDED aggregate frame (cardinality set by the
