@@ -121,6 +121,32 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(math.abs(got.head.getDouble(2) - 0.75) < 1e-12)
   }
 
+  test("index-prefix asymmetry: size-skewed boundary pairs survive; candidate stage shrinks") {
+    // sizes 4 vs 8 at t = 0.5: α = ⌈0.5/1.5·12⌉ = 4 = the whole smaller
+    // set — its index prefix is 4 − ⌈(2·0.5/1.5)·4⌉ + 1 = 2, so losslessness
+    // here depends on the FIRST common element argument (element 1 is
+    // rarest: df 2 vs the decoys' df 1 ... ties put it in both prefixes)
+    val rows = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L)),
+      (2L, Seq(1L, 2L, 3L, 4L, 90L, 91L, 92L, 93L)))
+    Seq(SimilarityStrategy.PrefixFilter, SimilarityStrategy.AllPairs,
+      SimilarityStrategy.Auto).foreach { st =>
+      val got = SimilarityJoin
+        .jaccardSelfJoin(rows.toDF("id", "s"), "id", "s", 0.5, strategy = st)
+        .collect()
+      assert(got.length == 1 && math.abs(got.head.getDouble(2) - 0.5) < 1e-12,
+        s"$st lost the size-skewed boundary pair")
+    }
+    // the probe's prefix volume must reflect the index-side restriction:
+    // strictly below the symmetric Σ n(n−1)/2 on a corpus whose postings
+    // all share one rare element
+    val shared = (1L to 40L).map(i => (i, Seq(0L) ++ (i * 100 until i * 100 + 9).map(_.toLong)))
+    val (cp, _) = SimilarityJoin.selfJoinVolumes(shared.toDF("id", "s"), "id", "s", 0.5)
+    val posts = 40.0 // every set posts the shared rare element once
+    assert(cp < posts * (posts - 1) / 2,
+      s"prefix volume $cp should sit below the symmetric bound ${posts * (posts - 1) / 2}")
+  }
+
   test("self-join with empty and hub-heavy sets stays exact") {
     val hub = 999L
     val base = randomSets(19, 80).map { case (i, s) => (i, (s :+ hub).distinct.sorted) }
