@@ -176,7 +176,8 @@ object Bench {
     // the tick capstone: two cost-based similarity joins (cross + self,
     // each with Auto's volume probes) + the greedy resolution rounds
     "q237_curation_tick" -> 11.790,
-    "q238_quantile_sketch" -> 1.897, "q239_stream_hist" -> 1.010)
+    "q238_quantile_sketch" -> 1.897, "q239_stream_hist" -> 1.010,
+    "q240_temperature_mix" -> 1.289)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -192,9 +193,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Engine.tune(spark)
 
+    // SPARK_GRAFT_BENCH_EXCLUDE: comma-separated exact query names to skip —
+    // for scale-validation sweeps that should not pay a strategy-PINNED
+    // stress gate's declared cost (e.g. q228's prefix-pinned τ=0.25 point at
+    // sf1, VERDICT r6 item 7; its oracle + sf0.1 bench gates stay intact).
+    val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) }
+      (if (args.isEmpty) SparkEntry.queries
+       else SparkEntry.queries.filter { case (n, _) => args.exists(n.startsWith) })
+        .filter { case (n, _) => !excluded(n) }
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()

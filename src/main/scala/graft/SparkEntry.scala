@@ -5718,6 +5718,36 @@ object SparkEntry {
       .select(col("bin"), col("cnt").cast("long").as("cnt"))
       .orderBy(col("bin"))
 
+  // q240 — temperature-based multilingual mixing (the mT5/XLM-R sampling
+  // scheme, the missing member of the sampling tier next to q219's quality
+  // Bernoulli and q223's DSIR top-k): α = 0.3 rates r_l ∝ T_l^0.3 rebalance
+  // the en-heavy corpus toward the tail languages, budget = half the corpus
+  // tokens, per-doc repetition counts from the shared seedless Knuth-hash
+  // uniform. Everything is a closed form over two aggregates + a hash ⇒
+  // the oracle re-derives plan AND realization; the 6-dp epochs rounding
+  // absorbs cross-engine pow() ulp noise before any sampling decision.
+  private def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        greatest(TF.tokenCount(col("text")), lit(0)).cast("long").as("toks"))
+    // one bounded driver aggregate sizes the budget (the GlobalRank-offset
+    // precedent): half the corpus token mass
+    val total = docs.agg(sum(col("toks"))).head().getLong(0)
+    val plan = graft.operators.Mixing
+      .temperaturePlan(docs, "lang", col("toks"), alpha = 0.3, budgetTokens = 0.5 * total)
+    val samp = graft.operators.Mixing.temperatureSample(docs, "doc_id", "lang", plan)
+    plan.join(
+        samp.groupBy(col("lang")).agg(
+          sum(col("n_copies")).as("sampled_docs"),
+          sum(col("n_copies") * col("toks")).as("sampled_toks")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("tokens"), rnd(col("rate"), 6).as("rate"),
+        col("epochs"),
+        coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"),
+        coalesce(col("sampled_toks"), lit(0L)).as("sampled_toks"))
+      .orderBy(col("lang"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5960,7 +5990,8 @@ object SparkEntry {
     "q236_stream_ttl_sessions" -> streamTtlSessions,
     "q237_curation_tick" -> curationTick,
     "q238_quantile_sketch" -> quantileSketch,
-    "q239_stream_hist" -> streamHist)
+    "q239_stream_hist" -> streamHist,
+    "q240_temperature_mix" -> temperatureMix)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -10816,5 +10847,36 @@ object SparkEntry {
         |  CAST(least(greatest(floor((value - 0.0) / 2.0), 0), 255) AS BIGINT) AS bin,
         |  count(*) AS cnt
         |FROM events WHERE value IS NOT NULL
-        |GROUP BY 1 ORDER BY bin""".stripMargin)
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+    // q240: the oracle re-derives the α-smoothed plan (rate = T^0.3/ΣT^0.3,
+    // epochs = budget·rate/T rounded at 6 dp BEFORE the sampling decision)
+    // and the per-doc realization from the same Knuth-hash uniform
+    "q240_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+        |  FROM documents
+        |), tot AS (
+        |  SELECT lang, CAST(sum(toks) AS BIGINT) AS t FROM d GROUP BY 1
+        |  HAVING sum(toks) > 0
+        |), z AS (
+        |  SELECT sum(power(t, 0.3)) AS z, CAST(sum(t) AS BIGINT) AS gt FROM tot
+        |), plan AS (
+        |  SELECT lang, t, power(t, 0.3) / z.z AS rate,
+        |    round((0.5 * z.gt) * (power(t, 0.3) / z.z) / t + 1e-9, 6) AS e6
+        |  FROM tot, z
+        |), samp AS (
+        |  SELECT d.doc_id, d.lang, d.toks, p.e6,
+        |    CAST(floor(p.e6) AS BIGINT) +
+        |    CASE WHEN ((d.doc_id % 2147483648) * 2654435761) % 4294967296
+        |              / 4294967296.0 < p.e6 - floor(p.e6) THEN 1 ELSE 0 END AS n_copies
+        |  FROM d JOIN plan p USING (lang)
+        |)
+        |SELECT p.lang, p.t AS tokens, round(p.rate + 1e-9, 6) AS rate,
+        |  p.e6 AS epochs,
+        |  CAST(coalesce(sum(s.n_copies), 0) AS BIGINT) AS sampled_docs,
+        |  CAST(coalesce(sum(s.n_copies * s.toks), 0) AS BIGINT) AS sampled_toks
+        |FROM plan p LEFT JOIN samp s ON p.lang = s.lang
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)
 }

@@ -69,7 +69,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q238: QuantileSketch.quantiles binds a broadcast |qs|-literal-row
     // frame (5 rows) against ≤ bins histogram cells per group — a
     // constant × sketch-bounded product, never input-cardinality work
-    "q238_quantile_sketch")
+    "q238_quantile_sketch",
+    // q240: Mixing.temperaturePlan binds the broadcast 1-row normalizer
+    // (Σ T^α, grand total) onto the |languages|-row aggregate — the
+    // q203/q223 broadcast-scalar pattern
+    "q240_temperature_mix")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each window
     * provably rides a BOUNDED aggregate frame (cardinality set by the
