@@ -251,9 +251,9 @@ object SimilarityJoin {
     // id-hash bucket, a replicates to all `buckets` — and the join stays an
     // equi-join (no CartesianProduct), so AQE spreads it like any shuffle.
     // Block keys ride the join key, so the cross is per-block.
-    def crossPath(): DataFrame = {
-      val rb = r.withColumn("_g", pmod(xxhash64(col("_bid")), lit(buckets)).cast("int"))
-      val lb = l.withColumn("_g",
+    def crossPath(lf: DataFrame, rf: DataFrame): DataFrame = {
+      val rb = rf.withColumn("_g", pmod(xxhash64(col("_bid")), lit(buckets)).cast("int"))
+      val lb = lf.withColumn("_g",
         explode(sequence(lit(0), lit(buckets - 1)).cast("array<int>")))
       lb.join(rb, "_g" +: blockCols)
         .filter(least(size(col("_as")), size(col("_bs")))
@@ -286,26 +286,72 @@ object SimilarityJoin {
 
     val out = strategy match {
       case SimilarityStrategy.PrefixFilter => prefixPath(buildPosts(pinPosts = false))
-      case SimilarityStrategy.AllPairs => crossPath()
+      case SimilarityStrategy.AllPairs => crossPath(l, r)
       case SimilarityStrategy.MinHashLsh(b, rr) => minHashPath(b, rr)
-      case SimilarityStrategy.Auto =>
+      case SimilarityStrategy.Auto if blockCols.isEmpty =>
+        // one block — one regime: global volume comparison
         val posts = buildPosts(pinPosts = true)
-        val hKey = ("h" +: blockCols).map(col)
-        val nl = posts._1.groupBy(hKey: _*).count().withColumnRenamed("count", "_nl")
-        val nr = posts._2.groupBy(hKey: _*).count().withColumnRenamed("count", "_nr")
-        val cPrefix = nl.join(nr, "h" +: blockCols)
+        val nl = posts._1.groupBy(col("h")).count().withColumnRenamed("count", "_nl")
+        val nr = posts._2.groupBy(col("h")).count().withColumnRenamed("count", "_nr")
+        val cPrefix = nl.join(nr, Seq("h"))
           .agg(coalesce(sum(col("_nl").cast("double") * col("_nr")), lit(0.0)))
           .head().getDouble(0)
-        val cCross =
-          if (blockCols.isEmpty) l.count().toDouble * r.count().toDouble
-          else l.groupBy(blockCols.map(col): _*).count().withColumnRenamed("count", "_nl")
-            .join(r.groupBy(blockCols.map(col): _*).count().withColumnRenamed("count", "_nr"),
-              blockCols.toSeq)
-            .agg(coalesce(sum(col("_nl").cast("double") * col("_nr")), lit(0.0)))
-            .head().getDouble(0)
-        if (cPrefix <= cCross) prefixPath(posts) else crossPath()
+        val cCross = l.count().toDouble * r.count().toDouble
+        if (cPrefix <= cCross) prefixPath(posts) else crossPath(l, r)
+      case SimilarityStrategy.Auto =>
+        // PER-BLOCK routing, mirroring [[jaccardSelfJoin]]: the regime is a
+        // property of each block — route each to its cheaper exact engine
+        // and union the outputs (identical pairs either way)
+        val posts = buildPosts(pinPosts = true)
+        val regimes = crossBlockVolumes(l, r, posts, blockCols)
+          .select(blockCols.map(col) :+ (col("_cp") <= col("_cb")).as("_pr"): _*)
+        val Seq(nPrefix, nBlocks) = regimes
+          .agg(sum(col("_pr").cast("long")), count(lit(1)))
+          .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long])
+        if (nPrefix == nBlocks) prefixPath(posts)
+        else if (nPrefix == 0L) crossPath(l, r)
+        else {
+          // mixed: split by the regime flag. Postings restricted to
+          // prefix-regime blocks stay lossless (one global order; filters,
+          // not rebuilds); cross-regime blocks run the salted cross on the
+          // filtered frames. prefixPath/crossPath address columns by NAME,
+          // so the regime join needs no column re-ordering.
+          val pr = regimes.filter(col("_pr")).drop("_pr")
+          val cr = regimes.filter(!col("_pr")).drop("_pr")
+          val keep = Seq(col("_aid"), col("_bid"), col("_j"))
+          prefixPath((posts._1.join(pr, blockCols.toSeq), posts._2.join(pr, blockCols.toSeq)))
+            .select(keep: _*)
+            .unionAll(
+              crossPath(l.join(cr, blockCols.toSeq), r.join(cr, blockCols.toSeq))
+                .select(keep: _*))
+        }
     }
     out.select(col("_aid").as(leftId), col("_bid").as(rightId), col("_j").as("jac"))
+  }
+
+  /** Per-block cross-frame candidate volumes: `_cp` (prefix postings join
+    * volume Σ_h nL·nR within the block) and `_cb` (salted full cross
+    * |L_b|·|R_b|). Blocks present in only one frame produce no pairs and
+    * are dropped (inner join); a block with no postings on either side
+    * reads `_cp` = 0 — prefix wins trivially with an empty candidate set
+    * (only empty sets emit no postings, and J(∅, X) < t for any t > 0).
+    */
+  private def crossBlockVolumes(
+      l: DataFrame, r: DataFrame,
+      posts: (DataFrame, DataFrame), blockCols: Seq[String]): DataFrame = {
+    val hKey = ("h" +: blockCols).map(col)
+    val cp = posts._1.groupBy(hKey: _*).count().withColumnRenamed("count", "_nl")
+      .join(posts._2.groupBy(hKey: _*).count().withColumnRenamed("count", "_nr"),
+        "h" +: blockCols)
+      .groupBy(blockCols.map(col): _*)
+      .agg(sum(col("_nl").cast("double") * col("_nr")).as("_cp"))
+    val cb = l.groupBy(blockCols.map(col): _*).count().withColumnRenamed("count", "_bl")
+      .join(r.groupBy(blockCols.map(col): _*).count().withColumnRenamed("count", "_br"),
+        blockCols.toSeq)
+      .select(blockCols.map(col) :+
+        (col("_bl").cast("double") * col("_br")).as("_cb"): _*)
+    cb.join(cp, blockCols.toSeq, "left")
+      .select(blockCols.map(col) :+ coalesce(col("_cp"), lit(0.0)).as("_cp") :+ col("_cb"): _*)
   }
 
   /** All WITHIN-corpus pairs with exact Jaccard ≥ `threshold` — the dedup
@@ -605,5 +651,38 @@ object SimilarityJoin {
         :+ col("_cp").as("prefix_volume")
         :+ col("_cb").as("allpairs_volume")
         :+ when(col("_cp") <= col("_cb"), lit("prefix")).otherwise(lit("allpairs")).as("engine"): _*)
+  }
+
+  /** Cross-frame counterpart of [[selfJoinBlockVolumes]]: one row per
+    * distinct `blockCols` value present in BOTH frames, with the prefix
+    * postings join volume (`prefix_volume`), the salted full-cross volume
+    * (`cross_volume`), and the engine [[jaccardJoin]]'s Auto routes that
+    * block to (`engine`: "prefix" | "cross").
+    */
+  def joinBlockVolumes(
+      left: DataFrame,
+      leftId: String,
+      right: DataFrame,
+      rightId: String,
+      setCol: String,
+      threshold: Double,
+      blockCols: Seq[String]): DataFrame = {
+    require(blockCols.nonEmpty,
+      "joinBlockVolumes needs block columns — the unblocked comparison is global by definition")
+    val l = left.select(
+      (col(leftId).cast("long").as("_aid") +: blockCols.map(col)) :+ col(setCol).as("_as"): _*)
+    val r = right.select(
+      (col(rightId).cast("long").as("_bid") +: blockCols.map(col)) :+ col(setCol).as("_bs"): _*)
+    val freq = l.select(explode(col("_as")).as("h"))
+      .unionAll(r.select(explode(col("_bs")).as("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("_df"))
+    val posts = (
+      prefixPostings(l.withColumnRenamed("_as", "_set"), "_aid" +: blockCols, freq, threshold),
+      prefixPostings(r.withColumnRenamed("_bs", "_set"), "_bid" +: blockCols, freq, threshold))
+    crossBlockVolumes(l, r, posts, blockCols)
+      .select(blockCols.map(col)
+        :+ col("_cp").as("prefix_volume")
+        :+ col("_cb").as("cross_volume")
+        :+ when(col("_cp") <= col("_cb"), lit("prefix")).otherwise(lit("cross")).as("engine"): _*)
   }
 }

@@ -267,6 +267,62 @@ class SimilarityJoinSpec extends AnyFunSuite {
       }
   }
 
+  test("cross-frame per-block routing: mixed ingest routes each block, output identical") {
+    // dense block "d": every ingest doc is a near-replica of a corpus doc
+    // (scraper echo) — prefix postings degenerate; sparse block "s":
+    // mostly-unique sets — prefix wins. Mirrors the self-join routing spec
+    // on the ingest-vs-corpus shape.
+    val rnd = new scala.util.Random(41)
+    val denseBases = (0 until 10).map(o =>
+      Seq.fill(60)(rnd.nextInt(100000).toLong).distinct.sorted)
+    val denseCorpus = denseBases.zipWithIndex.flatMap { case (base, o) =>
+      (0 until 6).map(c => (o * 6L + c, "d", (base :+ (900000L + o * 6 + c)).distinct.sorted))
+    }
+    val denseIngest = denseBases.zipWithIndex.flatMap { case (base, o) =>
+      (0 until 6).map(c => (o * 6L + c, "d", (base :+ (950000L + o * 6 + c)).distinct.sorted))
+    }
+    val sparseCorpus = (0 until 120).map(i =>
+      (100L + i, "s", Seq.fill(60)(rnd.nextLong()).distinct.sorted))
+    val sparseIngest = (0 until 120).map(i =>
+      (100L + i, "s", Seq.fill(60)(rnd.nextLong()).distinct.sorted))
+    val lRows = denseIngest ++ sparseIngest
+    val rRows = denseCorpus ++ sparseCorpus
+    val l = lRows.toDF("lid", "g", "s")
+    val r = rRows.toDF("rid", "g", "s")
+    val t = 0.5
+
+    val regimes = SimilarityJoin
+      .joinBlockVolumes(l, "lid", r, "rid", "s", t, Seq("g"))
+      .select("g", "engine", "prefix_volume", "cross_volume")
+      .collect().map(x => x.getString(0) -> (x.getString(1), x.getDouble(2), x.getDouble(3)))
+      .toMap
+    assert(regimes("d")._1 == "cross", s"dense block misrouted: $regimes")
+    assert(regimes("s")._1 == "prefix", s"sparse block misrouted: $regimes")
+    val routed = regimes.values.map(v => math.min(v._2, v._3)).sum
+    assert(routed < regimes.values.map(_._2).sum && routed < regimes.values.map(_._3).sum,
+      s"routing should beat both single engines: $regimes")
+
+    // output identical across routed Auto and both forced engines, and
+    // equal to per-block brute force (id ranges are block-disjoint, so
+    // (lid, rid) identifies the pair)
+    val want = (for {
+      (li, gl, ls) <- lRows
+      (ri, gr, rs) <- rRows
+      if gl == gr
+      inter = ls.toSet.intersect(rs.toSet).size
+      union = ls.toSet.union(rs.toSet).size
+      if union > 0 && inter.toDouble / union >= t
+    } yield (li, ri)).toSet
+    Seq(SimilarityStrategy.Auto, SimilarityStrategy.PrefixFilter, SimilarityStrategy.AllPairs)
+      .foreach { st =>
+        val got = SimilarityJoin
+          .jaccardJoin(l, "lid", r, "rid", "s", t, strategy = st, blockCols = Seq("g"))
+          .select("lid", "rid").as[(Long, Long)].collect()
+        assert(got.toSet == want,
+          s"strategy=$st: missing=${want -- got.toSet} extra=${got.toSet -- want}")
+      }
+  }
+
   test("MinHashLsh: precision 1 (subset of exact, values exact) with high recall on BOTH regimes") {
     val rnd = new scala.util.Random(43)
     val t = 0.8
