@@ -5748,6 +5748,26 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  // q241 — windowed streaming HyperLogLog (sketch × event-time window, the
+  // "distinct users per day" ask at unbounded-feed scale): per tumbling day
+  // a ≤ 2^9-cell sketch, watermark-closed in append mode so state is
+  // (open windows)·2^9 and old windows EVICT — unlike q235's running
+  // sketch, which lives forever by design. The estimate is read off the
+  // drained cells with the same closed-form as q234; the oracle re-derives
+  // cells + estimate per day and applies q81's window-closure predicate
+  // (day end ≤ final watermark = max ts − 1 h).
+  private def streamWindowedHll(s: SparkSession, dir: String): DataFrame = {
+    val cells = replayStream(s, dir, "append") { ev =>
+      graft.streaming.StreamOps
+        .windowedHllCells(ev, col("user_id").cast("string"), p = 9)
+    }
+    graft.functions.HyperLogLog.estimate(
+        cells.select(to_date(col("ws")).as("day"), col("bucket"), col("r")),
+        p = 9, Seq("day"))
+      .select(col("day"), rnd(col("est"), 2).as("hll_users"))
+      .orderBy(col("day"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -5991,7 +6011,8 @@ object SparkEntry {
     "q237_curation_tick" -> curationTick,
     "q238_quantile_sketch" -> quantileSketch,
     "q239_stream_hist" -> streamHist,
-    "q240_temperature_mix" -> temperatureMix)
+    "q240_temperature_mix" -> temperatureMix,
+    "q241_stream_windowed_hll" -> streamWindowedHll)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -10878,5 +10899,38 @@ object SparkEntry {
         |  CAST(coalesce(sum(s.n_copies), 0) AS BIGINT) AS sampled_docs,
         |  CAST(coalesce(sum(s.n_copies * s.toks), 0) AS BIGINT) AS sampled_toks
         |FROM plan p LEFT JOIN samp s ON p.lang = s.lang
-        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    // q241: per-day HLL cells + the q234 closed-form estimate, restricted
+    // to days the final watermark closed (q81's closure predicate)
+    "q241_stream_windowed_hll" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+        |), cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 512 AS BIGINT) AS bucket,
+        |    max(CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT) = 0
+        |        THEN 33
+        |        ELSE instr(lpad(bin(CAST(concat('0x',
+        |          substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT)), 32, '0'), '1')
+        |        END) AS r
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+        |), agg_ AS (
+        |  SELECT day, sum(power(2.0, -r)) AS sp, CAST(count(*) AS DOUBLE) AS used
+        |  FROM cells GROUP BY 1
+        |), calc AS (
+        |  SELECT day,
+        |    0.7213 / (1 + 1.079 / 512.0) * 512 * 512 / (sp + (512 - used)) AS raw,
+        |    512 - used AS zeros
+        |  FROM agg_
+        |), fin AS (
+        |  SELECT day,
+        |    CASE WHEN raw <= 2.5 * 512 AND zeros > 0
+        |         THEN 512 * ln(512 / zeros) ELSE raw END AS e
+        |  FROM calc
+        |)
+        |SELECT day, round(e + 1e-9, 2) AS hll_users
+        |FROM fin, mx
+        |WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+        |ORDER BY day""".stripMargin)
 }

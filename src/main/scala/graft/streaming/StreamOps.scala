@@ -381,6 +381,29 @@ object StreamOps {
   def hllCells(stream: DataFrame, item: org.apache.spark.sql.Column, p: Int): DataFrame =
     graft.functions.HyperLogLog.cells(stream, item, p)
 
+  /** WINDOWED streaming HyperLogLog — the sketch × event-time-window
+    * composition ("distinct users per day" on an unbounded feed): per
+    * tumbling window the same ≤ 2^p cell table as [[hllCells]], with the
+    * watermark CLOSING windows in append mode — state is bounded at
+    * (open windows)·2^p cells and old windows are evicted, unlike the
+    * running [[hllCells]] whose single sketch lives forever by design.
+    * Returns (ws = window start, bucket, r); estimate per window via
+    * HyperLogLog.estimate over the drained cells (q241).
+    */
+  def windowedHllCells(
+      stream: DataFrame,
+      item: org.apache.spark.sql.Column,
+      p: Int,
+      window_ : String = "1 day",
+      watermark: String = "1 hour"): DataFrame =
+    stream.where(item.isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(
+        window(col("ts"), window_),
+        graft.functions.HyperLogLog.bucket(item, p).as("bucket"))
+      .agg(max(graft.functions.HyperLogLog.rho(item)).as("r"))
+      .select(col("window.start").as("ws"), col("bucket"), col("r"))
+
   /** Streaming fixed-bin histogram maintenance — the order-statistics third
     * of the sketch tier ([[cmsCells]] = frequency, [[hllCells]] = distinct):
     * the same cell table graft.functions.QuantileSketch.cells builds in

@@ -67,6 +67,28 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("windowed HLL cells: append mode emits exactly the batch sketch of each closed day") {
+    val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
+    val got = runStream(
+        StreamOps.windowedHllCells(stream, col("user_id").cast("string"), p = 7),
+        "win_hll", "append")
+      .select(to_date(col("ws")).as("d"), col("bucket"), col("r"))
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1), x.getInt(2)))
+    assert(got.nonEmpty, "no closed windows emitted")
+    // per-day cells must equal the batch sketch of that day (the closure
+    // PREDICATE itself — which days emit — is oracle-gated by q241)
+    val gotDays = got.map(_._1).toSet
+    val want = graft.functions.HyperLogLog.cells(
+        batch.withColumn("d", to_date(col("ts"))),
+        col("user_id").cast("string"), p = 7, Seq("d"))
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1), x.getInt(2)))
+      .filter(c => gotDays(c._1))
+    assert(got.toSet == want.toSet)
+    // and the final (unclosed) day never leaks
+    val maxDay = batch.agg(max(to_date(col("ts")))).head().getDate(0).toString
+    assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
+  }
+
   test("stateful sessionization equals the batch window pipeline") {
     val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
     val events = stream.select(col("user_id"), col("ts"), col("event_id"))
