@@ -177,7 +177,8 @@ object Bench {
     // each with Auto's volume probes) + the greedy resolution rounds
     "q237_curation_tick" -> 11.790,
     "q238_quantile_sketch" -> 1.897, "q239_stream_hist" -> 1.010,
-    "q240_temperature_mix" -> 1.289, "q241_stream_windowed_hll" -> 2.205)
+    "q240_temperature_mix" -> 1.289, "q241_stream_windowed_hll" -> 2.205,
+    "q242_kmv_users" -> 1.323)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5768,6 +5768,26 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  // q242 — KMV distinct sketch (k-minimum-values): the one ask HLL can't
+  // answer — a mergeable uniform SAMPLE of the distinct items alongside the
+  // count estimate. Per day: the 16 min-hash users (bounded ObjectHashAgg
+  // buffer, O(k) state per group per partition — never a vocabulary
+  // shuffle), the (k−1)/U_(k) estimate, exact count riding along (q234's
+  // accuracy-pairing convention). 52-bit md5-slice hash ⇒ the oracle
+  // re-derives members, ranks, and estimate verbatim.
+  private def kmvUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("d"), col("user_id").cast("string").as("u"))
+    val k = 16
+    val cells = graft.functions.Kmv.cells(ev, col("u"), k, Seq("d"))
+    val est = graft.functions.Kmv.estimate(cells, k, Seq("d"))
+    val exact = ev.groupBy(col("d")).agg(countDistinct(col("u")).as("exact_distinct"))
+    cells.join(est, Seq("d")).join(exact, Seq("d"))
+      .select(col("d"), col("rk"), col("h").as("item_h"), col("item"),
+        rnd(col("est"), 2).as("kmv_est"), col("exact_distinct"))
+      .orderBy(col("d"), col("rk"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6012,7 +6032,8 @@ object SparkEntry {
     "q238_quantile_sketch" -> quantileSketch,
     "q239_stream_hist" -> streamHist,
     "q240_temperature_mix" -> temperatureMix,
-    "q241_stream_windowed_hll" -> streamWindowedHll)
+    "q241_stream_windowed_hll" -> streamWindowedHll,
+    "q242_kmv_users" -> kmvUsers)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -10932,5 +10953,31 @@ object SparkEntry {
         |SELECT day, round(e + 1e-9, 2) AS hll_users
         |FROM fin, mx
         |WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
-        |ORDER BY day""".stripMargin)
+        |ORDER BY day""".stripMargin,
+    // q242: the oracle re-derives the per-day KMV membership (k smallest
+    // 13-hex md5 hashes over distinct users, ties by item), the
+    // (k−1)/U_(k) estimate with the <k exact fallback, and the exact count
+    "q242_kmv_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, CAST(user_id AS VARCHAR) AS u
+        |  FROM events WHERE user_id IS NOT NULL
+        |), h AS (
+        |  SELECT d, u, CAST(concat('0x', substr(md5(u), 1, 13)) AS BIGINT) AS h FROM du
+        |), rk AS (
+        |  SELECT d, u, h, row_number() OVER (PARTITION BY d ORDER BY h, u) AS rk
+        |  FROM h
+        |), keep AS (SELECT * FROM rk WHERE rk <= 16),
+        |est AS (
+        |  SELECT d,
+        |    CASE WHEN max(rk) < 16 THEN CAST(count(*) AS DOUBLE)
+        |         ELSE (16 - 1) / (CAST(max(h) AS DOUBLE) / 4503599627370496.0)
+        |         END AS est
+        |  FROM keep GROUP BY 1
+        |), ex AS (
+        |  SELECT d, CAST(count(*) AS BIGINT) AS exact_distinct FROM du GROUP BY 1
+        |)
+        |SELECT k.d, CAST(k.rk AS INT) AS rk, k.h AS item_h, k.u AS item,
+        |  round(e.est + 1e-9, 2) AS kmv_est, ex.exact_distinct
+        |FROM keep k JOIN est e ON k.d = e.d JOIN ex ON k.d = ex.d
+        |ORDER BY 1, 2""".stripMargin)
 }
