@@ -5788,6 +5788,45 @@ object SparkEntry {
       .orderBy(col("d"), col("rk"))
   }
 
+  // q243 — training-mix materialization (capstone of the sampling tier,
+  // the q230/q237 composition discipline): quality screen (q13's scorer) →
+  // temperature mixing at α = 0.3 with budget = the full screened token
+  // mass (tail languages go PAST 1 epoch — real up-sampling by repetition)
+  // → copy expansion under an id-headroom guard → deterministic-shuffle
+  // ~4096-token shards (q220's Knuth-order GlobalRank cumsum over the
+  // EXPANDED stream, copies get distinct ids so they scatter). Output: the
+  // per-shard language composition — the table a trainer consumes to know
+  // what each shard feeds it. Every stage is the already-gated closed form,
+  // so the oracle recomputes the whole pipeline end-to-end.
+  private def trainingMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        greatest(TF.tokenCount(col("text")), lit(0)).cast("long").as("toks"),
+        TF.qualityScore(col("text"), Stopwords).as("_q"))
+      .filter(col("_q") >= 0.5 && col("toks") > 0)
+      .drop("_q")
+    // one bounded driver aggregate sizes the budget (the q240 precedent)
+    val total = docs.agg(sum(col("toks"))).head().getLong(0)
+    val plan = graft.operators.Mixing
+      .temperaturePlan(docs, "lang", col("toks"), alpha = 0.3, budgetTokens = 1.0 * total)
+    val samp = graft.operators.Mixing.temperatureSample(docs, "doc_id", "lang", plan)
+    // copy id = doc_id·8 + copy index: loud failure (not silent collision)
+    // if a parameter change ever pushes epochs past the headroom
+    val guarded = when(col("n_copies") >= 8,
+      raise_error(concat(lit("n_copies exceeds the cid headroom of 8: "),
+        col("n_copies")))).otherwise(col("n_copies"))
+    val expanded = samp
+      .select(col("doc_id"), col("lang"), col("toks"),
+        explode(sequence(lit(0L), guarded - 1)).as("_c"))
+      .select((col("doc_id") * 8 + col("_c")).as("cid"), col("lang"), col("toks"))
+    val sharded = graft.operators.Packing
+      .shardByTokenBudget(expanded, "cid", "toks", budget = 4096L)
+    sharded.join(expanded.select(col("cid"), col("lang")), Seq("cid"))
+      .groupBy(col("shard_id"), col("lang"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_tok")).as("n_toks"))
+      .orderBy(col("shard_id"), col("lang"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6033,7 +6072,8 @@ object SparkEntry {
     "q239_stream_hist" -> streamHist,
     "q240_temperature_mix" -> temperatureMix,
     "q241_stream_windowed_hll" -> streamWindowedHll,
-    "q242_kmv_users" -> kmvUsers)
+    "q242_kmv_users" -> kmvUsers,
+    "q243_training_mix" -> trainingMix)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -10979,5 +11019,48 @@ object SparkEntry {
         |SELECT k.d, CAST(k.rk AS INT) AS rk, k.h AS item_h, k.u AS item,
         |  round(e.est + 1e-9, 2) AS kmv_est, ex.exact_distinct
         |FROM keep k JOIN est e ON k.d = e.d JOIN ex ON k.d = ex.d
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    // q243: the whole mix pipeline recomputed — q13's quality screen, q240's
+    // α-plan + Knuth-uniform realization at budget = the screened total,
+    // copy expansion, q220's hash-order cumsum sharding over copy ids
+    "q243_training_mix" ->
+      s"""WITH d0 AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+        |    ${qualitySqlExpr("text")} AS q
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, lang, toks FROM d0 WHERE q >= 0.5 AND toks > 0
+        |), tot AS (
+        |  SELECT lang, CAST(sum(toks) AS BIGINT) AS t FROM d GROUP BY 1
+        |  HAVING sum(toks) > 0
+        |), z AS (
+        |  SELECT sum(power(t, 0.3)) AS z, CAST(sum(t) AS BIGINT) AS gt FROM tot
+        |), plan AS (
+        |  SELECT lang, t,
+        |    round((1.0 * z.gt) * (power(t, 0.3) / z.z) / t + 1e-9, 6) AS e6
+        |  FROM tot, z
+        |), samp AS (
+        |  SELECT d.doc_id, d.lang, d.toks,
+        |    CAST(floor(p.e6) AS BIGINT) +
+        |    CASE WHEN ((d.doc_id % 2147483648) * 2654435761) % 4294967296
+        |              / 4294967296.0 < p.e6 - floor(p.e6) THEN 1 ELSE 0 END AS n_copies
+        |  FROM d JOIN plan p USING (lang)
+        |), expd AS (
+        |  SELECT doc_id * 8 + g.c AS cid, lang, toks
+        |  FROM samp, unnest(range(0, n_copies)) g(c)
+        |), h AS (
+        |  SELECT cid, lang, toks,
+        |    ((cid % 2147483648) * 2654435761) % 4294967296 AS hh
+        |  FROM expd
+        |), c AS (
+        |  SELECT cid, lang, toks,
+        |    sum(toks) OVER (ORDER BY hh, cid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h
+        |)
+        |SELECT CAST((cum - toks) // 4096 AS BIGINT) AS shard_id, lang,
+        |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(toks) AS BIGINT) AS n_toks
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -73,7 +73,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // q240: Mixing.temperaturePlan binds the broadcast 1-row normalizer
     // (Σ T^α, grand total) onto the |languages|-row aggregate — the
     // q203/q223 broadcast-scalar pattern
-    "q240_temperature_mix")
+    "q240_temperature_mix",
+    // q243: rides q240's temperaturePlan normalizer bind
+    "q243_training_mix")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each window
     * provably rides a BOUNDED aggregate frame (cardinality set by the
