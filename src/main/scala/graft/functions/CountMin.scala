@@ -84,11 +84,16 @@ object CountMin {
     val reserved = working.intersect(items.columns.toSet)
     require(reserved.isEmpty,
       s"estimate's working/output columns clash with items columns: $reserved — rename them first")
+    // the cell table is ≤ depth·width rows BY CONSTRUCTION — pin it once so
+    // the per-depth broadcast branches read materialized cells instead of
+    // re-running the caller's sketch plan (an un-pinned sketchDf re-ran its
+    // full input aggregation once per depth: measured 2× on q225 at sf1)
+    val cells = sketchDf.select(col("d"), col("bucket"), col("cnt")).localCheckpoint()
     val joined = (0 until depth).foldLeft(items) { (acc, d) =>
       acc
         .withColumn(s"_cmb$d", bucket(col(itemCol), d, width))
         .join(
-          broadcast(sketchDf.where(col("d") === d)
+          broadcast(cells.where(col("d") === d)
             .select(col("bucket").as(s"_cmb$d"), col("cnt").as(s"_cmc$d"))),
           Seq(s"_cmb$d"), "left")
     }
