@@ -178,7 +178,9 @@ object Bench {
     "q237_curation_tick" -> 11.790,
     "q238_quantile_sketch" -> 1.897, "q239_stream_hist" -> 1.010,
     "q240_temperature_mix" -> 1.289, "q241_stream_windowed_hll" -> 2.205,
-    "q242_kmv_users" -> 1.323, "q243_training_mix" -> 4.011)
+    "q242_kmv_users" -> 1.323, "q243_training_mix" -> 4.011,
+    // KMV pairwise set algebra / Efraimidis–Spirakis weighted sample
+    "q244_kmv_overlap" -> 1.915, "q245_weighted_sample" -> 0.558)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

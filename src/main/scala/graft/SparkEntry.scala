@@ -5827,6 +5827,61 @@ object SparkEntry {
       .orderBy(col("shard_id"), col("lang"))
   }
 
+  // q244 — KMV set algebra (Beyer et al. SIGMOD'07 §5): pairwise
+  // audience-activity overlap between event types. Items are active
+  // user-days; per-type KMV sketches (k=128) merge pairwise (union +
+  // re-bottom-k) and yield union / intersection / Jaccard ESTIMATES from
+  // S²·k sketch cells — the raw stream is read once, by the sketch pass.
+  // Exact columns sit beside the estimates (the q242 convention: the
+  // sf-test luxury the sketch replaces at 100 TB).
+  private def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val raw = t(s, dir, "events").filter(col("user_id").isNotNull)
+      .select(
+        col("event_type").as("seg"),
+        concat(col("user_id").cast("string"), lit("|"),
+          to_date(col("ts")).cast("string")).as("item"))
+      .distinct()
+    val cells = graft.functions.Kmv.cells(raw, col("item"), k, Seq("seg"))
+    val alg = graft.functions.Kmv.setAlgebra(cells, k, "seg")
+    // exact pair truth: co-occurrence equi-join on item (q124's idiom) +
+    // inclusion–exclusion from broadcast per-segment sizes
+    val sizes = raw.groupBy(col("seg")).agg(count(lit(1)).as("sz"))
+    val exactInter = raw.select(col("seg").as("seg_a"), col("item"))
+      .join(raw.select(col("seg").as("seg_b"), col("item")), "item")
+      .where(col("seg_a") < col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("_ei"))
+    alg
+      .join(exactInter, Seq("seg_a", "seg_b"), "left")
+      .join(broadcast(sizes.select(col("seg").as("seg_a"), col("sz").as("_na"))), "seg_a")
+      .join(broadcast(sizes.select(col("seg").as("seg_b"), col("sz").as("_nb"))), "seg_b")
+      .select(
+        col("seg_a"), col("seg_b"), col("n_union_cells"),
+        rnd(col("est_union"), 2).as("est_union"),
+        rnd(col("est_inter"), 2).as("est_inter"),
+        rnd(col("jaccard_est"), 6).as("jaccard_est"),
+        (col("_na") + col("_nb") - coalesce(col("_ei"), lit(0L))).as("exact_union"),
+        coalesce(col("_ei"), lit(0L)).as("exact_inter"))
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
+  // q245 — Efraimidis–Spirakis weighted sampling (IPL 2006): a
+  // token-weighted 16-doc sample per language via the mergeable
+  // top-k-by-key form (ln(u)/w over an exact dyadic u — see
+  // operators/WeightedSample). The corpus is never sorted: bounded heaps
+  // reduce each map task to ≤2k candidates per language.
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("toks"))
+    graft.operators.WeightedSample
+      .sample(docs, "lang", "doc_id", col("toks"), k = 16)
+      .select(col("lang"), col("rank"), col("id").as("doc_id"),
+        col("weight"), rnd(col("es_key"), 6).as("es_key"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6073,7 +6128,9 @@ object SparkEntry {
     "q240_temperature_mix" -> temperatureMix,
     "q241_stream_windowed_hll" -> streamWindowedHll,
     "q242_kmv_users" -> kmvUsers,
-    "q243_training_mix" -> trainingMix)
+    "q243_training_mix" -> trainingMix,
+    "q244_kmv_overlap" -> kmvOverlap,
+    "q245_weighted_sample" -> weightedSample)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -11062,5 +11119,82 @@ object SparkEntry {
         |)
         |SELECT CAST((cum - toks) // 4096 AS BIGINT) AS shard_id, lang,
         |  CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(toks) AS BIGINT) AS n_toks
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q244_kmv_overlap" ->
+      """WITH raw AS (
+        |  SELECT DISTINCT event_type AS seg,
+        |    concat(CAST(user_id AS VARCHAR), '|', CAST(CAST(ts AS DATE) AS VARCHAR)) AS item
+        |  FROM events WHERE user_id IS NOT NULL
+        |), hashed AS (
+        |  SELECT seg, item,
+        |    CAST(concat('0x', substr(md5(item), 1, 13)) AS BIGINT) AS h
+        |  FROM raw
+        |), cells AS (
+        |  SELECT * FROM (
+        |    SELECT seg, h, item,
+        |      row_number() OVER (PARTITION BY seg ORDER BY h, item) AS rk
+        |    FROM hashed) t WHERE rk <= 128
+        |), segs AS (SELECT DISTINCT seg FROM raw),
+        |pairs AS (
+        |  SELECT a.seg AS sa, b.seg AS sb FROM segs a JOIN segs b ON a.seg < b.seg
+        |), uni AS (
+        |  SELECT DISTINCT sa, sb, h, item FROM (
+        |    SELECT p.sa, p.sb, c.h, c.item FROM pairs p JOIN cells c ON c.seg = p.sa
+        |    UNION ALL
+        |    SELECT p.sa, p.sb, c.h, c.item FROM pairs p JOIN cells c ON c.seg = p.sb) u
+        |), ku AS (
+        |  SELECT * FROM (
+        |    SELECT sa, sb, h, item,
+        |      row_number() OVER (PARTITION BY sa, sb ORDER BY h, item) AS rk
+        |    FROM uni) t WHERE rk <= 128
+        |), flags AS (
+        |  SELECT k.sa, k.sb, k.h,
+        |    (ca.item IS NOT NULL AND cb.item IS NOT NULL) AS inboth
+        |  FROM ku k
+        |  LEFT JOIN cells ca ON ca.seg = k.sa AND ca.item = k.item
+        |  LEFT JOIN cells cb ON cb.seg = k.sb AND cb.item = k.item
+        |), est AS (
+        |  SELECT sa, sb, count(*) AS n_union_cells, max(h) AS hk,
+        |    sum(CASE WHEN inboth THEN 1 ELSE 0 END) AS matched
+        |  FROM flags GROUP BY 1, 2
+        |), sizes AS (SELECT seg, count(*) AS sz FROM raw GROUP BY 1),
+        |exi AS (
+        |  SELECT a.seg AS sa, b.seg AS sb, count(*) AS ei
+        |  FROM raw a JOIN raw b ON a.item = b.item AND a.seg < b.seg
+        |  GROUP BY 1, 2
+        |)
+        |SELECT e.sa AS seg_a, e.sb AS seg_b,
+        |  CAST(e.n_union_cells AS BIGINT) AS n_union_cells,
+        |  round(CASE WHEN e.n_union_cells < 128 THEN CAST(e.n_union_cells AS DOUBLE)
+        |    ELSE 127.0 / (CAST(e.hk AS DOUBLE) / 4503599627370496.0) END + 1e-9, 2) AS est_union,
+        |  round((CASE WHEN e.n_union_cells < 128 THEN CAST(e.n_union_cells AS DOUBLE)
+        |    ELSE 127.0 / (CAST(e.hk AS DOUBLE) / 4503599627370496.0) END)
+        |    * (CAST(e.matched AS DOUBLE) / e.n_union_cells) + 1e-9, 2) AS est_inter,
+        |  round(CAST(e.matched AS DOUBLE) / e.n_union_cells + 1e-9, 6) AS jaccard_est,
+        |  CAST(na.sz + nb.sz - COALESCE(exi.ei, 0) AS BIGINT) AS exact_union,
+        |  CAST(COALESCE(exi.ei, 0) AS BIGINT) AS exact_inter
+        |FROM est e
+        |JOIN sizes na ON na.seg = e.sa
+        |JOIN sizes nb ON nb.seg = e.sb
+        |LEFT JOIN exi ON exi.sa = e.sa AND exi.sb = e.sb
+        |ORDER BY seg_a, seg_b""".stripMargin,
+    "q245_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, lang, w,
+        |    ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+        |       / 4503599627370496.0) / w AS ek
+        |  FROM d WHERE w > 0
+        |), r AS (
+        |  SELECT lang, doc_id, w, ek,
+        |    row_number() OVER (PARTITION BY lang ORDER BY ek DESC, doc_id) AS rk
+        |  FROM keyed
+        |)
+        |SELECT lang, CAST(rk AS INT) AS rank, doc_id, CAST(w AS BIGINT) AS weight,
+        |  round(ek + 1e-9, 6) AS es_key
+        |FROM r WHERE rk <= 16 ORDER BY lang, rank""".stripMargin)
 }

@@ -140,6 +140,62 @@ object Kmv {
     cells(a.unionByName(b).select((groupCols :+ "item").map(col): _*),
       col("item"), k, groupCols)
 
+  /** Pairwise set algebra on per-segment sketches built by [[cells]] with
+    * the SAME k (Beyer et al., SIGMOD'07 §5): for every unordered segment
+    * pair (a, b) the merged sketch K = bottom-k of the union of the two
+    * cell sets estimates |A ∪ B| exactly as [[estimate]] does (exact below
+    * k), and the co-membership fraction ρ = |{c ∈ K : c ∈ A ∧ c ∈ B}| / |K|
+    * estimates the Jaccard similarity, giving |A ∩ B| ≈ ρ · est_union.
+    * Below k both reduce to the exact set computation by construction.
+    *
+    * Scale shape: every join/window here runs on SKETCH CELLS — at most
+    * S · k rows in, S² · k intermediate — never on the raw item stream, so
+    * "overlap between every pair of corpus segments" costs the same at
+    * 100 TB as at 100 MB once the one [[cells]] pass is paid. The pair
+    * domain is the segment dimension crossed with itself (bounded by
+    * dimension cardinality, not input size; the caller's plan audit should
+    * treat it like any dimension-squared frame).
+    *
+    * Returns (seg_a, seg_b, n_union_cells, est_union, est_inter,
+    * jaccard_est) — estimates unrounded; callers round for presentation.
+    */
+  def setAlgebra(cellsDf: DataFrame, k: Int, segCol: String): DataFrame = {
+    val segs = cellsDf.select(col(segCol)).distinct()
+    val pairs = broadcast(segs.select(col(segCol).as("seg_a")))
+      .crossJoin(broadcast(segs.select(col(segCol).as("seg_b"))))
+      .where(col("seg_a") < col("seg_b"))
+    val ca = cellsDf.select(col(segCol).as("seg_a"), col("h"), col("item"))
+    val cb = cellsDf.select(col(segCol).as("seg_b"), col("h"), col("item"))
+    // union of the two cell sets per pair (distinct collapses items present
+    // in both sides — same item ⇒ same hash), then re-bottom-k per pair
+    val uni = pairs.join(ca, "seg_a").select(col("seg_a"), col("seg_b"), col("h"), col("item"))
+      .unionByName(
+        pairs.join(cb, "seg_b").select(col("seg_a"), col("seg_b"), col("h"), col("item")))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg_a"), col("seg_b")).orderBy(col("h"), col("item"))
+    val ku = uni.withColumn("_rk", row_number().over(w)).where(col("_rk") <= k)
+    // co-membership of each merged-sketch cell in BOTH input sketches
+    val flagged = ku
+      .join(ca.select(col("seg_a"), col("item"), lit(1).as("_ina")), Seq("seg_a", "item"), "left")
+      .join(cb.select(col("seg_b"), col("item"), lit(1).as("_inb")), Seq("seg_b", "item"), "left")
+    flagged
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(
+        count(lit(1)).as("n_union_cells"),
+        max(col("h")).as("_hk"),
+        sum((col("_ina").isNotNull && col("_inb").isNotNull).cast("long")).as("_matched"))
+      .select(
+        col("seg_a"), col("seg_b"), col("n_union_cells"),
+        when(col("n_union_cells") < k, col("n_union_cells").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / (col("_hk").cast("double") / lit(HashSpace)))
+          .as("est_union"),
+        (when(col("n_union_cells") < k, col("n_union_cells").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / (col("_hk").cast("double") / lit(HashSpace)))
+          * (col("_matched").cast("double") / col("n_union_cells"))).as("est_inter"),
+        (col("_matched").cast("double") / col("n_union_cells")).as("jaccard_est"))
+  }
+
   /** Distinct-count estimate per group from a sketch: exact cell count when
     * the group holds fewer than k cells (the sketch is the distinct set),
     * else (k−1)/(h_(k)/2^52). Closed-form — the oracle recomputes it.

@@ -75,7 +75,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q203/q223 broadcast-scalar pattern
     "q240_temperature_mix",
     // q243: rides q240's temperaturePlan normalizer bind
-    "q243_training_mix")
+    "q243_training_mix",
+    // q244: the pair domain is the SEGMENT dimension crossed with itself
+    // (distinct event types — bounded by dimension cardinality, never input
+    // size); every downstream join/window runs on ≤ S²·k sketch cells
+    "q244_kmv_overlap")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each window
     * provably rides a BOUNDED aggregate frame (cardinality set by the

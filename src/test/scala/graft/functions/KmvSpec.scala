@@ -77,4 +77,56 @@ class KmvSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](new BottomKByHash(0))
     intercept[IllegalArgumentException](new BottomKByHash(65537))
   }
+
+  test("setAlgebra is exact below k: union, intersection, jaccard") {
+    // |A| = 30, |B| = 25, |A∩B| = 10 — with k = 256 every sketch holds its
+    // whole set, so the "estimates" must equal the exact set computation
+    val a = (1 to 30).map(i => ("A", s"s_$i"))
+    val b = (21 to 45).map(i => ("B", s"s_$i"))
+    val d = (a ++ b).toDF("seg", "x")
+    val cells = Kmv.cells(d, col("x"), 256, Seq("seg"))
+    val row = Kmv.setAlgebra(cells, 256, "seg").head()
+    assert(row.getAs[String]("seg_a") == "A" && row.getAs[String]("seg_b") == "B")
+    assert(row.getAs[Long]("n_union_cells") == 45L)
+    assert(row.getAs[Double]("est_union") == 45.0)
+    assert(math.abs(row.getAs[Double]("est_inter") - 10.0) < 1e-9)
+    assert(math.abs(row.getAs[Double]("jaccard_est") - 10.0 / 45.0) < 1e-12)
+  }
+
+  test("setAlgebra matches a local reference of the estimator formulas") {
+    // three segments with staggered overlap; k small enough that every pair
+    // is in estimation mode — replicate the merged-sketch math locally
+    val k = 32
+    val segs = Map(
+      "p" -> (1 to 800).map(i => s"v_$i"),
+      "q" -> (401 to 1200).map(i => s"v_$i"),
+      "r" -> (1001 to 1400).map(i => s"v_$i"))
+    val d = segs.toSeq.flatMap { case (g, xs) => xs.map(x => (g, x)) }.toDF("seg", "x")
+    val got = Kmv.setAlgebra(Kmv.cells(d, col("x"), k, Seq("seg")), k, "seg")
+      .collect().map(r => (r.getAs[String]("seg_a"), r.getAs[String]("seg_b")) -> r).toMap
+    assert(got.keySet == Set(("p", "q"), ("p", "r"), ("q", "r")))
+    for (((sa, sb), row) <- got) {
+      val ca = segs(sa).map(x => (md5Prefix(x), x)).sorted.take(k)
+      val cb = segs(sb).map(x => (md5Prefix(x), x)).sorted.take(k)
+      val ku = (ca ++ cb).distinct.sorted.take(k)
+      val hk = ku.last._1
+      val estU = (k - 1).toDouble / (hk.toDouble / 4503599627370496.0)
+      val matched = ku.count { case (_, x) => ca.exists(_._2 == x) && cb.exists(_._2 == x) }
+      assert(row.getAs[Long]("n_union_cells") == ku.length.toLong)
+      assert(math.abs(row.getAs[Double]("est_union") - estU) < 1e-6)
+      assert(math.abs(row.getAs[Double]("jaccard_est") - matched.toDouble / ku.length) < 1e-12)
+      assert(math.abs(row.getAs[Double]("est_inter") - estU * matched / ku.length) < 1e-6)
+      // estimation quality: within 4 sigma of truth on union
+      val exactU = (segs(sa) ++ segs(sb)).distinct.size
+      assert(math.abs(estU - exactU) / exactU <= 4.0 / math.sqrt((k - 2).toDouble))
+    }
+  }
+
+  test("setAlgebra emits disjoint pairs with zero intersection estimate") {
+    val d = ((1 to 50).map(i => ("A", s"a_$i")) ++ (1 to 50).map(i => ("B", s"b_$i")))
+      .toDF("seg", "x")
+    val row = Kmv.setAlgebra(Kmv.cells(d, col("x"), 64, Seq("seg")), 64, "seg").head()
+    assert(row.getAs[Double]("est_inter") == 0.0)
+    assert(row.getAs[Double]("jaccard_est") == 0.0)
+  }
 }
