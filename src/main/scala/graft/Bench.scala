@@ -180,7 +180,9 @@ object Bench {
     "q240_temperature_mix" -> 1.289, "q241_stream_windowed_hll" -> 2.205,
     "q242_kmv_users" -> 1.323, "q243_training_mix" -> 4.011,
     // KMV pairwise set algebra / Efraimidis–Spirakis weighted sample
-    "q244_kmv_overlap" -> 1.915, "q245_weighted_sample" -> 0.558)
+    "q244_kmv_overlap" -> 1.915, "q245_weighted_sample" -> 0.558,
+    // streaming KMV replay / bounded-heap per-domain quality caps
+    "q246_stream_kmv" -> 2.172, "q247_domain_caps" -> 0.962)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5882,6 +5882,60 @@ object SparkEntry {
       .orderBy(col("lang"), col("rank"))
   }
 
+  // q246 — streaming KMV (X34 × phase E): the distinct-sample sketch
+  // maintained as a running streaming aggregation over the replayed events.
+  // State = one ≤2k-entry (hash, item) buffer per event type (bounded
+  // domain); the drained buffers explode to cells and q242's closed-form
+  // estimator reads the distinct-user count straight off them — completing
+  // the running sketch tier's fourth member (CMS q226 / HLL q235 /
+  // histogram q239 / KMV here).
+  private def streamKmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val bufs = replayStream(s, dir, "complete") { ev =>
+      graft.streaming.StreamOps.kmvBufs(
+        ev.filter(col("user_id").isNotNull),
+        col("user_id").cast("string"), k, Seq("event_type"))
+    }
+    val cells = graft.functions.Kmv.explodeBufs(bufs, Seq("event_type"))
+    val est = graft.functions.Kmv.estimate(cells, k, Seq("event_type"))
+    val exact = t(s, dir, "events").filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id").cast("string")).as("exact_distinct"))
+    cells.join(est, Seq("event_type")).join(exact, Seq("event_type"))
+      .select(col("event_type"), col("rk"), col("h").as("item_h"), col("item"),
+        rnd(col("est"), 2).as("kmv_est"), col("exact_distinct"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  // q247 — per-domain quality caps: keep the top-20 documents per source by
+  // (quality desc, doc_id asc) and report each domain's kept/dropped doc
+  // and token mass plus the quality cutoff — the standard "no domain may
+  // dominate the corpus" curation step. Rides TopK's bounded-heap
+  // aggregator (≤2k candidates per domain per map task — the corpus is
+  // never window-sorted), so the cap costs one partial-agg pass at any
+  // corpus size; the per-domain totals are a plain aggregate over the same
+  // scan.
+  private def domainCaps(s: SparkSession, dir: String): DataFrame = {
+    val cap = 20
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        greatest(TF.tokenCount(col("text")), lit(0)).cast("long").as("toks"),
+        TF.qualityScore(col("text"), Stopwords).as("q"))
+    val kept = graft.functions.TopK
+      .topKPerKey(docs, "source", col("q"), col("doc_id"), col("toks"), cap)
+    val keptAgg = kept.groupBy(col("source")).agg(
+      count(lit(1)).as("n_kept"),
+      sum(col("tag")).as("kept_toks"),
+      min(col("sim")).as("_cq"))
+    val totals = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"), sum(col("toks")).as("_tt"))
+    totals.join(keptAgg, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("kept_toks"),
+        (col("_tt") - col("kept_toks")).as("dropped_toks"),
+        rnd(col("_cq"), 6).as("cutoff_q"))
+      .orderBy(col("source"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6130,7 +6184,9 @@ object SparkEntry {
     "q242_kmv_users" -> kmvUsers,
     "q243_training_mix" -> trainingMix,
     "q244_kmv_overlap" -> kmvOverlap,
-    "q245_weighted_sample" -> weightedSample)
+    "q245_weighted_sample" -> weightedSample,
+    "q246_stream_kmv" -> streamKmv,
+    "q247_domain_caps" -> domainCaps)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -11196,5 +11252,53 @@ object SparkEntry {
         |)
         |SELECT lang, CAST(rk AS INT) AS rank, doc_id, CAST(w AS BIGINT) AS weight,
         |  round(ek + 1e-9, 6) AS es_key
-        |FROM r WHERE rk <= 16 ORDER BY lang, rank""".stripMargin)
+        |FROM r WHERE rk <= 16 ORDER BY lang, rank""".stripMargin,
+    "q246_stream_kmv" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u
+        |  FROM events WHERE user_id IS NOT NULL
+        |), h AS (
+        |  SELECT event_type, u,
+        |    CAST(concat('0x', substr(md5(u), 1, 13)) AS BIGINT) AS h
+        |  FROM du
+        |), rk AS (
+        |  SELECT event_type, u, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h, u) AS rk
+        |  FROM h
+        |), keep AS (SELECT * FROM rk WHERE rk <= 16),
+        |est AS (
+        |  SELECT event_type,
+        |    CASE WHEN max(rk) < 16 THEN CAST(count(*) AS DOUBLE)
+        |         ELSE (16 - 1) / (CAST(max(h) AS DOUBLE) / 4503599627370496.0)
+        |         END AS est
+        |  FROM keep GROUP BY 1
+        |), ex AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+        |  FROM du GROUP BY 1
+        |)
+        |SELECT k.event_type, CAST(k.rk AS INT) AS rk, k.h AS item_h, k.u AS item,
+        |  round(e.est + 1e-9, 2) AS kmv_est, ex.exact_distinct
+        |FROM keep k
+        |JOIN est e ON k.event_type = e.event_type
+        |JOIN ex ON k.event_type = ex.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    "q247_domain_caps" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+        |    ${qualitySqlExpr("text")} AS q
+        |  FROM documents
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+        |  FROM d
+        |)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE rk <= 20) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(sum(toks) FILTER (WHERE rk <= 20), 0) AS BIGINT) AS kept_toks,
+        |  CAST(sum(toks) - COALESCE(sum(toks) FILTER (WHERE rk <= 20), 0) AS BIGINT)
+        |    AS dropped_toks,
+        |  round(min(q) FILTER (WHERE rk <= 20) + 1e-9, 6) AS cutoff_q
+        |FROM r GROUP BY source ORDER BY source""".stripMargin)
 }

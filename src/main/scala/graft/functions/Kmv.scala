@@ -109,11 +109,13 @@ object Kmv {
 
   private val HashSpace = 4503599627370496.0 // 2^52
 
-  /** Build the sketch: (groupCols..., rk, h, item) — the k smallest
-    * distinct (hash, item) pairs per group, rk the 1-based rank by
-    * (h asc, item asc). NULL items are skipped (no rank information).
+  /** The aggregation core alone: (groupCols..., _buf) — one bounded
+    * bottom-k buffer per group. This is the STREAMING-SAFE half of
+    * [[cells]]: as a streaming aggregation the state store holds exactly
+    * one ≤ 2k-entry buffer per group (bounded by construction), and the
+    * drained buffers explode to cells with [[explodeBufs]].
     */
-  def cells(
+  def bufs(
       df: DataFrame,
       item: Column,
       k: Int,
@@ -124,16 +126,31 @@ object Kmv {
     val grouped =
       if (groupCols.isEmpty) prepped.groupBy()
       else prepped.groupBy(groupCols.map(col): _*)
-    grouped
-      .agg(fn(col("h"), col("item")).as("_buf"))
-      // finish truncated the arrays to the live size in (h, item) ascending
-      // order — rank = position + 1
+    grouped.agg(fn(col("h"), col("item")).as("_buf"))
+  }
+
+  /** Explode a [[bufs]] table to rank-ordered sketch cells — finish
+    * truncated the arrays to the live size in (h, item) ascending order,
+    * so rank = position + 1.
+    */
+  def explodeBufs(bufsDf: DataFrame, groupCols: Seq[String] = Nil): DataFrame =
+    bufsDf
       .select(groupCols.map(col) :+ posexplode(
         arrays_zip(col("_buf.hs").as("hs"), col("_buf.items").as("items")))
         .as(Seq("_rk0", "_e")): _*)
       .select(groupCols.map(col) :+ (col("_rk0") + 1).cast("int").as("rk")
         :+ col("_e.hs").as("h") :+ col("_e.items").as("item"): _*)
-  }
+
+  /** Build the sketch: (groupCols..., rk, h, item) — the k smallest
+    * distinct (hash, item) pairs per group, rk the 1-based rank by
+    * (h asc, item asc). NULL items are skipped (no rank information).
+    */
+  def cells(
+      df: DataFrame,
+      item: Column,
+      k: Int,
+      groupCols: Seq[String] = Nil): DataFrame =
+    explodeBufs(bufs(df, item, k, groupCols), groupCols)
 
   /** Merge sketch tables built with the SAME k: union + re-bottom-k. */
   def merge(a: DataFrame, b: DataFrame, k: Int, groupCols: Seq[String] = Nil): DataFrame =

@@ -420,6 +420,23 @@ object StreamOps {
       bins: Int): DataFrame =
     graft.functions.QuantileSketch.cells(stream, value, lo, hi, bins)
 
+  /** Streaming KMV maintenance — the distinct-SAMPLE fourth of the running
+    * sketch tier ([[cmsCells]] = frequency, [[hllCells]] = count,
+    * [[histCells]] = order statistics): per-group bottom-k buffers
+    * maintained as a running streaming aggregation (complete mode). State
+    * is BOUNDED BY CONSTRUCTION at one ≤ 2k-entry (hash, item) buffer per
+    * group — "show me k representative distinct users of this unbounded
+    * feed, and how many there are" at any moment via
+    * graft.functions.Kmv.explodeBufs + Kmv.estimate over the drained
+    * buffers (the batch estimator applies unchanged, q242/q246).
+    */
+  def kmvBufs(
+      stream: DataFrame,
+      item: org.apache.spark.sql.Column,
+      k: Int,
+      groupCols: Seq[String] = Nil): DataFrame =
+    graft.functions.Kmv.bufs(stream, item, k, groupCols)
+
   /** Streaming trend detection (the VEG adjacent-period comparison as a
     * stateful operator): per (event_type) group, compare each micro-batch's
     * day-average against the previous day's retained in state and emit

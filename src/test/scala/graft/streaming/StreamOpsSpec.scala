@@ -89,6 +89,28 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
   }
 
+  test("streaming KMV bufs across micro-batches equal the batch sketch cells") {
+    // maxFilesPerTrigger forces MULTIPLE micro-batches, so the bottom-k
+    // buffers provably merge through the state store (not one lucky fold);
+    // bottom-k-with-dedup is commutative/associative, so arrival order and
+    // batch boundaries cannot change the drained sketch
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "3").parquet(streamDir)
+    val bufs = runStream(
+      StreamOps.kmvBufs(stream.filter(col("user_id").isNotNull),
+        col("user_id").cast("string"), k = 16, Seq("event_type")),
+      "kmv_bufs", "complete")
+    val got = graft.functions.Kmv.explodeBufs(bufs, Seq("event_type"))
+      .select("event_type", "rk", "h", "item")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val want = graft.functions.Kmv.cells(
+        batch.filter(col("user_id").isNotNull),
+        col("user_id").cast("string"), 16, Seq("event_type"))
+      .select("event_type", "rk", "h", "item")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(got.nonEmpty && got.toSet == want.toSet)
+  }
+
   test("stateful sessionization equals the batch window pipeline") {
     val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
     val events = stream.select(col("user_id"), col("ts"), col("event_id"))
