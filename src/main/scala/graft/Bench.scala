@@ -182,7 +182,10 @@ object Bench {
     // KMV pairwise set algebra / Efraimidis–Spirakis weighted sample
     "q244_kmv_overlap" -> 1.915, "q245_weighted_sample" -> 0.558,
     // streaming KMV replay / bounded-heap per-domain quality caps
-    "q246_stream_kmv" -> 2.172, "q247_domain_caps" -> 0.962)
+    "q246_stream_kmv" -> 2.172, "q247_domain_caps" -> 0.962,
+    // indexed curation-tick loop: index build + TWO sequential ticks
+    // (~1.7x ONE inline tick — the corpus prep is paid once, not per tick)
+    "q248_indexed_ticks" -> 17.493)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5936,6 +5936,40 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  // q248 — the INDEXED curation tick loop (Curation.tickIndexed, the
+  // production form of q237): the corpus signature index (id, lang, sha256
+  // digest, shingle hashes — Curation.signatures) is built ONCE, then TWO
+  // sequential ingest ticks ([80%,90%) then [90%,max] of the id range)
+  // probe it, with the accepted docs' signatures appended between ticks —
+  // corpus TEXT is read exactly once, ever. Greedy composability makes the
+  // two ticks' union EQUAL one combined tick over the same batch, so the
+  // oracle is q237's declarative recomputation verbatim: one SQL gate
+  // covers index build ≡ corpus prep, tickIndexed ≡ tick, and the
+  // append-compose loop, through a genuinely different physical path.
+  private def indexedTicks(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, Pin}
+    val docs = t(s, dir, "documents")
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (x80, x90) = (mx * 4 / 5, mx * 9 / 10)
+    val bench = docs.filter(col("doc_id") < x80 && col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") < x80 && col("doc_id") % 50 =!= 0)
+    val b1 = docs.filter(col("doc_id") >= x80 && col("doc_id") < x90)
+    val b2 = docs.filter(col("doc_id") >= x90)
+    def q = TF.qualityScore(col("text"), Stopwords)
+    // the index is pinned where production would have parquet: read by both
+    // ticks' digest and similarity branches without re-shingling
+    val idx0 = Pin.LocalCheckpoint(
+      Curation.signatures(corpus, "doc_id", "text", "lang"))
+    val acc1 = Pin.LocalCheckpoint(
+      Curation.tickIndexed(idx0, b1, bench, "doc_id", "text", "lang", quality = q))
+    val idx1 = idx0.unionByName(Curation.signatures(acc1, "doc_id", "text", "lang"))
+    val acc2 = Curation.tickIndexed(idx1, b2, bench, "doc_id", "text", "lang", quality = q)
+    acc1.unionByName(acc2)
+      .select(col("doc_id"), col("lang"),
+        greatest(TF.tokenCount(col("text")), lit(0)).cast("long").as("toks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6186,7 +6220,8 @@ object SparkEntry {
     "q244_kmv_overlap" -> kmvOverlap,
     "q245_weighted_sample" -> weightedSample,
     "q246_stream_kmv" -> streamKmv,
-    "q247_domain_caps" -> domainCaps)
+    "q247_domain_caps" -> domainCaps,
+    "q248_indexed_ticks" -> indexedTicks)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -11300,5 +11335,10 @@ object SparkEntry {
         |  CAST(sum(toks) - COALESCE(sum(toks) FILTER (WHERE rk <= 20), 0) AS BIGINT)
         |    AS dropped_toks,
         |  round(min(q) FILTER (WHERE rk <= 20) + 1e-9, 6) AS cutoff_q
-        |FROM r GROUP BY source ORDER BY source""".stripMargin)
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // q248: the indexed two-tick loop ≡ ONE combined tick by greedy
+    // composability (CurationSpec proves the split invariance; the corpus,
+    // bench, and combined batch here are exactly q237's), so the oracle is
+    // q237's declarative recomputation verbatim.
+    "q248_indexed_ticks" -> curationTickOracleSql)
 }

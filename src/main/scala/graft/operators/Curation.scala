@@ -103,6 +103,30 @@ object Curation {
     rejected.distinct()
   }
 
+  /** The per-doc curation SIGNATURE projection — everything a tick ever
+    * reads from the standing corpus: (`idCol`, `langCol`, `_dg` = sha256
+    * content digest for the exact-dedup stage, `_h` = sorted distinct
+    * xxhash64 char-`shingleN`-gram hashes for the near-dup stage). This is
+    * the tick's PERSISTABLE INDEX: write it as parquet once, and every
+    * subsequent [[tickIndexed]] probes it without re-reading or
+    * re-shingling a byte of corpus TEXT — tick cost becomes
+    * O(batch prep + index probe) instead of O(corpus re-prep). Appending is
+    * row-wise (`index.unionByName(signatures(accepted))`), so the index
+    * stays exact under the tick loop by construction.
+    */
+  def signatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      shingleN: Int = 5): DataFrame =
+    df.select(
+      col(idCol), col(langCol),
+      sha2(col(textCol), 256).as("_dg"),
+      sort_array(array_distinct(
+        transform(TextFunctions.charShingles(col(textCol), shingleN),
+          x => xxhash64(x)))).as("_h"))
+
   /** One curation tick: run the funnel stages on `batch` against the
     * standing `corpus` and `bench`, returning the ACCEPTED batch rows
     * (original columns). The caller appends them to the corpus for the
@@ -117,6 +141,11 @@ object Curation {
     * is exact char-`shingleN`-gram Jaccard ≥ `tau`, blocked on `langCol`.
     * `idCol` must be castable to long, unique, non-null, and is the greedy
     * RANK (ingest order).
+    *
+    * Implementation: builds the corpus [[signatures]] inline and delegates
+    * to [[tickIndexed]] — the indexed form IS the tick, by construction.
+    * Production loops should build the index once and call [[tickIndexed]]
+    * directly.
     */
   def tick(
       corpus: DataFrame,
@@ -131,9 +160,47 @@ object Curation {
       decontShared: Int = 5,
       shingleN: Int = 5,
       tau: Double = 0.5,
+      pin: Pin = Pin.LocalCheckpoint): DataFrame =
+    tickIndexed(
+      signatures(corpus, idCol, textCol, langCol, shingleN),
+      batch, bench, idCol, textCol, langCol, quality,
+      minQuality, decontN, decontShared, shingleN, tau, pin)
+
+  /** [[tick]] against a prebuilt corpus signature `index` (the
+    * [[signatures]] schema) instead of the corpus itself — the production
+    * shape of the tick loop at scale: the standing corpus' text is never
+    * re-read; stage 3 anti-joins the index's 32-byte digests and stage 4's
+    * cross-frame similarity join takes the index's shingle-hash arrays as
+    * its prepared corpus side. The caller owns index maintenance:
+    * `index = index.unionByName(signatures(accepted, ...))` after each
+    * tick (CurationSpec proves the indexed loop ≡ the one-combined-tick
+    * output, and SparkEntry q248 gates it against the q237 oracle).
+    *
+    * `shingleN` must match the index's build parameter — a mismatch makes
+    * the batch and corpus shingle spaces incomparable (no error is
+    * possible from the hashes alone, so this is a CONTRACT, documented
+    * rather than checked).
+    */
+  def tickIndexed(
+      index: DataFrame,
+      batch: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      quality: Column,
+      minQuality: Double = 0.5,
+      decontN: Int = 4,
+      decontShared: Int = 5,
+      shingleN: Int = 5,
+      tau: Double = 0.5,
       pin: Pin = Pin.LocalCheckpoint): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
     require(minQuality >= 0.0, s"minQuality must be non-negative: $minQuality")
+    require(idCol != "_cid", "idCol '_cid' clashes with the tick's working column")
+    Seq(idCol, langCol, "_dg", "_h").foreach(c =>
+      require(index.columns.contains(c),
+        s"index is missing column '$c' — build it with Curation.signatures"))
 
     // stage 1 — quality screen (per-doc, trivially tick-composable)
     val s1 = batch.filter(quality >= minQuality)
@@ -146,30 +213,29 @@ object Curation {
     val s2 = s1.join(broadcast(contaminated), Seq(idCol), "left_anti")
 
     // stage 3 — exact dedup: keep-min within the batch by content digest,
-    // then drop anything whose digest the corpus already holds (the batch
+    // then drop anything whose digest the index already holds (the batch
     // analog of StreamOps.dedupByDigest: 32-byte digests shuffle, payloads
-    // don't). Null-safe digest grouping mirrors q230's <=> keep-key join.
+    // don't). Null-safe digest grouping mirrors q230's <=> keep-key join;
+    // the corpus anti-join is === so a null-text batch doc (null digest)
+    // is never corpus-matched, exactly as when digests came from raw text.
     val dg = sha2(col(textCol), 256)
     val keepMin = s2.groupBy(dg.as("_ctext")).agg(min(col(idCol)).as("_keep"))
     val s3 = pin(s2
       .join(keepMin, dg <=> col("_ctext"))
       .filter(col(idCol) === col("_keep")).drop("_ctext", "_keep")
-      .join(corpus.select(dg.as("_cdg")).distinct()
-        .withColumnRenamed("_cdg", "_ctext"),
+      .join(index.select(col("_dg").as("_ctext")).distinct(),
         dg === col("_ctext"), "left_anti"))
 
-    // stage 4 — near-dup: shingle both sides once...
-    def sh(df: DataFrame) = df.select(
-      col(idCol), col(langCol),
-      sort_array(array_distinct(
-        transform(TextFunctions.charShingles(col(textCol), shingleN),
-          x => xxhash64(x)))).as("_h"))
-    val batchSh = pin(sh(s3))
+    // stage 4 — near-dup: shingle the batch survivors once (column pruning
+    // drops the signature digest — only `_h` is computed here)...
+    val batchSh = pin(signatures(s3, idCol, textCol, langCol, shingleN)
+      .drop("_dg"))
     // ...reject any batch doc matching the standing corpus (corpus docs
-    // outrank every batch doc — cost-based cross-frame join, lang-blocked)...
-    require(idCol != "_cid", "idCol '_cid' clashes with the tick's working column")
+    // outrank every batch doc — cost-based cross-frame join, lang-blocked,
+    // corpus side straight from the index)...
     val corpusMatched = SimilarityJoin
-      .jaccardJoin(sh(corpus).withColumnRenamed(idCol, "_cid"), "_cid",
+      .jaccardJoin(
+        index.select(col(idCol).as("_cid"), col(langCol), col("_h")), "_cid",
         batchSh, idCol, "_h", tau, pin = pin, blockCols = Seq(langCol))
       .select(col(idCol)).distinct()
     val free = pin(batchSh.join(broadcast(corpusMatched), Seq(idCol), "left_anti"))

@@ -147,6 +147,55 @@ class CurationSpec extends AnyFunSuite {
       s"tick composition diverged: combined=$combined split=${(acc1 ++ acc2).sorted}")
   }
 
+  // ---- the indexed tick loop ---------------------------------------------
+
+  test("indexed tick loop with append equals one combined tick") {
+    val (corpus, batch) = mutationCorpus(73)
+    val (b1, b2) = batch.partition(_._1 < 1240L)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val bench = spark.emptyDataset[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val combined = runTick(corpus, batch, tau = 0.5)
+
+    // production loop: build the signature index once, probe it per tick,
+    // append accepted signatures between ticks — corpus text never re-read
+    val idx0 = Curation.signatures(
+      corpus.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang")
+    val acc1 = Curation.tickIndexed(idx0, b1.toDF("doc_id", "lang", "text"),
+      bench, "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0)
+    val idx1 = idx0.unionByName(
+      Curation.signatures(acc1, "doc_id", "text", "lang"))
+    val acc2 = Curation.tickIndexed(idx1, b2.toDF("doc_id", "lang", "text"),
+      bench, "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0)
+    val got = (acc1.select("doc_id").as[Long].collect() ++
+      acc2.select("doc_id").as[Long].collect()).sorted.toSeq
+    assert(got == combined,
+      s"indexed loop diverged: combined=$combined indexed=$got")
+  }
+
+  test("signatures: digest and shingle hashes match the inline tick prep") {
+    // null text -> null digest, empty shingles; short text -> empty shingles
+    val df = Seq((1L, "l0", "abcdefgh"), (2L, "l0", "abc"), (3L, "l1", null))
+      .toDF("doc_id", "lang", "text")
+    val sig = Curation.signatures(df, "doc_id", "text", "lang").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def hs(id: Long): Seq[Long] =
+      sig(id).getSeq[Long](sig(id).fieldIndex("_h"))
+    assert(hs(1L).size == 4) // 8 chars -> 4 distinct 5-grams
+    assert(hs(2L).isEmpty)
+    assert(sig(3L).isNullAt(sig(3L).fieldIndex("_dg")))
+    assert(hs(1L) == hs(1L).sorted) // sorted contract
+  }
+
+  test("tickIndexed rejects an index missing the signature columns") {
+    val bench = spark.emptyDataset[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val badIdx = Seq((1L, "l0")).toDF("doc_id", "lang") // no _dg/_h
+    val ex = intercept[IllegalArgumentException] {
+      Curation.tickIndexed(badIdx, bench, bench, "doc_id", "text", "lang",
+        quality = lit(1.0))
+    }
+    assert(ex.getMessage.contains("Curation.signatures"))
+  }
+
   test("composability holds on the chain-through-corpus counterexample") {
     // e ~ corpus c, d ~ e, d !~ c: the dominated-by-any rule accepts d or
     // not depending on where the tick boundary falls; greedy always
