@@ -177,6 +177,7 @@ object Kmv {
     * jaccard_est) — estimates unrounded; callers round for presentation.
     */
   def setAlgebra(cellsDf: DataFrame, k: Int, segCol: String): DataFrame = {
+    require(k > 1, s"setAlgebra needs k > 1 (the (k-1)/U_(k) estimator): $k")
     val segs = cellsDf.select(col(segCol)).distinct()
     val pairs = broadcast(segs.select(col(segCol).as("seg_a")))
       .crossJoin(broadcast(segs.select(col(segCol).as("seg_b"))))
@@ -219,6 +220,7 @@ object Kmv {
     * Returns (groupCols..., est).
     */
   def estimate(cellsDf: DataFrame, k: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    require(k > 1, s"estimate needs k > 1 (the (k-1)/U_(k) estimator): $k")
     val grouped =
       if (groupCols.isEmpty) cellsDf.groupBy()
       else cellsDf.groupBy(groupCols.map(col): _*)

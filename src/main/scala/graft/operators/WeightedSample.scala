@@ -42,8 +42,10 @@ object WeightedSample {
     * (it seeds the per-item uniform and breaks exact key ties); `weight`
     * must be positive and integral (it is carried through the bounded-heap
     * aggregator as the output `weight` column — scale fractional weights
-    * to integers before calling). Rows with null/non-positive weight are
-    * excluded: they can never be sampled (u^(1/w) → 0).
+    * to integers before calling; a fractional weight FAILS LOUD rather
+    * than silently truncating the echoed column while ranking by the
+    * untruncated value). Rows with null/non-positive weight are excluded:
+    * they can never be sampled (u^(1/w) → 0).
     *
     * Returns (groupCol, rank, id, weight, es_key) with rank 1 = largest key.
     */
@@ -53,13 +55,22 @@ object WeightedSample {
       idCol: String,
       weight: Column,
       k: Int): DataFrame = {
+    val wLong = weight.cast("long")
+    // assert_true returns null on pass, so the `when` both forces its
+    // evaluation per row and yields the checked long weight
+    val wChecked = when(
+      assert_true(weight.cast("double") === wLong.cast("double"),
+        concat(lit("WeightedSample.sample: non-integral weight "),
+          weight.cast("string"),
+          lit(" — scale fractional weights to integers before calling"))).isNull,
+      wLong)
     val scored = df
       .where(col(idCol).isNotNull && weight.isNotNull && weight > 0)
       .select(
         col(groupCol),
         col(idCol).cast("long").as("_id"),
         esKey(col(idCol), weight).as("_ek"),
-        weight.cast("long").as("_w"))
+        wChecked.as("_w"))
     TopK
       .topKPerKey(scored, groupCol, col("_ek"), col("_id"), col("_w"), k)
       .select(

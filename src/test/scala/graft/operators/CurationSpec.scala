@@ -172,6 +172,26 @@ class CurationSpec extends AnyFunSuite {
       s"indexed loop diverged: combined=$combined indexed=$got")
   }
 
+  test("indexed tick probes a parquet-persisted index unchanged") {
+    // the production loop: the index lives as parquet between ticks — the
+    // round-trip must preserve digests, hash arrays, and the tick output
+    val (corpus, batch) = mutationCorpus(79)
+    val bench = spark.emptyDataset[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val idx = Curation.signatures(
+      corpus.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("sig_idx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val fromDisk = spark.read.parquet(dir)
+    val live = Curation.tickIndexed(idx, batch.toDF("doc_id", "lang", "text"),
+        bench, "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val persisted = Curation.tickIndexed(fromDisk, batch.toDF("doc_id", "lang", "text"),
+        bench, "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(live == persisted && live.nonEmpty,
+      s"parquet round-trip changed the tick: live=$live persisted=$persisted")
+  }
+
   test("signatures: digest and shingle hashes match the inline tick prep") {
     // null text -> null digest, empty shingles; short text -> empty shingles
     val df = Seq((1L, "l0", "abcdefgh"), (2L, "l0", "abc"), (3L, "l1", null))

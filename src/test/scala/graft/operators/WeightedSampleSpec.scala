@@ -64,6 +64,20 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(ids == Set(1L))
   }
 
+  test("fractional weights fail loud instead of silently truncating") {
+    val d = Seq(("g", 1L, 2.5), ("g", 2L, 3.0)).toDF("g", "id", "w")
+    val ex = intercept[Exception] {
+      WeightedSample.sample(d, "g", "id", col("w"), 10).collect()
+    }
+    assert(ex.getMessage.contains("non-integral weight") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-integral weight")))
+    // integral-valued doubles pass and echo the exact weight
+    val ok = Seq(("g", 1L, 3.0)).toDF("g", "id", "w")
+    val w = WeightedSample.sample(ok, "g", "id", col("w"), 10)
+      .select("weight").as[Long].head()
+    assert(w == 3L)
+  }
+
   test("heavier weight wins between items with the same uniform draw") {
     // same id string would be degenerate; instead verify the key is
     // monotone in w for a fixed id's uniform: ln(u) < 0 so dividing by a
