@@ -5961,9 +5961,14 @@ object SparkEntry {
     val idx0 = Pin.LocalCheckpoint(
       Curation.signatures(corpus, "doc_id", "text", "lang"))
     val acc1 = Pin.LocalCheckpoint(
-      Curation.tickIndexed(idx0, b1, bench, "doc_id", "text", "lang", quality = q))
-    val idx1 = idx0.unionByName(Curation.signatures(acc1, "doc_id", "text", "lang"))
-    val acc2 = Curation.tickIndexed(idx1, b2, bench, "doc_id", "text", "lang", quality = q)
+      Curation.tickIndexed(idx0, b1, bench, "doc_id", "text", "lang", quality = q,
+        indexPinned = true))
+    // the appended slice is pinned too, so idx1 is materialized end-to-end
+    // and tick 2 can declare indexPinned (the parquet-index production shape)
+    val idx1 = idx0.unionByName(Pin.LocalCheckpoint(
+      Curation.signatures(acc1, "doc_id", "text", "lang")))
+    val acc2 = Curation.tickIndexed(idx1, b2, bench, "doc_id", "text", "lang", quality = q,
+      indexPinned = true)
     acc1.unionByName(acc2)
       .select(col("doc_id"), col("lang"),
         greatest(TF.tokenCount(col("text")), lit(0)).cast("long").as("toks"))

@@ -194,7 +194,8 @@ object Curation {
       decontShared: Int = 5,
       shingleN: Int = 5,
       tau: Double = 0.5,
-      pin: Pin = Pin.LocalCheckpoint): DataFrame = {
+      pin: Pin = Pin.LocalCheckpoint,
+      indexPinned: Boolean = false): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
     require(minQuality >= 0.0, s"minQuality must be non-negative: $minQuality")
     require(idCol != "_cid", "idCol '_cid' clashes with the tick's working column")
@@ -233,17 +234,24 @@ object Curation {
     // ...reject any batch doc matching the standing corpus (corpus docs
     // outrank every batch doc — cost-based cross-frame join, lang-blocked,
     // corpus side straight from the index)...
+    // `indexPinned` (a stored/checkpointed index) and the just-pinned
+    // batchSh/free sides skip the join's internal re-pin — the prep
+    // projections stay lazy over the existing materializations instead of
+    // writing full-width copies (at sf1 the corpus signature copy alone is
+    // GBs per tick)
     val corpusMatched = SimilarityJoin
       .jaccardJoin(
         index.select(col(idCol).as("_cid"), col(langCol), col("_h")), "_cid",
-        batchSh, idCol, "_h", tau, pin = pin, blockCols = Seq(langCol))
+        batchSh, idCol, "_h", tau, pin = pin, blockCols = Seq(langCol),
+        leftPinned = indexPinned, rightPinned = true)
       .select(col(idCol)).distinct()
     val free = pin(batchSh.join(broadcast(corpusMatched), Seq(idCol), "left_anti"))
     // ...then greedily resolve the within-batch pair graph over the docs
     // that survived the corpus check (corpus-rejected docs never block —
     // that is what makes ticks compose)
     val selfPairs = SimilarityJoin
-      .jaccardSelfJoin(free, idCol, "_h", tau, blockCols = Seq(langCol), pin = pin)
+      .jaccardSelfJoin(free, idCol, "_h", tau, blockCols = Seq(langCol), pin = pin,
+        inputPinned = true)
     val dominated = greedyDominated(selfPairs, "id_a", "id_b")
       .withColumnRenamed("id", idCol)
     s3.join(broadcast(corpusMatched.unionByName(dominated)), Seq(idCol), "left_anti")

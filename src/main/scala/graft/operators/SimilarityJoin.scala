@@ -103,10 +103,17 @@ object SimilarityJoin {
       threshold: Double): DataFrame = {
     val s = size(col("_byRank"))
     val plen = (s - ceil(s.cast("double") * threshold - lit(1e-9)) + 1).cast("int")
+    // LEFT join: when `freq` is a FROZEN build-time order (the indexed-join
+    // path), probe elements the index never saw take df 0 — they sort first
+    // (rarest), which is maximally selective and, being absent from every
+    // indexed set, can never displace a pair's first common element. When
+    // freq is computed over df itself (every other path) the left join is
+    // exactly the old inner join.
     df.select(keyCols.map(col) :+ explode(col("_set")).as("h"): _*)
-      .join(freq, Seq("h"))
+      .join(freq, Seq("h"), "left")
       .groupBy(keyCols.map(col): _*)
-      .agg(array_sort(collect_list(struct(col("_df"), col("h")))).as("_byRank"))
+      .agg(array_sort(collect_list(
+        struct(coalesce(col("_df"), lit(0L)).as("_df"), col("h")))).as("_byRank"))
       .select(keyCols.map(col) :+ s.as("_sz") :+ posexplode(
         transform(slice(col("_byRank"), lit(1), plen), e => e.getField("h")))
         .as(Seq("_pos0", "h")): _*)
@@ -196,7 +203,9 @@ object SimilarityJoin {
       pin: Pin = Pin.LocalCheckpoint,
       strategy: SimilarityStrategy = SimilarityStrategy.Auto,
       buckets: Int = 8,
-      blockCols: Seq[String] = Nil): DataFrame = {
+      blockCols: Seq[String] = Nil,
+      leftPinned: Boolean = false,
+      rightPinned: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
     require(leftId != rightId,
@@ -208,10 +217,15 @@ object SimilarityJoin {
     // pin both inputs: each side is read 3× (frequency pass, prefix pass,
     // verify join-back) and the caller's set column is typically an
     // expensive shingle+hash+sort projection — without the pin the whole
-    // prep would recompute per read
-    val l = pin(left.select(
+    // prep would recompute per read. `leftPinned`/`rightPinned` declare a
+    // side ALREADY materialized by the caller (a checkpointed frame or a
+    // stored signature index): re-pinning such a side would write a second
+    // full-width copy of data that re-reads for free, so the projection is
+    // left lazy over the caller's materialization instead — at index scale
+    // (q248's corpus signatures) that redundant copy dominates tick cost.
+    val l = (if (leftPinned) Pin.Off else pin)(left.select(
       (col(leftId).cast("long").as("_aid") +: blockCols.map(col)) :+ col(setCol).as("_as"): _*))
-    val r = pin(right.select(
+    val r = (if (rightPinned) Pin.Off else pin)(right.select(
       (col(rightId).cast("long").as("_bid") +: blockCols.map(col)) :+ col(setCol).as("_bs"): _*))
 
     def buildPosts(pinPosts: Boolean): (DataFrame, DataFrame) = {
@@ -399,7 +413,8 @@ object SimilarityJoin {
       blockCols: Seq[String] = Nil,
       pin: Pin = Pin.LocalCheckpoint,
       strategy: SimilarityStrategy = SimilarityStrategy.Auto,
-      buckets: Int = 8): DataFrame = {
+      buckets: Int = 8,
+      inputPinned: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
     require(!blockCols.contains(idCol),
@@ -407,8 +422,12 @@ object SimilarityJoin {
     require(buckets > 0, s"buckets must be positive: $buckets")
 
     // base is read by every strategy 2-3× (stats/frequency pass, candidate
-    // pass, verify join-back)
-    val base = selfBase(df, idCol, setCol, blockCols, pin)
+    // pass, verify join-back). `inputPinned` declares `df` already
+    // materialized by the caller (see jaccardJoin's leftPinned): the base
+    // projection then stays lazy over that materialization instead of
+    // writing a redundant full-width copy.
+    val base = selfBase(df, idCol, setCol, blockCols,
+      if (inputPinned) Pin.Off else pin)
 
     // the postings table is BOTH sides of the candidate join (and the Auto
     // cost probe) — pin it so the freq-join + per-doc sort run once; built
