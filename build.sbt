@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+
+// The bench/verify stdout contract is ONE parseable JSON line; sbt's logger
+// prefixes forked-process output with "[info] ", which broke the driver's
+// parse two rounds running (BENCH_r06/r07 parsed:null). StdoutOutput wires
+// the forked JVM's stdout/stderr straight through, unprefixed.
+run / outputStrategy := Some(StdoutOutput)

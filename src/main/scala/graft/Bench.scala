@@ -316,8 +316,21 @@ object Bench {
       java.nio.file.Paths.get(detailPath),
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries":$detail}"""
         .getBytes("UTF-8"))
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"regressions":$regressions,"detail":"$detailPath","sf":"$sfDir"}""")
+    // any filtered run is self-describing: excluded names ride in the line
+    val excludedJson = excluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val summary =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"regressions":$regressions,"excluded":$excludedJson,"detail":"$detailPath","sf":"$sfDir"}"""
+    // two delivery paths for the same object: the stdout line (unprefixed —
+    // build.sbt forks with StdoutOutput so sbt's "[info] " never wraps it)
+    // and a fixed-path file the harness can read when its stdout-tail parse
+    // misses (the r6/r7 parsed:null failure mode)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")),
+      summary.getBytes("UTF-8"))
     spark.stop()
+    // printed AFTER spark.stop() so no executor/cleaner WARN line can land
+    // between this line and process exit — the summary is the LAST stdout line
+    println(summary)
   }
 }

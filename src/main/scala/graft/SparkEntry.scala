@@ -5938,14 +5938,19 @@ object SparkEntry {
 
   // q248 — the INDEXED curation tick loop (Curation.tickIndexed, the
   // production form of q237): the corpus signature index (id, lang, sha256
-  // digest, shingle hashes — Curation.signatures) is built ONCE, then TWO
-  // sequential ingest ticks ([80%,90%) then [90%,max] of the id range)
-  // probe it, with the accepted docs' signatures appended between ticks —
-  // corpus TEXT is read exactly once, ever. Greedy composability makes the
-  // two ticks' union EQUAL one combined tick over the same batch, so the
-  // oracle is q237's declarative recomputation verbatim: one SQL gate
-  // covers index build ≡ corpus prep, tickIndexed ≡ tick, and the
-  // append-compose loop, through a genuinely different physical path.
+  // digest, shingle hashes — Curation.signatures) AND the postings index
+  // (frozen rarest-first df order + corpus prefix postings —
+  // Curation.postingsIndex) are built ONCE, then TWO sequential ingest
+  // ticks ([80%,90%) then [90%,max] of the id range) probe them, with the
+  // accepted docs' signatures and postings (under the FROZEN order)
+  // appended between ticks — corpus text is read once ever, and corpus
+  // shingle arrays are exploded once ever: each tick's similarity stage is
+  // O(batch prep + postings probe), nothing corpus-proportional rebuilds.
+  // Greedy composability makes the two ticks' union EQUAL one combined
+  // tick over the same batch, so the oracle is q237's declarative
+  // recomputation verbatim: one SQL gate covers index build ≡ corpus prep,
+  // postings-indexed tickIndexed ≡ tick (frozen-order losslessness), and
+  // the append-compose loop, through a genuinely different physical path.
   private def indexedTicks(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Curation, Pin}
     val docs = t(s, dir, "documents")
@@ -5956,19 +5961,27 @@ object SparkEntry {
     val b1 = docs.filter(col("doc_id") >= x80 && col("doc_id") < x90)
     val b2 = docs.filter(col("doc_id") >= x90)
     def q = TF.qualityScore(col("text"), Stopwords)
-    // the index is pinned where production would have parquet: read by both
-    // ticks' digest and similarity branches without re-shingling
+    // every index frame is pinned where production would have parquet:
+    // read by the ticks' digest and similarity branches without recompute
     val idx0 = Pin.LocalCheckpoint(
       Curation.signatures(corpus, "doc_id", "text", "lang"))
+    val (freq0, posts0raw) = Curation.postingsIndex(idx0, "doc_id", "lang")
+    val freq = Pin.LocalCheckpoint(freq0)
+    val posts0 = Pin.LocalCheckpoint(posts0raw)
     val acc1 = Pin.LocalCheckpoint(
       Curation.tickIndexed(idx0, b1, bench, "doc_id", "text", "lang", quality = q,
-        indexPinned = true))
-    // the appended slice is pinned too, so idx1 is materialized end-to-end
-    // and tick 2 can declare indexPinned (the parquet-index production shape)
-    val idx1 = idx0.unionByName(Pin.LocalCheckpoint(
-      Curation.signatures(acc1, "doc_id", "text", "lang")))
+        indexPinned = true, corpusPostings = Some((freq, posts0))))
+    // the appended slices are pinned too, so idx1/posts1 are materialized
+    // end-to-end and tick 2 can declare indexPinned (the parquet-index
+    // production shape); accepted docs' postings build under the FROZEN
+    // freq — the index's staleness contract
+    val app1 = Pin.LocalCheckpoint(
+      Curation.signatures(acc1, "doc_id", "text", "lang"))
+    val idx1 = idx0.unionByName(app1)
+    val posts1 = posts0.unionByName(Pin.LocalCheckpoint(
+      Curation.postingsIndex(app1, "doc_id", "lang", frozenFreq = Some(freq))._2))
     val acc2 = Curation.tickIndexed(idx1, b2, bench, "doc_id", "text", "lang", quality = q,
-      indexPinned = true)
+      indexPinned = true, corpusPostings = Some((freq, posts1)))
     acc1.unionByName(acc2)
       .select(col("doc_id"), col("lang"),
         greatest(TF.tokenCount(col("text")), lit(0)).cast("long").as("toks"))
@@ -6292,9 +6305,13 @@ object SparkEntry {
        |), s2 AS (
        |  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM hits)
        |), s3 AS (
+       |  -- NOT EXISTS, not NOT IN: one NULL-text corpus row would make the
+       |  -- NOT IN predicate NULL for every batch row (collapsing s3 to
+       |  -- empty), and a NULL-text batch row must be KEPT — the engine's
+       |  -- === anti-join on sha2 digests never matches a NULL digest
        |  SELECT * FROM (
        |    SELECT * FROM s2 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
-       |  ) WHERE text NOT IN (SELECT text FROM corpus)
+       |  ) k WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = k.text)
        |), shb AS MATERIALIZED (
        |  SELECT doc_id, lang,
        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]

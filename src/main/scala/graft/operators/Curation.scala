@@ -127,6 +127,34 @@ object Curation {
         transform(TextFunctions.charShingles(col(textCol), shingleN),
           x => xxhash64(x)))).as("_h"))
 
+  /** The POSTINGS half of the persistable tick index — what stops the
+    * similarity stage rebuilding document frequencies and corpus prefix
+    * postings from `_h` every tick (the one corpus-proportional cost left
+    * after [[signatures]]). Returns `(freq, posts)` per
+    * [[SimilarityJoin.prefixIndex]]: `freq` = (h, _df) is the FROZEN
+    * rarest-first order, `posts` = (idCol, langCol, _sz, _pos, h) the
+    * corpus prefix postings under it at threshold `tau`. Persist both as
+    * parquet beside the signature index and pass them to [[tickIndexed]]'s
+    * `corpusPostings`; append after each tick with
+    * `posts.unionByName(postingsIndex(signatures(accepted, …), …,
+    * frozenFreq = Some(freq))._2)` — appended rows MUST build under the
+    * stored `freq` (the frozen-order contract: drift affects candidate
+    * volume only, never correctness; rebuild from signatures when volume
+    * degrades). `tau` here must be ≤ every tick's `tau` (longer prefixes
+    * are lossless, shorter ones drop pairs) and `idCol`/`langCol`/the
+    * signatures' `shingleN` must match the tick's — contracts, not checks.
+    * Deletes: anti-join BOTH `posts` and the signature index on the removed
+    * ids (`frame.join(deletedIds, Seq(idCol), "left_anti")`); `freq` stays
+    * frozen (a deleted doc's df contribution is staleness, not error).
+    */
+  def postingsIndex(
+      sig: DataFrame,
+      idCol: String,
+      langCol: String,
+      tau: Double = 0.5,
+      frozenFreq: Option[DataFrame] = None): (DataFrame, DataFrame) =
+    SimilarityJoin.prefixIndex(sig, idCol, "_h", tau, Seq(langCol), frozenFreq)
+
   /** One curation tick: run the funnel stages on `batch` against the
     * standing `corpus` and `bench`, returning the ACCEPTED batch rows
     * (original columns). The caller appends them to the corpus for the
@@ -160,11 +188,13 @@ object Curation {
       decontShared: Int = 5,
       shingleN: Int = 5,
       tau: Double = 0.5,
-      pin: Pin = Pin.LocalCheckpoint): DataFrame =
+      pin: Pin = Pin.LocalCheckpoint,
+      strategy: SimilarityStrategy = SimilarityStrategy.Auto): DataFrame =
     tickIndexed(
       signatures(corpus, idCol, textCol, langCol, shingleN),
       batch, bench, idCol, textCol, langCol, quality,
-      minQuality, decontN, decontShared, shingleN, tau, pin)
+      minQuality, decontN, decontShared, shingleN, tau, pin,
+      strategy = strategy)
 
   /** [[tick]] against a prebuilt corpus signature `index` (the
     * [[signatures]] schema) instead of the corpus itself — the production
@@ -180,6 +210,29 @@ object Curation {
     * the batch and corpus shingle spaces incomparable (no error is
     * possible from the hashes alone, so this is a CONTRACT, documented
     * rather than checked).
+    *
+    * `corpusPostings` — the persistable `(freq, posts)` from
+    * [[postingsIndex]] (same idCol/langCol, tau ≤ this tick's): the
+    * cross-frame near-dup stage then probes the stored postings instead of
+    * re-exploding the index's shingle arrays, making the whole tick
+    * O(batch prep + index probe) — nothing corpus-proportional is rebuilt.
+    * Output is IDENTICAL with or without it (frozen-order losslessness;
+    * CurationSpec proves it end-to-end).
+    *
+    * `strategy` — the similarity engine for BOTH near-dup joins (corpus
+    * cross-frame and within-batch self). Default Auto = exact, cost-routed
+    * per block. Passing [[SimilarityStrategy.MinHashLsh]] (sized to `tau` —
+    * see its recall contract) buys the approximate tier for τ-low 100-TB
+    * ticks: strictly FEWER near-dup rejections (missed pairs admit docs an
+    * exact tick would reject), never a wrongly-rejected doc, since every
+    * candidate still passes the exact Jaccard verify.
+    *
+    * `stageHook` — observation seam for profilers (tools/ProfileTick): each
+    * stage's frame passes through it (post-pin) under a stable name
+    * ("s3", "batch_signatures", "corpus_matched", "free", "self_pairs",
+    * "dominated", "accepted") and the RETURNED frame flows on, so a hook
+    * that counts/times sees the real pipeline rather than a copy that can
+    * drift. Identity by default.
     */
   def tickIndexed(
       index: DataFrame,
@@ -195,7 +248,10 @@ object Curation {
       shingleN: Int = 5,
       tau: Double = 0.5,
       pin: Pin = Pin.LocalCheckpoint,
-      indexPinned: Boolean = false): DataFrame = {
+      indexPinned: Boolean = false,
+      corpusPostings: Option[(DataFrame, DataFrame)] = None,
+      strategy: SimilarityStrategy = SimilarityStrategy.Auto,
+      stageHook: (String, DataFrame) => DataFrame = (_, df) => df): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
     require(minQuality >= 0.0, s"minQuality must be non-negative: $minQuality")
     require(idCol != "_cid", "idCol '_cid' clashes with the tick's working column")
@@ -221,39 +277,47 @@ object Curation {
     // is never corpus-matched, exactly as when digests came from raw text.
     val dg = sha2(col(textCol), 256)
     val keepMin = s2.groupBy(dg.as("_ctext")).agg(min(col(idCol)).as("_keep"))
-    val s3 = pin(s2
+    val s3 = stageHook("s3", pin(s2
       .join(keepMin, dg <=> col("_ctext"))
       .filter(col(idCol) === col("_keep")).drop("_ctext", "_keep")
       .join(index.select(col("_dg").as("_ctext")).distinct(),
-        dg === col("_ctext"), "left_anti"))
+        dg === col("_ctext"), "left_anti")))
 
     // stage 4 — near-dup: shingle the batch survivors once (column pruning
     // drops the signature digest — only `_h` is computed here)...
-    val batchSh = pin(signatures(s3, idCol, textCol, langCol, shingleN)
-      .drop("_dg"))
+    val batchSh = stageHook("batch_signatures",
+      pin(signatures(s3, idCol, textCol, langCol, shingleN).drop("_dg")))
     // ...reject any batch doc matching the standing corpus (corpus docs
     // outrank every batch doc — cost-based cross-frame join, lang-blocked,
-    // corpus side straight from the index)...
+    // corpus side straight from the index, postings straight from the
+    // stored half when the caller carries one)...
     // `indexPinned` (a stored/checkpointed index) and the just-pinned
     // batchSh/free sides skip the join's internal re-pin — the prep
     // projections stay lazy over the existing materializations instead of
     // writing full-width copies (at sf1 the corpus signature copy alone is
-    // GBs per tick)
-    val corpusMatched = SimilarityJoin
+    // GBs per tick). The id-only match frame is pinned here: it is read by
+    // both the `free` anti-join and the final acceptance anti-join, and
+    // unpinned each read would re-run the verify join.
+    val corpusMatched = stageHook("corpus_matched", pin(SimilarityJoin
       .jaccardJoin(
         index.select(col(idCol).as("_cid"), col(langCol), col("_h")), "_cid",
         batchSh, idCol, "_h", tau, pin = pin, blockCols = Seq(langCol),
-        leftPinned = indexPinned, rightPinned = true)
-      .select(col(idCol)).distinct()
-    val free = pin(batchSh.join(broadcast(corpusMatched), Seq(idCol), "left_anti"))
+        strategy = strategy,
+        leftPinned = indexPinned, rightPinned = true,
+        leftIndex = corpusPostings.map { case (f, p) =>
+          (f, p.withColumnRenamed(idCol, "_cid")) })
+      .select(col(idCol)).distinct()))
+    val free = stageHook("free",
+      pin(batchSh.join(broadcast(corpusMatched), Seq(idCol), "left_anti")))
     // ...then greedily resolve the within-batch pair graph over the docs
     // that survived the corpus check (corpus-rejected docs never block —
     // that is what makes ticks compose)
-    val selfPairs = SimilarityJoin
+    val selfPairs = stageHook("self_pairs", SimilarityJoin
       .jaccardSelfJoin(free, idCol, "_h", tau, blockCols = Seq(langCol), pin = pin,
-        inputPinned = true)
-    val dominated = greedyDominated(selfPairs, "id_a", "id_b")
-      .withColumnRenamed("id", idCol)
-    s3.join(broadcast(corpusMatched.unionByName(dominated)), Seq(idCol), "left_anti")
+        strategy = strategy, inputPinned = true))
+    val dominated = stageHook("dominated",
+      greedyDominated(selfPairs, "id_a", "id_b").withColumnRenamed("id", idCol))
+    stageHook("accepted",
+      s3.join(broadcast(corpusMatched.unionByName(dominated)), Seq(idCol), "left_anti"))
   }
 }

@@ -172,6 +172,59 @@ object SimilarityJoin {
         VectorExpressions.jaccardSortedMin(col("_as"), col("_bs"), threshold))
       .filter(col("_j") >= threshold)
 
+  /** Build the PERSISTABLE prefix-postings index over a standing frame —
+    * the corpus-side half of [[jaccardJoin]]'s prefix engine, precomputed
+    * once so an incremental-ingest loop (Curation.tickIndexed) stops paying
+    * O(corpus shingle mass) per tick. Returns `(freq, posts)`:
+    *
+    *  - `freq` — (h, _df): the global rarest-first document frequencies
+    *    over `df`'s sets. This IS the element order every postings row
+    *    (stored now, appended later, probe-side at query time) must be
+    *    generated under.
+    *  - `posts` — (idCol, blockCols…, _sz, _pos, h): the prefix postings of
+    *    `df` under that order, at prefix length for `threshold`.
+    *
+    * Both are plain DataFrames — write them as parquet next to the
+    * signature index and pass them back via [[jaccardJoin]]'s `leftIndex`.
+    *
+    * THE FROZEN-ORDER CONTRACT (what makes the index exact forever): the
+    * prefix filter is lossless under ANY single consistent total element
+    * order (header proof) — rarest-first is only the cost heuristic. So the
+    * order is frozen at build time: appended rows build their postings
+    * under the SAME `freq` (pass it as `frozenFreq`; their unseen elements
+    * take df 0 via [[prefixPostings]]'s left join — maximally selective and
+    * still consistent), and probe-side postings at query time do the same.
+    * New data drifting the TRUE frequencies therefore never affects
+    * correctness, only candidate volume (a hub element that was rare at
+    * build time keeps entering prefixes); when drift hurts, rebuild the
+    * index from the signatures — counts for the decision can be maintained
+    * mergeably on the side (df counts sum across slices).
+    *
+    * THE THRESHOLD CONTRACT: prefix length grows as the threshold falls, so
+    * an index built at `threshold` t_b serves any query threshold ≥ t_b
+    * losslessly (longer-than-needed prefixes = extra candidates, never a
+    * missed pair) and MUST NOT be probed below t_b. Not checkable from the
+    * frames alone — the caller owns it, like shingleN on the signatures.
+    */
+  def prefixIndex(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      threshold: Double,
+      blockCols: Seq[String] = Nil,
+      frozenFreq: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]: $threshold")
+    require(!blockCols.contains(idCol),
+      s"idCol $idCol must not appear in blockCols: $blockCols")
+    val base = df.select(
+      (col(idCol) +: blockCols.map(col)) :+ col(setCol).as("_set"): _*)
+    val freq = frozenFreq.getOrElse(
+      base.select(explode(col("_set")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("_df")))
+    (freq, prefixPostings(base, idCol +: blockCols, freq, threshold))
+  }
+
   /** All cross-frame pairs with exact Jaccard ≥ `threshold` between
     * `left` and `right` — frames of (idCol, setCol) where setCol is an
     * array<long> of DISTINCT SORTED element hashes (the q46 shingle-hash
@@ -179,6 +232,17 @@ object SimilarityJoin {
     * (id_l, id_r, jac). Self-pairs are the caller's concern — pass
     * disjoint frames (the incremental-ingest shape) or use
     * [[jaccardSelfJoin]] for the within-corpus dedup shape.
+    *
+    * `leftIndex` — a prebuilt `(freq, posts)` for the LEFT frame from
+    * [[prefixIndex]] (same idCol/blockCols; built at a threshold ≤ this
+    * call's — see the contracts there). When present, the prefix engine
+    * probes the stored postings instead of re-exploding the left side's
+    * sets, and the right side's postings are generated under the index's
+    * frozen `freq`: the similarity stage's cost becomes O(right prep +
+    * postings join), independent of how the left corpus grew. Both frames
+    * are treated as caller-materialized (a stored index re-reads for free —
+    * the leftPinned discipline). The cost-based Auto still routes per
+    * block; only the postings BUILD is skipped.
     *
     * `strategy` picks the candidate engine ([[jaccardSelfJoin]] discusses
     * the cost model; the same degeneracy applies cross-frame — on a
@@ -205,7 +269,8 @@ object SimilarityJoin {
       buckets: Int = 8,
       blockCols: Seq[String] = Nil,
       leftPinned: Boolean = false,
-      rightPinned: Boolean = false): DataFrame = {
+      rightPinned: Boolean = false,
+      leftIndex: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
     require(leftId != rightId,
@@ -213,6 +278,14 @@ object SimilarityJoin {
     require(buckets > 0, s"buckets must be positive: $buckets")
     require(!blockCols.contains(leftId) && !blockCols.contains(rightId),
       s"id columns must not appear in blockCols: $blockCols")
+    leftIndex.foreach { case (f, p) =>
+      require(f.columns.contains("h") && f.columns.contains("_df"),
+        s"leftIndex freq needs (h, _df) — build it with prefixIndex: ${f.columns.toSeq}")
+      (Seq(leftId, "_sz", "_pos", "h") ++ blockCols).foreach(c =>
+        require(p.columns.contains(c),
+          s"leftIndex posts is missing column '$c' — build it with prefixIndex " +
+            s"over the same idCol/blockCols: ${p.columns.toSeq}"))
+    }
 
     // pin both inputs: each side is read 3× (frequency pass, prefix pass,
     // verify join-back) and the caller's set column is typically an
@@ -229,23 +302,40 @@ object SimilarityJoin {
       (col(rightId).cast("long").as("_bid") +: blockCols.map(col)) :+ col(setCol).as("_bs"): _*))
 
     def buildPosts(pinPosts: Boolean): (DataFrame, DataFrame) = {
-      // global rarest-first order: document frequency over BOTH frames.
-      // Pinned too — it feeds both prefixPostings calls, and recomputing it
-      // would re-read both (already pinned) sides and re-aggregate. One
-      // GLOBAL order even under blockCols: the lossless-prefix proof only
-      // needs SOME consistent element order, and a shared one keeps the
-      // frequency pass a single aggregation.
-      val freq = pin(l.select(explode(col("_as")).as("h"))
-        .unionAll(r.select(explode(col("_bs")).as("h")))
-        .groupBy(col("h")).agg(count(lit(1)).as("_df")))
       // pin the postings ONLY when they'll be read twice (Auto: cost probe
       // + candidate join); the forced prefix path reads each side once, so
       // a pin there would be pure storage overhead
       val pp: Pin = if (pinPosts) pin else Pin.Off
-      (pp(prefixPostings(
-          l.withColumnRenamed("_as", "_set"), "_aid" +: blockCols, freq, threshold)),
-        pp(prefixPostings(
-          r.withColumnRenamed("_bs", "_set"), "_bid" +: blockCols, freq, threshold)))
+      leftIndex match {
+        case Some((idxFreq, idxPosts)) =>
+          // PREBUILT left postings under the index's FROZEN order (see
+          // prefixIndex): the left side's sets are never re-exploded; the
+          // right side's postings are generated under the stored freq —
+          // probe elements the index never saw take df 0 via the left join
+          // in prefixPostings (sort first = maximally selective, and the
+          // order stays one consistent total order, so the prefix filter
+          // stays lossless). Both index frames re-read for free (stored /
+          // caller-pinned), so no pin on the left side.
+          (idxPosts.select(
+            (col(leftId).cast("long").as("_aid") +: blockCols.map(col)) ++
+              Seq(col("_sz"), col("_pos"), col("h")): _*),
+            pp(prefixPostings(
+              r.withColumnRenamed("_bs", "_set"), "_bid" +: blockCols, idxFreq, threshold)))
+        case None =>
+          // global rarest-first order: document frequency over BOTH frames.
+          // Pinned too — it feeds both prefixPostings calls, and recomputing
+          // it would re-read both (already pinned) sides and re-aggregate.
+          // One GLOBAL order even under blockCols: the lossless-prefix proof
+          // only needs SOME consistent element order, and a shared one keeps
+          // the frequency pass a single aggregation.
+          val freq = pin(l.select(explode(col("_as")).as("h"))
+            .unionAll(r.select(explode(col("_bs")).as("h")))
+            .groupBy(col("h")).agg(count(lit(1)).as("_df")))
+          (pp(prefixPostings(
+              l.withColumnRenamed("_as", "_set"), "_aid" +: blockCols, freq, threshold)),
+            pp(prefixPostings(
+              r.withColumnRenamed("_bs", "_set"), "_bid" +: blockCols, freq, threshold)))
+      }
     }
 
     def prefixPath(posts: (DataFrame, DataFrame)): DataFrame = {

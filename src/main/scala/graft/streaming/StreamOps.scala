@@ -161,11 +161,25 @@ object StreamOps {
               }
             }
             cur.foreach { s =>
-              state.update(s)
-              // timeout must land strictly beyond the current watermark; a
-              // session already past its gap flushes next trigger
-              state.setTimeoutTimestamp(
-                math.max(s.last.getTime + gapMs, state.getCurrentWatermarkMs() + 1))
+              val wm = state.getCurrentWatermarkMs()
+              if (s.last.getTime + gapMs < wm) {
+                // the open session is ALREADY gap-expired against the current
+                // watermark — possible when the only arrivals this batch were
+                // skipped stale stragglers, so the fold never closed it but
+                // its timeout would have fired this very trigger. Emit now
+                // and drop state: re-arming at wm+1 would strand the session
+                // forever if the watermark never advances again, diverging
+                // from the "pure function of events + final watermark"
+                // contract (q236's oracle closure predicate).
+                if (state.exists) state.remove()
+                out += Session(userId, s.start, s.last, s.n)
+              } else {
+                state.update(s)
+                // timeout must land strictly beyond the current watermark; a
+                // session already past its gap flushes next trigger
+                state.setTimeoutTimestamp(
+                  math.max(s.last.getTime + gapMs, wm + 1))
+              }
             }
             out.result().iterator
           }

@@ -5,12 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.Engine
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Pin, SimilarityJoin}
+import graft.operators.{Curation, Pin}
 
-/** One-off stage profiler for the q248 indexed-tick loop: replays the
-  * harness with a timer around every materialization so a scale-sweep
-  * outlier can be attributed to a stage instead of guessed at. Diagnostic
-  * only — never part of a bench or oracle gate.
+/** Stage profiler for the q248 indexed-tick loop: drives the REAL
+  * `Curation.tickIndexed` through its `stageHook` seam (each stage's pinned
+  * frame is counted under a timer as it materializes), so the profile can
+  * never drift from the pipeline q248 executes — the r7 copy-paste version
+  * silently measured its own replica. Diagnostic only — never part of a
+  * bench or oracle gate.
+  *
+  * Runs the two-tick loop TWICE: signature-index only (the r7 shape, the
+  * similarity stage rebuilds corpus df + postings per tick) and with the
+  * persistable postings index carried across ticks (the r8 shape) — the
+  * printed totals are the measured tick-time reduction for the index.
   *
   * Usage: runMain graft.tools.ProfileTick [sfDir]
   */
@@ -37,7 +44,7 @@ object ProfileTick {
     def tm[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"PROF  $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"PROF  $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
     def mat(label: String, df: DataFrame): DataFrame =
@@ -52,62 +59,62 @@ object ProfileTick {
     val b2 = docs.filter(col("doc_id") >= x90)
     def q = TextFunctions.qualityScore(col("text"), Stopwords)
 
-    val idx0 = mat("idx0 signatures",
-      Curation.signatures(corpus, "doc_id", "text", "lang"))
+    // one timed tick through the real operator: every stage frame is
+    // counted (and, where tickIndexed left it unpinned, pinned here first
+    // so the next stage reads the materialization, like a sweep would)
+    def profiledTick(
+        tag: String,
+        index: DataFrame,
+        batch: DataFrame,
+        posts: Option[(DataFrame, DataFrame)]): DataFrame =
+      Curation.tickIndexed(index, batch, bench, "doc_id", "text", "lang",
+        quality = q, indexPinned = true, corpusPostings = posts,
+        stageHook = (name, df) =>
+          if (name == "self_pairs" || name == "dominated" || name == "accepted")
+            mat(s"$tag $name", df)
+          else tm(s"$tag $name") { df.count(); df })
 
-    // tick 1, stage by stage (mirrors Curation.tickIndexed)
-    def tickStages(tag: String, index: DataFrame, batch: DataFrame): DataFrame = {
-      val s1 = batch.filter(q >= 0.5)
-      val contaminated = graft.operators.Decontaminate
-        .sharedGramCounts(s1, bench, "doc_id", "text", 4)
-        .filter(col("shared_grams") >= 5)
-        .select(col("doc_id"))
-      val s2 = s1.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-      val dg = sha2(col("text"), 256)
-      val keepMin = s2.groupBy(dg.as("_ctext")).agg(min(col("doc_id")).as("_keep"))
-      val s3 = mat(s"$tag s1-s3 quality+decont+digest", s2
-        .join(keepMin, dg <=> col("_ctext"))
-        .filter(col("doc_id") === col("_keep")).drop("_ctext", "_keep")
-        .join(index.select(col("_dg").as("_ctext")).distinct(),
-          dg === col("_ctext"), "left_anti"))
-      val batchSh = mat(s"$tag batch signatures",
-        Curation.signatures(s3, "doc_id", "text", "lang").drop("_dg"))
-      val corpusMatched = tm(s"$tag cross jaccardJoin vs index") {
-        val m = SimilarityJoin.jaccardJoin(
-          index.select(col("doc_id").as("_cid"), col("lang"), col("_h")), "_cid",
-          batchSh, "doc_id", "_h", 0.5, blockCols = Seq("lang"),
-          leftPinned = true, rightPinned = true)
-          .select(col("doc_id")).distinct()
-        val p = Pin.LocalCheckpoint(m); p.count(); p
+    def runLoop(tag: String, withPostings: Boolean): Double = {
+      val t0 = System.nanoTime()
+      val idx0 = mat(s"$tag idx0 signatures",
+        Curation.signatures(corpus, "doc_id", "text", "lang"))
+      val posts0 = if (!withPostings) None else Some(tm(s"$tag idx0 postings") {
+        val (f, p) = Curation.postingsIndex(idx0, "doc_id", "lang")
+        val ff = Pin.LocalCheckpoint(f); ff.count()
+        val pp = Pin.LocalCheckpoint(p); pp.count()
+        (ff, pp)
+      })
+      val acc1 = profiledTick(s"$tag t1", idx0, b1, posts0)
+      val app1 = mat(s"$tag append signatures(acc1)",
+        Curation.signatures(acc1, "doc_id", "text", "lang"))
+      val idx1 = idx0.unionByName(app1)
+      val posts1 = posts0.map { case (f, p) => tm(s"$tag append postings(acc1)") {
+        val pa = Pin.LocalCheckpoint(
+          p.unionByName(Curation.postingsIndex(app1, "doc_id", "lang",
+            frozenFreq = Some(f))._2))
+        pa.count()
+        (f, pa)
+      }}
+      val acc2 = profiledTick(s"$tag t2", idx1, b2, posts1)
+      tm(s"$tag final agg") {
+        acc1.unionByName(acc2)
+          .select(col("doc_id"), col("lang"),
+            greatest(TextFunctions.tokenCount(col("text")), lit(0)).cast("long").as("toks"))
+          .orderBy(col("doc_id"))
+          .write.format("noop").mode("overwrite").save()
       }
-      val free = mat(s"$tag free anti-join",
-        batchSh.join(broadcast(corpusMatched), Seq("doc_id"), "left_anti"))
-      val selfPairs = tm(s"$tag self-join within batch") {
-        val sp = SimilarityJoin.jaccardSelfJoin(
-          free, "doc_id", "_h", 0.5, blockCols = Seq("lang"), inputPinned = true)
-        val p = Pin.LocalCheckpoint(sp); p.count(); p
-      }
-      val dominated = tm(s"$tag greedy resolution") {
-        val d = Curation.greedyDominated(selfPairs, "id_a", "id_b")
-          .withColumnRenamed("id", "doc_id")
-        val p = Pin.LocalCheckpoint(d); p.count(); p
-      }
-      mat(s"$tag accepted",
-        s3.join(broadcast(corpusMatched.unionByName(dominated)), Seq("doc_id"), "left_anti"))
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"PROF  == $tag TOTAL ==                       $dt%8.2f s")
+      // drop this loop's pinned blocks so the next loop starts clean
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      dt
     }
 
-    val acc1 = tickStages("t1", idx0, b1)
-    val app1 = mat("append signatures(acc1)",
-      Curation.signatures(acc1, "doc_id", "text", "lang"))
-    val idx1 = idx0.unionByName(app1)
-    val acc2 = tickStages("t2", idx1, b2)
-    tm("final agg") {
-      acc1.unionByName(acc2)
-        .select(col("doc_id"), col("lang"),
-          greatest(TextFunctions.tokenCount(col("text")), lit(0)).cast("long").as("toks"))
-        .orderBy(col("doc_id"))
-        .write.format("noop").mode("overwrite").save()
-    }
+    val inline = runLoop("sig-only ", withPostings = false)
+    val indexed = runLoop("postings ", withPostings = true)
+    println(f"PROF  postings-index speedup: ${inline / indexed}%.2fx " +
+      f"($inline%.1f s -> $indexed%.1f s)")
     spark.stop()
   }
 }

@@ -192,6 +192,129 @@ class CurationSpec extends AnyFunSuite {
       s"parquet round-trip changed the tick: live=$live persisted=$persisted")
   }
 
+  test("postings-indexed tick equals the inline tick (parquet round-trip)") {
+    // the round-8 production shape: the persistable (freq, posts) half of
+    // the index carries the similarity stage's corpus-side prep, so a tick
+    // never re-explodes corpus shingles — output must be IDENTICAL to the
+    // postings-free tick (frozen-order losslessness)
+    val (corpus, batch) = mutationCorpus(83)
+    val bench = spark.emptyDataset[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val idx = Curation.signatures(
+      corpus.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang").localCheckpoint()
+    val (freq, posts) = Curation.postingsIndex(idx, "doc_id", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("post_idx").toString
+    freq.write.mode("overwrite").parquet(s"$dir/freq")
+    posts.write.mode("overwrite").parquet(s"$dir/posts")
+    val stored = Some((
+      spark.read.parquet(s"$dir/freq"),
+      spark.read.parquet(s"$dir/posts")))
+    def run(cp: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]) =
+      Curation.tickIndexed(idx, batch.toDF("doc_id", "lang", "text"), bench,
+          "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
+          indexPinned = true, corpusPostings = cp)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val inline = run(None)
+    val indexed = run(stored)
+    assert(indexed == inline && inline.nonEmpty,
+      s"postings index changed the tick: inline=$inline indexed=$indexed")
+  }
+
+  test("postings-indexed two-tick loop with frozen-freq appends equals one combined tick") {
+    val (corpus, batch) = mutationCorpus(89)
+    val (b1, b2) = batch.partition(_._1 < 1240L)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val bench = spark.emptyDataset[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val combined = runTick(corpus, batch, tau = 0.5)
+
+    val idx0 = Curation.signatures(
+      corpus.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang").localCheckpoint()
+    val (freq0, posts0raw) = Curation.postingsIndex(idx0, "doc_id", "lang")
+    val freq = freq0.localCheckpoint()
+    val posts0 = posts0raw.localCheckpoint()
+    val acc1 = Curation.tickIndexed(idx0, b1.toDF("doc_id", "lang", "text"), bench,
+      "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
+      indexPinned = true, corpusPostings = Some((freq, posts0)))
+    val app1 = Curation.signatures(acc1, "doc_id", "text", "lang").localCheckpoint()
+    val idx1 = idx0.unionByName(app1)
+    // appended postings build under the FROZEN order — the contract
+    val posts1 = posts0.unionByName(
+      Curation.postingsIndex(app1, "doc_id", "lang", frozenFreq = Some(freq))._2)
+    val acc2 = Curation.tickIndexed(idx1, b2.toDF("doc_id", "lang", "text"), bench,
+      "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
+      indexPinned = true, corpusPostings = Some((freq, posts1)))
+    val got = (acc1.select("doc_id").as[Long].collect() ++
+      acc2.select("doc_id").as[Long].collect()).sorted.toSeq
+    assert(got == combined,
+      s"postings-indexed loop diverged: combined=$combined indexed=$got")
+  }
+
+  test("index delete contract: removing a corpus doc re-admits its blocked near-dup") {
+    // takedowns are routine: the documented recipe is an anti-join of BOTH
+    // index halves on the removed ids; freq stays frozen (staleness, not
+    // error). A batch doc blocked only by the deleted corpus doc must be
+    // accepted on the post-delete tick.
+    val rnd = new scala.util.Random(97)
+    def randStr(n: Int) = Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val base = randStr(120)
+    val corpus = Seq((1L, "l0", base + randStr(30)), (2L, "l0", randStr(120)))
+    val batch = Seq((10L, "l0", base + randStr(35))) // near-dup of doc 1 only
+    val bench = spark.emptyDataset[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val idx = Curation.signatures(
+      corpus.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang").localCheckpoint()
+    val (freq0, posts0) = Curation.postingsIndex(idx, "doc_id", "lang")
+    val freq = freq0.localCheckpoint()
+    val posts = posts0.localCheckpoint()
+    def run(sig: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      Curation.tickIndexed(sig, batch.toDF("doc_id", "lang", "text"), bench,
+          "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
+          indexPinned = true, corpusPostings = Some((freq, p)))
+        .select("doc_id").as[Long].collect().toSeq
+    assert(run(idx, posts).isEmpty, "doc 10 must be blocked while doc 1 stands")
+    // the delete recipe: left_anti on the removed ids, both halves
+    val deleted = Seq(1L).toDF("doc_id")
+    val idx2 = idx.join(deleted, Seq("doc_id"), "left_anti")
+    val posts2 = posts.join(deleted, Seq("doc_id"), "left_anti")
+    assert(run(idx2, posts2) == Seq(10L), "doc 10 must be re-admitted after the delete")
+  }
+
+  test("tick strategy passthrough: MinHashLsh is opt-in, exact-verified, recall-documented") {
+    // MinHashLsh(8, 2) sized for tau = 0.5 (S-curve 50% point at
+    // (1/8)^(1/2) ≈ 0.35; recall ≈ 0.98 at j = 0.6): candidates are banded
+    // buckets but every emitted pair still passes the exact verify, so the
+    // approximate tick can only MISS near-dup pairs — each miss admits a
+    // doc the exact tick rejects, never the reverse at the corpus-match
+    // stage (the within-batch greedy can cascade, which is why the subset
+    // claim is measured on the tick's actual corpora, not asserted as a law)
+    val (corpus, batch) = mutationCorpus(101)
+    val bench = spark.emptyDataset[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val lsh = SimilarityStrategy.MinHashLsh(bands = 8, rowsPerBand = 2)
+    def run(strategy: SimilarityStrategy) =
+      Curation.tick(corpus.toDF("doc_id", "lang", "text"),
+          batch.toDF("doc_id", "lang", "text"), bench, "doc_id", "text", "lang",
+          quality = lit(1.0), minQuality = 0.0, strategy = strategy)
+        .select("doc_id").as[Long].collect().toSet
+    val accAuto = run(SimilarityStrategy.Auto)
+    val accLsh = run(lsh)
+    val batchIds = batch.map(_._1).toSet
+    val (rejAuto, rejLsh) = (batchIds -- accAuto, batchIds -- accLsh)
+    assert(rejLsh.subsetOf(rejAuto),
+      s"LSH rejected docs the exact tick accepted: ${rejLsh -- rejAuto}")
+    // measured recall of the pair engine itself on this corpus's shingle
+    // sets, documenting the trade the caller opts into
+    val sh = Curation.signatures(
+      (corpus ++ batch).toDF("doc_id", "lang", "text"), "doc_id", "text", "lang")
+    val exactPairs = SimilarityJoin
+      .jaccardSelfJoin(sh, "doc_id", "_h", 0.5, blockCols = Seq("lang"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lshPairs = SimilarityJoin
+      .jaccardSelfJoin(sh, "doc_id", "_h", 0.5, blockCols = Seq("lang"), strategy = lsh)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lshPairs.subsetOf(exactPairs), "precision must be 1 (exact verify)")
+    val recall = lshPairs.size.toDouble / exactPairs.size
+    assert(exactPairs.nonEmpty && recall >= 0.8,
+      f"recall $recall%.2f below the documented band for (8, 2) at tau 0.5")
+  }
+
   test("signatures: digest and shingle hashes match the inline tick prep") {
     // null text -> null digest, empty shingles; short text -> empty shingles
     val df = Seq((1L, "l0", "abcdefgh"), (2L, "l0", "abc"), (3L, "l1", null))

@@ -391,6 +391,96 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(exact.nonEmpty && approx.length.toDouble / exact.size >= 0.95)
   }
 
+  test("prebuilt leftIndex (frozen-order postings) gives the identical join") {
+    // the incremental-ingest shape: a standing left corpus indexed ONCE,
+    // probed by right batches whose sets carry elements the index has never
+    // seen (the df-0 left-join path in prefixPostings) — output must equal
+    // the index-free join exactly, for every strategy, at thresholds at and
+    // above the index's build threshold
+    val lRows = randomSets(31, 70)
+    // right: fresh random sets (element universe shifted so roughly half
+    // the elements are absent from the left corpus) + some near-copies of
+    // left sets so true pairs exist at high thresholds
+    val rnd = new scala.util.Random(37)
+    val rFresh = (200 to 240).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40) + 5)(60L + rnd.nextInt(120)).distinct.sorted)
+    }
+    val rNear = (300 to 320).map { i =>
+      val base = lRows(rnd.nextInt(lRows.size))._2
+      (i.toLong, (base ++ Seq.fill(2)(500L + rnd.nextInt(40))).distinct.sorted)
+    }
+    val rRows = rFresh ++ rNear
+    val l = lRows.toDF("lid", "s")
+    val r = rRows.toDF("rid", "s")
+    // index built at the LOWEST threshold it will serve (the contract)
+    val (freq, posts) = SimilarityJoin.prefixIndex(l, "lid", "s", 0.25)
+    // parquet round-trip: the index is a STORED artifact between ticks
+    val dir = java.nio.file.Files.createTempDirectory("pfx_idx").toString
+    freq.write.mode("overwrite").parquet(s"$dir/freq")
+    posts.write.mode("overwrite").parquet(s"$dir/posts")
+    val idx = Some((
+      spark.read.parquet(s"$dir/freq"),
+      spark.read.parquet(s"$dir/posts")))
+    for {
+      t <- Seq(0.25, 0.5, 0.8)
+      strat <- Seq(SimilarityStrategy.Auto, SimilarityStrategy.PrefixFilter,
+        SimilarityStrategy.AllPairs)
+    } {
+      val base = SimilarityJoin
+        .jaccardJoin(l, "lid", r, "rid", "s", t, strategy = strat)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val indexed = SimilarityJoin
+        .jaccardJoin(l, "lid", r, "rid", "s", t, strategy = strat,
+          leftIndex = idx, leftPinned = true)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(indexed == base,
+        s"t=$t strat=$strat: missing=${base -- indexed} extra=${indexed -- base}")
+      assert(base == bruteForce(lRows, rRows, t), s"t=$t baseline drifted")
+    }
+  }
+
+  test("leftIndex appended under the frozen freq stays exact") {
+    // the tick-loop append: new corpus rows' postings are generated under
+    // the ORIGINAL freq (their unseen elements take df 0) and unioned onto
+    // the stored postings — the grown index must still find every pair
+    val l0 = randomSets(41, 50)
+    val grow = (400 to 420).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Seq.fill(rnd.nextInt(30) + 5)(700L + rnd.nextInt(90)).distinct.sorted)
+    }
+    val rRows = {
+      val rnd = new scala.util.Random(43)
+      // probes near BOTH the original corpus and the appended slice
+      (500 to 515).map { i =>
+        val base = (if (i % 2 == 0) l0 else grow)(rnd.nextInt(15))._2
+        (i.toLong, (base ++ Seq(999L)).distinct.sorted)
+      }
+    }
+    val (freq, posts0) = SimilarityJoin.prefixIndex(l0.toDF("lid", "s"), "lid", "s", 0.5)
+    val f = freq.localCheckpoint()
+    val postsGrown = posts0.unionByName(
+      SimilarityJoin.prefixIndex(grow.toDF("lid", "s"), "lid", "s", 0.5,
+        frozenFreq = Some(f))._2)
+    val lAll = (l0 ++ grow).toDF("lid", "s")
+    val got = SimilarityJoin
+      .jaccardJoin(lAll, "lid", rRows.toDF("rid", "s"), "rid", "s", 0.5,
+        leftIndex = Some((f, postsGrown)), leftPinned = true)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == bruteForce(l0 ++ grow, rRows, 0.5) && got.nonEmpty)
+  }
+
+  test("leftIndex with missing columns fails loud") {
+    val l = randomSets(47, 10).toDF("lid", "s")
+    val r = randomSets(48, 10).toDF("rid", "s")
+    val bad = Seq((1L, 2, 3, 4L)).toDF("lid", "_sz", "_pos", "notH")
+    val freq = Seq((1L, 1L)).toDF("h", "_df")
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityJoin.jaccardJoin(l, "lid", r, "rid", "s", 0.5,
+        leftIndex = Some((freq, bad)))
+    }
+    assert(ex.getMessage.contains("prefixIndex"))
+  }
+
   test("MinHashLsh parameter validation fails loud") {
     intercept[IllegalArgumentException] { SimilarityStrategy.MinHashLsh(0, 4) }
     intercept[IllegalArgumentException] { SimilarityStrategy.MinHashLsh(4, 0) }
