@@ -184,8 +184,13 @@ object Bench {
     // streaming KMV replay / bounded-heap per-domain quality caps
     "q246_stream_kmv" -> 2.172, "q247_domain_caps" -> 0.962,
     // indexed curation-tick loop: index build + TWO sequential ticks
-    // (~1.7x ONE inline tick — the corpus prep is paid once, not per tick)
-    "q248_indexed_ticks" -> 17.493)
+    // (~1.7x ONE inline tick — the corpus prep is paid once, not per tick);
+    // re-baselined in round 8 at the persistable postings-index plan
+    // (corpus postings built once, probed per tick — was 17.493 on the
+    // per-tick postings rebuild)
+    "q248_indexed_ticks" -> 15.700,
+    // round-8 additions (r8 sf0.1 measurements, BASELINE.md §3g)
+    "q249_adaptive_quantiles" -> 1.521, "q250_stream_weighted_sample" -> 1.619)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

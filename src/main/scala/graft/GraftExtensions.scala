@@ -94,4 +94,44 @@ object GraftExtensions {
       ColumnBridge.registerFunction(classic, id, info, builder)
     }
   }
+
+  /** SQL surface for the Aggregator-backed sketch tier (SketchSqlSpec runs
+    * one statement per sketch member). CMS / HLL / fixed-bin histogram
+    * cells are already plain SQL — md5/conv/floor arithmetic + GROUP BY,
+    * exactly what their DuckDB oracles replay — so only the two
+    * bounded-buffer aggregators need names:
+    *
+    *  - `<name>(h, item)` — KMV bottom-k buffer ([[graft.functions.BottomKByHash]]);
+    *    pair with `graft.functions.Kmv.hash` for h (13-hex md5 slice:
+    *    `conv(substring(md5(item), 1, 13), 16, 10)`).
+    *  - `<name>(sim, id, tag)` — top-k-by-sim buffer
+    *    ([[graft.functions.TopKBySim]]): the ES weighted sample's core
+    *    (sim = ln(u)/w) and every other bounded top-k.
+    *
+    * k must be baked into the registered name (SQL UDAFs take column
+    * arguments only — a `k` argument would have to ride every row); the
+    * parametric surface stays the Dataset API (Kmv.bufs / TopK.bufsPerKey).
+    * [[registerSketchUdafs]] pins the engine's standard k = 16 under
+    * `graft_kmv16` / `graft_topk16`; register other k's as needed.
+    */
+  def registerKmvUdaf(
+      spark: org.apache.spark.sql.SparkSession, name: String, k: Int): Unit =
+    spark.udf.register(name, org.apache.spark.sql.functions.udaf(
+      new graft.functions.BottomKByHash(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.KmvEntry]))
+
+  /** See [[registerKmvUdaf]]. */
+  def registerTopKUdaf(
+      spark: org.apache.spark.sql.SparkSession, name: String, k: Int): Unit =
+    spark.udf.register(name, org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKBySim(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.ScoredEntry]))
+
+  /** Register the standard-k sketch aggregators (`graft_kmv16`,
+    * `graft_topk16`) — see [[registerKmvUdaf]].
+    */
+  def registerSketchUdafs(spark: org.apache.spark.sql.SparkSession): Unit = {
+    registerKmvUdaf(spark, "graft_kmv16", 16)
+    registerTopKUdaf(spark, "graft_topk16", 16)
+  }
 }

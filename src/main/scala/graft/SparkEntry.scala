@@ -5988,6 +5988,60 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  // q249 — ADAPTIVE-RANGE quantile sketch (q238 without hand-picking the
+  // range, the describe()-on-unseen-data ask): one min/max probe fixes
+  // (lo, hi) = (floor(min), floor(max)+1), so the 2048-bin width
+  // (hi−lo)/2048 is a dyadic rational with exact-integer endpoints — the
+  // q238 cross-engine portability discipline DERIVED from the data — and
+  // binning is CLAMP-FREE by construction (every value inside [lo, hi);
+  // spec-proved), removing the fixed-range form's one accuracy caveat.
+  // Order-price quartiles/tails per priority, exact percentile alongside
+  // (the sketch-tier accuracy-pairing convention).
+  private def adaptiveQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    val bins = 2048
+    val qs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+    // the probe is one bounded driver aggregate (the GlobalRank-offset
+    // precedent) — the price of not knowing the range up front
+    val (lo, hi) = graft.functions.QuantileSketch.probeRange(ord, col("o_totalprice"))
+    val cells = graft.functions.QuantileSketch
+      .cells(ord, col("o_totalprice"), lo, hi, bins, Seq("o_orderpriority"))
+    val est = graft.functions.QuantileSketch
+      .quantiles(cells, qs, lo, hi, bins, Seq("o_orderpriority"))
+    val qArr = array(qs.map(lit): _*)
+    val exact = ord.groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice"), qArr).as("evs"))
+      .select(col("o_orderpriority"), posexplode(col("evs")).as(Seq("i", "ev")))
+      .select(col("o_orderpriority"), element_at(qArr, col("i") + 1).as("q"), col("ev"))
+    est.join(exact, Seq("o_orderpriority", "q"))
+      .select(col("o_orderpriority"), col("q"),
+        rnd(col("est"), 4).as("sketch_est"),
+        rnd(col("ev"), 4).as("exact_v"),
+        col("n"))
+      .orderBy(col("o_orderpriority"), col("q"))
+  }
+
+  // q250 — STREAMING Efraimidis–Spirakis weighted sample (X35 × phase E,
+  // the sampling leg the running sketch tier was missing next to CMS q226 /
+  // HLL q235 / histogram q239 / KMV q246): per event type, a value-weighted
+  // 16-event sample maintained as bounded ES top-k buffers over the
+  // replayed stream — state is one ≤2k-entry buffer per type, merge is the
+  // aggregator's re-top-k, so multi-micro-batch ≡ batch (parity spec, the
+  // q246 discipline). Weights are floor(value) (integral by the operator's
+  // fail-loud contract); the dyadic md5 u and single-ln key let the oracle
+  // re-derive membership, ranks, and keys verbatim (q245's convention).
+  private def streamWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val bufs = replayStream(s, dir, "complete") { ev =>
+      graft.streaming.StreamOps.esBufs(
+        ev, "event_type", "event_id", floor(col("value")).cast("long"), k)
+    }
+    graft.operators.WeightedSample.explodeBufs(bufs, "event_type")
+      .select(col("event_type"), col("rank"), col("id").as("event_id"),
+        col("weight"), rnd(col("es_key"), 6).as("es_key"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6239,7 +6293,9 @@ object SparkEntry {
     "q245_weighted_sample" -> weightedSample,
     "q246_stream_kmv" -> streamKmv,
     "q247_domain_caps" -> domainCaps,
-    "q248_indexed_ticks" -> indexedTicks)
+    "q248_indexed_ticks" -> indexedTicks,
+    "q249_adaptive_quantiles" -> adaptiveQuantiles,
+    "q250_stream_weighted_sample" -> streamWeightedSample)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -11362,5 +11418,71 @@ object SparkEntry {
     // composability (CurationSpec proves the split invariance; the corpus,
     // bench, and combined batch here are exactly q237's), so the oracle is
     // q237's declarative recomputation verbatim.
-    "q248_indexed_ticks" -> curationTickOracleSql)
+    "q248_indexed_ticks" -> curationTickOracleSql,
+    // q249: the oracle re-derives the probed range (floor(min),
+    // floor(max)+1), the dyadic-width cells, the interpolated estimates,
+    // and the exact percentiles — identical IEEE arithmetic in the same
+    // algebraic order as QuantileSketch (the q238 discipline, range now
+    // data-derived)
+    "q249_adaptive_quantiles" ->
+      """WITH rng AS (
+        |  SELECT CAST(floor(min(o_totalprice)) AS DOUBLE) AS lo,
+        |         CAST(floor(max(o_totalprice)) + 1 AS DOUBLE) AS hi
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |), cells AS (
+        |  SELECT o_orderpriority,
+        |    CAST(least(greatest(
+        |      floor((o_totalprice - rng.lo) / ((rng.hi - rng.lo) / 2048.0)), 0), 2047)
+        |      AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM orders, rng WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT o_orderpriority, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM cells
+        |), qv AS (
+        |  SELECT unnest(CAST([0.25, 0.5, 0.75, 0.95, 0.99] AS DOUBLE[])) AS q
+        |), hit AS (
+        |  SELECT c.o_orderpriority, q.q, c.n,
+        |    rng.lo + ((rng.hi - rng.lo) / 2048.0) * c.bin
+        |        + ((rng.hi - rng.lo) / 2048.0)
+        |          * ((q.q * c.n - (c.cum - c.cnt)) / c.cnt) AS est
+        |  FROM cum c, qv q, rng
+        |  WHERE c.cum >= q.q * c.n AND (c.cum - c.cnt) < q.q * c.n
+        |), ex0 AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95, 0.99]) AS evs
+        |  FROM orders GROUP BY 1
+        |), ex AS (
+        |  SELECT o_orderpriority,
+        |    unnest(CAST([0.25, 0.5, 0.75, 0.95, 0.99] AS DOUBLE[])) AS q,
+        |    unnest(evs) AS ev
+        |  FROM ex0
+        |)
+        |SELECT h.o_orderpriority, h.q, round(h.est + 1e-9, 4) AS sketch_est,
+        |  round(ex.ev + 1e-9, 4) AS exact_v, CAST(h.n AS BIGINT) AS n
+        |FROM hit h JOIN ex ON h.o_orderpriority = ex.o_orderpriority AND h.q = ex.q
+        |ORDER BY 1, 2""".stripMargin,
+    // q250: q245's derivation verbatim over the event stream — the drained
+    // streaming buffers must equal the batch ES ranking
+    "q250_stream_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT event_id, event_type, CAST(floor(value) AS BIGINT) AS w
+        |  FROM events
+        |  WHERE value IS NOT NULL AND floor(value) > 0 AND event_id IS NOT NULL
+        |), keyed AS (
+        |  SELECT event_type, event_id, w,
+        |    ln((CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+        |       / 4503599627370496.0) / w AS ek
+        |  FROM d
+        |), r AS (
+        |  SELECT event_type, event_id, w, ek,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ek DESC, event_id) AS rk
+        |  FROM keyed
+        |)
+        |SELECT event_type, CAST(rk AS INT) AS rank, event_id,
+        |  CAST(w AS BIGINT) AS weight, round(ek + 1e-9, 6) AS es_key
+        |FROM r WHERE rk <= 16 ORDER BY event_type, rank""".stripMargin)
 }

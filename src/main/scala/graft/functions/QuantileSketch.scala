@@ -43,6 +43,42 @@ object QuantileSketch {
     (hi - lo) / bins
   }
 
+  /** Two-pass ADAPTIVE-RANGE probe — the answer to "profile a column you
+    * have never seen" (the describe()/quartile archetype on unknown data),
+    * where the fixed declared range can't be guessed up front: one min/max
+    * aggregation picks (lo, hi) = (floor(min), floor(max) + 1), then the
+    * caller feeds the usual [[cells]]/[[quantiles]] with it.
+    *
+    * Why this exact form:
+    *  - CLAMP-FREE by construction: lo ≤ min and hi > max, so every value
+    *    bins inside [0, bins) without touching the edge-bin clamp — the
+    *    probe removes the one accuracy degradation the fixed-range form
+    *    documents (spec-proved).
+    *  - PORTABLE: lo and hi are exact integers, so with power-of-two
+    *    `bins` the width (hi − lo)/bins is a dyadic rational — exactly
+    *    representable, making bin ids and interpolation the same IEEE ops
+    *    in any engine (the q238 discipline, now without hand-picking the
+    *    range). Keep `bins` a power of two to keep that guarantee.
+    *  - MERGEABLE/STREAMING-SAFE once frozen: the probe is the only extra
+    *    pass; after it the cell table has the fixed-range form's contracts
+    *    verbatim (merge by cell-wise sum, ≤ bins state). For a stream,
+    *    probe a bounded prefix (or declare the range) — the probe itself
+    *    is the standard two-pass trade, not a streaming operator.
+    *
+    * Returns (lo, hi) as exact-integer doubles; one bounded driver action
+    * (the GlobalRank-offset precedent). Fails loud on all-NULL input.
+    */
+  def probeRange(df: DataFrame, value: Column): (Double, Double) = {
+    val r = df.where(value.isNotNull)
+      .agg(
+        floor(min(value)).cast("double").as("lo"),
+        (floor(max(value)) + 1).cast("double").as("hi"))
+      .head()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      "probeRange: no non-null values to probe a range from")
+    (r.getDouble(0), r.getDouble(1))
+  }
+
   /** Bin id of `value`: floor((x − lo)/w) clamped to [0, bins−1]. NULLs
     * propagate (callers drop them — a NULL holds no rank information).
     */

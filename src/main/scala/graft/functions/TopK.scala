@@ -105,6 +105,21 @@ object TopK {
       sim: Column,
       id: Column,
       tag: Column,
+      k: Int): DataFrame =
+    explodeBufs(bufsPerKey(scored, keyCol, sim, id, tag, k), keyCol)
+
+  /** The aggregation core alone: (keyCol, _tk) — one bounded top-k buffer
+    * per key. This is the STREAMING-SAFE half of [[topKPerKey]] (the
+    * Kmv.bufs discipline): as a streaming aggregation the state store holds
+    * exactly one ≤ 2k-entry buffer per key — bounded by construction — and
+    * drained buffers explode to ranked rows with [[explodeBufs]].
+    */
+  def bufsPerKey(
+      scored: DataFrame,
+      keyCol: String,
+      sim: Column,
+      id: Column,
+      tag: Column,
       k: Int): DataFrame = {
     val fn = udaf(new TopKBySim(k), Encoders.product[ScoredEntry])
     scored
@@ -115,6 +130,14 @@ object TopK {
       .filter(sim.isNotNull && id.isNotNull && tag.isNotNull)
       .groupBy(col(keyCol))
       .agg(fn(sim, id, tag).as("_tk"))
+  }
+
+  /** Explode a [[bufsPerKey]] table to rank-ordered rows — finish truncated
+    * the arrays to the live size in (sim desc, id asc) order, so
+    * rank = position + 1.
+    */
+  def explodeBufs(bufsDf: DataFrame, keyCol: String): DataFrame =
+    bufsDf
       .select(
         col(keyCol),
         posexplode(
@@ -128,5 +151,4 @@ object TopK {
         col("col.ids").as("id"),
         col("col.sims").as("sim"),
         col("col.tags").as("tag"))
-  }
 }

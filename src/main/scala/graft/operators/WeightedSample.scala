@@ -54,6 +54,22 @@ object WeightedSample {
       groupCol: String,
       idCol: String,
       weight: Column,
+      k: Int): DataFrame =
+    explodeBufs(bufs(df, groupCol, idCol, weight, k), groupCol)
+
+  /** The aggregation core alone: (groupCol, _tk) — one bounded ES top-k
+    * buffer per group (TopK.bufsPerKey over the ln(u)/w keys). This is the
+    * STREAMING-SAFE half of [[sample]] (the Kmv.bufs discipline): as a
+    * streaming aggregation the state store holds exactly one ≤ 2k-entry
+    * buffer per group, bounded by construction, and per-micro-batch merges
+    * are the aggregator's own re-top-k — so the drained sample equals the
+    * batch sample over the same rows (StreamOps.esBufs, q250).
+    */
+  def bufs(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weight: Column,
       k: Int): DataFrame = {
     val wLong = weight.cast("long")
     // assert_true returns null on pass, so the `when` both forces its
@@ -71,10 +87,15 @@ object WeightedSample {
         col(idCol).cast("long").as("_id"),
         esKey(col(idCol), weight).as("_ek"),
         wChecked.as("_w"))
-    TopK
-      .topKPerKey(scored, groupCol, col("_ek"), col("_id"), col("_w"), k)
+    TopK.bufsPerKey(scored, groupCol, col("_ek"), col("_id"), col("_w"), k)
+  }
+
+  /** Explode a [[bufs]] table to the [[sample]] output shape
+    * (groupCol, rank, id, weight, es_key), rank 1 = largest key.
+    */
+  def explodeBufs(bufsDf: DataFrame, groupCol: String): DataFrame =
+    TopK.explodeBufs(bufsDf, groupCol)
       .select(
         col(groupCol), col("rank"), col("id"),
         col("tag").as("weight"), col("sim").as("es_key"))
-  }
 }

@@ -451,6 +451,27 @@ object StreamOps {
       groupCols: Seq[String] = Nil): DataFrame =
     graft.functions.Kmv.bufs(stream, item, k, groupCols)
 
+  /** Streaming Efraimidis–Spirakis weighted sample — the weighted-SAMPLE
+    * fifth of the running sketch tier ([[cmsCells]] = frequency,
+    * [[hllCells]] = distinct count, [[histCells]] = order statistics,
+    * [[kmvBufs]] = uniform distinct sample): per-group bounded top-k
+    * buffers over the ln(u)/w ES keys (operators/WeightedSample) maintained
+    * as a running streaming aggregation (complete mode, the kmvBufs
+    * discipline verbatim). State is BOUNDED BY CONSTRUCTION at one
+    * ≤ 2k-entry buffer per group, and the aggregator's merge is re-top-k,
+    * so the drained sample is a pure function of the rows seen — "give me
+    * a weight-proportional k-doc sample of this unbounded feed per group,
+    * right now" with batch-identical membership
+    * (WeightedSample.explodeBufs over the drained buffers, q250).
+    */
+  def esBufs(
+      stream: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weight: org.apache.spark.sql.Column,
+      k: Int): DataFrame =
+    graft.operators.WeightedSample.bufs(stream, groupCol, idCol, weight, k)
+
   /** Streaming trend detection (the VEG adjacent-period comparison as a
     * stateful operator): per (event_type) group, compare each micro-batch's
     * day-average against the previous day's retained in state and emit

@@ -48,6 +48,49 @@ class QuantileSketchSpec extends AnyFunSuite {
       .filter(!(col("cnt_m") <=> col("cnt_w"))).isEmpty)
   }
 
+  test("probeRange picks a clamp-free dyadic range (the adaptive form)") {
+    // lo <= min and hi > max by construction, so the UN-clamped bin formula
+    // floor((x - lo)/w) already lands in [0, bins) for every value — the
+    // edge-bin clamp never fires, removing the fixed-range form's one
+    // accuracy degradation; with power-of-two bins the width is the exact
+    // dyadic (hi - lo) / 2^11 the oracle discipline requires
+    val (lo, hi) = QuantileSketch.probeRange(li, col("l_extendedprice"))
+    assert(lo == math.floor(lo) && hi == math.floor(hi), "endpoints must be integers")
+    val mn = li.agg(min(col("l_extendedprice"))).head().getDouble(0)
+    val mx = li.agg(max(col("l_extendedprice"))).head().getDouble(0)
+    assert(lo <= mn && hi > mx, s"[$lo, $hi) must cover [$mn, $mx]")
+    val w = (hi - lo) / Bins
+    // every raw (un-clamped) bin id in range — the clamp-free guarantee
+    val raw = li.where(col("l_extendedprice").isNotNull)
+      .select(floor((col("l_extendedprice") - lit(lo)) / lit(w)).as("b"))
+      .agg(min(col("b")), max(col("b"))).head()
+    assert(raw.getLong(0) >= 0L && raw.getLong(1) < Bins.toLong,
+      s"raw bins [${raw.getLong(0)}, ${raw.getLong(1)}] escaped [0, $Bins)")
+    // the width is exactly representable: span is an integer and bins a
+    // power of two, so w * bins reconstructs the span bit-for-bit
+    assert(w * Bins == hi - lo)
+    // and the probed range feeds the standard machinery unchanged
+    val cells = QuantileSketch
+      .cells(li, col("l_extendedprice"), lo, hi, Bins, Seq("l_returnflag"))
+    val est = QuantileSketch
+      .quantiles(cells, Seq(0.5), lo, hi, Bins, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("est")).as[(String, Double)].collect().toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (f, m) =>
+      assert(math.abs(est(f) - m) <= 2 * w, s"$f: ${est(f)} vs $m")
+    }
+  }
+
+  test("probeRange fails loud on all-NULL input") {
+    val df = Seq[Option[Double]](None, None).toDF("x")
+    val ex = intercept[IllegalArgumentException] {
+      QuantileSketch.probeRange(df, col("x"))
+    }
+    assert(ex.getMessage.contains("probeRange"))
+  }
+
   test("estimates land within two bin widths of the exact percentile") {
     val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
     val cells = QuantileSketch

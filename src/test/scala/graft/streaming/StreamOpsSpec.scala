@@ -111,6 +111,27 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSet == want.toSet)
   }
 
+  test("streaming ES weighted-sample bufs across micro-batches equal the batch sample") {
+    // maxFilesPerTrigger forces MULTIPLE micro-batches, so the bounded ES
+    // top-k buffers provably merge through the state store; top-k by
+    // (key desc, id asc) is commutative/associative, so batch boundaries
+    // and arrival order cannot change the drained sample
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "3").parquet(streamDir)
+    val bufs = runStream(
+      StreamOps.esBufs(stream, "event_type", "event_id",
+        floor(col("value")).cast("long"), k = 16),
+      "es_bufs", "complete")
+    val got = graft.operators.WeightedSample.explodeBufs(bufs, "event_type")
+      .select("event_type", "rank", "id", "weight")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val want = graft.operators.WeightedSample
+      .sample(batch, "event_type", "event_id", floor(col("value")).cast("long"), k = 16)
+      .select("event_type", "rank", "id", "weight")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSet == want.toSet)
+  }
+
   test("stateful sessionization equals the batch window pipeline") {
     val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
     val events = stream.select(col("user_id"), col("ts"), col("event_id"))
