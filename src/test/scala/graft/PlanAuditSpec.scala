@@ -70,6 +70,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // frame (5 rows) against ≤ bins histogram cells per group — a
     // constant × sketch-bounded product, never input-cardinality work
     "q238_quantile_sketch",
+    // q249: same read-off as q238 — the adaptive-range probe changes only
+    // where (lo, hi) come from, not the |qs| × cells bind
+    "q249_adaptive_quantiles",
     // q240: Mixing.temperaturePlan binds the broadcast 1-row normalizer
     // (Σ T^α, grand total) onto the |languages|-row aggregate — the
     // q203/q223 broadcast-scalar pattern
