@@ -6042,6 +6042,43 @@ object SparkEntry {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  // q251 — STREAMING ADAPTIVE dyadic histogram (the unknown-range leg of
+  // the order-statistics pair: q239 maintains a DECLARED-range histogram,
+  // q249 probes the range in a second pass a stream doesn't have): per
+  // event type, bounded (bin, cnt) buffers whose dyadic width 2^scale
+  // escalates as the observed span grows (functions/AdaptiveHist —
+  // q-digest-style deterministic escalation, NOT KLL's coin flips, so the
+  // oracle re-derives scale + cells + the p50 read-off exactly: scale =
+  // smallest s with floor(max/2^s)−floor(min/2^s)+1 ≤ 64, a pure function
+  // of each type's value range). State = one ≤2·64-entry buffer per type.
+  private def streamAdaptiveHist(s: SparkSession, dir: String): DataFrame = {
+    val bufs = replayStream(s, dir, "complete") { ev =>
+      graft.streaming.StreamOps.adaptiveHistBufs(
+        ev.filter(col("value").isNotNull), col("value"),
+        maxBins = 64, Seq("event_type"))
+    }
+    val cells = graft.functions.AdaptiveHist.explodeBufs(bufs, Seq("event_type"))
+    // p50 read-off over ≤64 cells per type (the q238 interpolation with
+    // w = 2^scale a COLUMN, since each type sits at its own resolution)
+    val part = Window.partitionBy(col("event_type"))
+    val cum = part.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumed = cells
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(part))
+    val t = lit(0.5) * col("n")
+    val w = pow(lit(2.0), col("scale"))
+    val med = cumed
+      .where(col("cum") >= t && (col("cum") - col("cnt")) < t)
+      .select(col("event_type"),
+        rnd(w * col("bin") + w * ((t - (col("cum") - col("cnt"))) / col("cnt")), 4)
+          .as("p50_est"))
+    cells.join(med, Seq("event_type"))
+      .select(col("event_type"), col("scale"), col("bin"),
+        col("cnt").cast("long").as("cnt"), col("p50_est"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6295,7 +6332,8 @@ object SparkEntry {
     "q247_domain_caps" -> domainCaps,
     "q248_indexed_ticks" -> indexedTicks,
     "q249_adaptive_quantiles" -> adaptiveQuantiles,
-    "q250_stream_weighted_sample" -> streamWeightedSample)
+    "q250_stream_weighted_sample" -> streamWeightedSample,
+    "q251_stream_adaptive_hist" -> streamAdaptiveHist)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -11484,5 +11522,41 @@ object SparkEntry {
         |)
         |SELECT event_type, CAST(rk AS INT) AS rank, event_id,
         |  CAST(w AS BIGINT) AS weight, round(ek + 1e-9, 6) AS es_key
-        |FROM r WHERE rk <= 16 ORDER BY event_type, rank""".stripMargin)
+        |FROM r WHERE rk <= 16 ORDER BY event_type, rank""".stripMargin,
+    // q251: the oracle re-derives the deterministic escalation — scale =
+    // smallest s with span(s) <= 64 bins over each type's [min, max] —
+    // then the floor(value / 2^scale) cells and the p50 interpolation in
+    // the same IEEE arithmetic order (power-of-two division is exact)
+    "q251_stream_adaptive_hist" ->
+      """WITH v AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL
+        |), mm AS (
+        |  SELECT event_type, min(value) AS mn, max(value) AS mx FROM v GROUP BY 1
+        |), sc AS (
+        |  SELECT event_type, CAST(min(s) AS INT) AS scale
+        |  FROM mm, range(0, 64) t(s)
+        |  WHERE floor(mx / power(2.0, s)) - floor(mn / power(2.0, s)) + 1 <= 64
+        |  GROUP BY 1
+        |), cells AS (
+        |  SELECT v.event_type, sc.scale,
+        |    CAST(floor(v.value / power(2.0, sc.scale)) AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM v JOIN sc USING (event_type) GROUP BY 1, 2, 3
+        |), cum AS (
+        |  SELECT event_type, scale, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM cells
+        |), med AS (
+        |  SELECT event_type,
+        |    round(power(2.0, scale) * bin
+        |        + power(2.0, scale) * ((0.5 * n - (cum - cnt)) / cnt) + 1e-9, 4)
+        |      AS p50_est
+        |  FROM cum WHERE cum >= 0.5 * n AND (cum - cnt) < 0.5 * n
+        |)
+        |SELECT c.event_type, c.scale, c.bin, CAST(c.cnt AS BIGINT) AS cnt,
+        |  m.p50_est
+        |FROM cells c JOIN med m USING (event_type)
+        |ORDER BY 1, 3""".stripMargin)
 }

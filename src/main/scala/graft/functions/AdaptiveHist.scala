@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded adaptive-histogram buffer: parallel (bin, cnt) arrays at dyadic
+  * scale `scale` with `size` live entries, capacity 2·maxBins (compacted —
+  * and escalated if the span demands — when full, the [[TopKBuf]]
+  * discipline).
+  */
+case class AdaptiveHistBuf(
+    var scale: Int,
+    var size: Int,
+    var bins: Array[Long],
+    var cnts: Array[Long])
+
+/** Map-side-combinable one-pass ADAPTIVE dyadic histogram — the
+  * unknown-range/streaming answer [[QuantileSketch.probeRange]]'s two-pass
+  * probe can't give (a stream has no second pass): bin width starts at
+  * 2^minScale and DOUBLES (bin ids halve: floorDiv 2) whenever the
+  * occupied span would exceed `maxBins` bins — the dyadic-interval
+  * escalation of the q-digest family (Shrivastava et al., SenSys'04),
+  * kept deterministic instead of randomized (KLL) so a second engine can
+  * re-derive the result exactly.
+  *
+  * DETERMINISM (what makes it oracle-checkable): a buffer's scale is
+  * always the SMALLEST s ≥ minScale with
+  * floor(max/2^s) − floor(min/2^s) + 1 ≤ maxBins over the values it has
+  * absorbed, and rebinning to a coarser scale is floorDiv — independent of
+  * insertion order and merge shape. The drained cell table is therefore a
+  * pure function of the value multiset: scale = the global requirement,
+  * cells = floor(x/2^scale) counts. Mergeable by construction (align to
+  * the coarser requirement, sum counts); streaming-safe (complete-mode
+  * running aggregation, ≤ 2·maxBins entries per group per partition —
+  * `StreamOps.adaptiveHistBufs`).
+  *
+  * The trade vs the fixed-range [[QuantileSketch]]: resolution is a
+  * posteriori (one bin = 2^scale wide, scale set by the observed range)
+  * instead of declared, so quantile error is bounded by one FINAL bin
+  * width; vs KLL: O(maxBins) space for a rank-error guarantee tied to the
+  * value DISTRIBUTION's spread rather than KLL's distribution-free ε·n —
+  * the standard dyadic trade, bought for exact cross-engine replay.
+  *
+  * Dynamic-range contract: |value|/2^minScale must fit a signed 64-bit bin
+  * id (|x| < 2^62·2^minScale — any analytics column; fails loud otherwise).
+  * NULLs are skipped by the callers ([[AdaptiveHist.bufs]]); NaN is
+  * rejected loud (it has no bin).
+  */
+class AdaptiveHistAgg(maxBins: Int, minScale: Int)
+    extends Aggregator[java.lang.Double, AdaptiveHistBuf, AdaptiveHistBuf] {
+  require(maxBins >= 2 && maxBins <= 65536, s"maxBins out of range: $maxBins")
+  require(minScale >= -64 && minScale <= 64, s"minScale out of range: $minScale")
+  private val cap = 2 * maxBins
+
+  /** floor(x / 2^s) as an exact Long, with the loud range guard. */
+  private def binOf(x: Double, s: Int): Long = {
+    require(!x.isNaN, "AdaptiveHist: NaN has no bin — filter NaNs first")
+    val b = math.floor(x * math.pow(2.0, -s))
+    require(b >= -4.611686018427388e18 && b <= 4.611686018427388e18,
+      s"AdaptiveHist: value $x outside the dynamic range at minScale $minScale")
+    b.toLong
+  }
+
+  /** Sort live prefix by bin, merge duplicate bins, then escalate the scale
+    * until the span fits maxBins (halving bin ids floorDiv-2 per step —
+    * which can itself create new duplicates, so merge inside the loop).
+    */
+  private def compact(b: AdaptiveHistBuf): Unit = {
+    var n = b.size
+    var continue = true
+    while (continue) {
+      if (n > 1) {
+        val idx = Array.range(0, n).sortBy(b.bins(_))
+        val nb = new Array[Long](cap)
+        val nc = new Array[Long](cap)
+        var m = 0
+        var i = 0
+        while (i < n) {
+          val j = idx(i)
+          if (m > 0 && nb(m - 1) == b.bins(j)) nc(m - 1) += b.cnts(j)
+          else { nb(m) = b.bins(j); nc(m) = b.cnts(j); m += 1 }
+          i += 1
+        }
+        b.bins = nb; b.cnts = nc; n = m
+      }
+      // span check on the (now sorted, distinct) bins
+      continue = n > 0 && (b.bins(n - 1) - b.bins(0)) >= maxBins
+      if (continue) {
+        var i = 0
+        while (i < n) { b.bins(i) = Math.floorDiv(b.bins(i), 2L); i += 1 }
+        b.scale += 1
+      }
+    }
+    b.size = n
+  }
+
+  private def append(b: AdaptiveHistBuf, bin: Long, cnt: Long): Unit = {
+    if (b.bins.length < cap) {
+      b.bins = java.util.Arrays.copyOf(b.bins, cap)
+      b.cnts = java.util.Arrays.copyOf(b.cnts, cap)
+    }
+    if (b.size == cap) compact(b)
+    b.bins(b.size) = bin; b.cnts(b.size) = cnt
+    b.size += 1
+  }
+
+  override def zero: AdaptiveHistBuf =
+    AdaptiveHistBuf(minScale, 0, Array.emptyLongArray, Array.emptyLongArray)
+
+  override def reduce(b: AdaptiveHistBuf, x: java.lang.Double): AdaptiveHistBuf = {
+    append(b, binOf(x.doubleValue(), b.scale), 1L)
+    b
+  }
+
+  override def merge(b1: AdaptiveHistBuf, b2: AdaptiveHistBuf): AdaptiveHistBuf = {
+    // align to the coarser scale first (floorDiv composes: rebinning s→s+k
+    // in one floorDiv(2^k) equals k single steps)
+    val s = math.max(b1.scale, b2.scale)
+    def align(b: AdaptiveHistBuf): Unit = if (b.scale < s) {
+      val shift = 1L << (s - b.scale)
+      var i = 0
+      while (i < b.size) { b.bins(i) = Math.floorDiv(b.bins(i), shift); i += 1 }
+      b.scale = s
+    }
+    align(b1); align(b2)
+    var i = 0
+    while (i < b2.size) { append(b1, b2.bins(i), b2.cnts(i)); i += 1 }
+    b1
+  }
+
+  override def finish(b: AdaptiveHistBuf): AdaptiveHistBuf = {
+    compact(b)
+    AdaptiveHistBuf(
+      b.scale, b.size,
+      java.util.Arrays.copyOf(b.bins, b.size),
+      java.util.Arrays.copyOf(b.cnts, b.size))
+  }
+
+  override def bufferEncoder: Encoder[AdaptiveHistBuf] = Encoders.product[AdaptiveHistBuf]
+  override def outputEncoder: Encoder[AdaptiveHistBuf] = Encoders.product[AdaptiveHistBuf]
+}
+
+/** Entry points for the one-pass adaptive dyadic histogram — see
+  * [[AdaptiveHistAgg]] for the design contract.
+  */
+object AdaptiveHist {
+
+  /** The aggregation core: (groupCols..., _ah) — one bounded buffer per
+    * group (the Kmv.bufs discipline; streaming-safe as a running
+    * aggregation). NULL values are skipped (no rank information).
+    */
+  def bufs(
+      df: DataFrame,
+      value: Column,
+      maxBins: Int,
+      groupCols: Seq[String] = Nil,
+      minScale: Int = 0): DataFrame = {
+    val fn = udaf(new AdaptiveHistAgg(maxBins, minScale),
+      Encoders.DOUBLE.asInstanceOf[Encoder[java.lang.Double]])
+    val prepped = df.where(value.isNotNull)
+      .select(groupCols.map(col) :+ value.cast("double").as("_v"): _*)
+    val grouped =
+      if (groupCols.isEmpty) prepped.groupBy()
+      else prepped.groupBy(groupCols.map(col): _*)
+    grouped.agg(fn(col("_v")).as("_ah"))
+  }
+
+  /** Explode a [[bufs]] table to cells (groupCols..., scale, bin, cnt) —
+    * finish left the bins sorted ascending and duplicate-free.
+    */
+  def explodeBufs(bufsDf: DataFrame, groupCols: Seq[String] = Nil): DataFrame =
+    bufsDf
+      .select(groupCols.map(col) :+ col("_ah.scale").as("scale") :+
+        posexplode(arrays_zip(col("_ah.bins").as("bins"), col("_ah.cnts").as("cnts")))
+          .as(Seq("_p", "_e")): _*)
+      .select(groupCols.map(col) :+ col("scale") :+
+        col("_e.bins").as("bin") :+ col("_e.cnts").as("cnt"): _*)
+
+  /** Build the cell table (groupCols..., scale, bin, cnt): per group, the
+    * counts of floor(value / 2^scale) at the group's own smallest
+    * span-fitting scale.
+    */
+  def cells(
+      df: DataFrame,
+      value: Column,
+      maxBins: Int,
+      groupCols: Seq[String] = Nil,
+      minScale: Int = 0): DataFrame =
+    explodeBufs(bufs(df, value, maxBins, groupCols, minScale), groupCols)
+}

@@ -472,6 +472,26 @@ object StreamOps {
       k: Int): DataFrame =
     graft.operators.WeightedSample.bufs(stream, groupCol, idCol, weight, k)
 
+  /** Streaming ADAPTIVE dyadic histogram — the unknown-range order-statistics
+    * leg ([[histCells]] needs a declared (lo, hi); a stream of an unseen
+    * column has neither a declared range nor a second pass for
+    * QuantileSketch.probeRange): per-group bounded buffers whose dyadic bin
+    * width 2^scale escalates as the observed span grows
+    * (functions/AdaptiveHist — deterministic q-digest-style escalation, so
+    * the drained cells are a pure function of the values seen and a batch
+    * oracle re-derives scale and cells exactly). State is BOUNDED BY
+    * CONSTRUCTION at one ≤ 2·maxBins-entry buffer per group; merge aligns
+    * scales (floorDiv) and sums — the running-aggregation contract of the
+    * rest of the sketch tier (q251).
+    */
+  def adaptiveHistBufs(
+      stream: DataFrame,
+      value: org.apache.spark.sql.Column,
+      maxBins: Int,
+      groupCols: Seq[String] = Nil,
+      minScale: Int = 0): DataFrame =
+    graft.functions.AdaptiveHist.bufs(stream, value, maxBins, groupCols, minScale)
+
   /** Streaming trend detection (the VEG adjacent-period comparison as a
     * stateful operator): per (event_type) group, compare each micro-batch's
     * day-average against the previous day's retained in state and emit

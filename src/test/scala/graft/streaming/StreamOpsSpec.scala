@@ -132,6 +132,26 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSet == want.toSet)
   }
 
+  test("streaming adaptive-hist bufs across micro-batches equal the batch cells") {
+    // the scale must escalate THROUGH the state store as later batches
+    // widen the observed range — deterministic dyadic rebinning means the
+    // drained cells still equal the one-shot batch build exactly
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "3").parquet(streamDir)
+    val bufs = runStream(
+      StreamOps.adaptiveHistBufs(
+        stream.filter(col("value").isNotNull), col("value"), 64, Seq("event_type")),
+      "ah_bufs", "complete")
+    val got = graft.functions.AdaptiveHist.explodeBufs(bufs, Seq("event_type"))
+      .select("event_type", "scale", "bin", "cnt")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val want = graft.functions.AdaptiveHist.cells(
+        batch.filter(col("value").isNotNull), col("value"), 64, Seq("event_type"))
+      .select("event_type", "scale", "bin", "cnt")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSet == want.toSet)
+  }
+
   test("stateful sessionization equals the batch window pipeline") {
     val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
     val events = stream.select(col("user_id"), col("ts"), col("event_id"))
