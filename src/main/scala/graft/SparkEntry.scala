@@ -11533,8 +11533,10 @@ object SparkEntry {
         |), mm AS (
         |  SELECT event_type, min(value) AS mn, max(value) AS mx FROM v GROUP BY 1
         |), sc AS (
+        |  -- range covers the full double exponent span so no event_type can
+        |  -- silently drop out of the inner joins at an extreme value range
         |  SELECT event_type, CAST(min(s) AS INT) AS scale
-        |  FROM mm, range(0, 64) t(s)
+        |  FROM mm, range(0, 1088) t(s)
         |  WHERE floor(mx / power(2.0, s)) - floor(mn / power(2.0, s)) + 1 <= 64
         |  GROUP BY 1
         |), cells AS (

@@ -42,10 +42,12 @@ case class AdaptiveHistBuf(
   * value DISTRIBUTION's spread rather than KLL's distribution-free ε·n —
   * the standard dyadic trade, bought for exact cross-engine replay.
   *
-  * Dynamic-range contract: |value|/2^minScale must fit a signed 64-bit bin
-  * id (|x| < 2^62·2^minScale — any analytics column; fails loud otherwise).
-  * NULLs are skipped by the callers ([[AdaptiveHist.bufs]]); NaN is
-  * rejected loud (it has no bin).
+  * Dynamic-range contract: |value|/2^minScale must fit within ±2^61
+  * (|x| < 2^61·2^minScale — any analytics column; fails loud otherwise).
+  * The 2^61 bound (not 2^63) keeps the compaction span check
+  * `bins(n-1) - bins(0)` ≤ 2^62 overflow-free and every align shift
+  * `1L << (scale gap)` < 64 bits. NULLs are skipped by the callers
+  * ([[AdaptiveHist.bufs]]); NaN is rejected loud (it has no bin).
   */
 class AdaptiveHistAgg(maxBins: Int, minScale: Int)
     extends Aggregator[java.lang.Double, AdaptiveHistBuf, AdaptiveHistBuf] {
@@ -57,7 +59,7 @@ class AdaptiveHistAgg(maxBins: Int, minScale: Int)
   private def binOf(x: Double, s: Int): Long = {
     require(!x.isNaN, "AdaptiveHist: NaN has no bin — filter NaNs first")
     val b = math.floor(x * math.pow(2.0, -s))
-    require(b >= -4.611686018427388e18 && b <= 4.611686018427388e18,
+    require(b >= -2.305843009213694e18 && b <= 2.305843009213694e18,
       s"AdaptiveHist: value $x outside the dynamic range at minScale $minScale")
     b.toLong
   }
@@ -95,13 +97,25 @@ class AdaptiveHistAgg(maxBins: Int, minScale: Int)
     b.size = n
   }
 
+  /** Insert a (bin, cnt) computed at the buffer's scale AS OF CALL TIME.
+    * A full buffer compacts first — and compaction may ESCALATE the scale,
+    * so the pending bin must be rebinned by the scale delta before it lands
+    * (floorDiv composes exactly); inserting it stale would plant a
+    * finer-scale id among coarser ones and make the drained cells depend on
+    * compaction timing, breaking the determinism contract.
+    */
   private def append(b: AdaptiveHistBuf, bin: Long, cnt: Long): Unit = {
     if (b.bins.length < cap) {
       b.bins = java.util.Arrays.copyOf(b.bins, cap)
       b.cnts = java.util.Arrays.copyOf(b.cnts, cap)
     }
-    if (b.size == cap) compact(b)
-    b.bins(b.size) = bin; b.cnts(b.size) = cnt
+    var bn = bin
+    if (b.size == cap) {
+      val preScale = b.scale
+      compact(b)
+      if (b.scale > preScale) bn = Math.floorDiv(bn, 1L << (b.scale - preScale))
+    }
+    b.bins(b.size) = bn; b.cnts(b.size) = cnt
     b.size += 1
   }
 
@@ -125,7 +139,15 @@ class AdaptiveHistAgg(maxBins: Int, minScale: Int)
     }
     align(b1); align(b2)
     var i = 0
-    while (i < b2.size) { append(b1, b2.bins(i), b2.cnts(i)); i += 1 }
+    while (i < b2.size) {
+      // b1.scale can drift UPWARD mid-loop (append → compact → escalate);
+      // rebin each b2 entry from the aligned scale s to b1's current scale
+      // so no entry lands stale.
+      val d = b1.scale - s
+      val bn = if (d > 0) Math.floorDiv(b2.bins(i), 1L << d) else b2.bins(i)
+      append(b1, bn, b2.cnts(i))
+      i += 1
+    }
     b1
   }
 

@@ -74,6 +74,37 @@ class AdaptiveHistSpec extends AnyFunSuite {
     assert(cells.keySet.max - cells.keySet.min < 32)
   }
 
+  test("property: closed form holds over 100 random shapes " +
+      "(tiny maxBins forces mid-stream compaction escalation; adversarial orderings)") {
+    val rnd = new scala.util.Random(1009)
+    (1 to 100).foreach { trial =>
+      val n = 50 + rnd.nextInt(550)
+      val maxBins = 2 + rnd.nextInt(7) // cap 4..16 — compacts every few rows
+      val minScale = rnd.nextInt(4) - 2
+      val span = math.pow(10.0, 1 + rnd.nextInt(5)) // 10 .. 1e5
+      val body = Seq.fill(n)(rnd.nextDouble() * span - span / 2)
+      // outliers widen the span late (or early) so escalation happens
+      // mid-stream, after many fine-scale bins are already buffered
+      val outliers = Seq(span * 4, -span * 4)
+      val xs = rnd.nextInt(3) match {
+        case 0 => outliers ++ body            // escalate immediately
+        case 1 => body ++ outliers            // escalate at the very end
+        case _ => rnd.shuffle(body ++ outliers)
+      }
+      val ordered = rnd.nextInt(3) match {
+        case 0 => xs.sorted
+        case 1 => xs.sorted.reverse
+        case _ => xs
+      }
+      val parts = 1 + rnd.nextInt(32)
+      val want = reference(ordered, maxBins, minScale)
+      val df = spark.createDataset(ordered).repartition(parts).toDF("x")
+      val have = got(df, maxBins, minScale)
+      assert(have == want,
+        s"trial=$trial n=$n maxBins=$maxBins minScale=$minScale parts=$parts diverged")
+    }
+  }
+
   test("NaN fails loud; NULLs are skipped") {
     val okDf = Seq(Some(1.0), None, Some(2.0)).toDF("x")
     val (_, cells) = got(okDf, 16, 0)
