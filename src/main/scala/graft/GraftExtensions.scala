@@ -127,11 +127,27 @@ object GraftExtensions {
       new graft.functions.TopKBySim(k),
       org.apache.spark.sql.Encoders.product[graft.functions.ScoredEntry]))
 
-  /** Register the standard-k sketch aggregators (`graft_kmv16`,
-    * `graft_topk16`) — see [[registerKmvUdaf]].
+  /** `<name>(value)` — one-pass adaptive dyadic histogram buffer
+    * ([[graft.functions.AdaptiveHistAgg]]): the third Aggregator-backed
+    * sketch member. maxBins/minScale bake into the name like k does for the
+    * others; explode the returned struct's parallel (bins, cnts) arrays
+    * with `posexplode` + `element_at` for the cell table.
+    */
+  def registerAdaptiveHistUdaf(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String, maxBins: Int, minScale: Int = 0): Unit =
+    spark.udf.register(name, org.apache.spark.sql.functions.udaf(
+      new graft.functions.AdaptiveHistAgg(maxBins, minScale),
+      org.apache.spark.sql.Encoders.DOUBLE
+        .asInstanceOf[org.apache.spark.sql.Encoder[java.lang.Double]]))
+
+  /** Register the standard-parameter sketch aggregators (`graft_kmv16`,
+    * `graft_topk16`, `graft_ahist64`) — see [[registerKmvUdaf]] /
+    * [[registerAdaptiveHistUdaf]].
     */
   def registerSketchUdafs(spark: org.apache.spark.sql.SparkSession): Unit = {
     registerKmvUdaf(spark, "graft_kmv16", 16)
     registerTopKUdaf(spark, "graft_topk16", 16)
+    registerAdaptiveHistUdaf(spark, "graft_ahist64", 64)
   }
 }

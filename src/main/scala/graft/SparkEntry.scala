@@ -6079,6 +6079,36 @@ object SparkEntry {
       .orderBy(col("event_type"), col("bin"))
   }
 
+  // q252 — postings-index DRIFT MONITOR (SimilarityJoin.indexDriftReport):
+  // the rebuild trigger for the frozen-order prefix index the tick loop
+  // carries (q248). An index "built" over the even-doc_id half of the
+  // corpus is measured against the full corpus: stored-order vs
+  // fresh-order prefix candidate volume (Σ_h nIdx·n/2, the exact quantity
+  // the Auto cost model routes on), with the documented rebuild threshold
+  // ratio ≥ 2. Elements are 52-bit md5-slice shingle hashes (NOT xxhash64)
+  // so the oracle re-derives the exact same rarest-first order — df ties
+  // break on h — and, at τ = 0.5, both prefix lengths reduce to exact
+  // integer forms (probe: sz÷2+1; index: sz−⌈2sz/3⌉+1), making every
+  // volume an exact dyadic sum both engines reproduce bit-identically.
+  private def indexDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SimilarityJoin
+    val sigs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(TF.charShingles(col("text"), 5),
+          sh => conv(substring(md5(sh), 1, 13), 16, 10).cast("long")))).as("_h"))
+      .filter(size(col("_h")) > 0)
+      // read 4× (stored freq + fresh freq + two postings builds)
+      .localCheckpoint()
+    val storedFreq =
+      SimilarityJoin.dfCounts(sigs.where(col("doc_id") % 2 === 0), "_h")
+    SimilarityJoin.indexDriftReport(sigs, "doc_id", "_h", 0.5, storedFreq)
+      .select(
+        rnd(col("stored_volume"), 4).as("stored_volume"),
+        rnd(col("fresh_volume"), 4).as("fresh_volume"),
+        rnd(col("drift_ratio"), 4).as("drift_ratio"),
+        col("recommend_rebuild").cast("int").as("recommend_rebuild"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6333,7 +6363,8 @@ object SparkEntry {
     "q248_indexed_ticks" -> indexedTicks,
     "q249_adaptive_quantiles" -> adaptiveQuantiles,
     "q250_stream_weighted_sample" -> streamWeightedSample,
-    "q251_stream_adaptive_hist" -> streamAdaptiveHist)
+    "q251_stream_adaptive_hist" -> streamAdaptiveHist,
+    "q252_index_drift" -> indexDrift)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -11560,5 +11591,55 @@ object SparkEntry {
         |SELECT c.event_type, c.scale, c.bin, CAST(c.cnt AS BIGINT) AS cnt,
         |  m.p50_est
         |FROM cells c JOIN med m USING (event_type)
-        |ORDER BY 1, 3""".stripMargin)
+        |ORDER BY 1, 3""".stripMargin,
+    // q252: the oracle re-derives both candidate volumes from scratch —
+    // 52-bit md5-slice shingle hashes give the identical rarest-first
+    // (df, h) order, and at τ = 0.5 the engine's FP prefix lengths reduce
+    // to exact integer forms (probe: sz÷2+1; index: sz−⌈2sz/3⌉+1 via
+    // (2sz+2)÷3), so every ni·np/2 term is the same dyadic value in both
+    // engines
+    "q252_index_drift" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t) - 3),
+        |      i -> substr(t, CAST(i AS INT), 5))) AS shset
+        |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |        FROM documents)
+        |  WHERE len(t) >= 5
+        |), el AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 13)) AS BIGINT) AS h
+        |  FROM sh, unnest(shset) u(s)
+        |  GROUP BY 1, 2
+        |), stored AS (
+        |  SELECT h, count(*) AS df FROM el WHERE doc_id % 2 = 0 GROUP BY 1
+        |), fresh AS (
+        |  SELECT h, count(*) AS df FROM el GROUP BY 1
+        |), rs AS (
+        |  SELECT e.doc_id, e.h,
+        |    row_number() OVER (PARTITION BY e.doc_id
+        |                       ORDER BY coalesce(s.df, 0), e.h) AS pos,
+        |    count(*) OVER (PARTITION BY e.doc_id) AS sz
+        |  FROM el e LEFT JOIN stored s USING (h)
+        |), rf AS (
+        |  SELECT e.doc_id, e.h,
+        |    row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.h) AS pos,
+        |    count(*) OVER (PARTITION BY e.doc_id) AS sz
+        |  FROM el e JOIN fresh f USING (h)
+        |), vs AS (
+        |  SELECT CAST(coalesce(sum(ni * np), 0) AS DOUBLE) / 2 AS v FROM (
+        |    SELECT h, count(*) AS np,
+        |      count(*) FILTER (WHERE pos <= sz - ((2 * sz + 2) // 3) + 1) AS ni
+        |    FROM rs WHERE pos <= sz // 2 + 1 GROUP BY 1)
+        |), vf AS (
+        |  SELECT CAST(coalesce(sum(ni * np), 0) AS DOUBLE) / 2 AS v FROM (
+        |    SELECT h, count(*) AS np,
+        |      count(*) FILTER (WHERE pos <= sz - ((2 * sz + 2) // 3) + 1) AS ni
+        |    FROM rf WHERE pos <= sz // 2 + 1 GROUP BY 1)
+        |)
+        |SELECT round(vs.v + 1e-9, 4) AS stored_volume,
+        |  round(vf.v + 1e-9, 4) AS fresh_volume,
+        |  round(vs.v / vf.v + 1e-9, 4) AS drift_ratio,
+        |  CAST(CASE WHEN vs.v / vf.v >= 2.0 THEN 1 ELSE 0 END AS INT)
+        |    AS recommend_rebuild
+        |FROM vs, vf""".stripMargin)
 }

@@ -155,6 +155,32 @@ object Curation {
       frozenFreq: Option[DataFrame] = None): (DataFrame, DataFrame) =
     SimilarityJoin.prefixIndex(sig, idCol, "_h", tau, Seq(langCol), frozenFreq)
 
+  /** Drift monitor for the standing tick loop's postings index — the
+    * operator that tells a user running daily ticks for a year that the
+    * frozen element order has degraded their candidate volume (the
+    * frozen-order contract guarantees EXACTNESS forever; this measures the
+    * COST). `index` is the signature index the ticks maintain, `frozenFreq`
+    * the stored [[postingsIndex]] freq half, `currentFreq` the mergeably
+    * maintained true df counts (`SimilarityJoin.mergeDfCounts(freq,
+    * SimilarityJoin.dfCounts(signatures(accepted, …), "_h"))` per tick —
+    * omit to recompute from the index). Returns the 1-row
+    * (stored_volume, fresh_volume, drift_ratio, recommend_rebuild) report;
+    * at `drift_ratio` ≥ `rebuildRatio` (documented default 2: future ticks
+    * overpay the similarity stage ≥ 2× vs one [[postingsIndex]] rebuild
+    * over the stored signatures), rebuild. See
+    * [[SimilarityJoin.indexDriftReport]] for the measurement contract.
+    */
+  def indexDriftReport(
+      index: DataFrame,
+      idCol: String,
+      langCol: String,
+      tau: Double,
+      frozenFreq: DataFrame,
+      currentFreq: Option[DataFrame] = None,
+      rebuildRatio: Double = 2.0): DataFrame =
+    SimilarityJoin.indexDriftReport(
+      index, idCol, "_h", tau, frozenFreq, Seq(langCol), currentFreq, rebuildRatio)
+
   /** One curation tick: run the funnel stages on `batch` against the
     * standing `corpus` and `bench`, returning the ACCEPTED batch rows
     * (original columns). The caller appends them to the corpus for the

@@ -81,6 +81,21 @@ class SketchSqlSpec extends AnyFunSuite {
     assert(rows(sql) == rows(api) && sql.count() > 0)
   }
 
+  test("adaptive dyadic histogram cells in one SQL statement (graft_ahist64)") {
+    ready
+    val sql = spark.sql(
+      """SELECT event_type, buf.scale AS scale, b AS bin,
+        |  element_at(buf.cnts, pos + 1) AS cnt
+        |FROM (
+        |  SELECT event_type, graft_ahist64(CAST(value AS DOUBLE)) AS buf
+        |  FROM ev WHERE value IS NOT NULL GROUP BY event_type
+        |) LATERAL VIEW posexplode(buf.bins) t AS pos, b""".stripMargin)
+    val api = AdaptiveHist.cells(
+      spark.table("ev").where(col("value").isNotNull),
+      col("value"), maxBins = 64, Seq("event_type"))
+    assert(rows(sql) == rows(api) && sql.count() > 0)
+  }
+
   test("ES weighted sample in one SQL statement (graft_topk16)") {
     ready
     val sql = spark.sql(

@@ -469,6 +469,81 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(got == bruteForce(l0 ++ grow, rRows, 0.5) && got.nonEmpty)
   }
 
+  test("drift monitor: a deliberately drifted corpus trips the rebuild " +
+      "recommendation while the frozen-order join stays exact") {
+    // build-time corpus: random sets, plus element 5000 appearing in
+    // exactly ONE doc — RARE at build, so the frozen order puts it first
+    val rnd = new scala.util.Random(53)
+    val l0 = randomSets(51, 40) :+ (41L, Seq(5000L, 1L, 2L, 3L).sorted)
+    val storedFreq = SimilarityJoin
+      .dfCounts(l0.toDF("lid", "s"), "s").localCheckpoint()
+
+    // a fresh index reads ratio ~ 1 and never triggers
+    val fresh0 = SimilarityJoin
+      .indexDriftReport(l0.toDF("lid", "s"), "lid", "s", 0.5, storedFreq)
+      .collect().head
+    assert(math.abs(fresh0.getAs[Double]("drift_ratio") - 1.0) < 1e-9)
+    assert(!fresh0.getAs[Boolean]("recommend_rebuild"))
+
+    // drift: 200 appended docs ALL contain 5000 — now a hub, but the frozen
+    // order still ranks it rarest, so it keeps entering every prefix
+    val grown = (100 to 299).map { i =>
+      (i.toLong, (5000L +: Seq.fill(4)(rnd.nextInt(120).toLong)).distinct.sorted)
+    }
+    val lAll = l0 ++ grown
+    val report = SimilarityJoin
+      .indexDriftReport(lAll.toDF("lid", "s"), "lid", "s", 0.5, storedFreq)
+      .collect().head
+    assert(report.getAs[Double]("drift_ratio") >= 2.0,
+      s"drifted corpus should trip the monitor: $report")
+    assert(report.getAs[Boolean]("recommend_rebuild"))
+    assert(report.getAs[Double]("stored_volume") > report.getAs[Double]("fresh_volume"))
+
+    // the mergeable df side channel: per-slice counts sum to the recompute,
+    // and feeding it as currentFreq gives the identical report
+    val mergedFreq = SimilarityJoin.mergeDfCounts(
+      storedFreq, SimilarityJoin.dfCounts(grown.toDF("lid", "s"), "s"))
+    val direct = SimilarityJoin.dfCounts(lAll.toDF("lid", "s"), "s")
+    assert(mergedFreq.as[(Long, Long)].collect().toSet
+      == direct.as[(Long, Long)].collect().toSet)
+    val viaMerged = SimilarityJoin
+      .indexDriftReport(lAll.toDF("lid", "s"), "lid", "s", 0.5, storedFreq,
+        currentFreq = Some(mergedFreq))
+      .collect().head
+    assert(viaMerged == report)
+
+    // EXACTNESS under drift (the frozen-order contract the monitor prices):
+    // postings appended under the stale storedFreq still find every pair
+    val posts = SimilarityJoin.prefixIndex(
+      lAll.toDF("lid", "s"), "lid", "s", 0.5, frozenFreq = Some(storedFreq))._2
+    val rRows = (500 to 520).map { i =>
+      val base = lAll(rnd.nextInt(lAll.size))._2
+      (i.toLong, (base ++ Seq(7777L)).distinct.sorted)
+    }
+    val got = SimilarityJoin
+      .jaccardJoin(lAll.toDF("lid", "s"), "lid", rRows.toDF("rid", "s"), "rid",
+        "s", 0.5, leftIndex = Some((storedFreq, posts)), leftPinned = true)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == bruteForce(lAll, rRows, 0.5) && got.nonEmpty)
+  }
+
+  test("drift monitor with block columns (the Curation wrapper shape)") {
+    // drift confined to one lang block still trips the blocked report
+    val rnd = new scala.util.Random(59)
+    val mk = (i: Int, lang: String, extra: Seq[Long]) =>
+      (i.toLong, lang, (extra ++ Seq.fill(5)(rnd.nextInt(100).toLong)).distinct.sorted)
+    val l0 = (1 to 30).map(i => mk(i, if (i % 2 == 0) "en" else "zh",
+      if (i == 1) Seq(9000L) else Nil))
+    val storedFreq = SimilarityJoin
+      .dfCounts(l0.toDF("lid", "lang", "s"), "s").localCheckpoint()
+    val grown = (100 to 249).map(i => mk(i, "zh", Seq(9000L)))
+    val report = SimilarityJoin
+      .indexDriftReport((l0 ++ grown).toDF("lid", "lang", "s"), "lid", "s",
+        0.5, storedFreq, blockCols = Seq("lang"))
+      .collect().head
+    assert(report.getAs[Boolean]("recommend_rebuild"), s"blocked drift missed: $report")
+  }
+
   test("leftIndex with missing columns fails loud") {
     val l = randomSets(47, 10).toDF("lid", "s")
     val r = randomSets(48, 10).toDF("rid", "s")
