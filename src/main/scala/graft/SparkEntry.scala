@@ -6109,6 +6109,69 @@ object SparkEntry {
         col("recommend_rebuild").cast("int").as("recommend_rebuild"))
   }
 
+  // q253 — decontamination via the PERSISTABLE mergeable Bloom index
+  // (q204's production form): the benchmark split's word 4-grams build a
+  // Bloom CELL TABLE (functions/Bloom — portable 52-bit md5 double
+  // hashing, Kirsch–Mitzenmacher (h1 + i·h2) mod m, m = 2^17, k = 4) that
+  // a standing service stores as parquet and OR-merges as benchmarks
+  // grow; the corpus gram stream probes the broadcast cells (≤ m/32 rows)
+  // and the stored gram table removes false positives exactly. Output =
+  // per corpus doc: bloom-positive distinct grams (cand_grams) vs the
+  // exact shared count (shared_grams) — cand ≥ shared ALWAYS (the
+  // one-sidedness contract), and the oracle re-derives cells, membership,
+  // and both counts bit-identically (pure integer arithmetic). m is sized
+  // for the gate SFs; production sizes m ≈ 1.44·k·n/ln2 per the scaladoc.
+  private def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bloom
+    import graft.operators.Decontaminate
+    val m = 1 << 17
+    val k = 4
+    val docs = t(s, dir, "documents")
+    val (benchGrams, cells) = Decontaminate.benchIndex(
+      docs.filter(col("doc_id") % 50 === 0), "text", n = 4, m = m, k = k)
+    val corpusGrams = docs.filter(col("doc_id") % 50 =!= 0)
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        explode(array_distinct(TF.wordShingles(lower(col("text")), 4))).as("g"))
+    val cands = corpusGrams.join(
+      broadcast(Bloom.positiveItems(cells, corpusGrams, "g", m, k)),
+      Seq("g"), "left_semi")
+    val candCounts = cands.groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("cand_grams"))
+    val exact = cands.join(benchGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count_distinct(col("g")).as("shared_grams"))
+    candCounts.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cand_grams"),
+        coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q254 — STREAMING distribution-drift monitor: per-day value histograms
+  // maintained as WINDOWED streaming cells (StreamOps.windowedHistCells —
+  // the histogram × event-time-window composition, watermark-closed in
+  // append mode, state = open windows × 16 bins), then the PSI of each
+  // post-cutoff day against the first week's reference distribution
+  // (Drift.psiByPeriod over the drained cells — the score grid is
+  // days × bins, never event-sized). Bin width 512/16 = 32 is dyadic and
+  // p, q are integer ratios with the 1e-6 floor, so the oracle re-derives
+  // every psi exactly (one ln per term, the q245 single-transcendental
+  // discipline); drifted = psi > 0.2, the standard alarm level.
+  private def streamPsi(s: SparkSession, dir: String): DataFrame = {
+    val cells = replayStream(s, dir, "append") { ev =>
+      graft.streaming.StreamOps.windowedHistCells(
+        ev, col("value"), lo = 0.0, hi = 512.0, bins = 16)
+    }
+    val byDay = cells.select(to_date(col("ws")).as("day"), col("bin"), col("cnt"))
+    val cutoff = lit("2024-01-07").cast("date")
+    val ref = byDay.filter(col("day") <= cutoff)
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+    val post = byDay.filter(col("day") > cutoff)
+    graft.operators.Drift.psiByPeriod(post, "day", ref)
+      .select(col("day"), rnd(col("psi"), 6).as("psi"),
+        when(rnd(col("psi"), 6) > 0.2, 1).otherwise(0).cast("int").as("drifted"))
+      .orderBy(col("day"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6364,7 +6427,9 @@ object SparkEntry {
     "q249_adaptive_quantiles" -> adaptiveQuantiles,
     "q250_stream_weighted_sample" -> streamWeightedSample,
     "q251_stream_adaptive_hist" -> streamAdaptiveHist,
-    "q252_index_drift" -> indexDrift)
+    "q252_index_drift" -> indexDrift,
+    "q253_bloom_decontaminate" -> bloomDecontaminate,
+    "q254_stream_psi" -> streamPsi)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -11641,5 +11706,99 @@ object SparkEntry {
         |  round(vs.v / vf.v + 1e-9, 4) AS drift_ratio,
         |  CAST(CASE WHEN vs.v / vf.v >= 2.0 THEN 1 ELSE 0 END AS INT)
         |    AS recommend_rebuild
-        |FROM vs, vf""".stripMargin)
+        |FROM vs, vf""".stripMargin,
+    // q253: the oracle re-derives the Bloom cell table and every
+    // membership probe from scratch — 52-bit md5-slice double hashing is
+    // pure integer arithmetic ((h1 + i·h2) mod 2^17, 32-bit words,
+    // bit_or), identical in both engines
+    "q253_bloom_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE trim(text) <> ''
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 3], ' ') AS g
+        |  FROM tok, unnest(range(1, len(toks) - 2)) t(i)
+        |), bench AS (
+        |  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+        |), corp AS (
+        |  SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0
+        |), bpos AS (
+        |  SELECT (CAST(concat('0x', substr(md5(g), 1, 13)) AS BIGINT)
+        |        + i * CAST(concat('0x', substr(md5(g), 14, 13)) AS BIGINT))
+        |        % 131072 AS p
+        |  FROM bench, unnest(range(0, 4)) t(i)
+        |), cells AS (
+        |  SELECT CAST(p // 32 AS INT) AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        |  FROM bpos GROUP BY 1
+        |), cg AS (
+        |  SELECT DISTINCT g FROM corp
+        |), probe AS (
+        |  SELECT g, CAST(p // 32 AS INT) AS word,
+        |    CAST(1 AS BIGINT) << CAST(p % 32 AS INT) AS mask
+        |  FROM (
+        |    SELECT g, (CAST(concat('0x', substr(md5(g), 1, 13)) AS BIGINT)
+        |             + i * CAST(concat('0x', substr(md5(g), 14, 13)) AS BIGINT))
+        |             % 131072 AS p
+        |    FROM cg, unnest(range(0, 4)) t(i))
+        |), posg AS (
+        |  SELECT g FROM probe JOIN cells USING (word)
+        |  WHERE (bits & mask) = mask GROUP BY g HAVING count(*) = 4
+        |), cand AS (
+        |  SELECT c.doc_id, count(DISTINCT c.g) AS cand_grams
+        |  FROM corp c JOIN posg USING (g) GROUP BY 1
+        |), ex AS (
+        |  SELECT c.doc_id, count(DISTINCT c.g) AS shared_grams
+        |  FROM corp c JOIN bench USING (g) GROUP BY 1
+        |)
+        |SELECT cand.doc_id, CAST(cand_grams AS BIGINT) AS cand_grams,
+        |  CAST(coalesce(ex.shared_grams, 0) AS BIGINT) AS shared_grams
+        |FROM cand LEFT JOIN ex USING (doc_id) ORDER BY 1""".stripMargin,
+    // q254: the oracle re-derives closed windows (the q241 watermark
+    // condition), the reference/post split, the days × bins PSI grid, and
+    // each (p − q)·ln(p/q) term with the same 1e-6 floor — bin width 32 is
+    // dyadic and p, q are integer ratios, so ln is the only transcendental
+    "q254_stream_psi" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+        |), cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS BIGINT)
+        |      AS bin,
+        |    count(*) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), closed AS (
+        |  SELECT c.* FROM cells c, mx
+        |  WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+        |), ref AS (
+        |  SELECT bin, sum(cnt) AS cnt FROM closed
+        |  WHERE day <= DATE '2024-01-07' GROUP BY 1
+        |), post AS (
+        |  SELECT day, bin, cnt FROM closed WHERE day > DATE '2024-01-07'
+        |), tot AS (
+        |  SELECT day, sum(cnt) AS tp FROM post GROUP BY 1
+        |), rt AS (
+        |  SELECT sum(cnt) AS tr FROM ref
+        |), bins AS (
+        |  SELECT DISTINCT bin
+        |  FROM (SELECT bin FROM post UNION ALL SELECT bin FROM ref)
+        |), grid AS (
+        |  SELECT t.day, b.bin, t.tp, rt.tr,
+        |    coalesce(p.cnt, 0) AS cp, coalesce(r.cnt, 0) AS cr
+        |  FROM tot t CROSS JOIN bins b CROSS JOIN rt
+        |  LEFT JOIN post p ON p.day = t.day AND p.bin = b.bin
+        |  LEFT JOIN ref r ON r.bin = b.bin
+        |), terms AS (
+        |  SELECT day,
+        |    greatest(cp / CAST(tp AS DOUBLE), 1e-6) AS p,
+        |    greatest(cr / CAST(tr AS DOUBLE), 1e-6) AS q
+        |  FROM grid
+        |), psi AS (
+        |  SELECT day, sum((p - q) * ln(p / q)) AS psi FROM terms GROUP BY 1
+        |)
+        |SELECT day, round(psi + 1e-9, 6) AS psi,
+        |  CAST(CASE WHEN round(psi + 1e-9, 6) > 0.2 THEN 1 ELSE 0 END AS INT)
+        |    AS drifted
+        |FROM psi ORDER BY day""".stripMargin)
 }

@@ -210,4 +210,44 @@ object AdaptiveHist {
       groupCols: Seq[String] = Nil,
       minScale: Int = 0): DataFrame =
     explodeBufs(bufs(df, value, maxBins, groupCols, minScale), groupCols)
+
+  /** Linear-interpolated quantile estimates per group from a [[bufs]]
+    * table — the QuantileSketch.quantiles read-off with the bin width
+    * 2^scale a COLUMN, since each group sits at its own data-derived
+    * resolution (the q251 p50 form generalized to any `qs`). For target
+    * rank t = q·N the unique cell with cumBefore < t ≤ cum holds the
+    * answer, est = w·bin + w·(t − cumBefore)/cnt with w = 2^scale —
+    * closed-form and deterministic; error is bounded by one FINAL bin
+    * width (the operator's accuracy contract). Returns
+    * (groupCols..., q, est, n); `qs` must lie in (0, 1].
+    *
+    * Cost shape: the window runs over ≤ 2·maxBins cells per group and the
+    * qs frame is a broadcast of |qs| literal rows — nothing rescans the
+    * data the buffers summarized.
+    */
+  def quantiles(
+      bufsDf: DataFrame,
+      qs: Seq[Double],
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1]: $qs")
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val cum = part.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumed = explodeBufs(bufsDf, groupCols)
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n", sum(col("cnt")).over(part))
+    val spark = bufsDf.sparkSession
+    import spark.implicits._
+    val qsDf = qs.toDF("q")
+    val t = col("q") * col("n")
+    val w = pow(lit(2.0), col("scale"))
+    cumed
+      .crossJoin(broadcast(qsDf))
+      .where(col("cum") >= t && (col("cum") - col("cnt")) < t)
+      .select(groupCols.map(col) :+ col("q") :+
+        (w * col("bin") + w * ((t - (col("cum") - col("cnt"))) / col("cnt")))
+          .as("est") :+ col("n"): _*)
+  }
 }

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Persistable, MERGEABLE Bloom filter as a plain cell table — the stored
+  * half of decontamination at 100 TB (the n-gram analog of the similarity
+  * tier's postings index). [[graft.operators.Decontaminate]]'s inline path
+  * builds Spark's driver-side `stat.bloomFilter` per call; this form makes
+  * the filter a DATA ARTIFACT instead: `(groupCols…, word, bits)` rows —
+  * `word` a 32-bit slice index, `bits` its OR-mask — that persist as
+  * parquet beside the benchmark grams, MERGE by `bit_or` when the
+  * benchmark set grows (build per slice, union, re-OR: bitwise OR is
+  * associative/commutative/idempotent, so any merge shape equals the
+  * whole-data build), probe as a broadcast join, and replay exactly in a
+  * second engine.
+  *
+  * Hashing is the portable 52-bit md5-slice discipline (the CMS/HLL/KMV
+  * convention): two DISJOINT 13-hex slices h1 (chars 1–13) and h2
+  * (chars 14–26) drive Kirsch–Mitzenmacher double hashing — bit positions
+  * (h1 + i·h2) mod m for i = 0..k−1 (Kirsch & Mitzenmacher, ESA 2006:
+  * two hashes give the asymptotic false-positive rate of k independent
+  * ones). i·h2 ≤ 2^52·k stays far under 2^63 — no overflow at any sane k —
+  * and every term is integer arithmetic both engines reproduce
+  * bit-identically; a DuckDB oracle re-derives words, masks, and
+  * membership exactly (no java.util.Random seeding, no engine-private
+  * hash).
+  *
+  * One-sidedness contract (what makes the filter USABLE for exact
+  * results): a member item's bits are all set by construction — no false
+  * negatives, ever; false positives are removed by the caller's exact
+  * verify against the stored item table, so `fpp` tunes COST, not
+  * correctness (the [[graft.operators.Decontaminate]] argument, now over
+  * stored artifacts).
+  *
+  * Sizing: `m` bits for n items at k hashes gives fpr ≈ (1 − e^(−kn/m))^k;
+  * the usual rule m ≈ 1.44·k·n/ln2 bits for target fpr 2^−k. State is
+  * ≤ ⌈m/32⌉ cell rows per group BY CONSTRUCTION — which is what makes the
+  * streaming form (`StreamOps.bloomCells`) a bounded running aggregation.
+  */
+object Bloom {
+
+  /** The k bit positions of `item` — (h1 + i·h2) mod m, i = 0..k−1, over
+    * the two disjoint md5 slices. NULL-safe: a NULL item yields a NULL
+    * array (callers filter).
+    */
+  def positions(item: Column, m: Int, k: Int): Column = {
+    val h1 = conv(substring(md5(item), 1, 13), 16, 10).cast("long")
+    val h2 = conv(substring(md5(item), 14, 13), 16, 10).cast("long")
+    transform(sequence(lit(0), lit(k - 1)), i => (h1 + i * h2) % m)
+  }
+
+  private def checkParams(m: Int, k: Int): Unit = {
+    require(m >= 32, s"m must be at least one 32-bit word: $m")
+    require(k >= 1 && k <= 64, s"k out of range: $k")
+  }
+
+  /** Build the cell table (groupCols…, word, bits) over `item` — one
+    * bounded bit-set per group. NULL items are skipped (membership of
+    * nothing). Persist as parquet; merge growth slices with [[merge]].
+    */
+  def cells(
+      df: DataFrame,
+      item: Column,
+      m: Int,
+      k: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    checkParams(m, k)
+    df.where(item.isNotNull)
+      .select(groupCols.map(col) :+ explode(positions(item, m, k)).as("_pos"): _*)
+      .select(groupCols.map(col)
+        :+ (col("_pos") / 32).cast("int").as("word")
+        :+ expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 32 AS INT))").as("_mask"): _*)
+      .groupBy((groupCols :+ "word").map(col): _*)
+      .agg(expr("bit_or(_mask)").as("bits"))
+  }
+
+  /** OR two cell tables (same m/k/groupCols — a CONTRACT, like shingleN on
+    * the signature index): the merged filter equals the whole-data build
+    * for any merge shape.
+    */
+  def merge(a: DataFrame, b: DataFrame, groupCols: Seq[String] = Nil): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "word").map(col): _*)
+      .agg(expr("bit_or(bits)").as("bits"))
+
+  /** The bloom-POSITIVE distinct item values of `items` — the
+    * (groupCols…, itemCol) values whose k bits are ALL set in `cellsDf`
+    * (built at the SAME m/k/groupCols — a contract). Returns the distinct
+    * (groupCols…, itemCol) survivors; callers `left_semi`-join their full
+    * frame back (the composable shape — membership is a property of the
+    * VALUE, not the row). The cell table is ≤ ⌈m/32⌉ rows per group and is
+    * broadcast; the probe side never shuffles its payload. No false
+    * negatives (one-sidedness contract); callers exact-verify survivors
+    * against the stored item table when they need exactness.
+    *
+    * The all-k check counts exploded position OCCURRENCES (not distinct
+    * positions): each of the k occurrences joins at most one cell row, so
+    * over a distinct item the set-bit count equals k iff every position is
+    * set — duplicate positions (h1 + i·h2 colliding mod m) count once per
+    * occurrence on both sides of the equality and cannot false-negative.
+    */
+  def positiveItems(
+      cellsDf: DataFrame,
+      items: DataFrame,
+      itemCol: String,
+      m: Int,
+      k: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    checkParams(m, k)
+    require(cellsDf.columns.contains("word") && cellsDf.columns.contains("bits"),
+      s"cells frame needs (word, bits) — build it with Bloom.cells: ${cellsDf.columns.toSeq}")
+    val keyCols = groupCols :+ itemCol
+    items
+      .select(keyCols.map(col): _*)
+      .where(col(itemCol).isNotNull)
+      .distinct()
+      .withColumn("_pos", explode(positions(col(itemCol), m, k)))
+      .withColumn("word", (col("_pos") / 32).cast("int"))
+      .withColumn("_mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 32 AS INT))"))
+      .join(broadcast(cellsDf), (groupCols :+ "word").toSeq)
+      .where(expr("(bits & _mask) = _mask"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_hits"))
+      .where(col("_hits") === k)
+      .drop("_hits")
+  }
+}

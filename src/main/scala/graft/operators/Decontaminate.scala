@@ -68,4 +68,64 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count_distinct(col("g")).as("shared_grams"))
   }
+
+  /** The benchmark side as a PERSISTABLE INDEX — what a standing
+    * decontamination service stores instead of rebuilding the driver-side
+    * bloom every call: `(benchGrams, bloomCells)` where `benchGrams` is the
+    * distinct gram table (column `g`) and `bloomCells` its mergeable
+    * [[graft.functions.Bloom.cells]] at (m, k). Persist both as parquet;
+    * when the benchmark set grows, append the new grams and
+    * `Bloom.merge` the new slice's cells — OR-merge equals the whole-data
+    * build for any merge shape. The same lowercase + whitespace word
+    * n-grams as [[sharedGramCounts]] (`n` is a contract across build and
+    * probe, like shingleN on the signature index).
+    */
+  def benchIndex(
+      bench: DataFrame,
+      textCol: String,
+      n: Int,
+      m: Int,
+      k: Int): (DataFrame, DataFrame) = {
+    require(n >= 1, s"n must be positive: $n")
+    val grams = bench
+      .filter(trim(col(textCol)) =!= "")
+      .select(explode(array_distinct(
+        TextFunctions.wordShingles(lower(col(textCol)), n))).as("g"))
+      .distinct()
+    (grams, graft.functions.Bloom.cells(grams, col("g"), m, k))
+  }
+
+  /** [[sharedGramCounts]] against a prebuilt [[benchIndex]] — the
+    * production shape: the corpus gram stream probes the STORED bloom
+    * cells (a broadcast ≤ ⌈m/32⌉-row join — no driver-side filter build,
+    * no benchmark re-gram), then the stored gram table removes the false
+    * positives exactly. Output is IDENTICAL to [[sharedGramCounts]]
+    * (one-sidedness: the bloom never drops a true member), for any m/k —
+    * `fpp` tunes probe cost, not correctness. `n`, `m`, `k` must match the
+    * index build.
+    */
+  def sharedGramCountsIndexed(
+      corpus: DataFrame,
+      benchGrams: DataFrame,
+      bloomCells: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      m: Int,
+      k: Int): DataFrame = {
+    require(n >= 1, s"n must be positive: $n")
+    val corpusGrams = corpus
+      .filter(trim(col(textCol)) =!= "")
+      .select(
+        col(idCol),
+        explode(array_distinct(
+          TextFunctions.wordShingles(lower(col(textCol)), n))).as("g"))
+    val candidates = graft.functions.Bloom
+      .positiveItems(bloomCells, corpusGrams, "g", m, k)
+    corpusGrams
+      .join(broadcast(candidates), Seq("g"), "left_semi")
+      .join(benchGrams.select(col("g")).distinct(), Seq("g")) // exact verify
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("g")).as("shared_grams"))
+  }
 }

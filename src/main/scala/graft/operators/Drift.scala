@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift read-offs over histogram CELL TABLES — the
+  * monitoring layer on top of the sketch tier: the cells
+  * ([[graft.functions.QuantileSketch.cells]] /
+  * `StreamOps.windowedHistCells`) summarize the data once; drift scoring
+  * then runs on the summaries only (periods × bins rows), never on the
+  * data. Complements the batch two-sample forms (q116's decile PSI,
+  * q125's KS) with the STANDING-MONITOR shape: one reference window, a
+  * PSI score per period, scheduled over drained streaming cells.
+  */
+object Drift {
+
+  /** Population Stability Index per period from cell tables:
+    * `cells` = (periodCol, bin, cnt), `refCells` = (bin, cnt) — both at
+    * the SAME (lo, hi, bins) declaration (a contract, like every cell
+    * merge). psi(period) = Σ_bins (p − q)·ln(p/q) with
+    * p = max(cnt_period/total_period, eps),
+    * q = max(cnt_ref/total_ref, eps) — the standard empty-bin floor, kept
+    * DETERMINISTIC: p and q are ratios of exact integers and the one ln
+    * per term is the single transcendental (the q245 discipline), so a
+    * batch oracle re-derives every psi bit-for-bit modulo final rounding.
+    * Returns (periodCol, psi).
+    *
+    * The conventional alarm levels on this statistic (Karakoulas 2004 /
+    * credit-scoring practice): < 0.1 stable, 0.1–0.2 watch, > 0.2 drifted.
+    *
+    * Scale shape: the score grid is periods × union-of-bins — both sides
+    * BOUNDED (bins by declaration, periods by the calendar/watermark), so
+    * the broadcast bin spine and the 1-row reference-total bind are
+    * dimension products, never input-cardinality work; nothing here
+    * rescans the data the cells summarized.
+    */
+  def psiByPeriod(
+      cells: DataFrame,
+      periodCol: String,
+      refCells: DataFrame,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0.0 && eps < 1.0, s"eps must be in (0, 1): $eps")
+    Seq("bin", "cnt").foreach { c =>
+      require(cells.columns.contains(c) && refCells.columns.contains(c),
+        s"cell tables need (bin, cnt): ${cells.columns.toSeq} / ${refCells.columns.toSeq}")
+    }
+    val totals = cells.groupBy(col(periodCol)).agg(sum(col("cnt")).as("_tp"))
+    val refTot = refCells.agg(sum(col("cnt")).as("_tr"))
+    val bins = cells.select(col("bin"))
+      .unionByName(refCells.select(col("bin"))).distinct()
+    val p = greatest(coalesce(col("_cp"), lit(0L)) / col("_tp"), lit(eps))
+    val q = greatest(coalesce(col("_cr"), lit(0L)) / col("_tr"), lit(eps))
+    totals
+      .crossJoin(broadcast(bins)) // period × bin spine: bounded dimensions
+      .join(cells.select(col(periodCol), col("bin"), col("cnt").as("_cp")),
+        Seq(periodCol, "bin"), "left")
+      .join(broadcast(refCells.select(col("bin"), col("cnt").as("_cr"))),
+        Seq("bin"), "left")
+      .crossJoin(broadcast(refTot)) // 1-row total bind
+      .groupBy(col(periodCol))
+      .agg(sum((p - q) * log(p / q)).as("psi"))
+  }
+}

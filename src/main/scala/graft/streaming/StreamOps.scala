@@ -434,6 +434,33 @@ object StreamOps {
       bins: Int): DataFrame =
     graft.functions.QuantileSketch.cells(stream, value, lo, hi, bins)
 
+  /** WINDOWED streaming fixed-bin histogram — the sketch × event-time
+    * window composition for ORDER STATISTICS ("this hour's value
+    * distribution", the [[windowedHllCells]] dual): per tumbling window
+    * the same dyadic-width bin cells as [[histCells]], watermark-CLOSED in
+    * append mode — state is bounded at (open windows)·bins cells and old
+    * windows evict, unlike the running [[histCells]] whose single
+    * histogram lives forever by design. Returns (ws = window start, bin,
+    * cnt); read quantiles per window via QuantileSketch.quantiles over the
+    * drained cells, or score distribution drift per window against a
+    * reference with [[graft.operators.Drift.psiByPeriod]] (q254).
+    */
+  def windowedHistCells(
+      stream: DataFrame,
+      value: org.apache.spark.sql.Column,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      window_ : String = "1 day",
+      watermark: String = "1 hour"): DataFrame =
+    stream.where(value.isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(
+        window(col("ts"), window_),
+        graft.functions.QuantileSketch.bin(value, lo, hi, bins).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("bin"), col("cnt"))
+
   /** Streaming KMV maintenance — the distinct-SAMPLE fourth of the running
     * sketch tier ([[cmsCells]] = frequency, [[hllCells]] = count,
     * [[histCells]] = order statistics): per-group bottom-k buffers
@@ -491,6 +518,28 @@ object StreamOps {
       groupCols: Seq[String] = Nil,
       minScale: Int = 0): DataFrame =
     graft.functions.AdaptiveHist.bufs(stream, value, maxBins, groupCols, minScale)
+
+  /** Streaming Bloom-filter cells — the membership sketch as a running
+    * aggregation (an unbounded item feed folds into a FIXED bit budget):
+    * per-group (word, bits) rows maintained by `bit_or`, state BOUNDED BY
+    * CONSTRUCTION at ≤ ⌈m/32⌉ rows per group regardless of stream length.
+    * OR is associative/commutative/idempotent, so the drained cells are a
+    * pure function of the item SET seen — micro-batch boundaries, replays,
+    * and merge shape cannot move a bit (the batch oracle re-derives every
+    * word exactly; no other member of the sketch tier has idempotence, so
+    * this is the one sketch that is also replay-tolerant). Probe the
+    * drained cells with [[graft.functions.Bloom.positiveItems]]; the
+    * standing-service use is the decontamination index
+    * ([[graft.operators.Decontaminate.benchIndex]]) absorbing benchmark
+    * additions as they arrive.
+    */
+  def bloomCells(
+      stream: DataFrame,
+      item: org.apache.spark.sql.Column,
+      m: Int,
+      k: Int,
+      groupCols: Seq[String] = Nil): DataFrame =
+    graft.functions.Bloom.cells(stream, item, m, k, groupCols)
 
   /** Streaming trend detection (the VEG adjacent-period comparison as a
     * stateful operator): per (event_type) group, compare each micro-batch's

@@ -82,7 +82,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // q244: the pair domain is the SEGMENT dimension crossed with itself
     // (distinct event types — bounded by dimension cardinality, never input
     // size); every downstream join/window runs on ≤ S²·k sketch cells
-    "q244_kmv_overlap")
+    "q244_kmv_overlap",
+    // q254: Drift.psiByPeriod's score grid is days × bins (both bounded —
+    // bins by declaration, days by the calendar/watermark) plus the 1-row
+    // reference-total bind; it runs on drained sketch cells, never on the
+    // event stream
+    "q254_stream_psi")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each window
     * provably rides a BOUNDED aggregate frame (cardinality set by the

@@ -105,6 +105,29 @@ class AdaptiveHistSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile read-off: within one final bin width of the exact quantile; " +
+      "p50 equals the inline q251 formula") {
+    val rnd = new scala.util.Random(29)
+    val xs = Seq.fill(4000)(rnd.nextDouble() * 3000 - 500)
+    val df = spark.createDataset(xs).repartition(8).toDF("x")
+    val bufs = AdaptiveHist.bufs(df, col("x"), 64)
+    val (scale, _) = got(df, 64, 0)
+    val w = math.pow(2.0, scale)
+    val qs = Seq(0.25, 0.5, 0.9)
+    val est = AdaptiveHist.quantiles(bufs, qs)
+      .collect().map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+    assert(est.keySet == qs.toSet)
+    val sorted = xs.sorted
+    qs.foreach { q =>
+      val exact = sorted(math.ceil(q * xs.size).toInt - 1)
+      assert(math.abs(est(q) - exact) <= w,
+        s"q=$q est=${est(q)} exact=$exact w=$w")
+    }
+    // n rides along and equals the input count
+    val n = AdaptiveHist.quantiles(bufs, Seq(0.5)).collect().head.getAs[Long]("n")
+    assert(n == xs.size)
+  }
+
   test("NaN fails loud; NULLs are skipped") {
     val okDf = Seq(Some(1.0), None, Some(2.0)).toDF("x")
     val (_, cells) = got(okDf, 16, 0)

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Bloom cell table: the load-bearing properties are ONE-SIDEDNESS (a
+  * member is NEVER negative — that is what lets callers build exact
+  * results on top) and MERGE = whole-data build (bitwise OR is
+  * associative/commutative/idempotent), plus the bounded state the
+  * streaming form relies on.
+  */
+class BloomSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def items(seed: Int, n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(_ => rnd.alphanumeric.take(3 + rnd.nextInt(10)).mkString)
+  }
+
+  test("no false negatives: every member is bloom-positive, at every m/k") {
+    val members = items(3, 500).distinct
+    val df = members.toDF("g")
+    for { m <- Seq(64, 1 << 10, 1 << 15); k <- Seq(1, 3, 7) } {
+      val cells = Bloom.cells(df, col("g"), m, k)
+      val pos = Bloom.positiveItems(cells, df, "g", m, k)
+        .as[String].collect().toSet
+      assert(pos == members.toSet, s"m=$m k=$k dropped ${members.toSet -- pos}")
+    }
+  }
+
+  test("false positives exist at a tiny m and are controlled at a sized m") {
+    val members = items(7, 300).distinct
+    val nonMembers = items(11, 2000).distinct.filterNot(members.toSet)
+    val cells64 = Bloom.cells(members.toDF("g"), col("g"), 64, 3)
+    val fpTiny = Bloom.positiveItems(cells64, nonMembers.toDF("g"), "g", 64, 3).count()
+    assert(fpTiny > 0, "a 64-bit filter over 300 items must saturate")
+    // m = 16·n bits at k = 3 → theoretical fpr ~0.4%; allow generous slack
+    val m = 300 * 16
+    val cells = Bloom.cells(members.toDF("g"), col("g"), m, 3)
+    val fp = Bloom.positiveItems(cells, nonMembers.toDF("g"), "g", m, 3).count()
+    assert(fp < nonMembers.size * 0.05, s"fpr ${fp.toDouble / nonMembers.size}")
+  }
+
+  test("merge of random slices equals the whole-data build, any shape") {
+    val all = items(13, 800)
+    val rnd = new scala.util.Random(17)
+    val m = 1 << 12
+    val whole = Bloom.cells(all.toDF("g"), col("g"), m, 4)
+      .as[(Int, Long)].collect().toSet
+    (1 to 5).foreach { trial =>
+      val cut1 = rnd.nextInt(all.size)
+      val cut2 = cut1 + rnd.nextInt(all.size - cut1)
+      val (a, b, c) =
+        (all.take(cut1), all.slice(cut1, cut2), all.drop(cut2))
+      val merged = Bloom.merge(
+        Bloom.merge(
+          Bloom.cells(a.toDF("g"), col("g"), m, 4),
+          Bloom.cells(b.toDF("g"), col("g"), m, 4)),
+        Bloom.cells(c.toDF("g"), col("g"), m, 4))
+      assert(merged.as[(Int, Long)].collect().toSet == whole, s"trial $trial")
+    }
+  }
+
+  test("idempotence: re-merging a slice already absorbed changes nothing") {
+    val all = items(19, 400)
+    val m = 1 << 11
+    val whole = Bloom.cells(all.toDF("g"), col("g"), m, 3)
+    val again = Bloom.merge(whole, Bloom.cells(all.take(100).toDF("g"), col("g"), m, 3))
+    assert(again.as[(Int, Long)].collect().toSet
+      == whole.as[(Int, Long)].collect().toSet)
+  }
+
+  test("grouped cells: membership is per-group independent") {
+    val df = Seq(("en", "alpha"), ("en", "beta"), ("zh", "gamma")).toDF("lang", "g")
+    val m = 1 << 10
+    val cells = Bloom.cells(df, col("g"), m, 3, Seq("lang"))
+    val probes = Seq(
+      ("en", "alpha"), ("en", "gamma"), ("zh", "gamma"), ("zh", "alpha"))
+      .toDF("lang", "g")
+    val pos = Bloom.positiveItems(cells, probes, "g", m, 3, Seq("lang"))
+      .as[(String, String)].collect().toSet
+    assert(pos.contains(("en", "alpha")) && pos.contains(("zh", "gamma")))
+    assert(!pos.contains(("en", "gamma")) && !pos.contains(("zh", "alpha")))
+  }
+
+  test("state bound: cell rows never exceed ceil(m/32) (the streaming budget)") {
+    val m = 256
+    val cells = Bloom.cells(items(23, 5000).toDF("g"), col("g"), m, 7)
+    assert(cells.count() <= (m + 31) / 32)
+    // every word index within range, every mask within the 32-bit slice
+    val bad = cells.where(col("word") < 0 || col("word") >= (m + 31) / 32
+      || col("bits") < 0 || col("bits") >= (1L << 32)).count()
+    assert(bad == 0)
+  }
+
+  test("parameter validation fails loud") {
+    val df = Seq("x").toDF("g")
+    intercept[IllegalArgumentException] { Bloom.cells(df, col("g"), 16, 3) }
+    intercept[IllegalArgumentException] { Bloom.cells(df, col("g"), 1024, 0) }
+    intercept[IllegalArgumentException] {
+      Bloom.positiveItems(Seq((1, 2L)).toDF("w", "b"), df, "g", 1024, 3)
+    }
+  }
+}

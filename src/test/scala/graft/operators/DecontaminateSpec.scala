@@ -32,6 +32,41 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(withBloom == exact)
   }
 
+  test("indexed path (stored bloom cells + gram table) equals the inline paths") {
+    val (grams, cells) = Decontaminate.benchIndex(bench, "text", n = 3, m = 1 << 12, k = 4)
+    // parquet round-trip: the index is a STORED artifact between calls
+    val dir = java.nio.file.Files.createTempDirectory("bloom_idx").toString
+    grams.write.mode("overwrite").parquet(s"$dir/grams")
+    cells.write.mode("overwrite").parquet(s"$dir/cells")
+    val indexed = Decontaminate
+      .sharedGramCountsIndexed(corpus,
+        spark.read.parquet(s"$dir/grams"), spark.read.parquet(s"$dir/cells"),
+        "doc_id", "text", n = 3, m = 1 << 12, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Decontaminate
+      .sharedGramCounts(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed == inline && indexed.nonEmpty)
+  }
+
+  test("indexed path stays exact after a bloom-cell MERGE absorbs new benchmark docs") {
+    val bench2 = Seq((200L, "p q r s t")).toDF("doc_id", "text")
+    val benchBoth = bench.unionByName(bench2)
+    val (g1, c1) = Decontaminate.benchIndex(bench, "text", 3, 1 << 12, 4)
+    val (g2, c2) = Decontaminate.benchIndex(bench2, "text", 3, 1 << 12, 4)
+    val corpus2 = corpus.unionByName(Seq((5L, "p q r s zz")).toDF("doc_id", "text"))
+    val merged = Decontaminate
+      .sharedGramCountsIndexed(corpus2,
+        g1.unionByName(g2).distinct(),
+        graft.functions.Bloom.merge(c1, c2),
+        "doc_id", "text", 3, 1 << 12, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = Decontaminate
+      .sharedGramCounts(corpus2, benchBoth, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == whole && merged.exists(_._1 == 5L))
+  }
+
   test("bloom prefilter sits on the corpus side BELOW the verify join (and any shuffle)") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.exchange.Exchange

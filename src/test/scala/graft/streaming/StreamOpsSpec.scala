@@ -89,6 +89,25 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
   }
 
+  test("windowed hist cells: append mode emits exactly the batch histogram of each closed day") {
+    val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
+    val got = runStream(
+        StreamOps.windowedHistCells(stream, col("value"), 0.0, 512.0, 16),
+        "win_hist", "append")
+      .select(to_date(col("ws")).as("d"), col("bin"), col("cnt"))
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2)))
+    assert(got.nonEmpty, "no closed windows emitted")
+    val gotDays = got.map(_._1).toSet
+    val want = graft.functions.QuantileSketch.cells(
+        batch.withColumn("d", to_date(col("ts"))),
+        col("value"), 0.0, 512.0, 16, Seq("d"))
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2)))
+      .filter(c => gotDays(c._1))
+    assert(got.toSet == want.toSet)
+    val maxDay = batch.agg(max(to_date(col("ts")))).head().getDate(0).toString
+    assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
+  }
+
   test("streaming KMV bufs across micro-batches equal the batch sketch cells") {
     // maxFilesPerTrigger forces MULTIPLE micro-batches, so the bottom-k
     // buffers provably merge through the state store (not one lucky fold);
@@ -149,6 +168,27 @@ class StreamOpsSpec extends AnyFunSuite {
         batch.filter(col("value").isNotNull), col("value"), 64, Seq("event_type"))
       .select("event_type", "scale", "bin", "cnt")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.toSet == want.toSet)
+  }
+
+  test("streaming bloom cells across micro-batches equal the batch build") {
+    // bit_or is associative/commutative/idempotent, so micro-batch
+    // boundaries (and even replays) cannot move a bit — the drained cells
+    // are a pure function of the item SET seen
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "3").parquet(streamDir)
+    val m = 1 << 12
+    val got = runStream(
+      StreamOps.bloomCells(stream.filter(col("user_id").isNotNull),
+        col("user_id").cast("string"), m, 4, Seq("event_type")),
+      "bloom_cells", "complete")
+      .select("event_type", "word", "bits")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val want = graft.functions.Bloom.cells(
+        batch.filter(col("user_id").isNotNull),
+        col("user_id").cast("string"), m, 4, Seq("event_type"))
+      .select("event_type", "word", "bits")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     assert(got.nonEmpty && got.toSet == want.toSet)
   }
 
