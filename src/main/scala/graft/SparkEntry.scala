@@ -6172,6 +6172,23 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  // q255 — WINDOWED streaming Count-Min (completing the sketch ×
+  // event-time-window matrix: q241 = distinct, q254 = order statistics,
+  // THIS = frequency): per closed day the same depth-4 × width-64 cell
+  // table as q226's running sketch, watermark-evicted in append mode
+  // (state = open windows × 256 cells). The oracle re-derives each closed
+  // day's cells from the same md5 slices and the q241 closure predicate.
+  private def streamWindowedCms(s: SparkSession, dir: String): DataFrame = {
+    val cells = replayStream(s, dir, "append") { ev =>
+      graft.streaming.StreamOps.windowedCmsCells(
+        ev, col("user_id").cast("string"), depth = 4, width = 64)
+    }
+    cells
+      .select(to_date(col("ws")).as("day"), col("d").cast("long").as("d"),
+        col("bucket"), col("cnt"))
+      .orderBy(col("day"), col("d"), col("bucket"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6429,7 +6446,8 @@ object SparkEntry {
     "q251_stream_adaptive_hist" -> streamAdaptiveHist,
     "q252_index_drift" -> indexDrift,
     "q253_bloom_decontaminate" -> bloomDecontaminate,
-    "q254_stream_psi" -> streamPsi)
+    "q254_stream_psi" -> streamPsi,
+    "q255_stream_windowed_cms" -> streamWindowedCms)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -11800,5 +11818,23 @@ object SparkEntry {
         |SELECT day, round(psi + 1e-9, 6) AS psi,
         |  CAST(CASE WHEN round(psi + 1e-9, 6) > 0.2 THEN 1 ELSE 0 END AS INT)
         |    AS drifted
-        |FROM psi ORDER BY day""".stripMargin)
+        |FROM psi ORDER BY day""".stripMargin,
+    // q255: q226's cell derivation per closed day (the q241 watermark
+    // closure predicate)
+    "q255_stream_windowed_cms" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+        |), cells AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(d AS BIGINT) AS d,
+        |    CAST(CAST(concat('0x',
+        |      substr(md5(CAST(user_id AS VARCHAR)), 1 + 8*d, 8)) AS BIGINT)
+        |      % 64 AS BIGINT) AS bucket,
+        |    count(*) AS cnt
+        |  FROM events, unnest([0, 1, 2, 3]) t(d)
+        |  WHERE user_id IS NOT NULL
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT c.day, c.d, c.bucket, c.cnt FROM cells c, mx
+        |WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin)
 }

@@ -383,6 +383,35 @@ object StreamOps {
       width: Int): DataFrame =
     graft.functions.CountMin.sketch(stream, item, depth, width)
 
+  /** WINDOWED streaming Count-Min — the frequency member of the
+    * sketch × event-time-window matrix (HLL: [[windowedHllCells]],
+    * histogram: [[windowedHistCells]], THIS: frequency): per tumbling
+    * window the same depth·width cell table as [[cmsCells]],
+    * watermark-CLOSED in append mode — state is bounded at
+    * (open windows)·depth·width cells and old windows evict, unlike the
+    * running [[cmsCells]] whose single sketch lives forever by design.
+    * Returns (ws = window start, d, bucket, cnt); per-window frequency
+    * estimates via CountMin.estimate over any one window's drained cells.
+    */
+  def windowedCmsCells(
+      stream: DataFrame,
+      item: org.apache.spark.sql.Column,
+      depth: Int,
+      width: Int,
+      window_ : String = "1 day",
+      watermark: String = "1 hour"): DataFrame = {
+    val hashed = graft.functions.TextFunctions.bindOnce(item) { it =>
+      org.apache.spark.sql.functions.array(
+        (0 until depth).map(d => graft.functions.CountMin.bucket(it, d, width)): _*)
+    }
+    stream.where(item.isNotNull)
+      .withWatermark("ts", watermark)
+      .select(col("ts"), posexplode(hashed).as(Seq("d", "bucket")))
+      .groupBy(window(col("ts"), window_), col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("d"), col("bucket"), col("cnt"))
+  }
+
   /** Streaming HyperLogLog maintenance — the distinct-count dual of
     * [[cmsCells]]: the same declarative cell table
     * graft.functions.HyperLogLog.cells builds in batch, maintained as a

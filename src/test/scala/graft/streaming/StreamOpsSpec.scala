@@ -108,6 +108,28 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
   }
 
+  test("windowed CMS cells: append mode emits exactly the batch sketch of each closed day") {
+    val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
+    val got = runStream(
+        StreamOps.windowedCmsCells(stream, col("user_id").cast("string"), 2, 32),
+        "win_cms", "append")
+      .select(to_date(col("ws")).as("d"), col("d").as("dd"), col("bucket"), col("cnt"))
+      .collect().map(x => (x.getDate(0).toString, x.getInt(1), x.getLong(2), x.getLong(3)))
+    assert(got.nonEmpty, "no closed windows emitted")
+    val gotDays = got.map(_._1).toSet
+    val want = batch.where(col("user_id").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+      .select(col("day"), posexplode(array((0 until 2).map(d =>
+        graft.functions.CountMin.bucket(col("user_id").cast("string"), d, 32)): _*))
+        .as(Seq("dd", "bucket")))
+      .groupBy("day", "dd", "bucket").agg(count(lit(1)).as("cnt"))
+      .collect().map(x => (x.getDate(0).toString, x.getInt(1), x.getLong(2), x.getLong(3)))
+      .filter(c => gotDays(c._1))
+    assert(got.toSet == want.toSet)
+    val maxDay = batch.agg(max(to_date(col("ts")))).head().getDate(0).toString
+    assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
+  }
+
   test("streaming KMV bufs across micro-batches equal the batch sketch cells") {
     // maxFilesPerTrigger forces MULTIPLE micro-batches, so the bottom-k
     // buffers provably merge through the state store (not one lucky fold);
