@@ -6189,6 +6189,45 @@ object SparkEntry {
       .orderBy(col("day"), col("d"), col("bucket"))
   }
 
+  // q256 — WINDOWED streaming KMV ("k representative distinct users per
+  // day, plus the estimate", the distinct-SAMPLE member of the sketch ×
+  // window matrix): per closed day one bounded bottom-16 buffer,
+  // watermark-evicted in append mode; the drained buffers explode to
+  // q242's cell shape and take q242's (k−1)/U_(k) estimate unchanged.
+  private def streamWindowedKmv(s: SparkSession, dir: String): DataFrame = {
+    val bufs = replayStream(s, dir, "append") { ev =>
+      graft.streaming.StreamOps.windowedKmvBufs(
+        ev.filter(col("user_id").isNotNull),
+        col("user_id").cast("string"), k = 16)
+    }
+    val cells = graft.functions.Kmv.explodeBufs(
+      bufs.select(to_date(col("ws")).as("day"), col("_buf")), Seq("day"))
+    val est = graft.functions.Kmv.estimate(cells, 16, Seq("day"))
+    cells.join(est, Seq("day"))
+      .select(col("day"), col("rk"), col("h").as("item_h"), col("item"),
+        rnd(col("est"), 2).as("kmv_est"))
+      .orderBy(col("day"), col("rk"))
+  }
+
+  // q257 — WINDOWED streaming ES weighted sample ("this day's
+  // weight-proportional top-8 events per type", the weighted-SAMPLE member
+  // of the sketch × window matrix): per closed (day, event_type) one
+  // bounded top-8 buffer over the exact-dyadic ES keys, watermark-evicted
+  // in append mode; q250's ranking read-off applies per day.
+  private def streamWindowedEs(s: SparkSession, dir: String): DataFrame = {
+    val bufs = replayStream(s, dir, "append") { ev =>
+      graft.streaming.StreamOps.windowedEsBufs(
+        ev, "event_type", "event_id", floor(col("value")).cast("long"), k = 8)
+    }
+    graft.functions.TopK.explodeBufs(
+        bufs.select(to_date(col("ws")).as("day"), col("event_type"), col("_tk")),
+        Seq("day", "event_type"))
+      .select(col("day"), col("event_type"), col("rank"),
+        col("id").as("event_id"), col("tag").as("weight"),
+        rnd(col("sim"), 6).as("es_key"))
+      .orderBy(col("day"), col("event_type"), col("rank"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6447,7 +6486,9 @@ object SparkEntry {
     "q252_index_drift" -> indexDrift,
     "q253_bloom_decontaminate" -> bloomDecontaminate,
     "q254_stream_psi" -> streamPsi,
-    "q255_stream_windowed_cms" -> streamWindowedCms)
+    "q255_stream_windowed_cms" -> streamWindowedCms,
+    "q256_stream_windowed_kmv" -> streamWindowedKmv,
+    "q257_stream_windowed_es" -> streamWindowedEs)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -11836,5 +11877,59 @@ object SparkEntry {
         |)
         |SELECT c.day, c.d, c.bucket, c.cnt FROM cells c, mx
         |WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
-        |ORDER BY 1, 2, 3""".stripMargin)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // q256: q242's per-day KMV derivation (members, ranks, estimate) under
+    // the q241 closure predicate
+    "q256_stream_windowed_kmv" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+        |), du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS u
+        |  FROM events, (SELECT m FROM mx)
+        |  WHERE user_id IS NOT NULL
+        |    AND CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY
+        |        <= m - INTERVAL 1 HOUR
+        |), h AS (
+        |  SELECT day, u, CAST(concat('0x', substr(md5(u), 1, 13)) AS BIGINT) AS h
+        |  FROM du
+        |), rk AS (
+        |  SELECT day, u, h, row_number() OVER (PARTITION BY day ORDER BY h, u) AS rk
+        |  FROM h
+        |), keep AS (SELECT * FROM rk WHERE rk <= 16),
+        |est AS (
+        |  SELECT day,
+        |    CASE WHEN max(rk) < 16 THEN CAST(count(*) AS DOUBLE)
+        |         ELSE (16 - 1) / (CAST(max(h) AS DOUBLE) / 4503599627370496.0)
+        |         END AS est
+        |  FROM keep GROUP BY 1
+        |)
+        |SELECT k.day, CAST(k.rk AS INT) AS rk, k.h AS item_h, k.u AS item,
+        |  round(e.est + 1e-9, 2) AS kmv_est
+        |FROM keep k JOIN est e ON k.day = e.day
+        |ORDER BY 1, 2""".stripMargin,
+    // q257: q250's ES ranking per (closed day, event_type), rk <= 8
+    "q257_stream_windowed_es" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+        |), d AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_id, event_type,
+        |    CAST(floor(value) AS BIGINT) AS w
+        |  FROM events, (SELECT m FROM mx)
+        |  WHERE value IS NOT NULL AND floor(value) > 0 AND event_id IS NOT NULL
+        |    AND CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY
+        |        <= m - INTERVAL 1 HOUR
+        |), keyed AS (
+        |  SELECT day, event_type, event_id, w,
+        |    ln((CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+        |       / 4503599627370496.0) / w AS ek
+        |  FROM d
+        |), r AS (
+        |  SELECT day, event_type, event_id, w, ek,
+        |    row_number() OVER (PARTITION BY day, event_type
+        |                       ORDER BY ek DESC, event_id) AS rk
+        |  FROM keyed
+        |)
+        |SELECT day, event_type, CAST(rk AS INT) AS rank, event_id,
+        |  CAST(w AS BIGINT) AS weight, round(ek + 1e-9, 6) AS es_key
+        |FROM r WHERE rk <= 8 ORDER BY day, event_type, rank""".stripMargin)
 }

@@ -115,6 +115,13 @@ object Kmv {
     * one ≤ 2k-entry buffer per group (bounded by construction), and the
     * drained buffers explode to cells with [[explodeBufs]].
     */
+  /** The raw bottom-k aggregate as a column expression — for callers
+    * grouping by their OWN keys (the windowed streaming forms group by an
+    * event-time window). Callers own the null filtering [[bufs]] applies.
+    */
+  def aggExpr(k: Int, h: Column, item: Column): Column =
+    udaf(new BottomKByHash(k), Encoders.product[KmvEntry])(h, item)
+
   def bufs(
       df: DataFrame,
       item: Column,

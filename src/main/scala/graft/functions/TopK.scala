@@ -132,6 +132,31 @@ object TopK {
       .agg(fn(sim, id, tag).as("_tk"))
   }
 
+  /** The raw top-k aggregate as a column expression — for callers grouping
+    * by their OWN keys (the windowed streaming forms group by
+    * (event-time window, group)). Callers own the null filtering
+    * [[bufsPerKey]] applies (the non-nullable ScoredEntry encoder throws
+    * on any null field).
+    */
+  def aggExpr(k: Int, sim: Column, id: Column, tag: Column): Column =
+    udaf(new TopKBySim(k), Encoders.product[ScoredEntry])(sim, id, tag)
+
+  /** [[explodeBufs]] carrying several key columns (e.g. (ws, group) from a
+    * windowed streaming aggregation).
+    */
+  def explodeBufs(bufsDf: DataFrame, keyCols: Seq[String]): DataFrame =
+    bufsDf
+      .select(
+        keyCols.map(col) :+ posexplode(
+          arrays_zip(
+            col("_tk.sims").as("sims"),
+            col("_tk.ids").as("ids"),
+            col("_tk.tags").as("tags"))): _*)
+      .select(
+        keyCols.map(col) :+ (col("pos") + 1).cast("int").as("rank")
+          :+ col("col.sims").as("sim") :+ col("col.ids").as("id")
+          :+ col("col.tags").as("tag"): _*)
+
   /** Explode a [[bufsPerKey]] table to rank-ordered rows — finish truncated
     * the arrays to the live size in (sim desc, id asc) order, so
     * rank = position + 1.

@@ -38,6 +38,23 @@ object WeightedSample {
     log((Kmv.hash(id.cast("string")).cast("double") + 0.5) / lit(HashSpace)) /
       weight.cast("double")
 
+  /** The validated integral weight the sample echoes: FAILS LOUD on a
+    * fractional weight rather than silently truncating the echoed column
+    * while ranking by the untruncated value. assert_true returns null on
+    * pass, so the `when` both forces its evaluation per row and yields the
+    * checked long weight. Shared by [[bufs]] and the windowed streaming
+    * form (StreamOps.windowedEsBufs).
+    */
+  def checkedWeight(weight: Column): Column = {
+    val wLong = weight.cast("long")
+    when(
+      assert_true(weight.cast("double") === wLong.cast("double"),
+        concat(lit("WeightedSample.sample: non-integral weight "),
+          weight.cast("string"),
+          lit(" — scale fractional weights to integers before calling"))).isNull,
+      wLong)
+  }
+
   /** Top-k weighted sample per group. `idCol` must be integral and unique
     * (it seeds the per-item uniform and breaks exact key ties); `weight`
     * must be positive and integral (it is carried through the bounded-heap
@@ -71,22 +88,13 @@ object WeightedSample {
       idCol: String,
       weight: Column,
       k: Int): DataFrame = {
-    val wLong = weight.cast("long")
-    // assert_true returns null on pass, so the `when` both forces its
-    // evaluation per row and yields the checked long weight
-    val wChecked = when(
-      assert_true(weight.cast("double") === wLong.cast("double"),
-        concat(lit("WeightedSample.sample: non-integral weight "),
-          weight.cast("string"),
-          lit(" — scale fractional weights to integers before calling"))).isNull,
-      wLong)
     val scored = df
       .where(col(idCol).isNotNull && weight.isNotNull && weight > 0)
       .select(
         col(groupCol),
         col(idCol).cast("long").as("_id"),
         esKey(col(idCol), weight).as("_ek"),
-        wChecked.as("_w"))
+        checkedWeight(weight).as("_w"))
     TopK.bufsPerKey(scored, groupCol, col("_ek"), col("_id"), col("_w"), k)
   }
 

@@ -507,6 +507,62 @@ object StreamOps {
       groupCols: Seq[String] = Nil): DataFrame =
     graft.functions.Kmv.bufs(stream, item, k, groupCols)
 
+  /** WINDOWED streaming KMV — the distinct-SAMPLE member of the
+    * sketch × event-time-window matrix ("k representative distinct users
+    * per day, plus how many there were"): per tumbling window one bounded
+    * bottom-k buffer, watermark-closed in append mode — state =
+    * (open windows) · ≤ 2k entries, old windows evict, unlike the running
+    * [[kmvBufs]] whose buffers live forever by design. Returns
+    * (ws = window start, _buf); explode with
+    * `Kmv.explodeBufs(df, Seq("ws"))` and estimate per window with
+    * `Kmv.estimate` — the batch read-offs apply unchanged (q256).
+    */
+  def windowedKmvBufs(
+      stream: DataFrame,
+      item: org.apache.spark.sql.Column,
+      k: Int,
+      window_ : String = "1 day",
+      watermark: String = "1 hour"): DataFrame =
+    stream.where(item.isNotNull)
+      .withWatermark("ts", watermark)
+      .select(col("ts"), graft.functions.Kmv.hash(item).as("h"),
+        item.cast("string").as("item"))
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.functions.Kmv.aggExpr(k, col("h"), col("item")).as("_buf"))
+      .select(col("window.start").as("ws"), col("_buf"))
+
+  /** WINDOWED streaming ES weighted sample — the weighted-SAMPLE member of
+    * the sketch × event-time-window matrix ("this day's weight-proportional
+    * k-item sample per group"): per (tumbling window, `groupCol`) one
+    * bounded top-k buffer over the ES keys, watermark-closed in append
+    * mode — state = (open windows · groups) · ≤ 2k entries. Returns
+    * (ws, groupCol, _tk); explode with
+    * `TopK.explodeBufs(df, Seq("ws", groupCol))` — sim/id/tag are the
+    * es_key/id/weight columns, exactly the [[esBufs]] read-off (q257).
+    */
+  def windowedEsBufs(
+      stream: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weight: org.apache.spark.sql.Column,
+      k: Int,
+      window_ : String = "1 day",
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.WeightedSample
+    stream
+      .where(col(idCol).isNotNull && weight.isNotNull && weight > 0)
+      .select(col("ts"), col(groupCol),
+        WeightedSample.esKey(col(idCol), weight).as("_ek"),
+        col(idCol).cast("long").as("_id"),
+        WeightedSample.checkedWeight(weight).as("_w"))
+      .withWatermark("ts", watermark)
+      // the TopK null contract (bufsPerKey's filter, owned here)
+      .filter(col("_ek").isNotNull && col("_id").isNotNull && col("_w").isNotNull)
+      .groupBy(window(col("ts"), window_), col(groupCol))
+      .agg(graft.functions.TopK.aggExpr(k, col("_ek"), col("_id"), col("_w")).as("_tk"))
+      .select(col("window.start").as("ws"), col(groupCol), col("_tk"))
+  }
+
   /** Streaming Efraimidis–Spirakis weighted sample — the weighted-SAMPLE
     * fifth of the running sketch tier ([[cmsCells]] = frequency,
     * [[hllCells]] = distinct count, [[histCells]] = order statistics,

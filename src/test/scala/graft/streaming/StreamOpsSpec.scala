@@ -130,6 +130,56 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
   }
 
+  test("windowed KMV bufs: append mode emits exactly the batch sketch of each closed day") {
+    val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
+    val bufs = runStream(
+      StreamOps.windowedKmvBufs(
+        stream.filter(col("user_id").isNotNull),
+        col("user_id").cast("string"), k = 16),
+      "win_kmv", "append")
+    val got = graft.functions.Kmv.explodeBufs(
+        bufs.select(to_date(col("ws")).as("d"), col("_buf")), Seq("d"))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(got.nonEmpty, "no closed windows emitted")
+    val gotDays = got.map(_._1).toSet
+    val want = graft.functions.Kmv.cells(
+        batch.filter(col("user_id").isNotNull).withColumn("d", to_date(col("ts"))),
+        col("user_id").cast("string"), 16, Seq("d"))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getString(3)))
+      .filter(c => gotDays(c._1))
+    assert(got.toSet == want.toSet)
+    val maxDay = batch.agg(max(to_date(col("ts")))).head().getDate(0).toString
+    assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
+  }
+
+  test("windowed ES bufs: append mode emits exactly the batch sample of each closed day") {
+    val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
+    val bufs = runStream(
+      StreamOps.windowedEsBufs(
+        stream, "event_type", "event_id", floor(col("value")).cast("long"), k = 8),
+      "win_es", "append")
+    val got = graft.functions.TopK.explodeBufs(
+        bufs.select(to_date(col("ws")).as("d"), col("event_type"), col("_tk")),
+        Seq("d", "event_type"))
+      .select(col("d"), col("event_type"), col("rank"), col("id"), col("tag"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty, "no closed windows emitted")
+    val gotDays = got.map(_._1).toSet
+    val want = graft.operators.WeightedSample.sample(
+        batch.withColumn("d", to_date(col("ts")))
+          .withColumn("gk", concat_ws("|", col("d"), col("event_type"))),
+        "gk", "event_id", floor(col("value")).cast("long"), k = 8)
+      .collect().map { r =>
+        val Array(d, et) = r.getString(0).split("\\|")
+        (d, et, r.getInt(1), r.getLong(2), r.getLong(3))
+      }
+      .filter(c => gotDays(c._1))
+    assert(got.toSet == want.toSet)
+    val maxDay = batch.agg(max(to_date(col("ts")))).head().getDate(0).toString
+    assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
+  }
+
   test("streaming KMV bufs across micro-batches equal the batch sketch cells") {
     // maxFilesPerTrigger forces MULTIPLE micro-batches, so the bottom-k
     // buffers provably merge through the state store (not one lucky fold);
