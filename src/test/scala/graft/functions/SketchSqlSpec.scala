@@ -64,6 +64,25 @@ class SketchSqlSpec extends AnyFunSuite {
     assert(rows(sql) == rows(api) && sql.count() > 0)
   }
 
+  test("Bloom filter cells in one SQL statement") {
+    ready
+    // (h1 + i*h2) mod m over the two disjoint 13-hex md5 slices, 32-bit
+    // words, bit_or — all stock SQL (no UDAF needed)
+    val sql = spark.sql(
+      """SELECT CAST(p / 32 AS INT) AS word,
+        |  bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))) AS bits
+        |FROM (
+        |  SELECT (CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 13), 16, 10) AS BIGINT)
+        |        + i * CAST(conv(substring(md5(CAST(user_id AS STRING)), 14, 13), 16, 10) AS BIGINT))
+        |        % 4096 AS p
+        |  FROM ev LATERAL VIEW explode(sequence(0, 3)) t AS i
+        |  WHERE user_id IS NOT NULL
+        |) GROUP BY 1""".stripMargin)
+    val api = Bloom.cells(
+      spark.table("ev"), col("user_id").cast("string"), m = 4096, k = 4)
+    assert(rows(sql) == rows(api) && sql.count() > 0)
+  }
+
   test("KMV sketch cells in one SQL statement (graft_kmv16)") {
     ready
     val sql = spark.sql(
