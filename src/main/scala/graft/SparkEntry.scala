@@ -11760,12 +11760,19 @@ object SparkEntry {
         |      count(*) FILTER (WHERE pos <= sz - ((2 * sz + 2) // 3) + 1) AS ni
         |    FROM rf WHERE pos <= sz // 2 + 1 GROUP BY 1)
         |)
-        |SELECT round(vs.v + 1e-9, 4) AS stored_volume,
-        |  round(vf.v + 1e-9, 4) AS fresh_volume,
-        |  round(vs.v / vf.v + 1e-9, 4) AS drift_ratio,
-        |  CAST(CASE WHEN vs.v / vf.v >= 2.0 THEN 1 ELSE 0 END AS INT)
+        |, fin AS (
+        |  SELECT vs.v AS sv, vf.v AS fv,
+        |    CASE WHEN vf.v > 0 THEN vs.v / vf.v
+        |         WHEN vs.v > 0 THEN CAST('infinity' AS DOUBLE)
+        |         ELSE CAST(1.0 AS DOUBLE) END AS ratio
+        |  FROM vs, vf
+        |)
+        |SELECT round(sv + 1e-9, 4) AS stored_volume,
+        |  round(fv + 1e-9, 4) AS fresh_volume,
+        |  round(ratio + 1e-9, 4) AS drift_ratio,
+        |  CAST(CASE WHEN ratio >= 2.0 THEN 1 ELSE 0 END AS INT)
         |    AS recommend_rebuild
-        |FROM vs, vf""".stripMargin,
+        |FROM fin""".stripMargin,
     // q253: the oracle re-derives the Bloom cell table and every
     // membership probe from scratch — 52-bit md5-slice double hashing is
     // pure integer arithmetic ((h1 + i·h2) mod 2^17, 32-bit words,

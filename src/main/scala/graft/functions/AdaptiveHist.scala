@@ -46,8 +46,9 @@ case class AdaptiveHistBuf(
   * (|x| < 2^61·2^minScale — any analytics column; fails loud otherwise).
   * The 2^61 bound (not 2^63) keeps the compaction span check
   * `bins(n-1) - bins(0)` ≤ 2^62 overflow-free and every align shift
-  * `1L << (scale gap)` < 64 bits. NULLs are skipped by the callers
-  * ([[AdaptiveHist.bufs]]); NaN is rejected loud (it has no bin).
+  * `1L << (scale gap)` < 64 bits. NULLs are skipped by `reduce` itself
+  * (standard SQL aggregate semantics — the registered UDAF sees raw
+  * column values); NaN is rejected loud (it has no bin).
   */
 class AdaptiveHistAgg(maxBins: Int, minScale: Int)
     extends Aggregator[java.lang.Double, AdaptiveHistBuf, AdaptiveHistBuf] {
@@ -123,7 +124,9 @@ class AdaptiveHistAgg(maxBins: Int, minScale: Int)
     AdaptiveHistBuf(minScale, 0, Array.emptyLongArray, Array.emptyLongArray)
 
   override def reduce(b: AdaptiveHistBuf, x: java.lang.Double): AdaptiveHistBuf = {
-    append(b, binOf(x.doubleValue(), b.scale), 1L)
+    // NULL skips like every SQL aggregate — the SQL-registered form
+    // (graft_ahist64) feeds raw column values with no caller-side filter
+    if (x != null) append(b, binOf(x.doubleValue(), b.scale), 1L)
     b
   }
 

@@ -44,11 +44,18 @@ object Bloom {
     * the two disjoint md5 slices. NULL-safe: a NULL item yields a NULL
     * array (callers filter).
     */
-  def positions(item: Column, m: Int, k: Int): Column = {
-    val h1 = conv(substring(md5(item), 1, 13), 16, 10).cast("long")
-    val h2 = conv(substring(md5(item), 14, 13), 16, 10).cast("long")
-    transform(sequence(lit(0), lit(k - 1)), i => (h1 + i * h2) % m)
-  }
+  def positions(item: Column, m: Int, k: Int): Column =
+    // bindOnce each hash stage: a bare reference inside the transform
+    // lambda would re-run md5+conv once PER ELEMENT (2k md5 evaluations
+    // per item on the decontamination hot path — the hazard bindOnce
+    // documents)
+    TextFunctions.bindOnce(md5(item)) { h =>
+      TextFunctions.bindOnce(conv(substring(h, 1, 13), 16, 10).cast("long")) { h1 =>
+        TextFunctions.bindOnce(conv(substring(h, 14, 13), 16, 10).cast("long")) { h2 =>
+          transform(sequence(lit(0), lit(k - 1)), i => (h1 + i * h2) % m)
+        }
+      }
+    }
 
   private def checkParams(m: Int, k: Int): Unit = {
     require(m >= 32, s"m must be at least one 32-bit word: $m")

@@ -109,12 +109,6 @@ object Kmv {
 
   private val HashSpace = 4503599627370496.0 // 2^52
 
-  /** The aggregation core alone: (groupCols..., _buf) — one bounded
-    * bottom-k buffer per group. This is the STREAMING-SAFE half of
-    * [[cells]]: as a streaming aggregation the state store holds exactly
-    * one ≤ 2k-entry buffer per group (bounded by construction), and the
-    * drained buffers explode to cells with [[explodeBufs]].
-    */
   /** The raw bottom-k aggregate as a column expression — for callers
     * grouping by their OWN keys (the windowed streaming forms group by an
     * event-time window). Callers own the null filtering [[bufs]] applies.
@@ -122,6 +116,12 @@ object Kmv {
   def aggExpr(k: Int, h: Column, item: Column): Column =
     udaf(new BottomKByHash(k), Encoders.product[KmvEntry])(h, item)
 
+  /** The aggregation core alone: (groupCols..., _buf) — one bounded
+    * bottom-k buffer per group. This is the STREAMING-SAFE half of
+    * [[cells]]: as a streaming aggregation the state store holds exactly
+    * one ≤ 2k-entry buffer per group (bounded by construction), and the
+    * drained buffers explode to cells with [[explodeBufs]].
+    */
   def bufs(
       df: DataFrame,
       item: Column,

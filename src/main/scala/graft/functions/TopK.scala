@@ -141,8 +141,11 @@ object TopK {
   def aggExpr(k: Int, sim: Column, id: Column, tag: Column): Column =
     udaf(new TopKBySim(k), Encoders.product[ScoredEntry])(sim, id, tag)
 
-  /** [[explodeBufs]] carrying several key columns (e.g. (ws, group) from a
-    * windowed streaming aggregation).
+  /** Explode a [[bufsPerKey]] table to rank-ordered rows, carrying any
+    * number of key columns (e.g. (ws, group) from a windowed streaming
+    * aggregation) — finish truncated the arrays to the live size in
+    * (sim desc, id asc) order, so rank = position + 1. Output columns:
+    * (keyCols…, rank, id, sim, tag).
     */
   def explodeBufs(bufsDf: DataFrame, keyCols: Seq[String]): DataFrame =
     bufsDf
@@ -154,26 +157,10 @@ object TopK {
             col("_tk.tags").as("tags"))): _*)
       .select(
         keyCols.map(col) :+ (col("pos") + 1).cast("int").as("rank")
-          :+ col("col.sims").as("sim") :+ col("col.ids").as("id")
+          :+ col("col.ids").as("id") :+ col("col.sims").as("sim")
           :+ col("col.tags").as("tag"): _*)
 
-  /** Explode a [[bufsPerKey]] table to rank-ordered rows — finish truncated
-    * the arrays to the live size in (sim desc, id asc) order, so
-    * rank = position + 1.
-    */
+  /** Single-key [[explodeBufs]]. */
   def explodeBufs(bufsDf: DataFrame, keyCol: String): DataFrame =
-    bufsDf
-      .select(
-        col(keyCol),
-        posexplode(
-          arrays_zip(
-            col("_tk.sims").as("sims"),
-            col("_tk.ids").as("ids"),
-            col("_tk.tags").as("tags"))))
-      .select(
-        col(keyCol),
-        (col("pos") + 1).cast("int").as("rank"),
-        col("col.ids").as("id"),
-        col("col.sims").as("sim"),
-        col("col.tags").as("tag"))
+    explodeBufs(bufsDf, Seq(keyCol))
 }

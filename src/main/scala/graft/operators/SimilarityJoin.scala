@@ -808,8 +808,17 @@ object SimilarityJoin {
     * Cost shape: one scan of the stored signature frame per order (two
     * postings builds + two bounded aggregates — no text, no candidate
     * join, no pair enumeration); `currentFreq` (maintained mergeably via
-    * [[dfCounts]]) skips the fresh-frequency aggregation. Run it on the
+    * [[dfCounts]]) skips the fresh-frequency aggregation. `pin` bounds the
+    * re-reads when `df`'s lineage is expensive (a text-derived frame; the
+    * default Off is right for a stored/parquet-backed signature index,
+    * which re-reads for free — the leftPinned discipline). Run it on the
     * monitoring cadence, not per tick.
+    *
+    * Degenerate edges, pinned so the report can never mislead: both
+    * volumes 0 (empty corpus / all-empty sets) reads ratio 1 and never
+    * triggers; fresh 0 with stored > 0 (theoretically possible — posting
+    * COUNTS are order-independent but index-prefix membership is not)
+    * reads ratio +∞ and always triggers.
     */
   def indexDriftReport(
       df: DataFrame,
@@ -819,15 +828,16 @@ object SimilarityJoin {
       storedFreq: DataFrame,
       blockCols: Seq[String] = Nil,
       currentFreq: Option[DataFrame] = None,
-      rebuildRatio: Double = 2.0): DataFrame = {
+      rebuildRatio: Double = 2.0,
+      pin: Pin = Pin.Off): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1]: $threshold")
     require(rebuildRatio >= 1.0, s"rebuildRatio must be >= 1: $rebuildRatio")
     require(storedFreq.columns.contains("h") && storedFreq.columns.contains("_df"),
       s"storedFreq needs (h, _df) — the prefixIndex freq half: ${storedFreq.columns.toSeq}")
     val spark = df.sparkSession
-    val base = df.select(
-      (col(idCol).cast("long").as("_id") +: blockCols.map(col)) :+ col(setCol).as("_set"): _*)
+    val base = pin(df.select(
+      (col(idCol).cast("long").as("_id") +: blockCols.map(col)) :+ col(setCol).as("_set"): _*))
     val fresh = currentFreq.getOrElse(dfCounts(base, "_set"))
     def volume(freq: DataFrame): Double =
       prefixVolumeCells(
@@ -836,7 +846,10 @@ object SimilarityJoin {
         .agg(coalesce(sum(col("_cp1")), lit(0.0))).head().getDouble(0)
     val stored = volume(storedFreq)
     val freshV = volume(fresh)
-    val ratio = if (freshV > 0) stored / freshV else 1.0
+    val ratio =
+      if (freshV > 0) stored / freshV
+      else if (stored > 0) Double.PositiveInfinity
+      else 1.0
     import spark.implicits._
     Seq((stored, freshV, ratio, ratio >= rebuildRatio))
       .toDF("stored_volume", "fresh_volume", "drift_ratio", "recommend_rebuild")

@@ -113,6 +113,16 @@ class SketchSqlSpec extends AnyFunSuite {
       spark.table("ev").where(col("value").isNotNull),
       col("value"), maxBins = 64, Seq("event_type"))
     assert(rows(sql) == rows(api) && sql.count() > 0)
+    // the raw SQL surface sees unfiltered columns: NULLs skip like any
+    // SQL aggregate (no NPE, no phantom bin) — same cells as filtered
+    val noFilter = spark.sql(
+      """SELECT event_type, buf.scale AS scale, b AS bin,
+        |  element_at(buf.cnts, pos + 1) AS cnt
+        |FROM (
+        |  SELECT event_type, graft_ahist64(CAST(value AS DOUBLE)) AS buf
+        |  FROM ev GROUP BY event_type
+        |) LATERAL VIEW posexplode(buf.bins) t AS pos, b""".stripMargin)
+    assert(rows(noFilter) == rows(api))
   }
 
   test("ES weighted sample in one SQL statement (graft_topk16)") {

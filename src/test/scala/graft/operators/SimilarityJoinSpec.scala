@@ -527,6 +527,19 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(got == bruteForce(lAll, rRows, 0.5) && got.nonEmpty)
   }
 
+  test("drift monitor degenerate edge: empty corpus reads ratio 1, never triggers") {
+    val empty = spark.emptyDataFrame
+      .withColumn("lid", lit(1L)).withColumn("s", array().cast("array<long>"))
+      .limit(0)
+    val freq = Seq((1L, 1L)).toDF("h", "_df")
+    val r = SimilarityJoin.indexDriftReport(empty, "lid", "s", 0.5, freq)
+      .collect().head
+    assert(r.getAs[Double]("stored_volume") == 0.0
+      && r.getAs[Double]("fresh_volume") == 0.0
+      && r.getAs[Double]("drift_ratio") == 1.0
+      && !r.getAs[Boolean]("recommend_rebuild"))
+  }
+
   test("drift monitor with block columns (the Curation wrapper shape)") {
     // drift confined to one lang block still trips the blocked report
     val rnd = new scala.util.Random(59)
