@@ -245,6 +245,16 @@ object Curation {
     * Output is IDENTICAL with or without it (frozen-order losslessness;
     * CurationSpec proves it end-to-end).
     *
+    * `benchIdx` — the persistable [[Decontaminate.BenchIndex]] (grams +
+    * bloom cells at its (m, k), built with `n` = this tick's `decontN`):
+    * stage 2 then probes the STORED bloom table and gram table instead of
+    * rebuilding the driver-side bloom from `bench` each tick — the last
+    * per-tick rebuild gone (it was bench-proportional, not
+    * corpus-proportional, but a standing service stores its benchmark set
+    * once and OR-merges growth). `bench` is ignored when present. Output
+    * is IDENTICAL with or without it (Bloom one-sidedness + exact verify;
+    * CurationSpec proves it end-to-end).
+    *
     * `strategy` — the similarity engine for BOTH near-dup joins (corpus
     * cross-frame and within-batch self). Default Auto = exact, cost-routed
     * per block. Passing [[SimilarityStrategy.MinHashLsh]] (sized to `tau` —
@@ -277,7 +287,8 @@ object Curation {
       indexPinned: Boolean = false,
       corpusPostings: Option[(DataFrame, DataFrame)] = None,
       strategy: SimilarityStrategy = SimilarityStrategy.Auto,
-      stageHook: (String, DataFrame) => DataFrame = (_, df) => df): DataFrame = {
+      stageHook: (String, DataFrame) => DataFrame = (_, df) => df,
+      benchIdx: Option[Decontaminate.BenchIndex] = None): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
     require(minQuality >= 0.0, s"minQuality must be non-negative: $minQuality")
     require(idCol != "_cid", "idCol '_cid' clashes with the tick's working column")
@@ -288,9 +299,13 @@ object Curation {
     // stage 1 — quality screen (per-doc, trivially tick-composable)
     val s1 = batch.filter(quality >= minQuality)
 
-    // stage 2 — decontamination (per-doc function of text × bench)
-    val contaminated = Decontaminate
-      .sharedGramCounts(s1, bench, idCol, textCol, decontN)
+    // stage 2 — decontamination (per-doc function of text × bench);
+    // a stored BenchIndex replaces the per-tick driver-bloom rebuild
+    val contaminated = (benchIdx match {
+      case Some(bi) => Decontaminate.sharedGramCountsIndexed(
+        s1, bi.grams, bi.bloomCells, idCol, textCol, decontN, bi.m, bi.k)
+      case None => Decontaminate.sharedGramCounts(s1, bench, idCol, textCol, decontN)
+    })
       .filter(col("shared_grams") >= decontShared)
       .select(col(idCol))
     val s2 = s1.join(broadcast(contaminated), Seq(idCol), "left_anti")

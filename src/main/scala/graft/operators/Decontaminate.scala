@@ -69,6 +69,13 @@ object Decontaminate {
       .agg(count_distinct(col("g")).as("shared_grams"))
   }
 
+  /** Handle bundling the two stored [[benchIndex]] frames with the (m, k)
+    * they were built at — what a tick loop passes around
+    * (`Curation.tickIndexed(benchIdx = …)`). `n` stays the tick's
+    * `decontN` (one gram convention per pipeline, like shingleN).
+    */
+  case class BenchIndex(grams: DataFrame, bloomCells: DataFrame, m: Int, k: Int)
+
   /** The benchmark side as a PERSISTABLE INDEX — what a standing
     * decontamination service stores instead of rebuilding the driver-side
     * bloom every call: `(benchGrams, bloomCells)` where `benchGrams` is the

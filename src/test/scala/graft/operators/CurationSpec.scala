@@ -248,6 +248,34 @@ class CurationSpec extends AnyFunSuite {
       s"postings-indexed loop diverged: combined=$combined indexed=$got")
   }
 
+  test("stored BenchIndex decontamination equals the inline bench path (parquet round-trip)") {
+    val (corpus, batch0) = mutationCorpus(61)
+    // a bench doc sharing >= 5 distinct 4-grams with two planted batch docs
+    val contaminatedText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val batch = batch0 ++ Seq(
+      (6000L, "l0", contaminatedText + " lambda"),
+      (6001L, "l1", "mu nu " + contaminatedText))
+    val bench = Seq((9000L, "lx", contaminatedText)).toDF("doc_id", "lang", "text")
+    val idx = Curation.signatures(
+      corpus.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang")
+      .localCheckpoint()
+    val (grams, cells) = Decontaminate.benchIndex(bench, "text", n = 4, m = 1 << 14, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("bench_idx").toString
+    grams.write.mode("overwrite").parquet(s"$dir/grams")
+    cells.write.mode("overwrite").parquet(s"$dir/cells")
+    val bi = Decontaminate.BenchIndex(
+      spark.read.parquet(s"$dir/grams"), spark.read.parquet(s"$dir/cells"), 1 << 14, 4)
+    def run(b: Option[Decontaminate.BenchIndex]) = Curation.tickIndexed(
+        idx, batch.toDF("doc_id", "lang", "text"), bench, "doc_id", "text", "lang",
+        quality = lit(1.0), minQuality = 0.0, tau = 0.5, benchIdx = b)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val inline = run(None)
+    val stored = run(Some(bi))
+    assert(stored == inline)
+    // the contaminated plants were actually screened (stage 2 did real work)
+    assert(!inline.contains(6000L) && !inline.contains(6001L))
+  }
+
   test("index delete contract: removing a corpus doc re-admits its blocked near-dup") {
     // takedowns are routine: the documented recipe is an anti-join of BOTH
     // index halves on the removed ids; freq stays frozen (staleness, not
