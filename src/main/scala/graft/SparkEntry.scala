@@ -6127,8 +6127,10 @@ object SparkEntry {
     val m = 1 << 17
     val k = 4
     val docs = t(s, dir, "documents")
-    val (benchGrams, cells) = Decontaminate.benchIndex(
-      docs.filter(col("doc_id") % 50 === 0), "text", n = 4, m = m, k = k)
+    val bi = Decontaminate.benchIndex(
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 4, m = m, k = k)
+    val cells = bi.bloomCells
+    val benchGrams = bi.grams.select(col("g")).distinct()
     val corpusGrams = docs.filter(col("doc_id") % 50 =!= 0)
       .filter(trim(col("text")) =!= "")
       .select(col("doc_id"),
@@ -6226,6 +6228,38 @@ object SparkEntry {
         col("id").as("event_id"), col("tag").as("weight"),
         rnd(col("sim"), 6).as("es_key"))
       .orderBy(col("day"), col("event_type"), col("rank"))
+  }
+
+  // q258 — Bloom-index SATURATION MONITOR (Bloom.saturationReport — the
+  // lifecycle read-off q252 gives the postings order, now for the
+  // membership tier): OR-merged bits can never unset, so a stored
+  // decontamination filter's set-bit fill ratio — and with it the
+  // effective fpp ≈ fill^k, i.e. the false-positive candidate mass every
+  // probe pays at the exact-verify join — only ever grows. The same
+  // benchmark gram set is scored in two stored configurations: a filter
+  // 1024 bits wide ("saturated" — thousands of grams in 1 Kb trip the
+  // 0.02 documented threshold) and a 2^20-bit one ("sized" — the
+  // Bloom.sizeFor regime, far under threshold at the gate SFs). The
+  // oracle re-derives cells, set-bit counts (pure integer bit ops), and
+  // the fill^k product (explicit left-assoc multiplication, not pow)
+  // bit-identically; correctness is never at stake (one-sidedness), cost
+  // is — which is why the report, not the probe, carries the trigger.
+  private def bloomSaturation(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bloom
+    import graft.operators.Decontaminate
+    val k = 4
+    val bench = t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+    def report(label: String, m: Int) = {
+      val bi = Decontaminate.benchIndex(bench, "doc_id", "text", n = 4, m = m, k = k)
+      Bloom.saturationReport(bi.bloomCells, m, k)
+        .select(lit(label).as("config"), lit(m.toLong).as("m"),
+          col("set_bits").cast("long").as("set_bits"),
+          rnd(col("fill_ratio"), 8).as("fill_ratio"),
+          rnd(col("effective_fpp"), 8).as("effective_fpp"),
+          col("recommend_rebuild").cast("int").as("recommend_rebuild"))
+    }
+    report("saturated", 1 << 10).unionByName(report("sized", 1 << 20))
+      .orderBy(col("config"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -6488,7 +6522,8 @@ object SparkEntry {
     "q254_stream_psi" -> streamPsi,
     "q255_stream_windowed_cms" -> streamWindowedCms,
     "q256_stream_windowed_kmv" -> streamWindowedKmv,
-    "q257_stream_windowed_es" -> streamWindowedEs)
+    "q257_stream_windowed_es" -> streamWindowedEs,
+    "q258_bloom_saturation" -> bloomSaturation)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -11938,5 +11973,40 @@ object SparkEntry {
         |)
         |SELECT day, event_type, CAST(rk AS INT) AS rank, event_id,
         |  CAST(w AS BIGINT) AS weight, round(ek + 1e-9, 6) AS es_key
-        |FROM r WHERE rk <= 8 ORDER BY day, event_type, rank""".stripMargin)
+        |FROM r WHERE rk <= 8 ORDER BY day, event_type, rank""".stripMargin,
+    // q258: the oracle re-derives both stored filters — q253's double-hash
+    // position arithmetic per configuration m, 32-bit words, bit_or cells,
+    // then sum(bit_count) and the left-assoc fill^4 product (f*f*f*f, the
+    // same IEEE order as the engine's reduce) — all exact, so even the
+    // recommend_rebuild comparison lands on the identical double
+    "q258_bloom_saturation" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 50 = 0 AND trim(text) <> ''
+        |), bench AS (
+        |  SELECT DISTINCT array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 3], ' ') AS g
+        |  FROM tok, unnest(range(1, len(toks) - 2)) t(i)
+        |), cfg AS (
+        |  SELECT * FROM (VALUES ('saturated', 1024), ('sized', 1048576)) t(config, m)
+        |), pos AS (
+        |  SELECT c.config, c.m,
+        |    (CAST(concat('0x', substr(md5(g), 1, 13)) AS BIGINT)
+        |   + i * CAST(concat('0x', substr(md5(g), 14, 13)) AS BIGINT)) % c.m AS p
+        |  FROM bench, cfg c, unnest(range(0, 4)) t(i)
+        |), cells AS (
+        |  SELECT config, m, CAST(p // 32 AS INT) AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        |  FROM pos GROUP BY 1, 2, 3
+        |), agg AS (
+        |  SELECT config, m, sum(bit_count(bits)) AS set_bits
+        |  FROM cells GROUP BY 1, 2
+        |), fin AS (
+        |  SELECT config, m, set_bits, CAST(set_bits AS DOUBLE) / m AS f FROM agg
+        |)
+        |SELECT config, CAST(m AS BIGINT) AS m, CAST(set_bits AS BIGINT) AS set_bits,
+        |  round(f + 1e-9, 8) AS fill_ratio,
+        |  round(f * f * f * f + 1e-9, 8) AS effective_fpp,
+        |  CAST(CASE WHEN f * f * f * f >= 0.02 THEN 1 ELSE 0 END AS INT)
+        |    AS recommend_rebuild
+        |FROM fin ORDER BY config""".stripMargin)
 }

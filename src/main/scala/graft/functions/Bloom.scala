@@ -34,11 +34,82 @@ import org.apache.spark.sql.functions._
   * stored artifacts).
   *
   * Sizing: `m` bits for n items at k hashes gives fpr ≈ (1 − e^(−kn/m))^k;
-  * the usual rule m ≈ 1.44·k·n/ln2 bits for target fpr 2^−k. State is
-  * ≤ ⌈m/32⌉ cell rows per group BY CONSTRUCTION — which is what makes the
-  * streaming form (`StreamOps.bloomCells`) a bounded running aggregation.
+  * the usual rule m ≈ 1.44·k·n bits for target fpr 2^−k — [[sizeFor]]
+  * computes (m, k) from (n, target fpr) so callers never hand-roll it.
+  * State is ≤ ⌈m/32⌉ cell rows per group BY CONSTRUCTION — which is what
+  * makes the streaming form (`StreamOps.bloomCells`) a bounded running
+  * aggregation. As OR-merges grow a stored filter past its sizing, the
+  * fill ratio degrades the effective fpr — [[saturationReport]] is the
+  * rebuild trigger (the lifecycle analog of the postings index's
+  * `indexDriftReport`).
   */
 object Bloom {
+
+  /** Standard Bloom sizing for `n` expected distinct items at `targetFpp`:
+    * m = ⌈−n·ln(p) / (ln 2)²⌉ bits (≈ 1.44·n·log₂(1/p)) and
+    * k = round(m/n · ln 2) hashes — the textbook optimum (k minimizing
+    * (1 − e^(−kn/m))^k at fixed m/n). Fails loud when the optimal m
+    * exceeds Int.MaxValue bits (~256 MB of bitmap): at that scale, split
+    * the filter by `groupCols` (per-shard filters merge-probe exactly like
+    * one — the cell table is already group-keyed) or relax `targetFpp` —
+    * fpp tunes cost, not correctness.
+    */
+  def sizeFor(n: Long, targetFpp: Double): (Int, Int) = {
+    require(n > 0, s"n must be positive: $n")
+    require(targetFpp > 0.0 && targetFpp < 0.5,
+      s"targetFpp must be in (0, 0.5): $targetFpp")
+    val ln2 = math.log(2.0)
+    val mReal = math.ceil(-n.toDouble * math.log(targetFpp) / (ln2 * ln2))
+    require(mReal <= Int.MaxValue.toDouble,
+      f"optimal m = $mReal%.0f bits exceeds Int.MaxValue — split the filter by " +
+        "groupCols or relax targetFpp")
+    val m = math.max(32L, mReal.toLong).toInt
+    val k = math.max(1L, math.min(64L, math.round(m.toDouble / n.toDouble * ln2))).toInt
+    (m, k)
+  }
+
+  /** SATURATION MONITOR for a stored cell table — the rebuild trigger the
+    * merge contract defers to the caller: OR-merged bits can never unset,
+    * so a year of benchmark growth drives the set-bit fill ratio up and
+    * the effective false-positive rate (≈ fill^k under the double-hash
+    * independence approximation) with it; every probe then pays
+    * fpp × (distinct non-member probes) of false-positive candidate mass
+    * at the exact-verify join. Correctness never degrades (one-sidedness),
+    * only cost — exactly the postings-order situation `indexDriftReport`
+    * monitors, so the report shape matches: one row per group,
+    * (groupCols…, set_bits, fill_ratio, effective_fpp, recommend_rebuild),
+    * with `recommend_rebuild` at effective_fpp ≥ `maxFpp` (documented
+    * default 0.02: at 2% the prefilter passes 1-in-50 non-member probes to
+    * the verify join — an order of magnitude above a [[sizeFor]]-sized
+    * filter's design point, and one rebuild at the grown n restores it).
+    *
+    * effective_fpp is computed as an explicit k-fold product (not `pow`)
+    * so a second engine re-derives it bit-identically from the integer
+    * set_bits — the report is itself oracle-checkable.
+    *
+    * Cost shape: one bounded aggregate over ≤ ⌈m/32⌉ cell rows per group —
+    * run it on the monitoring cadence; it never touches the item stream.
+    */
+  def saturationReport(
+      cellsDf: DataFrame,
+      m: Int,
+      k: Int,
+      groupCols: Seq[String] = Nil,
+      maxFpp: Double = 0.02): DataFrame = {
+    checkParams(m, k)
+    require(maxFpp > 0.0 && maxFpp < 1.0, s"maxFpp must be in (0, 1): $maxFpp")
+    require(cellsDf.columns.contains("word") && cellsDf.columns.contains("bits"),
+      s"cells frame needs (word, bits) — build it with Bloom.cells: ${cellsDf.columns.toSeq}")
+    val grouped =
+      if (groupCols.isEmpty) cellsDf.groupBy()
+      else cellsDf.groupBy(groupCols.map(col): _*)
+    val fill = col("set_bits").cast("double") / m.toDouble
+    grouped
+      .agg(coalesce(sum(bit_count(col("bits"))), lit(0L)).as("set_bits"))
+      .withColumn("fill_ratio", fill)
+      .withColumn("effective_fpp", Seq.fill(k)(fill).reduce(_ * _))
+      .withColumn("recommend_rebuild", col("effective_fpp") >= maxFpp)
+  }
 
   /** The k bit positions of `item` — (h1 + i·h2) mod m, i = 0..k−1, over
     * the two disjoint md5 slices. NULL-safe: a NULL item yields a NULL

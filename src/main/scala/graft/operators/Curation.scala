@@ -301,6 +301,9 @@ object Curation {
 
     // stage 2 — decontamination (per-doc function of text × bench);
     // a stored BenchIndex replaces the per-tick driver-bloom rebuild
+    benchIdx.foreach(bi => require(bi.n == decontN,
+      s"benchIdx was built at gram size n=${bi.n} but this tick's decontN=$decontN — " +
+        "a mismatch silently underreports shared grams; rebuild the index at decontN"))
     val contaminated = (benchIdx match {
       case Some(bi) => Decontaminate.sharedGramCountsIndexed(
         s1, bi.grams, bi.bloomCells, idCol, textCol, decontN, bi.m, bi.k)

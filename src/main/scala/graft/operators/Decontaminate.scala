@@ -69,37 +69,81 @@ object Decontaminate {
       .agg(count_distinct(col("g")).as("shared_grams"))
   }
 
-  /** Handle bundling the two stored [[benchIndex]] frames with the (m, k)
-    * they were built at — what a tick loop passes around
-    * (`Curation.tickIndexed(benchIdx = …)`). `n` stays the tick's
-    * `decontN` (one gram convention per pipeline, like shingleN).
+  /** Handle bundling the two stored [[benchIndex]] frames with the
+    * (idCol, n, m, k) they were built at — what a tick loop passes around
+    * (`Curation.tickIndexed(benchIdx = …)`). Carrying `n` matters as much
+    * as m/k: an index built at a different gram size than the tick's
+    * `decontN` would silently underreport shared grams (no error is
+    * possible from the gram strings alone), so `tickIndexed` checks it.
+    * `grams` is ID-KEYED — (idCol, g), one row per benchmark doc × distinct
+    * gram — which is what makes [[benchIndexDelete]]'s takedown exact: a
+    * gram a removed doc shares with a RETAINED doc must keep flagging, and
+    * only the per-doc rows can tell (the postings index stores per-doc
+    * rows for the same reason).
     */
-  case class BenchIndex(grams: DataFrame, bloomCells: DataFrame, m: Int, k: Int)
+  case class BenchIndex(
+      grams: DataFrame, bloomCells: DataFrame, idCol: String, n: Int, m: Int, k: Int)
 
   /** The benchmark side as a PERSISTABLE INDEX — what a standing
     * decontamination service stores instead of rebuilding the driver-side
-    * bloom every call: `(benchGrams, bloomCells)` where `benchGrams` is the
-    * distinct gram table (column `g`) and `bloomCells` its mergeable
-    * [[graft.functions.Bloom.cells]] at (m, k). Persist both as parquet;
-    * when the benchmark set grows, append the new grams and
-    * `Bloom.merge` the new slice's cells — OR-merge equals the whole-data
-    * build for any merge shape. The same lowercase + whitespace word
-    * n-grams as [[sharedGramCounts]] (`n` is a contract across build and
-    * probe, like shingleN on the signature index).
+    * bloom every call: a [[BenchIndex]] whose `grams` is the id-keyed gram
+    * table (idCol, g) and `bloomCells` its mergeable
+    * [[graft.functions.Bloom.cells]] at (m, k) over the distinct grams
+    * (size m with `Bloom.sizeFor(expectedGrams, targetFpp)`). Persist both
+    * frames as parquet. Lifecycle:
+    *   - GROWTH: append the new slice's grams and `Bloom.merge` its cells —
+    *     OR-merge equals the whole-data build for any merge shape;
+    *   - TAKEDOWN: [[benchIndexDelete]] (bits can't unset — the cells
+    *     rebuild from the surviving grams);
+    *   - SATURATION: `Bloom.saturationReport(bi.bloomCells, bi.m, bi.k)` on
+    *     the monitoring cadence — OR-merged growth degrades effective fpp
+    *     (cost, never correctness) until a rebuild at the grown size pays.
+    * The same lowercase + whitespace word n-grams as [[sharedGramCounts]]
+    * (`n` is a contract across build and probe, like shingleN on the
+    * signature index — the handle carries it so ticks can check).
     */
   def benchIndex(
       bench: DataFrame,
+      idCol: String,
       textCol: String,
       n: Int,
       m: Int,
-      k: Int): (DataFrame, DataFrame) = {
+      k: Int): BenchIndex = {
     require(n >= 1, s"n must be positive: $n")
     val grams = bench
       .filter(trim(col(textCol)) =!= "")
-      .select(explode(array_distinct(
+      .select(col(idCol), explode(array_distinct(
         TextFunctions.wordShingles(lower(col(textCol)), n))).as("g"))
       .distinct()
-    (grams, graft.functions.Bloom.cells(grams, col("g"), m, k))
+    BenchIndex(
+      grams,
+      graft.functions.Bloom.cells(grams.select(col("g")).distinct(), col("g"), m, k),
+      idCol, n, m, k)
+  }
+
+  /** TAKEDOWN contract for the stored [[BenchIndex]] — the delete the
+    * postings index got in the similarity tier, mirrored for the
+    * membership tier. OR-merged bits can never unset, so the recipe is:
+    * anti-join the id-keyed gram table on the removed benchmark ids, then
+    * REBUILD the cells from the surviving distinct grams (one bounded pass
+    * over the stored gram table — no benchmark text is re-read). Exactness
+    * the gram-keyed shortcut can't give: a gram the removed doc SHARES
+    * with a retained doc survives the anti-join (its row under the
+    * retained id remains), so it keeps flagging; a gram EXCLUSIVE to the
+    * removed docs loses its last row and stops flagging — probes after the
+    * takedown behave exactly as if the index were built fresh over the
+    * retained benchmark set. `removedIds` is any frame carrying the
+    * index's id column.
+    */
+  def benchIndexDelete(bi: BenchIndex, removedIds: DataFrame): BenchIndex = {
+    require(removedIds.columns.contains(bi.idCol),
+      s"removedIds needs the index id column '${bi.idCol}': ${removedIds.columns.toSeq}")
+    val survivors = bi.grams.join(
+      removedIds.select(col(bi.idCol)).distinct(), Seq(bi.idCol), "left_anti")
+    bi.copy(
+      grams = survivors,
+      bloomCells = graft.functions.Bloom.cells(
+        survivors.select(col("g")).distinct(), col("g"), bi.m, bi.k))
   }
 
   /** [[sharedGramCounts]] against a prebuilt [[benchIndex]] — the

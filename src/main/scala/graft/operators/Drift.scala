@@ -33,6 +33,10 @@ object Drift {
     * the broadcast bin spine and the 1-row reference-total bind are
     * dimension products, never input-cardinality work; nothing here
     * rescans the data the cells summarized.
+    *
+    * An EMPTY reference (no rows, or all-NULL counts) fails loud at
+    * action time (in-plan assert on the 1-row total) instead of silently
+    * flooring every q to eps and scoring garbage PSI against nothing.
     */
   def psiByPeriod(
       cells: DataFrame,
@@ -44,8 +48,19 @@ object Drift {
       require(cells.columns.contains(c) && refCells.columns.contains(c),
         s"cell tables need (bin, cnt): ${cells.columns.toSeq} / ${refCells.columns.toSeq}")
     }
+    val working = Set("_tp", "_cp", "_cr", "_tr")
+    val clash = working.intersect(cells.columns.toSet ++ refCells.columns.toSet + periodCol)
+    require(clash.isEmpty,
+      s"psiByPeriod's working columns clash with input columns: $clash — rename them first")
     val totals = cells.groupBy(col(periodCol)).agg(sum(col("cnt")).as("_tp"))
+    // `agg` on a frame with zero rows still yields one row with a NULL sum,
+    // so this 1-row filter sees exactly one tuple: assert_true throws on an
+    // empty/all-null reference, and the IsNull wrapper reads true otherwise
+    // (the filter can't be pruned — its child is non-foldable).
     val refTot = refCells.agg(sum(col("cnt")).as("_tr"))
+      .where(assert_true(col("_tr").isNotNull && col("_tr") > 0,
+        lit("psiByPeriod: reference cells are empty (no rows or all-NULL counts) — " +
+          "a PSI against nothing is meaningless")).isNull)
     val bins = cells.select(col("bin"))
       .unionByName(refCells.select(col("bin"))).distinct()
     val p = greatest(coalesce(col("_cp"), lit(0L)) / col("_tp"), lit(eps))

@@ -104,4 +104,52 @@ class BloomSpec extends AnyFunSuite {
       Bloom.positiveItems(Seq((1, 2L)).toDF("w", "b"), df, "g", 1024, 3)
     }
   }
+
+  test("sizeFor pins the textbook rule's outputs") {
+    // m = ceil(-n ln p / (ln 2)^2), k = round(m/n ln 2) — hand-computed
+    assert(Bloom.sizeFor(1000L, 0.01) == (9586, 7))
+    assert(Bloom.sizeFor(1L, 0.25) == (32, 22)) // m floors at one word
+    // the sized filter actually delivers ~the target rate:
+    // fpr ≈ (1 - e^(-kn/m))^k within 25% of p
+    val (m, k) = Bloom.sizeFor(1000L, 0.01)
+    val fpr = math.pow(1.0 - math.exp(-k.toDouble * 1000.0 / m), k)
+    assert(fpr < 0.0125 && fpr > 0.008, s"fpr $fpr")
+    intercept[IllegalArgumentException] { Bloom.sizeFor(0L, 0.01) }
+    intercept[IllegalArgumentException] { Bloom.sizeFor(100L, 0.5) }
+    // the optimal m for 10^10 items at 1e-3 overflows Int — fail loud
+    intercept[IllegalArgumentException] { Bloom.sizeFor(10_000_000_000L, 0.001) }
+  }
+
+  test("saturationReport: OR-merge growth trips the monitor while membership stays exact") {
+    val m = 1 << 10
+    val k = 4
+    val first = items(29, 40).distinct
+    val sized = Bloom.cells(first.toDF("g"), col("g"), m, k)
+    val r1 = Bloom.saturationReport(sized, m, k)
+      .select("set_bits", "fill_ratio", "effective_fpp", "recommend_rebuild")
+      .as[(Long, Double, Double, Boolean)].collect().head
+    assert(!r1._4, s"a sized filter must not trip: $r1")
+    // set_bits consistency: <= k * n and > 0; fpp = fill^k exactly
+    assert(r1._1 > 0 && r1._1 <= k.toLong * first.size)
+    assert(math.abs(r1._3 - math.pow(r1._2, k)) < 1e-15)
+    // grow the SAME stored filter way past its sizing by OR-merges
+    var grown = sized
+    (1 to 8).foreach { s =>
+      grown = Bloom.merge(grown,
+        Bloom.cells(items(100 + s, 400).toDF("g"), col("g"), m, k))
+    }
+    val r2 = Bloom.saturationReport(grown, m, k)
+      .select("effective_fpp", "recommend_rebuild")
+      .as[(Double, Boolean)].collect().head
+    assert(r2._2 && r2._1 > 0.02, s"a 3200-item filter in 1024 bits must trip: $r2")
+    // one-sidedness survives saturation: every absorbed item still positive
+    val allIn = (first ++ (1 to 8).flatMap(s => items(100 + s, 400))).distinct
+    val pos = Bloom.positiveItems(grown, allIn.toDF("g"), "g", m, k).count()
+    assert(pos == allIn.size.toLong)
+    // an empty cell table reads zero fill and never trips
+    val r0 = Bloom.saturationReport(sized.limit(0), m, k)
+      .select("set_bits", "recommend_rebuild").as[(Long, Boolean)].collect().head
+    assert(r0 == ((0L, false)))
+    intercept[IllegalArgumentException] { Bloom.saturationReport(sized, m, k, maxFpp = 0.0) }
+  }
 }

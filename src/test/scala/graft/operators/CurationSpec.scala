@@ -259,12 +259,13 @@ class CurationSpec extends AnyFunSuite {
     val idx = Curation.signatures(
       corpus.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang")
       .localCheckpoint()
-    val (grams, cells) = Decontaminate.benchIndex(bench, "text", n = 4, m = 1 << 14, k = 4)
+    val built = Decontaminate.benchIndex(bench, "doc_id", "text", n = 4, m = 1 << 14, k = 4)
     val dir = java.nio.file.Files.createTempDirectory("bench_idx").toString
-    grams.write.mode("overwrite").parquet(s"$dir/grams")
-    cells.write.mode("overwrite").parquet(s"$dir/cells")
+    built.grams.write.mode("overwrite").parquet(s"$dir/grams")
+    built.bloomCells.write.mode("overwrite").parquet(s"$dir/cells")
     val bi = Decontaminate.BenchIndex(
-      spark.read.parquet(s"$dir/grams"), spark.read.parquet(s"$dir/cells"), 1 << 14, 4)
+      spark.read.parquet(s"$dir/grams"), spark.read.parquet(s"$dir/cells"),
+      "doc_id", 4, 1 << 14, 4)
     def run(b: Option[Decontaminate.BenchIndex]) = Curation.tickIndexed(
         idx, batch.toDF("doc_id", "lang", "text"), bench, "doc_id", "text", "lang",
         quality = lit(1.0), minQuality = 0.0, tau = 0.5, benchIdx = b)
@@ -274,6 +275,11 @@ class CurationSpec extends AnyFunSuite {
     assert(stored == inline)
     // the contaminated plants were actually screened (stage 2 did real work)
     assert(!inline.contains(6000L) && !inline.contains(6001L))
+    // an index built at a different gram size than the tick's decontN is
+    // rejected loud (the silent-underreport mismatch class BenchIndex exists
+    // to prevent)
+    val e = intercept[IllegalArgumentException] { run(Some(bi.copy(n = 5))) }
+    assert(e.getMessage.contains("decontN"))
   }
 
   test("index delete contract: removing a corpus doc re-admits its blocked near-dup") {

@@ -33,11 +33,11 @@ class DecontaminateSpec extends AnyFunSuite {
   }
 
   test("indexed path (stored bloom cells + gram table) equals the inline paths") {
-    val (grams, cells) = Decontaminate.benchIndex(bench, "text", n = 3, m = 1 << 12, k = 4)
+    val bi = Decontaminate.benchIndex(bench, "doc_id", "text", n = 3, m = 1 << 12, k = 4)
     // parquet round-trip: the index is a STORED artifact between calls
     val dir = java.nio.file.Files.createTempDirectory("bloom_idx").toString
-    grams.write.mode("overwrite").parquet(s"$dir/grams")
-    cells.write.mode("overwrite").parquet(s"$dir/cells")
+    bi.grams.write.mode("overwrite").parquet(s"$dir/grams")
+    bi.bloomCells.write.mode("overwrite").parquet(s"$dir/cells")
     val indexed = Decontaminate
       .sharedGramCountsIndexed(corpus,
         spark.read.parquet(s"$dir/grams"), spark.read.parquet(s"$dir/cells"),
@@ -52,19 +52,51 @@ class DecontaminateSpec extends AnyFunSuite {
   test("indexed path stays exact after a bloom-cell MERGE absorbs new benchmark docs") {
     val bench2 = Seq((200L, "p q r s t")).toDF("doc_id", "text")
     val benchBoth = bench.unionByName(bench2)
-    val (g1, c1) = Decontaminate.benchIndex(bench, "text", 3, 1 << 12, 4)
-    val (g2, c2) = Decontaminate.benchIndex(bench2, "text", 3, 1 << 12, 4)
+    val bi1 = Decontaminate.benchIndex(bench, "doc_id", "text", 3, 1 << 12, 4)
+    val bi2 = Decontaminate.benchIndex(bench2, "doc_id", "text", 3, 1 << 12, 4)
     val corpus2 = corpus.unionByName(Seq((5L, "p q r s zz")).toDF("doc_id", "text"))
     val merged = Decontaminate
       .sharedGramCountsIndexed(corpus2,
-        g1.unionByName(g2).distinct(),
-        graft.functions.Bloom.merge(c1, c2),
+        bi1.grams.unionByName(bi2.grams).distinct(),
+        graft.functions.Bloom.merge(bi1.bloomCells, bi2.bloomCells),
         "doc_id", "text", 3, 1 << 12, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val whole = Decontaminate
       .sharedGramCounts(corpus2, benchBoth, "doc_id", "text", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(merged == whole && merged.exists(_._1 == 5L))
+  }
+
+  test("benchIndexDelete: a takedown stops flagging removed-exclusive grams, keeps shared ones") {
+    // bench 100 and 200 SHARE trigram "a b c"; 100's other trigrams are
+    // exclusive to it. Removing 100 must stop flagging its exclusive grams
+    // while the shared gram keeps flagging through 200's surviving row.
+    val b2 = Seq((100L, "a b c d e"), (200L, "a b c x y")).toDF("doc_id", "text")
+    val bi = Decontaminate.benchIndex(b2, "doc_id", "text", n = 3, m = 1 << 12, k = 4)
+    val after = Decontaminate.benchIndexDelete(bi, Seq(100L).toDF("doc_id"))
+    def counts(i: Decontaminate.BenchIndex) = Decontaminate
+      .sharedGramCountsIndexed(corpus, i.grams, i.bloomCells,
+        "doc_id", "text", i.n, i.m, i.k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // corpus doc 1 ("a b c d x"): shares {"a b c","b c d"} before, only the
+    // retained doc's "a b c" after
+    assert(counts(bi).get(1L).contains(2L))
+    assert(counts(after).get(1L).contains(1L))
+    // the rebuilt index IS the fresh build over the retained benchmark —
+    // cells bit-identical, grams row-identical
+    val fresh = Decontaminate.benchIndex(
+      b2.filter($"doc_id" === 200L), "doc_id", "text", 3, 1 << 12, 4)
+    assert(after.bloomCells.as[(Int, Long)].collect().toSet ==
+      fresh.bloomCells.as[(Int, Long)].collect().toSet)
+    assert(after.grams.as[(Long, String)].collect().toSet ==
+      fresh.grams.as[(Long, String)].collect().toSet)
+    // removing EVERY doc leaves an empty (but well-formed) index
+    val none = Decontaminate.benchIndexDelete(bi, Seq(100L, 200L).toDF("doc_id"))
+    assert(none.grams.isEmpty && none.bloomCells.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.benchIndexDelete(bi, Seq(1L).toDF("other_id"))
+    }
+    assert(e.getMessage.contains("doc_id"))
   }
 
   test("bloom prefilter sits on the corpus side BELOW the verify join (and any shuffle)") {

@@ -59,5 +59,29 @@ class DriftSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Drift.psiByPeriod(ok.withColumnRenamed("cnt", "n"), "day", ref)
     }
+    // reserved working columns must not collide with input columns
+    intercept[IllegalArgumentException] {
+      Drift.psiByPeriod(ok.withColumn("_tr", lit(1)), "day", ref)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.psiByPeriod(ok.withColumnRenamed("day", "_tp"), "_tp", ref)
+    }
+  }
+
+  test("an empty or all-null reference fails loud instead of scoring garbage") {
+    val cells = Seq(("d1", 0L, 40L), ("d1", 1L, 60L)).toDF("day", "bin", "cnt")
+    val emptyRef = Seq.empty[(Long, Long)].toDF("bin", "cnt")
+    val e1 = intercept[Exception] {
+      Drift.psiByPeriod(cells, "day", emptyRef).collect()
+    }
+    assert(e1.getMessage.contains("reference cells are empty") ||
+      Option(e1.getCause).exists(_.getMessage.contains("reference cells are empty")))
+    val nullRef = Seq((0L, null.asInstanceOf[java.lang.Long]))
+      .toDF("bin", "cnt")
+    val e2 = intercept[Exception] {
+      Drift.psiByPeriod(cells, "day", nullRef).collect()
+    }
+    assert(e2.getMessage.contains("reference cells are empty") ||
+      Option(e2.getCause).exists(_.getMessage.contains("reference cells are empty")))
   }
 }
