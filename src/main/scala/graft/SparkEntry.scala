@@ -6262,6 +6262,29 @@ object SparkEntry {
       .orderBy(col("config"))
   }
 
+  // q259 — WINDOWED streaming ADAPTIVE histogram (the sixth and last cell
+  // of the sketch × event-time-window matrix — q241 distinct, q254 fixed
+  // histogram, q255 frequency, q256/q257 samples, THIS the unknown-range
+  // order statistics): per (closed day, event_type) one bounded buffer
+  // whose dyadic scale escalates on that window's OWN span (a wide day
+  // coarsens, a narrow day stays fine — the running q251 form would hold
+  // every day at the lifetime scale), watermark-evicted in append mode.
+  // The oracle re-derives each closed (day, type)'s scale — smallest s
+  // with floor(max/2^s) − floor(min/2^s) + 1 ≤ 16 — and its
+  // floor(value/2^scale) cells under the q241 closure predicate.
+  private def streamWindowedAhist(s: SparkSession, dir: String): DataFrame = {
+    val bufs = replayStream(s, dir, "append") { ev =>
+      graft.streaming.StreamOps.windowedAdaptiveHistBufs(
+        ev, col("value"), maxBins = 16, Seq("event_type"))
+    }
+    graft.functions.AdaptiveHist.explodeBufs(
+        bufs.select(to_date(col("ws")).as("day"), col("event_type"), col("_ah")),
+        Seq("day", "event_type"))
+      .select(col("day"), col("event_type"), col("scale"), col("bin"),
+        col("cnt").cast("long").as("cnt"))
+      .orderBy(col("day"), col("event_type"), col("bin"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6523,7 +6546,8 @@ object SparkEntry {
     "q255_stream_windowed_cms" -> streamWindowedCms,
     "q256_stream_windowed_kmv" -> streamWindowedKmv,
     "q257_stream_windowed_es" -> streamWindowedEs,
-    "q258_bloom_saturation" -> bloomSaturation)
+    "q258_bloom_saturation" -> bloomSaturation,
+    "q259_stream_windowed_ahist" -> streamWindowedAhist)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -12008,5 +12032,35 @@ object SparkEntry {
         |  round(f * f * f * f + 1e-9, 8) AS effective_fpp,
         |  CAST(CASE WHEN f * f * f * f >= 0.02 THEN 1 ELSE 0 END AS INT)
         |    AS recommend_rebuild
-        |FROM fin ORDER BY config""".stripMargin)
+        |FROM fin ORDER BY config""".stripMargin,
+    // q259: q251's per-group scale derivation applied per (closed day,
+    // event_type) — the q241 closure predicate picks the days; within each
+    // window the scale is the smallest span-fitting s and the cells are
+    // floor(value / 2^s) counts, power-of-two division being exact IEEE in
+    // both engines
+    "q259_stream_windowed_ahist" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+        |), v AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, value
+        |  FROM events, mx
+        |  WHERE value IS NOT NULL
+        |    AND CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY
+        |        <= m - INTERVAL 1 HOUR
+        |), mm AS (
+        |  SELECT day, event_type, min(value) AS mn, max(value) AS mx2
+        |  FROM v GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT day, event_type, CAST(min(s) AS INT) AS scale
+        |  FROM mm, range(0, 1088) t(s)
+        |  WHERE floor(mx2 / power(2.0, s)) - floor(mn / power(2.0, s)) + 1 <= 16
+        |  GROUP BY 1, 2
+        |), cells AS (
+        |  SELECT v.day, v.event_type, sc.scale,
+        |    CAST(floor(v.value / power(2.0, sc.scale)) AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM v JOIN sc USING (day, event_type) GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT day, event_type, scale, bin, CAST(cnt AS BIGINT) AS cnt
+        |FROM cells ORDER BY 1, 2, 4""".stripMargin)
 }

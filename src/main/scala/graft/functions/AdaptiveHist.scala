@@ -171,6 +171,16 @@ class AdaptiveHistAgg(maxBins: Int, minScale: Int)
   */
 object AdaptiveHist {
 
+  /** The raw buffer aggregate as a column expression — for callers
+    * grouping by their OWN keys (the windowed streaming form groups by an
+    * event-time window — the Kmv.aggExpr discipline). `value` should be a
+    * double column; callers own the null filtering [[bufs]] applies (the
+    * aggregator itself also skips NULLs, per SQL aggregate semantics).
+    */
+  def aggExpr(maxBins: Int, value: Column, minScale: Int = 0): Column =
+    udaf(new AdaptiveHistAgg(maxBins, minScale),
+      Encoders.DOUBLE.asInstanceOf[Encoder[java.lang.Double]])(value)
+
   /** The aggregation core: (groupCols..., _ah) — one bounded buffer per
     * group (the Kmv.bufs discipline; streaming-safe as a running
     * aggregation). NULL values are skipped (no rank information).
@@ -181,14 +191,12 @@ object AdaptiveHist {
       maxBins: Int,
       groupCols: Seq[String] = Nil,
       minScale: Int = 0): DataFrame = {
-    val fn = udaf(new AdaptiveHistAgg(maxBins, minScale),
-      Encoders.DOUBLE.asInstanceOf[Encoder[java.lang.Double]])
     val prepped = df.where(value.isNotNull)
       .select(groupCols.map(col) :+ value.cast("double").as("_v"): _*)
     val grouped =
       if (groupCols.isEmpty) prepped.groupBy()
       else prepped.groupBy(groupCols.map(col): _*)
-    grouped.agg(fn(col("_v")).as("_ah"))
+    grouped.agg(aggExpr(maxBins, col("_v"), minScale).as("_ah"))
   }
 
   /** Explode a [[bufs]] table to cells (groupCols..., scale, bin, cnt) —

@@ -604,6 +604,44 @@ object StreamOps {
       minScale: Int = 0): DataFrame =
     graft.functions.AdaptiveHist.bufs(stream, value, maxBins, groupCols, minScale)
 
+  /** WINDOWED streaming ADAPTIVE histogram — the sixth and last cell of
+    * the sketch × event-time-window matrix (CMS/HLL/fixed-histogram/KMV/ES
+    * all have watermark-closed per-window forms; this adds the
+    * unknown-range order-statistics member): per (tumbling window,
+    * `groupCols`) one bounded [[graft.functions.AdaptiveHistAgg]] buffer,
+    * watermark-closed in append mode — state = (open windows · groups) ·
+    * ≤ 2·maxBins entries, old windows evict.
+    *
+    * The windowed subtlety vs the running [[adaptiveHistBufs]]: each
+    * window's scale escalates INDEPENDENTLY, driven by its own observed
+    * span — a wide-range Monday lands at a coarse 2^s while a narrow
+    * Tuesday keeps fine bins, exactly what "this day's value
+    * distribution" wants (the running form would hold every day at the
+    * lifetime-span scale). Each drained window equals
+    * `AdaptiveHist.cells` of that window's batch slice by the aggregator's
+    * determinism contract (scale = the smallest span-fitting s — a pure
+    * function of the window's value multiset, independent of micro-batch
+    * boundaries and merge shape). Returns (ws = window start,
+    * groupCols..., _ah); explode with
+    * `AdaptiveHist.explodeBufs(df, "ws" +: groupCols)` and read quantiles
+    * with `AdaptiveHist.quantiles` — the batch read-offs apply unchanged
+    * (q259).
+    */
+  def windowedAdaptiveHistBufs(
+      stream: DataFrame,
+      value: org.apache.spark.sql.Column,
+      maxBins: Int,
+      groupCols: Seq[String] = Nil,
+      minScale: Int = 0,
+      window_ : String = "1 day",
+      watermark: String = "1 hour"): DataFrame =
+    stream.where(value.isNotNull)
+      .select(col("ts") +: groupCols.map(col) :+ value.cast("double").as("_v"): _*)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_) +: groupCols.map(col): _*)
+      .agg(graft.functions.AdaptiveHist.aggExpr(maxBins, col("_v"), minScale).as("_ah"))
+      .select(col("window.start").as("ws") +: groupCols.map(col) :+ col("_ah"): _*)
+
   /** Streaming Bloom-filter cells — the membership sketch as a running
     * aggregation (an unbounded item feed folds into a FIXED bit budget):
     * per-group (word, bits) rows maintained by `bit_or`, state BOUNDED BY

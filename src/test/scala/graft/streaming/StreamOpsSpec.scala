@@ -152,6 +152,53 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
   }
 
+  test("windowed adaptive-hist bufs: append mode emits exactly the batch cells of each closed day") {
+    val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
+    val bufs = runStream(
+      StreamOps.windowedAdaptiveHistBufs(
+        stream, col("value"), maxBins = 16, Seq("event_type")),
+      "win_ahist", "append")
+    val got = graft.functions.AdaptiveHist.explodeBufs(
+        bufs.select(to_date(col("ws")).as("d"), col("event_type"), col("_ah")),
+        Seq("d", "event_type"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty, "no closed windows emitted")
+    val gotDays = got.map(_._1).toSet
+    val want = graft.functions.AdaptiveHist.cells(
+        batch.withColumn("d", to_date(col("ts"))),
+        col("value"), maxBins = 16, Seq("d", "event_type"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+      .filter(c => gotDays(c._1))
+    assert(got.toSet == want.toSet)
+    val maxDay = batch.agg(max(to_date(col("ts")))).head().getDate(0).toString
+    assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
+  }
+
+  test("windowed adaptive-hist: each window's scale escalates independently") {
+    // day 1 spans [0, 8) — fits 16 bins at scale 0; day 2 spans [0, 4096) —
+    // needs scale 8 (4096/16 = 256 = 2^8). The RUNNING form would hold both
+    // days at the lifetime scale; the windowed form must keep day 1 fine.
+    val d = Files.createTempDirectory("ahist-scales").toString
+    val rows = (0 until 64).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${i % 60}%02d"), (i % 8).toDouble)
+    } ++ (0 until 64).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-02 10:00:${i % 60}%02d"), (i * 64).toDouble)
+    } ++ Seq((java.sql.Timestamp.valueOf("2024-01-04 00:00:00"), 1.0)) // closes both
+    rows.toDF("ts", "value").write.mode("overwrite").parquet(d)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(d).schema).parquet(d)
+    val bufs = runStream(
+      StreamOps.windowedAdaptiveHistBufs(stream, col("value"), maxBins = 16),
+      "win_ahist_sc", "append")
+    val scales = bufs
+      .select(to_date(col("ws")).cast("string"), col("_ah.scale"))
+      .as[(String, Int)].collect().toMap
+    assert(scales.get("2024-01-01").contains(0), s"day 1 scale: $scales")
+    assert(scales.get("2024-01-02").contains(8), s"day 2 scale: $scales")
+  }
+
   test("windowed ES bufs: append mode emits exactly the batch sample of each closed day") {
     val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
     val bufs = runStream(
