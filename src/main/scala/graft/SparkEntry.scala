@@ -6285,6 +6285,32 @@ object SparkEntry {
       .orderBy(col("day"), col("event_type"), col("bin"))
   }
 
+  // q260 — the standing drift monitor on the UNKNOWN-RANGE sketch: q254's
+  // PSI-per-day read-off, but over the windowed ADAPTIVE histogram (q259)
+  // instead of a declared (lo, hi, bins) grid — no range ever has to be
+  // known up front. Different days legitimately drain at different dyadic
+  // scales, so Drift.psiByPeriodAdaptive first rebins every cell to the
+  // coarsest closed-day scale (floorDiv — the AdaptiveHistAgg.merge
+  // discipline, exact by bin-nesting) and then scores q254's exact
+  // integer-ratio PSI on the shared grid. The oracle re-derives per-day
+  // scales, the global target scale, the >> alignment, and every
+  // (p − q)·ln(p/q) term.
+  private def streamAdaptivePsi(s: SparkSession, dir: String): DataFrame = {
+    val bufs = replayStream(s, dir, "append") { ev =>
+      graft.streaming.StreamOps.windowedAdaptiveHistBufs(
+        ev, col("value"), maxBins = 16)
+    }
+    val cells = graft.functions.AdaptiveHist.explodeBufs(
+      bufs.select(to_date(col("ws")).as("day"), col("_ah")), Seq("day"))
+    val cutoff = lit("2024-01-07").cast("date")
+    val ref = cells.filter(col("day") <= cutoff).select("scale", "bin", "cnt")
+    val post = cells.filter(col("day") > cutoff)
+    graft.operators.Drift.psiByPeriodAdaptive(post, "day", ref)
+      .select(col("day"), rnd(col("psi"), 6).as("psi"),
+        when(rnd(col("psi"), 6) > 0.2, 1).otherwise(0).cast("int").as("drifted"))
+      .orderBy(col("day"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6547,7 +6573,8 @@ object SparkEntry {
     "q256_stream_windowed_kmv" -> streamWindowedKmv,
     "q257_stream_windowed_es" -> streamWindowedEs,
     "q258_bloom_saturation" -> bloomSaturation,
-    "q259_stream_windowed_ahist" -> streamWindowedAhist)
+    "q259_stream_windowed_ahist" -> streamWindowedAhist,
+    "q260_adaptive_psi" -> streamAdaptivePsi)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -12062,5 +12089,65 @@ object SparkEntry {
         |  FROM v JOIN sc USING (day, event_type) GROUP BY 1, 2, 3, 4
         |)
         |SELECT day, event_type, scale, bin, CAST(cnt AS BIGINT) AS cnt
-        |FROM cells ORDER BY 1, 2, 4""".stripMargin)
+        |FROM cells ORDER BY 1, 2, 4""".stripMargin,
+    // q260: q259's per-day scale/cell derivation (global, maxBins 16) →
+    // align every closed day's cells to the coarsest scale by arithmetic
+    // shift (DuckDB's >> floors like Java's, and both equal floorDiv by
+    // 2^d) → q254's PSI grid and eps-floored terms verbatim
+    "q260_adaptive_psi" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+        |), v AS (
+        |  SELECT CAST(ts AS DATE) AS day, value
+        |  FROM events, mx
+        |  WHERE value IS NOT NULL
+        |    AND CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY
+        |        <= m - INTERVAL 1 HOUR
+        |), mm AS (
+        |  SELECT day, min(value) AS mn, max(value) AS mx2 FROM v GROUP BY 1
+        |), sc AS (
+        |  SELECT day, CAST(min(s) AS INT) AS scale
+        |  FROM mm, range(0, 1088) t(s)
+        |  WHERE floor(mx2 / power(2.0, s)) - floor(mn / power(2.0, s)) + 1 <= 16
+        |  GROUP BY 1
+        |), cells AS (
+        |  SELECT v.day, sc.scale,
+        |    CAST(floor(v.value / power(2.0, sc.scale)) AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM v JOIN sc USING (day) GROUP BY 1, 2, 3
+        |), tgt AS (
+        |  SELECT max(scale) AS tsc FROM cells
+        |), al AS (
+        |  SELECT day, bin >> (tgt.tsc - scale) AS bin, sum(cnt) AS cnt
+        |  FROM cells, tgt GROUP BY 1, 2
+        |), ref AS (
+        |  SELECT bin, sum(cnt) AS cnt FROM al
+        |  WHERE day <= DATE '2024-01-07' GROUP BY 1
+        |), post AS (
+        |  SELECT day, bin, cnt FROM al WHERE day > DATE '2024-01-07'
+        |), tot AS (
+        |  SELECT day, sum(cnt) AS tp FROM post GROUP BY 1
+        |), rt AS (
+        |  SELECT sum(cnt) AS tr FROM ref
+        |), bins AS (
+        |  SELECT DISTINCT bin
+        |  FROM (SELECT bin FROM post UNION ALL SELECT bin FROM ref)
+        |), grid AS (
+        |  SELECT t.day, b.bin, t.tp, rt.tr,
+        |    coalesce(p.cnt, 0) AS cp, coalesce(r.cnt, 0) AS cr
+        |  FROM tot t CROSS JOIN bins b CROSS JOIN rt
+        |  LEFT JOIN post p ON p.day = t.day AND p.bin = b.bin
+        |  LEFT JOIN ref r ON r.bin = b.bin
+        |), terms AS (
+        |  SELECT day,
+        |    greatest(cp / CAST(tp AS DOUBLE), 1e-6) AS p,
+        |    greatest(cr / CAST(tr AS DOUBLE), 1e-6) AS q
+        |  FROM grid
+        |), psi AS (
+        |  SELECT day, sum((p - q) * ln(p / q)) AS psi FROM terms GROUP BY 1
+        |)
+        |SELECT day, round(psi + 1e-9, 6) AS psi,
+        |  CAST(CASE WHEN round(psi + 1e-9, 6) > 0.2 THEN 1 ELSE 0 END AS INT)
+        |    AS drifted
+        |FROM psi ORDER BY day""".stripMargin)
 }

@@ -75,4 +75,59 @@ object Drift {
       .groupBy(col(periodCol))
       .agg(sum((p - q) * log(p / q)).as("psi"))
   }
+
+  /** [[psiByPeriod]] over ADAPTIVE histogram cells — the align step that
+    * lets the standing monitor ride the unknown-range sketch
+    * ([[graft.functions.AdaptiveHist]] /
+    * `StreamOps.windowedAdaptiveHistBufs`) instead of requiring a declared
+    * (lo, hi, bins). Inputs carry a `scale` column: `cells` =
+    * (periodCol, scale, bin, cnt), `refCells` = (scale, bin, cnt) — each
+    * row's bin is floor(value / 2^scale), and different periods (or a
+    * grown reference) legitimately sit at different scales.
+    *
+    * Alignment is the `AdaptiveHistAgg.merge` discipline: every row rebins
+    * to the COARSEST scale present in either input —
+    * bin' = floorDiv(bin, 2^(target − scale)), counts summed — which is
+    * exact (floorDiv composes: a cell at a finer scale partitions
+    * perfectly into the coarser bins), order-independent, and leaves all
+    * distributions on ONE shared bin grid, the precondition
+    * [[psiByPeriod]]'s contract states. floorDiv by 2^d is an arithmetic
+    * shift; deltas ≥ 63 collapse to the sign bin (0 / −1) explicitly —
+    * Java's `>>` would silently wrap at 64. The PSI read-off is then
+    * [[psiByPeriod]] verbatim, so the determinism contract (exact integer
+    * ratios, one ln per term) carries over, at the resolution cost the
+    * adaptive trade always pays: PSI is scored at the coarsest
+    * contributing scale (when every input sits at one scale already, the
+    * align step is the identity and this equals the fixed-range score —
+    * same bins, counts, and per-term doubles; only the float summation
+    * order can differ at the ulp level — DriftSpec pins it).
+    */
+  def psiByPeriodAdaptive(
+      cells: DataFrame,
+      periodCol: String,
+      refCells: DataFrame,
+      eps: Double = 1e-6): DataFrame = {
+    Seq("scale", "bin", "cnt").foreach { c =>
+      require(cells.columns.contains(c) && refCells.columns.contains(c),
+        s"adaptive cell tables need (scale, bin, cnt): " +
+          s"${cells.columns.toSeq} / ${refCells.columns.toSeq}")
+    }
+    require(!cells.columns.contains("_ts") && !refCells.columns.contains("_ts")
+        && periodCol != "_ts",
+      "psiByPeriodAdaptive's working column '_ts' clashes with an input column")
+    val tgt = cells.select(col("scale"))
+      .unionAll(refCells.select(col("scale")))
+      .agg(max(col("scale")).as("_ts"))
+    def aligned(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val d = col("_ts") - col("scale")
+      val bin2 = when(d >= 63, when(col("bin") < 0, lit(-1L)).otherwise(lit(0L)))
+        .otherwise(expr("shiftright(bin, _ts - scale)"))
+      df.crossJoin(broadcast(tgt)) // 1-row target-scale bind
+        .withColumn("_bin2", bin2)
+        .groupBy((keys :+ "_bin2").map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"))
+        .withColumnRenamed("_bin2", "bin")
+    }
+    psiByPeriod(aligned(cells, Seq(periodCol)), periodCol, aligned(refCells, Nil), eps)
+  }
 }

@@ -87,7 +87,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // bins by declaration, days by the calendar/watermark) plus the 1-row
     // reference-total bind; it runs on drained sketch cells, never on the
     // event stream
-    "q254_stream_psi")
+    "q254_stream_psi",
+    // q260: q254's bounded grid (bins now ≤ maxBins by the adaptive
+    // buffer's construction) plus TWO 1-row binds — the target-scale
+    // aggregate psiByPeriodAdaptive broadcasts onto the ≤ days·maxBins
+    // cell rows, and psiByPeriod's reference total; all drained-cell work
+    "q260_adaptive_psi")
 
   /** Queries allowed to plan an unpartitioned WindowExec — each window
     * provably rides a BOUNDED aggregate frame (cardinality set by the

@@ -68,6 +68,62 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive PSI equals the fixed-range PSI when every input sits at one scale") {
+    import graft.functions.{AdaptiveHist, QuantileSketch}
+    // values in [0, 16): adaptive buffers at minScale 0 never escalate, so
+    // their bins floor(v) coincide with the [0,16)×16 fixed grid — the
+    // align step must be the identity and the scores bit-identical
+    val rnd = new scala.util.Random(41)
+    val rows = for (d <- Seq("d1", "d2"); _ <- 1 to 200)
+      yield (d, rnd.nextDouble() * (if (d == "d1") 15.9 else 9.0))
+    val df = rows.toDF("day", "v")
+    val refDf = (1 to 300).map(_ => rnd.nextDouble() * 12.0).toDF("v")
+    val gotAd = Drift.psiByPeriodAdaptive(
+        AdaptiveHist.cells(df, col("v"), 16, Seq("day")), "day",
+        AdaptiveHist.cells(refDf, col("v"), 16))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gotFx = Drift.psiByPeriod(
+        QuantileSketch.cells(df, col("v"), 0.0, 16.0, 16, Seq("day")), "day",
+        QuantileSketch.cells(refDf, col("v"), 0.0, 16.0, 16))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // same bins, same counts, same per-term doubles; only the float SUM
+    // order differs between the two physical plans (ulp-level)
+    assert(gotAd.keySet == gotFx.keySet)
+    gotAd.foreach { case (d, v) =>
+      assert(math.abs(v - gotFx(d)) < 1e-12, s"$d: adaptive $v vs fixed ${gotFx(d)}")
+    }
+  }
+
+  test("adaptive PSI rebins finer scales by floorDiv to the coarsest present") {
+    // period cells at scale 0, reference at scale 2: the period side must
+    // collapse bins 4-at-a-time (floorDiv) before scoring
+    val cells = Seq(
+      ("d1", 0, 0L, 10L), ("d1", 0, 1L, 20L), ("d1", 0, 4L, 30L), ("d1", 0, 7L, 40L))
+      .toDF("day", "scale", "bin", "cnt")
+    val ref = Seq((2, 0L, 50L), (2, 1L, 50L)).toDF("scale", "bin", "cnt")
+    val got = Drift.psiByPeriodAdaptive(cells, "day", ref)
+      .collect().head.getDouble(1)
+    // hand-aligned: scale-0 bins {0,1}→0 (30), {4,7}→1 (70)
+    val want = Drift.psiByPeriod(
+      Seq(("d1", 0L, 30L), ("d1", 1L, 70L)).toDF("day", "bin", "cnt"), "day",
+      Seq((0L, 50L), (1L, 50L)).toDF("bin", "cnt"))
+      .collect().head.getDouble(1)
+    assert(got == want)
+    assert(got == handPsi(Map(0L -> 30L, 1L -> 70L), Map(0L -> 50L, 1L -> 50L)))
+  }
+
+  test("adaptive PSI: a scale delta >= 63 collapses to the sign bin instead of wrapping") {
+    // Java's >> wraps at 64 (x >> 64 == x); the operator must floorDiv to
+    // 0 / -1 instead
+    val cells = Seq(("d1", 0, 100L, 6L), ("d1", 0, -100L, 4L))
+      .toDF("day", "scale", "bin", "cnt")
+    val ref = Seq((70, 0L, 5L), (70, -1L, 5L)).toDF("scale", "bin", "cnt")
+    val got = Drift.psiByPeriodAdaptive(cells, "day", ref)
+      .collect().head.getDouble(1)
+    val want = handPsi(Map(0L -> 6L, -1L -> 4L), Map(0L -> 5L, -1L -> 5L))
+    assert(math.abs(got - want) < 1e-12, s"got $got want $want")
+  }
+
   test("an empty or all-null reference fails loud instead of scoring garbage") {
     val cells = Seq(("d1", 0L, 40L), ("d1", 1L, 60L)).toDF("day", "bin", "cnt")
     val emptyRef = Seq.empty[(Long, Long)].toDF("bin", "cnt")
