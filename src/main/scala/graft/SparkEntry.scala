@@ -6311,6 +6311,101 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  // q261 — the STANDING-SERVICE CAPSTONE: everything the index tier
+  // provides, composed the way a production 100-TB curation service would
+  // run it. Built once at service start: the corpus signature index, the
+  // frozen-order postings index, and the benchmark BloomIndex (grams +
+  // cells). Then two ticks, each O(batch prep + index probe) — nothing
+  // corpus- or bench-proportional is rebuilt: stage 2 probes the stored
+  // bloom, stage 4 probes the stored postings; after each tick the
+  // signature/postings indexes append row-wise and the TRUE df counts are
+  // maintained MERGEABLY (mergeDfCounts — old slices never re-read).
+  // Finally, BOTH lifecycle monitors read the stored state: the
+  // postings-order drift report (q252's machinery, fed the mergeable df
+  // so its only corpus-proportional term is the volume measurement) and
+  // the bloom saturation report (q258's). Signatures use the portable
+  // md5-slice shingle hash (the signatures hash-convention contract) so
+  // the oracle re-derives the drift volumes exactly; the accepted set is
+  // hash-invariant (distinct-set Jaccard) and equals ONE combined tick by
+  // greedy composability — the oracle recomputes it via q237's
+  // derivation. Output: 11 (metric, value) rows.
+  private def curationService(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, Decontaminate, SimilarityJoin, Pin}
+    import graft.functions.Bloom
+    val docs = t(s, dir, "documents")
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (x80, x90) = (mx * 4 / 5, mx * 9 / 10)
+    val bench = docs.filter(col("doc_id") < x80 && col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") < x80 && col("doc_id") % 50 =!= 0)
+    val b1 = docs.filter(col("doc_id") >= x80 && col("doc_id") < x90)
+    val b2 = docs.filter(col("doc_id") >= x90)
+    def q = TF.qualityScore(col("text"), Stopwords)
+    val mdHash = (sh: Column) => conv(substring(md5(sh), 1, 13), 16, 10).cast("long")
+    val (m, k) = (1 << 17, 4) // fixed for oracle replay; production sizes via Bloom.sizeFor
+    // ---- the stored index tier, built once at service start ----
+    val idx0 = Pin.LocalCheckpoint(
+      Curation.signatures(corpus, "doc_id", "text", "lang", shingleHash = mdHash))
+    val (freq0raw, posts0raw) = Curation.postingsIndex(idx0, "doc_id", "lang")
+    val freq0 = Pin.LocalCheckpoint(freq0raw)
+    val posts0 = Pin.LocalCheckpoint(posts0raw)
+    val bi0 = Decontaminate.benchIndex(bench, "doc_id", "text", n = 4, m = m, k = k)
+    val bi = bi0.copy(
+      grams = Pin.LocalCheckpoint(bi0.grams),
+      bloomCells = Pin.LocalCheckpoint(bi0.bloomCells))
+    // ---- tick 1 ----
+    val acc1 = Pin.LocalCheckpoint(
+      Curation.tickIndexed(idx0, b1, bench, "doc_id", "text", "lang", quality = q,
+        indexPinned = true, corpusPostings = Some((freq0, posts0)),
+        benchIdx = Some(bi), shingleHash = mdHash))
+    val app1 = Pin.LocalCheckpoint(
+      Curation.signatures(acc1, "doc_id", "text", "lang", shingleHash = mdHash))
+    val idx1 = idx0.unionByName(app1)
+    val posts1 = posts0.unionByName(Pin.LocalCheckpoint(
+      Curation.postingsIndex(app1, "doc_id", "lang", frozenFreq = Some(freq0))._2))
+    val freq1 = Pin.LocalCheckpoint(
+      SimilarityJoin.mergeDfCounts(freq0, SimilarityJoin.dfCounts(app1, "_h")))
+    // ---- tick 2 ----
+    val acc2 = Pin.LocalCheckpoint(
+      Curation.tickIndexed(idx1, b2, bench, "doc_id", "text", "lang", quality = q,
+        indexPinned = true, corpusPostings = Some((freq0, posts1)),
+        benchIdx = Some(bi), shingleHash = mdHash))
+    val app2 = Pin.LocalCheckpoint(
+      Curation.signatures(acc2, "doc_id", "text", "lang", shingleHash = mdHash))
+    val idx2 = Pin.LocalCheckpoint(idx1.unionByName(app2))
+    val freq2 = SimilarityJoin.mergeDfCounts(freq1, SimilarityJoin.dfCounts(app2, "_h"))
+    // ---- the two lifecycle monitors over the stored state ----
+    val drift = Curation.indexDriftReport(
+      idx2, "doc_id", "lang", 0.5, freq0, currentFreq = Some(freq2))
+    val sat = Bloom.saturationReport(bi.bloomCells, m, k)
+    // ---- 11-row metric report ----
+    val accepted = acc1.unionByName(acc2).agg(
+      count(lit(1)).cast("double").as("accepted_docs"),
+      coalesce(sum(col("doc_id")), lit(0L)).cast("double").as("accepted_id_sum"),
+      coalesce(sum(greatest(TF.tokenCount(col("text")), lit(0))), lit(0L))
+        .cast("double").as("accepted_toks"))
+    accepted.select(expr(
+        """stack(3,
+          |  'accepted_docs', accepted_docs,
+          |  'accepted_id_sum', accepted_id_sum,
+          |  'accepted_toks', accepted_toks) AS (metric, value)""".stripMargin))
+      .unionByName(drift.select(expr(
+        """stack(4,
+          |  'drift_stored_volume', stored_volume,
+          |  'drift_fresh_volume', fresh_volume,
+          |  'drift_ratio', drift_ratio,
+          |  'drift_recommend_rebuild', CAST(recommend_rebuild AS DOUBLE))
+          |  AS (metric, value)""".stripMargin)))
+      .unionByName(sat.select(expr(
+        """stack(4,
+          |  'bloom_set_bits', CAST(set_bits AS DOUBLE),
+          |  'bloom_fill_ratio', fill_ratio,
+          |  'bloom_effective_fpp', effective_fpp,
+          |  'bloom_recommend_rebuild', CAST(recommend_rebuild AS DOUBLE))
+          |  AS (metric, value)""".stripMargin)))
+      .select(col("metric"), rnd(col("value"), 6).as("value"))
+      .orderBy(col("metric"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6574,7 +6669,8 @@ object SparkEntry {
     "q257_stream_windowed_es" -> streamWindowedEs,
     "q258_bloom_saturation" -> bloomSaturation,
     "q259_stream_windowed_ahist" -> streamWindowedAhist,
-    "q260_adaptive_psi" -> streamAdaptivePsi)
+    "q260_adaptive_psi" -> streamAdaptivePsi,
+    "q261_curation_service" -> curationService)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -6593,7 +6689,7 @@ object SparkEntry {
     * 9+ docs; the gate corpora measure depth ≤ 1, and a deeper graph would
     * fail the compare loudly (extra rows), never pass silently.
     */
-  private def curationTickOracleSql: String = {
+  private def curationTickCtes: String = {
     val rounds = (1 to 8).map { k =>
       val p = k - 1
       s""", rej$k AS MATERIALIZED (
@@ -6673,12 +6769,15 @@ object SparkEntry {
        |  WHERE len(x.s) > 0 AND len(y.s) > 0
        |    AND len(list_intersect(x.s, y.s))::DOUBLE
        |      / len(list_distinct(x.s || y.s)) >= 0.5
-       |)$rounds, r2 AS ($rejUnion)
-       |SELECT doc_id, lang, toks FROM s3
-       |WHERE doc_id NOT IN (SELECT doc_id FROM r1)
-       |  AND doc_id NOT IN (SELECT b FROM r2)
-       |ORDER BY doc_id""".stripMargin
+       |)$rounds, r2 AS ($rejUnion), acc AS (
+       |  SELECT doc_id, lang, toks FROM s3
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM r1)
+       |    AND doc_id NOT IN (SELECT b FROM r2)
+       |)""".stripMargin
   }
+
+  private def curationTickOracleSql: String =
+    s"$curationTickCtes SELECT doc_id, lang, toks FROM acc ORDER BY doc_id"
 
   private def qualitySqlExpr(textCol: String): String =
     s"""CASE WHEN trim($textCol) = '' THEN 0.3 ELSE round(
@@ -12149,5 +12248,98 @@ object SparkEntry {
         |SELECT day, round(psi + 1e-9, 6) AS psi,
         |  CAST(CASE WHEN round(psi + 1e-9, 6) > 0.2 THEN 1 ELSE 0 END AS INT)
         |    AS drifted
-        |FROM psi ORDER BY day""".stripMargin)
+        |FROM psi ORDER BY day""".stripMargin,
+    // q261: three oracle machineries composed — the accepted set is q237's
+    // combined-tick derivation (greedy composability: two ticks ≡ one; the
+    // CTE chain is shared code with q237/q248), the drift volumes are
+    // q252's integer prefix forms over the FINAL index's md5-slice shingle
+    // hashes (stored order = corpus-built df with absent elements at df 0,
+    // fresh = full-index df; lang is the block key), and the bloom report
+    // is q258's bit arithmetic over the benchmark grams at m = 2^17, k = 4
+    "q261_curation_service" -> (curationTickCtes +
+      """, accm AS (
+        |  SELECT 'accepted_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM acc
+        |  UNION ALL
+        |  SELECT 'accepted_id_sum', CAST(coalesce(sum(doc_id), 0) AS DOUBLE) FROM acc
+        |  UNION ALL
+        |  SELECT 'accepted_toks', CAST(coalesce(sum(toks), 0) AS DOUBLE) FROM acc
+        |), fidx AS (
+        |  SELECT doc_id, lang, text FROM corpus
+        |  UNION ALL
+        |  SELECT s.doc_id, s.lang, s.text FROM s3 s
+        |  WHERE s.doc_id IN (SELECT doc_id FROM acc)
+        |), fsh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(t) - 3),
+        |      i -> substr(t, CAST(i AS INT), 5))) AS shset
+        |  FROM (SELECT doc_id, lang,
+        |          lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t FROM fidx)
+        |  WHERE len(t) >= 5
+        |), el AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(sh), 1, 13)) AS BIGINT) AS h
+        |  FROM fsh, unnest(shset) u(sh)
+        |  GROUP BY 1, 2, 3
+        |), stored AS (
+        |  SELECT h, count(*) AS df FROM el
+        |  WHERE doc_id < (SELECT max(doc_id) * 4 // 5 FROM documents)
+        |  GROUP BY 1
+        |), fresh AS (
+        |  SELECT h, count(*) AS df FROM el GROUP BY 1
+        |), rs AS (
+        |  SELECT e.doc_id, e.lang, e.h,
+        |    row_number() OVER (PARTITION BY e.doc_id
+        |                       ORDER BY coalesce(s.df, 0), e.h) AS pos,
+        |    count(*) OVER (PARTITION BY e.doc_id) AS sz
+        |  FROM el e LEFT JOIN stored s USING (h)
+        |), rf AS (
+        |  SELECT e.doc_id, e.lang, e.h,
+        |    row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.h) AS pos,
+        |    count(*) OVER (PARTITION BY e.doc_id) AS sz
+        |  FROM el e JOIN fresh f USING (h)
+        |), vs AS (
+        |  SELECT CAST(coalesce(sum(ni * np), 0) AS DOUBLE) / 2 AS v FROM (
+        |    SELECT h, lang, count(*) AS np,
+        |      count(*) FILTER (WHERE pos <= sz - ((2 * sz + 2) // 3) + 1) AS ni
+        |    FROM rs WHERE pos <= sz // 2 + 1 GROUP BY 1, 2)
+        |), vf AS (
+        |  SELECT CAST(coalesce(sum(ni * np), 0) AS DOUBLE) / 2 AS v FROM (
+        |    SELECT h, lang, count(*) AS np,
+        |      count(*) FILTER (WHERE pos <= sz - ((2 * sz + 2) // 3) + 1) AS ni
+        |    FROM rf WHERE pos <= sz // 2 + 1 GROUP BY 1, 2)
+        |), dr AS (
+        |  SELECT vs.v AS sv, vf.v AS fv,
+        |    CASE WHEN vf.v > 0 THEN vs.v / vf.v
+        |         WHEN vs.v > 0 THEN CAST('infinity' AS DOUBLE)
+        |         ELSE CAST(1.0 AS DOUBLE) END AS ratio
+        |  FROM vs, vf
+        |), driftm AS (
+        |  SELECT 'drift_stored_volume' AS metric, sv AS value FROM dr
+        |  UNION ALL SELECT 'drift_fresh_volume', fv FROM dr
+        |  UNION ALL SELECT 'drift_ratio', ratio FROM dr
+        |  UNION ALL SELECT 'drift_recommend_rebuild',
+        |    CASE WHEN ratio >= 2.0 THEN 1.0 ELSE 0.0 END FROM dr
+        |), bpos AS (
+        |  SELECT (CAST(concat('0x', substr(md5(g), 1, 13)) AS BIGINT)
+        |        + i * CAST(concat('0x', substr(md5(g), 14, 13)) AS BIGINT))
+        |        % 131072 AS p
+        |  FROM benchg, unnest(range(0, 4)) t(i)
+        |), bcells AS (
+        |  SELECT CAST(p // 32 AS INT) AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        |  FROM bpos GROUP BY 1
+        |), bfin AS (
+        |  SELECT set_bits, CAST(set_bits AS DOUBLE) / 131072 AS f
+        |  FROM (SELECT sum(bit_count(bits)) AS set_bits FROM bcells)
+        |), bloomm AS (
+        |  SELECT 'bloom_set_bits' AS metric, CAST(set_bits AS DOUBLE) AS value FROM bfin
+        |  UNION ALL SELECT 'bloom_fill_ratio', f FROM bfin
+        |  UNION ALL SELECT 'bloom_effective_fpp', f * f * f * f FROM bfin
+        |  UNION ALL SELECT 'bloom_recommend_rebuild',
+        |    CASE WHEN f * f * f * f >= 0.02 THEN 1.0 ELSE 0.0 END FROM bfin
+        |)
+        |SELECT metric, round(value + 1e-9, 6) AS value
+        |FROM (SELECT * FROM accm UNION ALL SELECT * FROM driftm
+        |      UNION ALL SELECT * FROM bloomm)
+        |ORDER BY metric""".stripMargin))
 }

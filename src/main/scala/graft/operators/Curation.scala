@@ -106,26 +106,35 @@ object Curation {
   /** The per-doc curation SIGNATURE projection — everything a tick ever
     * reads from the standing corpus: (`idCol`, `langCol`, `_dg` = sha256
     * content digest for the exact-dedup stage, `_h` = sorted distinct
-    * xxhash64 char-`shingleN`-gram hashes for the near-dup stage). This is
+    * char-`shingleN`-gram hashes for the near-dup stage). This is
     * the tick's PERSISTABLE INDEX: write it as parquet once, and every
     * subsequent [[tickIndexed]] probes it without re-reading or
     * re-shingling a byte of corpus TEXT — tick cost becomes
     * O(batch prep + index probe) instead of O(corpus re-prep). Appending is
     * row-wise (`index.unionByName(signatures(accepted))`), so the index
     * stays exact under the tick loop by construction.
+    *
+    * `shingleHash` is the gram → 64-bit-hash convention — PART OF THE
+    * INDEX CONTRACT like `shingleN` (all slices and all tick batches must
+    * use one). Default xxhash64 (codegen'd, fastest); pass the portable
+    * 52-bit md5-slice form when a second engine must re-derive the element
+    * sets (the q252 oracle convention). Distinct-set Jaccard is
+    * hash-invariant modulo collisions, so the accepted output does not
+    * depend on the choice.
     */
   def signatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
       langCol: String,
-      shingleN: Int = 5): DataFrame =
+      shingleN: Int = 5,
+      shingleHash: Column => Column = xxhash64(_)): DataFrame =
     df.select(
       col(idCol), col(langCol),
       sha2(col(textCol), 256).as("_dg"),
       sort_array(array_distinct(
         transform(TextFunctions.charShingles(col(textCol), shingleN),
-          x => xxhash64(x)))).as("_h"))
+          shingleHash))).as("_h"))
 
   /** The POSTINGS half of the persistable tick index — what stops the
     * similarity stage rebuilding document frequencies and corpus prefix
@@ -215,12 +224,13 @@ object Curation {
       shingleN: Int = 5,
       tau: Double = 0.5,
       pin: Pin = Pin.LocalCheckpoint,
-      strategy: SimilarityStrategy = SimilarityStrategy.Auto): DataFrame =
+      strategy: SimilarityStrategy = SimilarityStrategy.Auto,
+      shingleHash: Column => Column = xxhash64(_)): DataFrame =
     tickIndexed(
-      signatures(corpus, idCol, textCol, langCol, shingleN),
+      signatures(corpus, idCol, textCol, langCol, shingleN, shingleHash),
       batch, bench, idCol, textCol, langCol, quality,
       minQuality, decontN, decontShared, shingleN, tau, pin,
-      strategy = strategy)
+      strategy = strategy, shingleHash = shingleHash)
 
   /** [[tick]] against a prebuilt corpus signature `index` (the
     * [[signatures]] schema) instead of the corpus itself — the production
@@ -288,7 +298,8 @@ object Curation {
       corpusPostings: Option[(DataFrame, DataFrame)] = None,
       strategy: SimilarityStrategy = SimilarityStrategy.Auto,
       stageHook: (String, DataFrame) => DataFrame = (_, df) => df,
-      benchIdx: Option[Decontaminate.BenchIndex] = None): DataFrame = {
+      benchIdx: Option[Decontaminate.BenchIndex] = None,
+      shingleHash: Column => Column = xxhash64(_)): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1]: $tau")
     require(minQuality >= 0.0, s"minQuality must be non-negative: $minQuality")
     require(idCol != "_cid", "idCol '_cid' clashes with the tick's working column")
@@ -328,9 +339,11 @@ object Curation {
         dg === col("_ctext"), "left_anti")))
 
     // stage 4 — near-dup: shingle the batch survivors once (column pruning
-    // drops the signature digest — only `_h` is computed here)...
+    // drops the signature digest — only `_h` is computed here). The hash
+    // convention must match the index build's (`shingleHash` — a contract
+    // like shingleN; no error is possible from the hashes alone)...
     val batchSh = stageHook("batch_signatures",
-      pin(signatures(s3, idCol, textCol, langCol, shingleN).drop("_dg")))
+      pin(signatures(s3, idCol, textCol, langCol, shingleN, shingleHash).drop("_dg")))
     // ...reject any batch doc matching the standing corpus (corpus docs
     // outrank every batch doc — cost-based cross-frame join, lang-blocked,
     // corpus side straight from the index, postings straight from the

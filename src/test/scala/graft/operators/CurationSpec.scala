@@ -282,6 +282,25 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("decontN"))
   }
 
+  test("the shingle-hash convention does not change the accepted set") {
+    // distinct-set Jaccard is hash-invariant (modulo collisions), so the
+    // portable md5-slice convention the oracle-replayable capstone uses
+    // must accept exactly the docs the default xxhash64 index accepts
+    val (corpus, batch) = mutationCorpus(83)
+    val mdHash = (sh: org.apache.spark.sql.Column) =>
+      conv(substring(md5(sh), 1, 13), 16, 10).cast("long")
+    def run(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Curation.tickIndexed(
+        Curation.signatures(corpus.toDF("doc_id", "lang", "text"),
+          "doc_id", "text", "lang", shingleHash = h),
+        batch.toDF("doc_id", "lang", "text"),
+        Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0, tau = 0.5,
+        shingleHash = h)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(run(xxhash64(_)) == run(mdHash))
+  }
+
   test("index delete contract: removing a corpus doc re-admits its blocked near-dup") {
     // takedowns are routine: the documented recipe is an anti-join of BOTH
     // index halves on the removed ids; freq stays frozen (staleness, not
