@@ -190,7 +190,21 @@ object Bench {
     // per-tick postings rebuild)
     "q248_indexed_ticks" -> 15.700,
     // round-8 additions (r8 sf0.1 measurements, BASELINE.md §3g)
-    "q249_adaptive_quantiles" -> 1.521, "q250_stream_weighted_sample" -> 1.619)
+    "q249_adaptive_quantiles" -> 1.521, "q250_stream_weighted_sample" -> 1.619,
+    // round-9 additions (BASELINE.md §3h quiet-box measurements): the
+    // windowed sketch tier + the two index monitors; q252 runs two
+    // postings builds by design (monitoring cadence, not per tick)
+    "q251_stream_adaptive_hist" -> 1.817, "q252_index_drift" -> 6.365,
+    "q253_bloom_decontaminate" -> 1.765, "q254_stream_psi" -> 2.268,
+    "q255_stream_windowed_cms" -> 2.059, "q256_stream_windowed_kmv" -> 2.417,
+    "q257_stream_windowed_es" -> 3.380,
+    // round-10 additions (r10 sf0.1 measurements, BASELINE.md §3i): q261
+    // is the standing-service capstone — q248's two-tick indexed loop PLUS
+    // the bloom index tier and BOTH lifecycle monitors (the drift report
+    // alone is two postings builds, the q252 cost), so it is the heaviest
+    // query in the catalog by design
+    "q258_bloom_saturation" -> 0.563, "q259_stream_windowed_ahist" -> 1.506,
+    "q260_adaptive_psi" -> 2.357, "q261_curation_service" -> 18.994)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -248,8 +262,15 @@ object Bench {
     // SPARK_GRAFT_BENCH_RUNS=1: scale-validation mode (e.g. a one-off sf1
     // sweep) — single timed run, no baseline-triggered retries (the sf0.1
     // baselines are meaningless at another scale and would trigger the
-    // settle+rerun path on every query).
+    // settle+rerun path on every query). Queries whose single run exceeds
+    // SPARK_GRAFT_BENCH_HEAVY_RERUN_SEC (default 10 s; 0 disables) are
+    // re-run once and the MIN recorded: in-sweep heavies carry up to 4×
+    // ambient GC/cleaner variance (r9 sf1: q180 178.7 s in-sweep vs
+    // 42.9 s standalone), and min-of-2 on just the heavy tail removes the
+    // need for manual standalone rechecks at ~5% added sweep cost.
     val singleRun = sys.env.get("SPARK_GRAFT_BENCH_RUNS").contains("1")
+    val heavyRerunSec = sys.env.get("SPARK_GRAFT_BENCH_HEAVY_RERUN_SEC")
+      .map(_.toDouble).getOrElse(10.0)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         // snapshot the persistent-RDD ids BEFORE the query so the sweep
@@ -273,7 +294,10 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         dt
       }
-      if (singleRun) { name -> once() } else {
+      if (singleRun) {
+        val t1 = once()
+        name -> (if (heavyRerunSec > 0 && t1 >= heavyRerunSec) math.min(t1, once()) else t1)
+      } else {
       val two = Seq(once(), once())
       // ambient host contention occasionally inflates BOTH samples of one
       // query 10-80x; when the two samples disagree wildly, buy one more

@@ -23,13 +23,17 @@ object TextFunctions {
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Mean token length in characters; null for empty docs. */
-  def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(null))
-      .otherwise(
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
-  }
+  /** Mean token length in characters; null for empty docs. The split is
+    * bindOnce-bound: referenced three times in the expression tree, an
+    * unbound split would rely on codegen subexpression elimination to
+    * avoid re-tokenizing per reference (r10 bindOnce audit).
+    */
+  def meanTokenLength(text: Column): Column =
+    bindOnce(tokens(text)) { toks =>
+      when(size(toks) === 0, lit(null))
+        .otherwise(
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+    }
 
   /** Ratio of non-alphanumeric, non-space characters (punctuation/symbols). */
   def punctRatio(text: Column): Column =

@@ -15,6 +15,13 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out == Seq(3, 1, 0, 0))
   }
 
+  test("meanTokenLength averages characters per token, null on empty docs") {
+    val df = Seq("ab cdef", "xyz", "", "  ").toDF("t")
+    val out = df.select(TF.meanTokenLength(col("t")).as("m"))
+      .as[Option[Double]].collect().toSeq
+    assert(out == Seq(Some(3.0), Some(3.0), None, None))
+  }
+
   test("charShingles slides over the normalized text") {
     val df = Seq("AB  cd").toDF("t") // normalized: "ab cd" (5 chars)
     val out = df.select(TF.charShingles(col("t"), 3).as("s"))
