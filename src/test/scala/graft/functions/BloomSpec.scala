@@ -37,10 +37,11 @@ class BloomSpec extends AnyFunSuite {
     val cells64 = Bloom.cells(members.toDF("g"), col("g"), 64, 3)
     val fpTiny = Bloom.positiveItems(cells64, nonMembers.toDF("g"), "g", 64, 3).count()
     assert(fpTiny > 0, "a 64-bit filter over 300 items must saturate")
-    // m = 16·n bits at k = 3 → theoretical fpr ~0.4%; allow generous slack
-    val m = 300 * 16
-    val cells = Bloom.cells(members.toDF("g"), col("g"), m, 3)
-    val fp = Bloom.positiveItems(cells, nonMembers.toDF("g"), "g", m, 3).count()
+    // sized by the rule callers should use: sizeFor(n, target) — 0.5%
+    // design fpr; allow generous slack over the theoretical rate
+    val (m, k) = Bloom.sizeFor(members.size.toLong, 0.005)
+    val cells = Bloom.cells(members.toDF("g"), col("g"), m, k)
+    val fp = Bloom.positiveItems(cells, nonMembers.toDF("g"), "g", m, k).count()
     assert(fp < nonMembers.size * 0.05, s"fpr ${fp.toDouble / nonMembers.size}")
   }
 

@@ -259,13 +259,16 @@ class CurationSpec extends AnyFunSuite {
     val idx = Curation.signatures(
       corpus.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang")
       .localCheckpoint()
-    val built = Decontaminate.benchIndex(bench, "doc_id", "text", n = 4, m = 1 << 14, k = 4)
+    // sized the way a production caller would: expected gram budget +
+    // target fpp through Bloom.sizeFor (VERDICT r9 item 7 migration)
+    val (m, k) = graft.functions.Bloom.sizeFor(64L, 0.01)
+    val built = Decontaminate.benchIndex(bench, "doc_id", "text", n = 4, m = m, k = k)
     val dir = java.nio.file.Files.createTempDirectory("bench_idx").toString
     built.grams.write.mode("overwrite").parquet(s"$dir/grams")
     built.bloomCells.write.mode("overwrite").parquet(s"$dir/cells")
     val bi = Decontaminate.BenchIndex(
       spark.read.parquet(s"$dir/grams"), spark.read.parquet(s"$dir/cells"),
-      "doc_id", 4, 1 << 14, 4)
+      "doc_id", 4, m, k)
     def run(b: Option[Decontaminate.BenchIndex]) = Curation.tickIndexed(
         idx, batch.toDF("doc_id", "lang", "text"), bench, "doc_id", "text", "lang",
         quality = lit(1.0), minQuality = 0.0, tau = 0.5, benchIdx = b)
