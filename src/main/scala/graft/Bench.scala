@@ -204,7 +204,8 @@ object Bench {
     // alone is two postings builds, the q252 cost), so it is the heaviest
     // query in the catalog by design
     "q258_bloom_saturation" -> 0.563, "q259_stream_windowed_ahist" -> 1.506,
-    "q260_adaptive_psi" -> 2.357, "q261_curation_service" -> 18.994)
+    "q260_adaptive_psi" -> 2.357, "q261_curation_service" -> 18.994,
+    "q262_stream_windowed_bloom" -> 1.440)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6406,6 +6406,25 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  // q262 — WINDOWED streaming Bloom cells (the membership sketch joins
+  // the event-time-window matrix as its seventh member): per closed day
+  // one ≤ ⌈m/32⌉-row (word, bits) filter over that day's user set,
+  // watermark-evicted in append mode — "each day's membership filter as
+  // a stored artifact": per-day filters probe independently, OR-merge
+  // into weeks/months losslessly (merge ≡ whole-data build), and keep
+  // the one-sidedness contract per window. The oracle re-derives every
+  // day's cells with q253's pure-integer double-hash arithmetic under
+  // the q241 closure predicate.
+  private def streamWindowedBloom(s: SparkSession, dir: String): DataFrame = {
+    val cells = replayStream(s, dir, "append") { ev =>
+      graft.streaming.StreamOps.windowedBloomCells(
+        ev.filter(col("user_id").isNotNull),
+        col("user_id").cast("string"), m = 1 << 12, k = 4)
+    }
+    cells.select(to_date(col("ws")).as("day"), col("word"), col("bits"))
+      .orderBy(col("day"), col("word"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6670,7 +6689,8 @@ object SparkEntry {
     "q258_bloom_saturation" -> bloomSaturation,
     "q259_stream_windowed_ahist" -> streamWindowedAhist,
     "q260_adaptive_psi" -> streamAdaptivePsi,
-    "q261_curation_service" -> curationService)
+    "q261_curation_service" -> curationService,
+    "q262_stream_windowed_bloom" -> streamWindowedBloom)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -12341,5 +12361,26 @@ object SparkEntry {
         |SELECT metric, round(value + 1e-9, 6) AS value
         |FROM (SELECT * FROM accm UNION ALL SELECT * FROM driftm
         |      UNION ALL SELECT * FROM bloomm)
-        |ORDER BY metric""".stripMargin))
+        |ORDER BY metric""".stripMargin),
+    // q262: q253's double-hash position arithmetic per closed day
+    // (OR over a multiset ≡ over the set — bit_or is idempotent, so no
+    // distinct is needed on either side) under the q241 closure predicate
+    "q262_stream_windowed_bloom" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+        |), pos AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    (CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |   + i * CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 14, 13)) AS BIGINT))
+        |   % 4096 AS p
+        |  FROM events, unnest(range(0, 4)) t(i)
+        |  WHERE user_id IS NOT NULL
+        |), cells AS (
+        |  SELECT day, CAST(p // 32 AS INT) AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        |  FROM pos GROUP BY 1, 2
+        |)
+        |SELECT c.day, c.word, c.bits FROM cells c, mx
+        |WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+        |ORDER BY 1, 2""".stripMargin)
 }

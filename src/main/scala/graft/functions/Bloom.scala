@@ -100,6 +100,10 @@ object Bloom {
     require(maxFpp > 0.0 && maxFpp < 1.0, s"maxFpp must be in (0, 1): $maxFpp")
     require(cellsDf.columns.contains("word") && cellsDf.columns.contains("bits"),
       s"cells frame needs (word, bits) — build it with Bloom.cells: ${cellsDf.columns.toSeq}")
+    val clash = Set("set_bits", "fill_ratio", "effective_fpp", "recommend_rebuild")
+      .intersect(groupCols.toSet)
+    require(clash.isEmpty,
+      s"saturationReport's output columns clash with groupCols: $clash — rename them first")
     val grouped =
       if (groupCols.isEmpty) cellsDf.groupBy()
       else cellsDf.groupBy(groupCols.map(col): _*)

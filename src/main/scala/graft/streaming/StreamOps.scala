@@ -664,6 +664,37 @@ object StreamOps {
       groupCols: Seq[String] = Nil): DataFrame =
     graft.functions.Bloom.cells(stream, item, m, k, groupCols)
 
+  /** WINDOWED streaming Bloom cells — the membership sketch joins the
+    * event-time-window matrix (its seventh member, after the six
+    * frequency/distinct/order-statistics/sample cells): per tumbling
+    * window one ≤ ⌈m/32⌉-row (word, bits) filter over the window's item
+    * set, watermark-closed in append mode — state = (open windows) ·
+    * ⌈m/32⌉ cells, old windows evict, unlike the running [[bloomCells]]
+    * whose single filter absorbs forever by design. The ask it answers:
+    * "give me each day's membership filter as a stored artifact" —
+    * per-day filters probe independently
+    * ([[graft.functions.Bloom.positiveItems]] with `ws` in groupCols),
+    * OR-merge into coarser periods losslessly (merge ≡ whole-data build),
+    * and inherit the one-sidedness contract per window. Returns
+    * (ws = window start, word, bits).
+    */
+  def windowedBloomCells(
+      stream: DataFrame,
+      item: org.apache.spark.sql.Column,
+      m: Int,
+      k: Int,
+      window_ : String = "1 day",
+      watermark: String = "1 hour"): DataFrame =
+    stream.where(item.isNotNull)
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(graft.functions.Bloom.positions(item, m, k)).as("_pos"))
+      .select(col("ts"),
+        (col("_pos") / 32).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 32 AS INT))").as("_mask"))
+      .groupBy(window(col("ts"), window_), col("word"))
+      .agg(expr("bit_or(_mask)").as("bits"))
+      .select(col("window.start").as("ws"), col("word"), col("bits"))
+
   /** Streaming trend detection (the VEG adjacent-period comparison as a
     * stateful operator): per (event_type) group, compare each micro-batch's
     * day-average against the previous day's retained in state and emit

@@ -152,5 +152,8 @@ class BloomSpec extends AnyFunSuite {
       .select("set_bits", "recommend_rebuild").as[(Long, Boolean)].collect().head
     assert(r0 == ((0L, false)))
     intercept[IllegalArgumentException] { Bloom.saturationReport(sized, m, k, maxFpp = 0.0) }
+    intercept[IllegalArgumentException] {
+      Bloom.saturationReport(sized, m, k, groupCols = Seq("fill_ratio"))
+    }
   }
 }

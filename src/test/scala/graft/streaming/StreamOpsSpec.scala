@@ -199,6 +199,47 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(scales.get("2024-01-02").contains(8), s"day 2 scale: $scales")
   }
 
+  test("windowed bloom cells: append mode emits exactly the batch filter of each closed day") {
+    val m = 1 << 11
+    val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
+    val got = runStream(
+        StreamOps.windowedBloomCells(
+          stream.filter(col("user_id").isNotNull),
+          col("user_id").cast("string"), m, 4),
+        "win_bloom", "append")
+      .select(to_date(col("ws")).as("d"), col("word"), col("bits"))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(got.nonEmpty, "no closed windows emitted")
+    val gotDays = got.map(_._1).toSet
+    val want = graft.functions.Bloom.cells(
+        batch.filter(col("user_id").isNotNull).withColumn("d", to_date(col("ts"))),
+        col("user_id").cast("string"), m, 4, Seq("d"))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+      .filter(c => gotDays(c._1))
+    assert(got.toSet == want.toSet)
+    val maxDay = batch.agg(max(to_date(col("ts")))).head().getDate(0).toString
+    assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
+    // per-day one-sidedness: every day's users are positive against that
+    // day's drained filter (probe with ws in groupCols)
+    val gotCells = spark.createDataFrame(
+      spark.sparkContext.parallelize(got.toSeq.map {
+        case (d, w, b) => org.apache.spark.sql.Row(d, w, b) }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bits",
+          org.apache.spark.sql.types.LongType))))
+    val dayUsers = batch.filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).cast("string").as("d"),
+        col("user_id").cast("string").as("u"))
+      .where(col("d").isin(gotDays.toSeq: _*)).distinct()
+    val pos = graft.functions.Bloom
+      .positiveItems(gotCells, dayUsers, "u", m, 4, Seq("d")).count()
+    assert(pos == dayUsers.count(), "a member fell out of its day's filter")
+  }
+
   test("windowed ES bufs: append mode emits exactly the batch sample of each closed day") {
     val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
     val bufs = runStream(
