@@ -6095,7 +6095,7 @@ object SparkEntry {
     val sigs = t(s, dir, "documents")
       .select(col("doc_id"),
         sort_array(array_distinct(transform(TF.charShingles(col("text"), 5),
-          sh => conv(substring(md5(sh), 1, 13), 16, 10).cast("long")))).as("_h"))
+          sh => graft.functions.Kmv.hash(sh)))).as("_h"))
       .filter(size(col("_h")) > 0)
       // read 4× (stored freq + fresh freq + two postings builds)
       .localCheckpoint()
@@ -6119,8 +6119,9 @@ object SparkEntry {
   // per corpus doc: bloom-positive distinct grams (cand_grams) vs the
   // exact shared count (shared_grams) — cand ≥ shared ALWAYS (the
   // one-sidedness contract), and the oracle re-derives cells, membership,
-  // and both counts bit-identically (pure integer arithmetic). m is sized
-  // for the gate SFs; production sizes m ≈ 1.44·k·n/ln2 per the scaladoc.
+  // and both counts bit-identically (pure integer arithmetic). m is
+  // PINNED for the gate SFs (the oracle must replay the cells);
+  // production callers size via Bloom.sizeFor(n, targetFpp).
   private def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Bloom
     import graft.operators.Decontaminate
@@ -6340,7 +6341,9 @@ object SparkEntry {
     val b1 = docs.filter(col("doc_id") >= x80 && col("doc_id") < x90)
     val b2 = docs.filter(col("doc_id") >= x90)
     def q = TF.qualityScore(col("text"), Stopwords)
-    val mdHash = (sh: Column) => conv(substring(md5(sh), 1, 13), 16, 10).cast("long")
+    // the canonical portable 52-bit md5-slice convention — ONE definition
+    // (Kmv.hash) shared with every sketch oracle, not re-rolled here
+    val mdHash = (sh: Column) => graft.functions.Kmv.hash(sh)
     val (m, k) = (1 << 17, 4) // fixed for oracle replay; production sizes via Bloom.sizeFor
     // ---- the stored index tier, built once at service start ----
     val idx0 = Pin.LocalCheckpoint(

@@ -132,7 +132,12 @@ object Bloom {
       }
     }
 
-  private def checkParams(m: Int, k: Int): Unit = {
+  /** Shared (m, k) validation — private[graft] so every entry point that
+    * hashes positions (including the windowed streaming form in
+    * StreamOps) fails loud on the same contract: an unguarded k = 0 turns
+    * `sequence(0, -1)` into [0, -1] and emits silently corrupt cells.
+    */
+  private[graft] def checkParams(m: Int, k: Int): Unit = {
     require(m >= 32, s"m must be at least one 32-bit word: $m")
     require(k >= 1 && k <= 64, s"k out of range: $k")
   }

@@ -175,7 +175,12 @@ object Decontaminate {
       .positiveItems(bloomCells, corpusGrams, "g", m, k)
     corpusGrams
       .join(broadcast(candidates), Seq("g"), "left_semi")
-      .join(benchGrams.select(col("g")).distinct(), Seq("g")) // exact verify
+      // exact verify as a SEMI join: membership only — no distinct pass
+      // over the id-keyed gram table, and a gram held by several bench
+      // docs can't multiply candidate rows (count_distinct would absorb
+      // duplicates, but a standing service shouldn't re-aggregate the
+      // bench side every tick to begin with)
+      .join(benchGrams.select(col("g")), Seq("g"), "left_semi")
       .groupBy(col(idCol))
       .agg(count_distinct(col("g")).as("shared_grams"))
   }

@@ -112,9 +112,12 @@ object Drift {
         s"adaptive cell tables need (scale, bin, cnt): " +
           s"${cells.columns.toSeq} / ${refCells.columns.toSeq}")
     }
-    require(!cells.columns.contains("_ts") && !refCells.columns.contains("_ts")
-        && periodCol != "_ts",
-      "psiByPeriodAdaptive's working column '_ts' clashes with an input column")
+    val workingAd = Set("_ts", "_bin2")
+    val clashAd = workingAd.intersect(
+      cells.columns.toSet ++ refCells.columns.toSet + periodCol)
+    require(clashAd.isEmpty,
+      s"psiByPeriodAdaptive's working columns clash with input columns: $clashAd — " +
+        "rename them first")
     val tgt = cells.select(col("scale"))
       .unionAll(refCells.select(col("scale")))
       .agg(max(col("scale")).as("_ts"))

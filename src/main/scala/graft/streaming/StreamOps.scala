@@ -684,7 +684,13 @@ object StreamOps {
       m: Int,
       k: Int,
       window_ : String = "1 day",
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour"): DataFrame = {
+    // same fail-loud contract as every batch Bloom entry point — an
+    // unguarded (m, k) would emit silently corrupt cells (negative
+    // positions truncate to the wrong word and wrap the shift)
+    graft.functions.Bloom.checkParams(m, k)
+    // the word/mask packing mirrors Bloom.cells (the window() grouping
+    // expression is why this can't delegate to it directly)
     stream.where(item.isNotNull)
       .withWatermark("ts", watermark)
       .select(col("ts"), explode(graft.functions.Bloom.positions(item, m, k)).as("_pos"))
@@ -694,6 +700,7 @@ object StreamOps {
       .groupBy(window(col("ts"), window_), col("word"))
       .agg(expr("bit_or(_mask)").as("bits"))
       .select(col("window.start").as("ws"), col("word"), col("bits"))
+  }
 
   /** Streaming trend detection (the VEG adjacent-period comparison as a
     * stateful operator): per (event_type) group, compare each micro-batch's

@@ -290,8 +290,7 @@ class CurationSpec extends AnyFunSuite {
     // portable md5-slice convention the oracle-replayable capstone uses
     // must accept exactly the docs the default xxhash64 index accepts
     val (corpus, batch) = mutationCorpus(83)
-    val mdHash = (sh: org.apache.spark.sql.Column) =>
-      conv(substring(md5(sh), 1, 13), 16, 10).cast("long")
+    val mdHash = (sh: org.apache.spark.sql.Column) => graft.functions.Kmv.hash(sh)
     def run(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
       Curation.tickIndexed(
         Curation.signatures(corpus.toDF("doc_id", "lang", "text"),

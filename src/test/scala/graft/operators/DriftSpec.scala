@@ -66,6 +66,15 @@ class DriftSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Drift.psiByPeriod(ok.withColumnRenamed("day", "_tp"), "_tp", ref)
     }
+    // the adaptive form's own working columns are reserved too
+    val okAd = Seq(("d", 0, 0L, 1L)).toDF("day", "scale", "bin", "cnt")
+    val refAd = Seq((0, 0L, 1L)).toDF("scale", "bin", "cnt")
+    intercept[IllegalArgumentException] {
+      Drift.psiByPeriodAdaptive(okAd.withColumnRenamed("day", "_bin2"), "_bin2", refAd)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.psiByPeriodAdaptive(okAd, "day", refAd.withColumn("_ts", lit(1)))
+    }
   }
 
   test("adaptive PSI equals the fixed-range PSI when every input sits at one scale") {

@@ -202,6 +202,14 @@ class StreamOpsSpec extends AnyFunSuite {
   test("windowed bloom cells: append mode emits exactly the batch filter of each closed day") {
     val m = 1 << 11
     val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
+    // the streaming form fails loud on the same (m, k) contract as every
+    // batch Bloom entry point — an unguarded k = 0 would corrupt silently
+    intercept[IllegalArgumentException] {
+      StreamOps.windowedBloomCells(stream, col("user_id").cast("string"), m, 0)
+    }
+    intercept[IllegalArgumentException] {
+      StreamOps.windowedBloomCells(stream, col("user_id").cast("string"), 16, 4)
+    }
     val got = runStream(
         StreamOps.windowedBloomCells(
           stream.filter(col("user_id").isNotNull),
