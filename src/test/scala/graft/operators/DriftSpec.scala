@@ -133,6 +133,41 @@ class DriftSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-12, s"got $got want $want")
   }
 
+  test("property: adaptive PSI equals the floorDiv hand model on 20 random multi-scale shapes") {
+    // random periods × random per-period scales × random (incl. NEGATIVE)
+    // bins — negative bins are the trap: alignment must FLOOR-divide
+    // (shiftright), not truncate toward zero, and the hand model uses
+    // Math.floorDiv so a truncation bug in the operator fails loudly here
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { trial =>
+      def randCells(): Map[Long, Long] = {
+        val n = 1 + rnd.nextInt(6)
+        (1 to n).map(_ => (rnd.nextInt(17) - 8).toLong -> (1L + rnd.nextInt(100))).toMap
+      }
+      val periods = (1 to 1 + rnd.nextInt(3)).map(i => s"p$i")
+      val perScale = periods.map(_ -> rnd.nextInt(7)).toMap
+      val perCells = periods.map(_ -> randCells()).toMap
+      val refScale = rnd.nextInt(7)
+      val refRaw = randCells()
+      val cellsDf = periods.flatMap(p => perCells(p).toSeq.map {
+        case (b, c) => (p, perScale(p), b, c) }).toDF("day", "scale", "bin", "cnt")
+      val refDf = refRaw.toSeq.map { case (b, c) => (refScale, b, c) }
+        .toDF("scale", "bin", "cnt")
+      val got = Drift.psiByPeriodAdaptive(cellsDf, "day", refDf)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // hand model: floorDiv everything to the coarsest scale, then psi
+      val tgt = (perScale.values ++ Seq(refScale)).max
+      def align(m: Map[Long, Long], s: Int): Map[Long, Long] =
+        m.groupMapReduce { case (b, _) => Math.floorDiv(b, 1L << (tgt - s)) }(_._2)(_ + _)
+      val refAl = align(refRaw, refScale)
+      val want = periods.map(p => p -> handPsi(align(perCells(p), perScale(p)), refAl)).toMap
+      assert(got.keySet == want.keySet, s"trial $trial: ${got.keySet} vs ${want.keySet}")
+      got.foreach { case (p, v) =>
+        assert(math.abs(v - want(p)) < 1e-9, s"trial $trial $p: got $v want ${want(p)}")
+      }
+    }
+  }
+
   test("an empty or all-null reference fails loud instead of scoring garbage") {
     val cells = Seq(("d1", 0L, 40L), ("d1", 1L, 60L)).toDF("day", "bin", "cnt")
     val emptyRef = Seq.empty[(Long, Long)].toDF("bin", "cnt")
