@@ -271,7 +271,11 @@ object Bench {
     // need for manual standalone rechecks at ~5% added sweep cost.
     val singleRun = sys.env.get("SPARK_GRAFT_BENCH_RUNS").contains("1")
     val heavyRerunSec = sys.env.get("SPARK_GRAFT_BENCH_HEAVY_RERUN_SEC")
-      .map(_.toDouble).getOrElse(10.0)
+      .map(v => try v.toDouble catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BENCH_HEAVY_RERUN_SEC must be numeric seconds (0 disables): '$v'", e)
+      })
+      .getOrElse(10.0)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         // snapshot the persistent-RDD ids BEFORE the query so the sweep

@@ -6379,7 +6379,7 @@ object SparkEntry {
     // ---- the two lifecycle monitors over the stored state ----
     val drift = Curation.indexDriftReport(
       idx2, "doc_id", "lang", 0.5, freq0, currentFreq = Some(freq2))
-    val sat = Bloom.saturationReport(bi.bloomCells, m, k)
+    val sat = Decontaminate.saturationReport(bi) // handle-carried (m, k)
     // ---- 11-row metric report ----
     val accepted = acc1.unionByName(acc2).agg(
       count(lit(1)).cast("double").as("accepted_docs"),
@@ -12240,7 +12240,15 @@ object SparkEntry {
         |), tgt AS (
         |  SELECT max(scale) AS tsc FROM cells
         |), al AS (
-        |  SELECT day, bin >> (tgt.tsc - scale) AS bin, sum(cnt) AS cnt
+        |  -- mirror the engine's shift guard (psiByPeriodAdaptive): a scale
+        |  -- delta >= 63 collapses to the sign bin instead of wrapping the
+        |  -- shift (unreachable in gate data — deltas are <= ~10 — but the
+        |  -- oracle must model the same function, not a narrower one)
+        |  SELECT day,
+        |    CASE WHEN tgt.tsc - scale >= 63
+        |         THEN CASE WHEN bin < 0 THEN -1 ELSE 0 END
+        |         ELSE bin >> (tgt.tsc - scale) END AS bin,
+        |    sum(cnt) AS cnt
         |  FROM cells, tgt GROUP BY 1, 2
         |), ref AS (
         |  SELECT bin, sum(cnt) AS cnt FROM al

@@ -87,6 +87,14 @@ object Bloom {
     * so a second engine re-derives it bit-identically from the integer
     * set_bits — the report is itself oracle-checkable.
     *
+    * (m, k) must be the BUILD's values — pass the `BenchIndex`-carried pair
+    * ([[graft.operators.Decontaminate.saturationReport]] threads the handle
+    * so they can't drift). A too-small `m` is caught in-plan (a cell built
+    * at larger m has word indices ≥ ⌈m/32⌉ — fail loud instead of reading
+    * fill_ratio > 1 and a meaningless fpp); a too-LARGE `m` over truncated
+    * cells is undetectable from the cells alone (every word fits), which is
+    * exactly why the handle overload exists.
+    *
     * Cost shape: one bounded aggregate over ≤ ⌈m/32⌉ cell rows per group —
     * run it on the monitoring cadence; it never touches the item stream.
     */
@@ -100,16 +108,26 @@ object Bloom {
     require(maxFpp > 0.0 && maxFpp < 1.0, s"maxFpp must be in (0, 1): $maxFpp")
     require(cellsDf.columns.contains("word") && cellsDf.columns.contains("bits"),
       s"cells frame needs (word, bits) — build it with Bloom.cells: ${cellsDf.columns.toSeq}")
-    val clash = Set("set_bits", "fill_ratio", "effective_fpp", "recommend_rebuild")
+    val clash = Set("set_bits", "fill_ratio", "effective_fpp", "recommend_rebuild", "_maxw")
       .intersect(groupCols.toSet)
     require(clash.isEmpty,
       s"saturationReport's output columns clash with groupCols: $clash — rename them first")
     val grouped =
       if (groupCols.isEmpty) cellsDf.groupBy()
       else cellsDf.groupBy(groupCols.map(col): _*)
+    val words = (m + 31) / 32
     val fill = col("set_bits").cast("double") / m.toDouble
     grouped
-      .agg(coalesce(sum(bit_count(col("bits"))), lit(0L)).as("set_bits"))
+      .agg(
+        coalesce(sum(bit_count(col("bits"))), lit(0L)).as("set_bits"),
+        max(col("word")).as("_maxw"))
+      // in-plan m-mismatch guard (the psiByPeriod empty-reference pattern):
+      // NULL _maxw = an empty/zero-row group, legitimately fill 0
+      .where(assert_true(col("_maxw").isNull || col("_maxw") < words,
+        lit(s"saturationReport: cell table has word indices >= $words — the cells " +
+          s"were built at a larger m than the passed m=$m; pass the BenchIndex-carried " +
+          "(m, k) (Decontaminate.saturationReport takes the handle directly)")).isNull)
+      .drop("_maxw")
       .withColumn("fill_ratio", fill)
       .withColumn("effective_fpp", Seq.fill(k)(fill).reduce(_ * _))
       .withColumn("recommend_rebuild", col("effective_fpp") >= maxFpp)

@@ -121,6 +121,17 @@ object Decontaminate {
       idCol, n, m, k)
   }
 
+  /** [[graft.functions.Bloom.saturationReport]] over the handle — the
+    * monitor-site analog of `tickIndexed(benchIdx = …)`'s probe-site check:
+    * `BenchIndex` exists precisely so (n, m, k) can't drift between the
+    * build and its uses, and a hand-threaded `saturationReport(cells, m, k)`
+    * reopened that seam at the monitor (a too-large m over the stored cells
+    * is undetectable from the cells alone — see the base doc). Reads the
+    * carried (m, k); same report shape and `maxFpp` contract.
+    */
+  def saturationReport(bi: BenchIndex, maxFpp: Double = 0.02): DataFrame =
+    graft.functions.Bloom.saturationReport(bi.bloomCells, bi.m, bi.k, maxFpp = maxFpp)
+
   /** TAKEDOWN contract for the stored [[BenchIndex]] — the delete the
     * postings index got in the similarity tier, mirrored for the
     * membership tier. OR-merged bits can never unset, so the recipe is:

@@ -156,4 +156,20 @@ class BloomSpec extends AnyFunSuite {
       Bloom.saturationReport(sized, m, k, groupCols = Seq("fill_ratio"))
     }
   }
+
+  test("saturationReport fails loud when the cells were built at a larger m") {
+    // cells at m=2048 carry word indices up to 63; a report read at m=1024
+    // (expecting words < 32) would otherwise return fill_ratio > 1 and a
+    // meaningless effective_fpp — the in-plan guard throws at action time
+    val big = Bloom.cells(items(31, 600).toDF("g"), col("g"), 2048, 4)
+    val e = intercept[Exception] {
+      Bloom.saturationReport(big, 1024, 4).collect()
+    }
+    assert(e.getMessage.contains("word indices") ||
+      Option(e.getCause).exists(_.getMessage.contains("word indices")),
+      s"unexpected failure: $e")
+    // cells genuinely at m=1024 pass the guard untouched
+    val ok = Bloom.cells(items(31, 600).toDF("g"), col("g"), 1024, 4)
+    assert(Bloom.saturationReport(ok, 1024, 4).count() == 1)
+  }
 }

@@ -99,6 +99,15 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("doc_id"))
   }
 
+  test("saturationReport(handle) reads the carried (m, k) — identical to the raw form") {
+    val bi = Decontaminate.benchIndex(bench, "doc_id", "text", n = 3, m = 1 << 12, k = 4)
+    val viaHandle = Decontaminate.saturationReport(bi)
+      .collect().map(_.toSeq).toSeq
+    val raw = graft.functions.Bloom.saturationReport(bi.bloomCells, bi.m, bi.k)
+      .collect().map(_.toSeq).toSeq
+    assert(viaHandle == raw && viaHandle.nonEmpty)
+  }
+
   test("bloom prefilter sits on the corpus side BELOW the verify join (and any shuffle)") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.exchange.Exchange
