@@ -205,7 +205,11 @@ object Bench {
     // query in the catalog by design
     "q258_bloom_saturation" -> 0.563, "q259_stream_windowed_ahist" -> 1.506,
     "q260_adaptive_psi" -> 2.357, "q261_curation_service" -> 18.994,
-    "q262_stream_windowed_bloom" -> 1.440)
+    "q262_stream_windowed_bloom" -> 1.440,
+    // round-11 additions (r11 sf0.1 quiet-box min-of-2, BASELINE.md §3j):
+    // q264 is the takedown capstone — a two-tick indexed loop (the q248
+    // class) with the single-call takedown folded between the ticks
+    "q263_bloom_rebuild" -> 1.326, "q264_takedown_tick" -> 16.246)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6428,6 +6428,116 @@ object SparkEntry {
       .orderBy(col("day"), col("word"))
   }
 
+  // q263 — the EXECUTABLE half of the bloom lifecycle (VERDICT r10 item 1:
+  // the monitor recommended rebuilds no operator performed): a stored
+  // benchmark filter deliberately saturated (q258's 1024-bit config) reads
+  // recommend_rebuild = 1, then Decontaminate.benchIndexResize re-sizes it
+  // FROM THE STORED GRAM TABLE — Bloom.sizeFor over the distinct gram
+  // count picks (m, k) for the grown set at fpp 0.01 and Bloom.cells
+  // re-hashes the stored grams; no benchmark text is re-read — and the
+  // monitor reads green. The oracle re-derives the gram count, the sizeFor
+  // arithmetic (6-dp pre-rounded before ceil/round — the cross-engine
+  // discrete-decision convention), both cell tables' pure-integer bit
+  // ops, and the fpp products (a left-assoc recursive product, matching
+  // the engine's reduce order even at the resized variable k).
+  private def bloomRebuild(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Decontaminate, Pin}
+    val bench = t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+    val bi0 = Decontaminate.benchIndex(bench, "doc_id", "text", n = 4, m = 1 << 10, k = 4)
+    // pin the stored gram table: the resize COUNTS it and rebuilds cells
+    // from it — unpinned, each read would re-gram the benchmark text
+    val bi = bi0.copy(grams = Pin.LocalCheckpoint(bi0.grams))
+    val resized = Decontaminate.benchIndexResize(bi, targetFpp = 0.01)
+    def report(phase: String, b: Decontaminate.BenchIndex) =
+      Decontaminate.saturationReport(b).select(
+        lit(phase).as("phase"), lit(b.m.toLong).as("m"), lit(b.k).as("k"),
+        col("set_bits").cast("long").as("set_bits"),
+        rnd(col("fill_ratio"), 8).as("fill_ratio"),
+        rnd(col("effective_fpp"), 8).as("effective_fpp"),
+        col("recommend_rebuild").cast("int").as("recommend_rebuild"))
+    report("before", bi).unionByName(report("after", resized)).orderBy(col("phase"))
+  }
+
+  // q264 — the TAKEDOWN TICK (VERDICT r10 item 2): the standing service's
+  // single-call delete composed mid-loop. Tick 1 runs the indexed funnel
+  // over [x80, x90); then Curation.takedown removes every standing
+  // doc_id % 9 == 3 in ONE call — signature index and stored postings
+  // anti-joined, the mergeable true-df feed corrected EXACTLY by
+  // subtractDfCounts (no permanent overcount), the benchmark BloomIndex
+  // rebuilt over its surviving grams — and tick 2 runs over [x90, ∞)
+  // against the taken-down state. CurationSpec proves the state equals a
+  // fresh build over the survivors; here the ORACLE recomputes both ticks
+  // declaratively (the parameterized q237 chain, the takedown folded into
+  // tick 2's corpus/bench definitions) plus the state-mass read-offs: the
+  // final df-feed mass must equal the recomputed shingle-set mass of the
+  // surviving index — the exact-subtraction contract, value-checked.
+  private def takedownTick(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, Decontaminate, SimilarityJoin, Pin}
+    val docs = t(s, dir, "documents")
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (x80, x90) = (mx * 4 / 5, mx * 9 / 10)
+    val bench = docs.filter(col("doc_id") < x80 && col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") < x80 && col("doc_id") % 50 =!= 0)
+    val b1 = docs.filter(col("doc_id") >= x80 && col("doc_id") < x90)
+    val b2 = docs.filter(col("doc_id") >= x90)
+    def q = TF.qualityScore(col("text"), Stopwords)
+    // ---- standing state, built once (the q261 service-start shape) ----
+    val idx0 = Pin.LocalCheckpoint(Curation.signatures(corpus, "doc_id", "text", "lang"))
+    val (freq0raw, posts0raw) = Curation.postingsIndex(idx0, "doc_id", "lang")
+    val freq0 = Pin.LocalCheckpoint(freq0raw)
+    val posts0 = Pin.LocalCheckpoint(posts0raw)
+    val bi0 = Decontaminate.benchIndex(bench, "doc_id", "text", n = 4, m = 1 << 17, k = 4)
+    val bi = bi0.copy(
+      grams = Pin.LocalCheckpoint(bi0.grams),
+      bloomCells = Pin.LocalCheckpoint(bi0.bloomCells))
+    // ---- tick 1 + state maintenance ----
+    val acc1 = Pin.LocalCheckpoint(
+      Curation.tickIndexed(idx0, b1, bench, "doc_id", "text", "lang", quality = q,
+        indexPinned = true, corpusPostings = Some((freq0, posts0)), benchIdx = Some(bi)))
+    val app1 = Pin.LocalCheckpoint(Curation.signatures(acc1, "doc_id", "text", "lang"))
+    val idx1 = idx0.unionByName(app1)
+    val posts1 = posts0.unionByName(Pin.LocalCheckpoint(
+      Curation.postingsIndex(app1, "doc_id", "lang", frozenFreq = Some(freq0))._2))
+    val cur1 = SimilarityJoin.mergeDfCounts(freq0, SimilarityJoin.dfCounts(app1, "_h"))
+    // ---- the takedown ----
+    val removed = docs.filter(col("doc_id") % 9 === 3).select(col("doc_id"))
+    val (idx2raw, posts2raw, cur2raw, bi2opt) =
+      Curation.takedown(idx1, posts1, cur1, Some(bi), removed, "doc_id")
+    val idx2 = Pin.LocalCheckpoint(idx2raw)
+    val posts2 = Pin.LocalCheckpoint(posts2raw)
+    val cur2 = Pin.LocalCheckpoint(cur2raw)
+    val bi2raw = bi2opt.get
+    val bi2 = bi2raw.copy(
+      grams = Pin.LocalCheckpoint(bi2raw.grams),
+      bloomCells = Pin.LocalCheckpoint(bi2raw.bloomCells))
+    // ---- tick 2 against the taken-down state ----
+    val acc2 = Pin.LocalCheckpoint(
+      Curation.tickIndexed(idx2, b2, bench, "doc_id", "text", "lang", quality = q,
+        indexPinned = true, corpusPostings = Some((freq0, posts2)), benchIdx = Some(bi2)))
+    val app2 = Curation.signatures(acc2, "doc_id", "text", "lang")
+    val curF = SimilarityJoin.mergeDfCounts(cur2, SimilarityJoin.dfCounts(app2, "_h"))
+    // ---- metric report (every read-off oracle-recomputable) ----
+    def accMetrics(pfx: String, acc: DataFrame) = acc.agg(
+        count(lit(1)).cast("double").as("d"),
+        coalesce(sum(col("doc_id")), lit(0L)).cast("double").as("i"))
+      .select(expr(s"stack(2, '${pfx}_docs', d, '${pfx}_id_sum', i) AS (metric, value)"))
+    accMetrics("acc1", acc1)
+      .unionByName(accMetrics("acc2", acc2))
+      .unionByName(idx1.join(removed, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).cast("double").as("v"))
+        .select(lit("removed_state_docs").as("metric"), col("v").as("value")))
+      .unionByName(bi.grams.agg(count(lit(1)).cast("double").as("v"))
+        .select(lit("bench_gram_rows_before").as("metric"), col("v").as("value")))
+      .unionByName(bi2.grams.agg(count(lit(1)).cast("double").as("v"))
+        .select(lit("bench_gram_rows_after").as("metric"), col("v").as("value")))
+      .unionByName(idx2.unionByName(app2).agg(count(lit(1)).cast("double").as("v"))
+        .select(lit("final_index_docs").as("metric"), col("v").as("value")))
+      .unionByName(curF.agg(coalesce(sum(col("_df")), lit(0L)).cast("double").as("v"))
+        .select(lit("final_df_mass").as("metric"), col("v").as("value")))
+      .select(col("metric"), rnd(col("value"), 6).as("value"))
+      .orderBy(col("metric"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6693,7 +6803,9 @@ object SparkEntry {
     "q259_stream_windowed_ahist" -> streamWindowedAhist,
     "q260_adaptive_psi" -> streamAdaptivePsi,
     "q261_curation_service" -> curationService,
-    "q262_stream_windowed_bloom" -> streamWindowedBloom)
+    "q262_stream_windowed_bloom" -> streamWindowedBloom,
+    "q263_bloom_rebuild" -> bloomRebuild,
+    "q264_takedown_tick" -> takedownTick)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -6712,92 +6824,110 @@ object SparkEntry {
     * 9+ docs; the gate corpora measure depth ≤ 1, and a deeper graph would
     * fail the compare loudly (extra rows), never pass silently.
     */
-  private def curationTickCtes: String = {
+  /** Parameterized form of the tick chain — `sfx` suffixes every CTE name
+    * so two ticks chain in one statement (q264's takedown oracle runs a
+    * [x80, x90) tick, folds the takedown declaratively, then a [x90, ∞)
+    * tick against the modified corpus/bench — greedy composability
+    * collapses CONSECUTIVE ticks into one chain, but a takedown between
+    * them changes the standing state, so each side of it needs its own
+    * chain). `batchSrc`/`corpusSrc`/`benchSrc` are full SELECTs yielding
+    * (doc_id, lang, text). Emits the CTE list WITHOUT the leading `WITH`.
+    */
+  private def curationTickCtesP(
+      sfx: String, batchSrc: String, corpusSrc: String, benchSrc: String): String = {
+    def N(s: String) = s + sfx
     val rounds = (1 to 8).map { k =>
       val p = k - 1
-      s""", rej$k AS MATERIALIZED (
-         |  SELECT DISTINCT b FROM e$p WHERE a NOT IN (SELECT b FROM e$p)
-         |), e$k AS MATERIALIZED (
-         |  SELECT a, b FROM e$p
-         |  WHERE a IN (SELECT b FROM e$p)
-         |    AND a NOT IN (SELECT b FROM rej$k)
-         |    AND b NOT IN (SELECT b FROM rej$k)
+      s""", ${N(s"rej$k")} AS MATERIALIZED (
+         |  SELECT DISTINCT b FROM ${N(s"e$p")} WHERE a NOT IN (SELECT b FROM ${N(s"e$p")})
+         |), ${N(s"e$k")} AS MATERIALIZED (
+         |  SELECT a, b FROM ${N(s"e$p")}
+         |  WHERE a IN (SELECT b FROM ${N(s"e$p")})
+         |    AND a NOT IN (SELECT b FROM ${N(s"rej$k")})
+         |    AND b NOT IN (SELECT b FROM ${N(s"rej$k")})
          |)""".stripMargin
     }.mkString
-    val rejUnion = (1 to 8).map(k => s"SELECT b FROM rej$k").mkString(" UNION ")
-    s"""WITH batch AS (
+    val rejUnion = (1 to 8).map(k => s"SELECT b FROM ${N(s"rej$k")}").mkString(" UNION ")
+    s"""${N("batch")} AS (
        |  SELECT doc_id, lang, text,
        |    CASE WHEN text IS NULL OR trim(text) = '' THEN 0
        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
        |    ${qualitySqlExpr("text")} AS q
-       |  FROM documents
-       |  WHERE doc_id >= (SELECT max(doc_id) * 4 // 5 FROM documents)
-       |), corpus AS (
-       |  SELECT doc_id, lang, text FROM documents
-       |  WHERE doc_id < (SELECT max(doc_id) * 4 // 5 FROM documents)
-       |    AND doc_id % 50 <> 0
-       |), s1 AS (
-       |  SELECT * FROM batch WHERE q >= 0.5
-       |), tokb AS (
+       |  FROM ($batchSrc)
+       |), ${N("corpus")} AS (
+       |  $corpusSrc
+       |), ${N("s1")} AS (
+       |  SELECT * FROM ${N("batch")} WHERE q >= 0.5
+       |), ${N("tokb")} AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
-       |  FROM s1 WHERE trim(text) <> ''
-       |), bgrams AS (
+       |  FROM ${N("s1")} WHERE trim(text) <> ''
+       |), ${N("bgrams")} AS (
        |  SELECT DISTINCT doc_id,
        |    array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 3], ' ') AS g
-       |  FROM tokb, unnest(range(1, len(tk) - 2)) t(i)
-       |), benchtok AS (
+       |  FROM ${N("tokb")}, unnest(range(1, len(tk) - 2)) t(i)
+       |), ${N("benchtok")} AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
-       |  FROM documents
-       |  WHERE doc_id < (SELECT max(doc_id) * 4 // 5 FROM documents)
-       |    AND doc_id % 50 = 0 AND trim(text) <> ''
-       |), benchg AS (
+       |  FROM ($benchSrc) WHERE trim(text) <> ''
+       |), ${N("benchg")} AS (
        |  SELECT DISTINCT array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 3], ' ') AS g
-       |  FROM benchtok, unnest(range(1, len(tk) - 2)) t(i)
-       |), hits AS (
-       |  SELECT c.doc_id FROM bgrams c JOIN benchg b USING (g)
+       |  FROM ${N("benchtok")}, unnest(range(1, len(tk) - 2)) t(i)
+       |), ${N("hits")} AS (
+       |  SELECT c.doc_id FROM ${N("bgrams")} c JOIN ${N("benchg")} b USING (g)
        |  GROUP BY c.doc_id HAVING count(DISTINCT c.g) >= 5
-       |), s2 AS (
-       |  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM hits)
-       |), s3 AS (
+       |), ${N("s2")} AS (
+       |  SELECT * FROM ${N("s1")} WHERE doc_id NOT IN (SELECT doc_id FROM ${N("hits")})
+       |), ${N("s3")} AS (
        |  -- NOT EXISTS, not NOT IN: one NULL-text corpus row would make the
        |  -- NOT IN predicate NULL for every batch row (collapsing s3 to
        |  -- empty), and a NULL-text batch row must be KEPT — the engine's
        |  -- === anti-join on sha2 digests never matches a NULL digest
        |  SELECT * FROM (
-       |    SELECT * FROM s2 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
-       |  ) k WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = k.text)
-       |), shb AS MATERIALIZED (
+       |    SELECT * FROM ${N("s2")} QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+       |  ) k WHERE NOT EXISTS (SELECT 1 FROM ${N("corpus")} c WHERE c.text = k.text)
+       |), ${N("shb")} AS MATERIALIZED (
        |  SELECT doc_id, lang,
        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)]) END AS s
        |  FROM (SELECT doc_id, lang,
-       |          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM s3)
-       |), shc AS MATERIALIZED (
+       |          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM ${N("s3")})
+       |), ${N("shc")} AS MATERIALIZED (
        |  SELECT lang,
        |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
        |         ELSE list_distinct([substr(t, i, 5) FOR i IN range(1, len(t) - 3)]) END AS s
        |  FROM (SELECT lang,
-       |          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM corpus)
-       |), r1 AS MATERIALIZED (
+       |          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM ${N("corpus")})
+       |), ${N("r1")} AS MATERIALIZED (
        |  SELECT DISTINCT b.doc_id
-       |  FROM shb b JOIN shc c ON b.lang = c.lang
+       |  FROM ${N("shb")} b JOIN ${N("shc")} c ON b.lang = c.lang
        |  WHERE len(b.s) > 0 AND len(c.s) > 0
        |    AND len(list_intersect(b.s, c.s))::DOUBLE
        |      / len(list_distinct(b.s || c.s)) >= 0.5
-       |), free AS MATERIALIZED (
-       |  SELECT * FROM shb WHERE doc_id NOT IN (SELECT doc_id FROM r1)
-       |), e0 AS MATERIALIZED (
+       |), ${N("free")} AS MATERIALIZED (
+       |  SELECT * FROM ${N("shb")} WHERE doc_id NOT IN (SELECT doc_id FROM ${N("r1")})
+       |), ${N("e0")} AS MATERIALIZED (
        |  SELECT x.doc_id AS a, y.doc_id AS b
-       |  FROM free x JOIN free y ON x.lang = y.lang AND x.doc_id < y.doc_id
+       |  FROM ${N("free")} x JOIN ${N("free")} y ON x.lang = y.lang AND x.doc_id < y.doc_id
        |  WHERE len(x.s) > 0 AND len(y.s) > 0
        |    AND len(list_intersect(x.s, y.s))::DOUBLE
        |      / len(list_distinct(x.s || y.s)) >= 0.5
-       |)$rounds, r2 AS ($rejUnion), acc AS (
-       |  SELECT doc_id, lang, toks FROM s3
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM r1)
-       |    AND doc_id NOT IN (SELECT b FROM r2)
+       |)$rounds, ${N("r2")} AS ($rejUnion), ${N("acc")} AS (
+       |  SELECT doc_id, lang, toks FROM ${N("s3")}
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ${N("r1")})
+       |    AND doc_id NOT IN (SELECT b FROM ${N("r2")})
        |)""".stripMargin
   }
+
+  private def curationTickCtes: String =
+    "WITH " + curationTickCtesP(
+      sfx = "",
+      batchSrc = """SELECT doc_id, lang, text FROM documents
+                   |  WHERE doc_id >= (SELECT max(doc_id) * 4 // 5 FROM documents)""".stripMargin,
+      corpusSrc = """SELECT doc_id, lang, text FROM documents
+                    |  WHERE doc_id < (SELECT max(doc_id) * 4 // 5 FROM documents)
+                    |    AND doc_id % 50 <> 0""".stripMargin,
+      benchSrc = """SELECT doc_id, lang, text FROM documents
+                   |  WHERE doc_id < (SELECT max(doc_id) * 4 // 5 FROM documents)
+                   |    AND doc_id % 50 = 0""".stripMargin)
 
   private def curationTickOracleSql: String =
     s"$curationTickCtes SELECT doc_id, lang, toks FROM acc ORDER BY doc_id"
@@ -12393,5 +12523,132 @@ object SparkEntry {
         |)
         |SELECT c.day, c.word, c.bits FROM cells c, mx
         |WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    // q263: the full rebuild lifecycle re-derived — gram count → sizeFor's
+    // (m2, k2) with the 6-dp pre-round before ceil/round (both engines land
+    // on the identical integers; ulp-level ln() differences cannot cross a
+    // 6-dp boundary — margins measured >= 3e-8 at every gate SF), then
+    // q258's pure-integer cell/bit-count machinery at BOTH sizes and the
+    // fpp as a recursive left-assoc product (1.0 * f is exact, so the
+    // sequence equals the engine's reduce at any k)
+    "q263_bloom_rebuild" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 50 = 0 AND trim(text) <> ''
+        |), bench AS (
+        |  SELECT DISTINCT array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 3], ' ') AS g
+        |  FROM tok, unnest(range(1, len(toks) - 2)) t(i)
+        |), sz AS (
+        |  SELECT count(*) AS n,
+        |    greatest(32, CAST(ceil(round(-count(*) * ln(0.01) / (ln(2) * ln(2)), 6))
+        |      AS BIGINT)) AS m2
+        |  FROM bench
+        |), sz2 AS (
+        |  SELECT m2, greatest(1, least(64,
+        |    CAST(round(round(m2 / CAST(n AS DOUBLE) * ln(2), 6), 0) AS BIGINT))) AS k2
+        |  FROM sz
+        |), cfg AS (
+        |  SELECT 'before' AS phase, CAST(1024 AS BIGINT) AS m, CAST(4 AS BIGINT) AS k
+        |  UNION ALL
+        |  SELECT 'after', m2, k2 FROM sz2
+        |), pos AS (
+        |  SELECT c.phase, c.m, c.k,
+        |    (CAST(concat('0x', substr(md5(g), 1, 13)) AS BIGINT)
+        |   + i * CAST(concat('0x', substr(md5(g), 14, 13)) AS BIGINT)) % c.m AS p
+        |  FROM bench, cfg c, unnest(range(0, c.k)) t(i)
+        |), cells AS (
+        |  SELECT phase, m, k, CAST(p // 32 AS INT) AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        |  FROM pos GROUP BY 1, 2, 3, 4
+        |), agg AS (
+        |  SELECT phase, m, k, sum(bit_count(bits)) AS set_bits FROM cells GROUP BY 1, 2, 3
+        |), fin AS (
+        |  SELECT phase, m, k, set_bits, CAST(set_bits AS DOUBLE) / m AS f FROM agg
+        |), pw AS (
+        |  SELECT phase, 0 AS i, CAST(1.0 AS DOUBLE) AS v FROM fin
+        |  UNION ALL
+        |  SELECT pw.phase, pw.i + 1, pw.v * fin.f
+        |  FROM pw JOIN fin ON fin.phase = pw.phase
+        |  WHERE pw.i < fin.k
+        |), fpp AS (
+        |  SELECT pw.phase, pw.v AS efpp
+        |  FROM pw JOIN fin ON fin.phase = pw.phase AND pw.i = fin.k
+        |)
+        |SELECT f.phase, f.m AS m, CAST(f.k AS INT) AS k,
+        |  CAST(f.set_bits AS BIGINT) AS set_bits,
+        |  round(f.f + 1e-9, 8) AS fill_ratio,
+        |  round(p.efpp + 1e-9, 8) AS effective_fpp,
+        |  CAST(CASE WHEN p.efpp >= 0.02 THEN 1 ELSE 0 END AS INT) AS recommend_rebuild
+        |FROM fin f JOIN fpp p USING (phase) ORDER BY phase""".stripMargin,
+    // q264: two parameterized q237 chains with the takedown folded between
+    // them — tick 2's corpus is (corpus0 ∪ acc1) minus the removed ids and
+    // its bench is bench0 minus the removed ids (benchIndexDelete ≡ fresh
+    // build over survivors; postings anti-join ≡ frozen-order build over
+    // survivors — both spec-proven, so the declarative fold IS the engine's
+    // state). final_df_mass re-derives the subtracted-then-merged df feed
+    // as the shingle-set mass of the surviving index — exact subtraction,
+    // value-checked.
+    "q264_takedown_tick" -> {
+      val x80 = "(SELECT max(doc_id) * 4 // 5 FROM documents)"
+      val x90 = "(SELECT max(doc_id) * 9 // 10 FROM documents)"
+      "WITH " + curationTickCtesP(
+        sfx = "_t1",
+        batchSrc =
+          s"SELECT doc_id, lang, text FROM documents WHERE doc_id >= $x80 AND doc_id < $x90",
+        corpusSrc =
+          s"SELECT doc_id, lang, text FROM documents WHERE doc_id < $x80 AND doc_id % 50 <> 0",
+        benchSrc =
+          s"SELECT doc_id, lang, text FROM documents WHERE doc_id < $x80 AND doc_id % 50 = 0") +
+      ", " + curationTickCtesP(
+        sfx = "_t2",
+        batchSrc =
+          s"SELECT doc_id, lang, text FROM documents WHERE doc_id >= $x90",
+        corpusSrc =
+          s"""SELECT doc_id, lang, text FROM documents
+             |  WHERE doc_id < $x80 AND doc_id % 50 <> 0 AND doc_id % 9 <> 3
+             |  UNION ALL
+             |  SELECT s.doc_id, s.lang, s.text FROM s3_t1 s
+             |  WHERE s.doc_id IN (SELECT doc_id FROM acc_t1) AND s.doc_id % 9 <> 3""".stripMargin,
+        benchSrc =
+          s"""SELECT doc_id, lang, text FROM documents
+             |  WHERE doc_id < $x80 AND doc_id % 50 = 0 AND doc_id % 9 <> 3""".stripMargin) +
+      """, benchg0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 3], ' ') AS g
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |        FROM documents
+        |        WHERE doc_id < """.stripMargin + x80 +
+      """ AND doc_id % 50 = 0 AND trim(text) <> '') z,
+        |    unnest(range(1, len(tk) - 2)) t(i)
+        |), dfm AS (
+        |  SELECT coalesce(sum(len(s)), 0) AS v FROM (
+        |    SELECT s FROM shc_t2
+        |    UNION ALL
+        |    SELECT s FROM shb_t2 WHERE doc_id IN (SELECT doc_id FROM acc_t2)
+        |  )
+        |), m AS (
+        |  SELECT 'acc1_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM acc_t1
+        |  UNION ALL
+        |  SELECT 'acc1_id_sum', CAST(coalesce(sum(doc_id), 0) AS DOUBLE) FROM acc_t1
+        |  UNION ALL
+        |  SELECT 'acc2_docs', CAST(count(*) AS DOUBLE) FROM acc_t2
+        |  UNION ALL
+        |  SELECT 'acc2_id_sum', CAST(coalesce(sum(doc_id), 0) AS DOUBLE) FROM acc_t2
+        |  UNION ALL
+        |  SELECT 'removed_state_docs', CAST(
+        |    (SELECT count(*) FROM corpus_t1 WHERE doc_id % 9 = 3)
+        |  + (SELECT count(*) FROM acc_t1 WHERE doc_id % 9 = 3) AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'bench_gram_rows_before', CAST(count(*) AS DOUBLE) FROM benchg0
+        |  UNION ALL
+        |  SELECT 'bench_gram_rows_after', CAST(count(*) AS DOUBLE) FROM benchg0
+        |    WHERE doc_id % 9 <> 3
+        |  UNION ALL
+        |  SELECT 'final_index_docs', CAST(
+        |    (SELECT count(*) FROM corpus_t2) + (SELECT count(*) FROM acc_t2) AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'final_df_mass', CAST(v AS DOUBLE) FROM dfm
+        |)
+        |SELECT metric, round(value + 1e-9, 6) AS value FROM m ORDER BY metric""".stripMargin
+    })
 }

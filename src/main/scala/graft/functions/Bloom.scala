@@ -59,12 +59,20 @@ object Bloom {
     require(targetFpp > 0.0 && targetFpp < 0.5,
       s"targetFpp must be in (0, 0.5): $targetFpp")
     val ln2 = math.log(2.0)
-    val mReal = math.ceil(-n.toDouble * math.log(targetFpp) / (ln2 * ln2))
+    // 6-dp pre-round before each discrete decision (ceil / round) — the
+    // cross-engine convention for transcendental-fed integer choices
+    // (the q240/q243 epoch discipline): a second engine's ln() may differ
+    // in the last ulp, and an unrounded ceil could then land on m ± 1 —
+    // which changes EVERY hash position. Rounded at 6 dp, both engines
+    // derive the identical (m, k) from the same (n, targetFpp), so a
+    // resize is oracle-replayable end to end.
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val mReal = math.ceil(r6(-n.toDouble * math.log(targetFpp) / (ln2 * ln2)))
     require(mReal <= Int.MaxValue.toDouble,
       f"optimal m = $mReal%.0f bits exceeds Int.MaxValue — split the filter by " +
         "groupCols or relax targetFpp")
     val m = math.max(32L, mReal.toLong).toInt
-    val k = math.max(1L, math.min(64L, math.round(m.toDouble / n.toDouble * ln2))).toInt
+    val k = math.max(1L, math.min(64L, math.round(r6(m.toDouble / n.toDouble * ln2)))).toInt
     (m, k)
   }
 

@@ -164,6 +164,84 @@ object Curation {
       frozenFreq: Option[DataFrame] = None): (DataFrame, DataFrame) =
     SimilarityJoin.prefixIndex(sig, idCol, "_h", tau, Seq(langCol), frozenFreq)
 
+  /** EXECUTABLE REBUILD for a drifted postings index — the response
+    * [[indexDriftReport]]'s `recommend_rebuild` flag asks for, as a named
+    * recipe instead of folklore: ONE [[postingsIndex]] pass over the
+    * standing signature index (`frozenFreq = None`, so the rarest-first
+    * order is re-derived from the CURRENT document frequencies) — no
+    * corpus text is re-read or re-shingled; the signature index already
+    * holds the element sets. Returns the fresh `(freq, posts)`; persist
+    * both, REPLACING the stored halves, and thread the new `freq` as
+    * `frozenFreq` into every subsequent tick's append (the frozen-order
+    * contract restarts at the rebuilt order). Immediately after a rebuild
+    * `indexDriftReport(index, …, frozenFreq = freshFreq)` reads
+    * `drift_ratio` = 1.0 exactly — stored and fresh volumes are the same
+    * measurement under the same order (CurationSpec pins it) — and decays
+    * from there as the corpus drifts again.
+    *
+    * Cost shape: the q252 monitor class (shingle-mass linear — one
+    * postings build + one frequency aggregation over the signature index),
+    * paid once per rebuild on the monitoring cadence; ticks never pay it.
+    */
+  def rebuildPostings(
+      index: DataFrame,
+      idCol: String,
+      langCol: String,
+      tau: Double = 0.5): (DataFrame, DataFrame) =
+    postingsIndex(index, idCol, langCol, tau, frozenFreq = None)
+
+  /** TAKEDOWN TICK — the single-call inverse of [[tickIndexed]]'s append
+    * side, composing the tier's four delete contracts so a standing
+    * service removes documents with one call and no state half drifts:
+    *
+    *   1. signature index: anti-join on the removed ids;
+    *   2. stored postings: anti-join on the removed ids (postings rows are
+    *      per-doc under the frozen order, so the survivors are EXACTLY the
+    *      postings a fresh frozen-order build over the surviving
+    *      signatures would emit — `freq` stays frozen, per the contract);
+    *   3. true-df feed: [[SimilarityJoin.subtractDfCounts]] of the removed
+    *      docs' [[SimilarityJoin.dfCounts]] — exact, so the feed keeps
+    *      equaling a recompute over the survivors;
+    *   4. benchmark index (when carried): [[Decontaminate.benchIndexDelete]]
+    *      — grams anti-joined by id, cells rebuilt from survivors.
+    *
+    * `removedIds` is one frame carrying `idCol`; ids absent from a given
+    * state half no-op there (anti-join/semi-join of nothing), so corpus
+    * and benchmark takedowns share one call when they share an id
+    * namespace (the q261/q264 shape — `benchIdx.idCol` must equal `idCol`
+    * to be deleted here; pass `benchIdx = None` and call
+    * `benchIndexDelete` separately otherwise). Returns the four updated
+    * halves; N ticks + a takedown + more ticks ≡ the same sequence run
+    * against a state built fresh over the surviving documents
+    * (CurationSpec proves it end-to-end — greedy composability never sees
+    * removed docs again, exactly as if they had been rejected upstream).
+    */
+  def takedown(
+      index: DataFrame,
+      posts: DataFrame,
+      currentFreq: DataFrame,
+      benchIdx: Option[Decontaminate.BenchIndex],
+      removedIds: DataFrame,
+      idCol: String): (DataFrame, DataFrame, DataFrame, Option[Decontaminate.BenchIndex]) = {
+    require(removedIds.columns.contains(idCol),
+      s"removedIds needs the id column '$idCol': ${removedIds.columns.toSeq}")
+    Seq(index, posts).foreach(f => require(f.columns.contains(idCol),
+      s"state frame is missing the id column '$idCol': ${f.columns.toSeq}"))
+    require(index.columns.contains("_h"),
+      s"index is missing '_h' — build it with Curation.signatures: ${index.columns.toSeq}")
+    benchIdx.foreach(bi => require(bi.idCol == idCol,
+      s"benchIdx is keyed by '${bi.idCol}' but the takedown id column is '$idCol' — " +
+        "delete it separately with Decontaminate.benchIndexDelete"))
+    val ids = removedIds.select(col(idCol)).distinct()
+    val removedSigs = index.join(ids, Seq(idCol), "left_semi")
+    (
+      index.join(ids, Seq(idCol), "left_anti"),
+      posts.join(ids, Seq(idCol), "left_anti"),
+      SimilarityJoin.subtractDfCounts(
+        currentFreq, SimilarityJoin.dfCounts(removedSigs, "_h")),
+      benchIdx.map(bi => Decontaminate.benchIndexDelete(bi, removedIds)))
+  }
+
   /** Drift monitor for the standing tick loop's postings index — the
     * operator that tells a user running daily ticks for a year that the
     * frozen element order has degraded their candidate volume (the
@@ -176,7 +254,7 @@ object Curation {
     * (stored_volume, fresh_volume, drift_ratio, recommend_rebuild) report;
     * at `drift_ratio` ≥ `rebuildRatio` (documented default 2: future ticks
     * overpay the similarity stage ≥ 2× vs one [[postingsIndex]] rebuild
-    * over the stored signatures), rebuild. See
+    * over the stored signatures), run [[rebuildPostings]]. See
     * [[SimilarityJoin.indexDriftReport]] for the measurement contract.
     */
   def indexDriftReport(

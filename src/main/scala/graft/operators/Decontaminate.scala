@@ -95,9 +95,12 @@ object Decontaminate {
     *     OR-merge equals the whole-data build for any merge shape;
     *   - TAKEDOWN: [[benchIndexDelete]] (bits can't unset — the cells
     *     rebuild from the surviving grams);
-    *   - SATURATION: `Bloom.saturationReport(bi.bloomCells, bi.m, bi.k)` on
-    *     the monitoring cadence — OR-merged growth degrades effective fpp
-    *     (cost, never correctness) until a rebuild at the grown size pays.
+    *   - SATURATION: [[saturationReport]] on the monitoring cadence —
+    *     OR-merged growth degrades effective fpp (cost, never correctness)
+    *     until a rebuild at the grown size pays;
+    *   - RESIZE: [[benchIndexResize]] when the monitor trips — (m, k)
+    *     re-sized to the grown gram count and the cells rebuilt from the
+    *     stored gram table, no benchmark text re-read.
     * The same lowercase + whitespace word n-grams as [[sharedGramCounts]]
     * (`n` is a contract across build and probe, like shingleN on the
     * signature index — the handle carries it so ticks can check).
@@ -155,6 +158,38 @@ object Decontaminate {
       grams = survivors,
       bloomCells = graft.functions.Bloom.cells(
         survivors.select(col("g")).distinct(), col("g"), bi.m, bi.k))
+  }
+
+  /** EXECUTABLE REBUILD for a saturated [[BenchIndex]] — the operator
+    * [[saturationReport]]'s `recommend_rebuild` flag asks for (previously
+    * the response was an undocumented re-call of [[benchIndex]], which
+    * re-reads benchmark TEXT the stored index already digested): the
+    * id-keyed gram table holds everything a rebuild needs, so resizing is
+    * one bounded pass over STORED state — `Bloom.sizeFor` over the distinct
+    * gram count picks the (m, k) for `targetFpp` at the GROWN size, and
+    * `Bloom.cells` re-hashes the stored grams at it. The result is
+    * bit-identical to a fresh [[benchIndex]] built at the new (m, k) over
+    * the same benchmark set (same grams, same hash discipline —
+    * DecontaminateSpec proves probe-identity and that the monitor reads
+    * green afterwards), and the returned handle carries the new (m, k) so
+    * every downstream probe/monitor site re-sizes with it atomically.
+    *
+    * The distinct-gram count is one driver-visible action over the gram
+    * table (benchmark-proportional, the same class as the build itself) —
+    * a resize runs on the monitoring cadence, never per tick. Fails loud
+    * on an empty index (nothing to size) and on `sizeFor`'s own contracts
+    * (m overflow → split by groupCols or relax targetFpp).
+    */
+  def benchIndexResize(bi: BenchIndex, targetFpp: Double): BenchIndex = {
+    val distinctGrams = bi.grams.select(col("g")).distinct()
+    val n = distinctGrams.count()
+    require(n > 0,
+      "benchIndexResize: the stored gram table is empty — an empty index cannot be " +
+        "sized (build it with benchIndex once the benchmark set is non-empty)")
+    val (m2, k2) = graft.functions.Bloom.sizeFor(n, targetFpp)
+    bi.copy(
+      bloomCells = graft.functions.Bloom.cells(distinctGrams, col("g"), m2, k2),
+      m = m2, k = k2)
   }
 
   /** [[sharedGramCounts]] against a prebuilt [[benchIndex]] — the

@@ -782,6 +782,31 @@ object SimilarityJoin {
   def mergeDfCounts(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("h")).agg(sum(col("_df")).as("_df"))
 
+  /** Element-wise subtraction `a − b` for (h, _df) frames — the DELETE
+    * side of the mergeable true-df feed ([[mergeDfCounts]] is the append
+    * side): counts are sums, so a takedown subtracts the removed docs'
+    * [[dfCounts]] EXACTLY — `trueFreq = subtractDfCounts(trueFreq,
+    * dfCounts(removedSigs, "_h"))` — and the feed stays equal to a
+    * recompute over the surviving corpus (without it, deleted docs
+    * overcount the feed forever, silently degrading
+    * [[indexDriftReport]]'s fresh-order estimate — monitor accuracy, never
+    * correctness). Rows that reach exactly 0 are dropped: df 0 ≡ absent
+    * (the frozen-order left join already treats unseen elements as df 0).
+    * Subtracting MORE than was ever added means the caller's feed and
+    * delete set diverged — that is a bug upstream, so it fails loud
+    * in-plan rather than clamping to 0 and hiding it.
+    */
+  def subtractDfCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b.select(col("h"), col("_df").as("_sub")), Seq("h"), "left")
+      .select(col("h"), (col("_df") - coalesce(col("_sub"), lit(0L))).as("_df"))
+      // per-row in-plan guard (the psiByPeriod pattern): assert_true is
+      // NULL — so isNull reads true — whenever the condition holds, and
+      // throws with context the moment any row violates it
+      .where(assert_true(col("_df") >= 0,
+        lit("subtractDfCounts: subtraction went negative — the subtracted counts " +
+          "were never merged into this feed (feed and delete set diverged)")).isNull)
+      .where(col("_df") > 0)
+
   /** DRIFT MONITOR for a frozen-order prefix index — the rebuild trigger
     * the frozen-order contract ([[prefixIndex]]) defers to the caller. The
     * contract guarantees drift can never cost correctness, only candidate

@@ -332,6 +332,131 @@ class CurationSpec extends AnyFunSuite {
     assert(run(idx2, posts2) == Seq(10L), "doc 10 must be re-admitted after the delete")
   }
 
+  test("rebuildPostings: fresh-order rebuild reads drift_ratio exactly 1.0") {
+    val (corpus, batch) = mutationCorpus(103)
+    val idxAll = Curation.signatures(
+      (corpus ++ batch).toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang").localCheckpoint()
+    // a deliberately drifted stored order: the TRUE df ranking inverted, so
+    // hub elements read as "rarest" and flood every prefix — the worst case
+    // a year of corpus mix-shift can produce
+    val trueFreq = SimilarityJoin.dfCounts(idxAll.select(col("_h")), "_h")
+    val mx = trueFreq.agg(max(col("_df"))).head().getLong(0)
+    val inverted = trueFreq.select(col("h"), (lit(mx + 1) - col("_df")).as("_df"))
+      .localCheckpoint()
+    val before = Curation.indexDriftReport(idxAll, "doc_id", "lang", 0.5, inverted)
+      .select("drift_ratio").as[Double].collect().head
+    assert(before > 1.0, s"an inverted order must overpay: ratio $before")
+    // the executable rebuild: one postingsIndex pass over the signature
+    // index, no text re-read — row-identical to postingsIndex itself
+    val (freshFreq0, freshPosts0) = Curation.rebuildPostings(idxAll, "doc_id", "lang")
+    val freshFreq = freshFreq0.localCheckpoint()
+    val (pfFreq, pfPosts) = Curation.postingsIndex(idxAll, "doc_id", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    assert(rows(freshFreq) == rows(pfFreq) && rows(freshPosts0) == rows(pfPosts))
+    // immediately after the rebuild the monitor reads EXACTLY 1.0 (stored
+    // and fresh volumes are the same measurement under the same order) and
+    // the flag clears
+    val after = Curation.indexDriftReport(idxAll, "doc_id", "lang", 0.5, freshFreq)
+      .select("drift_ratio", "recommend_rebuild")
+      .as[(Double, Boolean)].collect().head
+    assert(after._1 == 1.0 && !after._2, s"post-rebuild monitor not green: $after")
+  }
+
+  test("takedown: ticks + takedown ≡ state built fresh over the survivors") {
+    val (corpus, batch) = mutationCorpus(107)
+    val (b1, b2raw) = batch.partition(_._1 < 1240L)
+    // bench side: two benchmark docs; one will be taken down, and a tick-2
+    // batch doc contaminated ONLY by the removed one must flip to accepted
+    val keptBenchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val removedBenchText = "one two three four five six seven eight nine ten"
+    val bench = Seq((9000L, "lx", keptBenchText), (9001L, "lx", removedBenchText))
+      .toDF("doc_id", "lang", "text")
+    val b2 = b2raw ++ Seq((7000L, "l0", removedBenchText + " tail"))
+    val bi = Decontaminate.benchIndex(bench, "doc_id", "text", n = 4, m = 1 << 12, k = 4)
+
+    def sigs(docs: Seq[(Long, String, String)]) = Curation.signatures(
+      docs.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+    // ---- tick 1 + state maintenance (the q261 loop) ----
+    val idx0 = sigs(corpus)
+    val (freq0raw, posts0raw) = Curation.postingsIndex(idx0, "doc_id", "lang")
+    val freq0 = freq0raw.localCheckpoint()
+    val posts0 = posts0raw.localCheckpoint()
+    val acc1 = Curation.tickIndexed(idx0, b1.toDF("doc_id", "lang", "text"),
+      bench, "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
+      indexPinned = true, corpusPostings = Some((freq0, posts0)), benchIdx = Some(bi))
+    val acc1Docs = b1.filter(d =>
+      acc1.select("doc_id").as[Long].collect().toSet.contains(d._1))
+    val app1 = sigs(acc1Docs)
+    val idx1 = idx0.unionByName(app1)
+    val posts1 = posts0.unionByName(
+      Curation.postingsIndex(app1, "doc_id", "lang", frozenFreq = Some(freq0))._2)
+    val cur1 = SimilarityJoin.mergeDfCounts(
+      freq0, SimilarityJoin.dfCounts(app1, "_h")).localCheckpoint()
+
+    // ---- the takedown: corpus ids, an accepted tick-1 id, a bench id, and
+    // an id the state never saw (must no-op) ----
+    val removedCorpusIds = corpus.map(_._1).filter(_ % 7 == 0)
+    val removedAccId = acc1Docs.map(_._1).take(1)
+    val removed = removedCorpusIds ++ removedAccId ++ Seq(9001L, 424242L)
+    val (idx2, posts2, cur2, bi2opt) = Curation.takedown(
+      idx1, posts1, cur1, Some(bi), removed.toDF("doc_id"), "doc_id")
+    val bi2 = bi2opt.get
+
+    // (a) the signature index equals a fresh build over the survivors
+    val survivors = (corpus ++ acc1Docs).filterNot(d => removed.contains(d._1))
+    assert(rows(idx2) == rows(sigs(survivors)))
+    // (b) the postings equal a fresh frozen-order build over the survivors
+    val postsF = Curation.postingsIndex(
+      sigs(survivors), "doc_id", "lang", frozenFreq = Some(freq0))._2
+    assert(rows(posts2) == rows(postsF))
+    // (c) the subtracted df feed equals an exact recompute, so the drift
+    // monitor reads identically with the feed and with a recompute
+    assert(rows(cur2.groupBy(col("h")).agg(sum(col("_df")).as("_df"))) ==
+      rows(SimilarityJoin.dfCounts(idx2.select(col("_h")), "_h")))
+    val idx2p = idx2.localCheckpoint()
+    val viaFeed = Curation.indexDriftReport(
+      idx2p, "doc_id", "lang", 0.5, freq0, currentFreq = Some(cur2))
+    val viaRecompute = Curation.indexDriftReport(idx2p, "doc_id", "lang", 0.5, freq0)
+    assert(rows(viaFeed) == rows(viaRecompute))
+    // (d) the bench half equals benchIndexDelete (grams AND cells)
+    val biF = Decontaminate.benchIndexDelete(bi, Seq(9001L).toDF("doc_id"))
+    assert(rows(bi2.grams) == rows(biF.grams) && rows(bi2.bloomCells) == rows(biF.bloomCells))
+    assert((bi2.m, bi2.k, bi2.n) == ((bi.m, bi.k, bi.n)))
+
+    // (e) tick 2 over the taken-down state ≡ tick 2 over the fresh state —
+    // and the doc contaminated only by the REMOVED bench doc is accepted
+    // now (it is rejected under the pre-takedown index: the removal is live)
+    def tick2(sig: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame,
+        b: Decontaminate.BenchIndex) =
+      Curation.tickIndexed(sig, b2.toDF("doc_id", "lang", "text"),
+          bench, "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
+          indexPinned = true, corpusPostings = Some((freq0, p)), benchIdx = Some(b))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    val overTakedown = tick2(idx2p, posts2.localCheckpoint(), bi2)
+    val overFresh = tick2(sigs(survivors), postsF.localCheckpoint(), biF)
+    assert(overTakedown == overFresh)
+    assert(overTakedown.contains(7000L), "the bench takedown must re-admit 7000")
+    assert(!tick2(idx1.localCheckpoint(), posts1.localCheckpoint(), bi).contains(7000L),
+      "7000 must be contaminated under the pre-takedown bench index")
+
+    // guards: a takedown keyed by the wrong column / a feed that never saw
+    // the subtracted counts fail loud
+    intercept[IllegalArgumentException] {
+      Curation.takedown(idx1, posts1, cur1, Some(bi), Seq(1L).toDF("other"), "other")
+    }
+    val eNeg = intercept[Exception] {
+      SimilarityJoin.subtractDfCounts(
+        freq0, SimilarityJoin.mergeDfCounts(freq0, freq0)).collect()
+    }
+    assert(eNeg.getMessage.contains("went negative") ||
+      Option(eNeg.getCause).exists(_.getMessage.contains("went negative")))
+  }
+
   test("tick strategy passthrough: MinHashLsh is opt-in, exact-verified, recall-documented") {
     // MinHashLsh(8, 2) sized for tau = 0.5 (S-curve 50% point at
     // (1/8)^(1/2) ≈ 0.35; recall ≈ 0.98 at j = 0.6): candidates are banded

@@ -99,6 +99,50 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("doc_id"))
   }
 
+  test("benchIndexResize: monitor trips, resize from stored grams, monitor green, probes identical") {
+    // saturate a deliberately tiny stored filter: ~300 grams in 64 bits
+    val benchBig = (0 until 60)
+      .map(i => (i.toLong, s"w$i x$i y$i z$i q$i r$i")).toDF("doc_id", "text")
+    val bi = Decontaminate.benchIndex(benchBig, "doc_id", "text", n = 3, m = 64, k = 2)
+    val before = Decontaminate.saturationReport(bi)
+      .select("recommend_rebuild").as[Boolean].collect().head
+    assert(before, "a 64-bit filter over ~240 grams must trip the monitor")
+    val resized = Decontaminate.benchIndexResize(bi, targetFpp = 0.01)
+    // the carried (m, k) is sizeFor over the STORED distinct gram count
+    val g = bi.grams.select("g").distinct().count()
+    assert((resized.m, resized.k) == graft.functions.Bloom.sizeFor(g, 0.01))
+    // cells bit-identical to a fresh TEXT build at the new (m, k) — no
+    // benchmark text was read to get them
+    val fresh = Decontaminate.benchIndex(
+      benchBig, "doc_id", "text", n = 3, m = resized.m, k = resized.k)
+    assert(resized.bloomCells.as[(Int, Long)].collect().toSet ==
+      fresh.bloomCells.as[(Int, Long)].collect().toSet)
+    // gram table untouched by a resize
+    assert(resized.grams.as[(Long, String)].collect().toSet ==
+      bi.grams.as[(Long, String)].collect().toSet)
+    // the monitor reads green afterwards
+    val after = Decontaminate.saturationReport(resized)
+      .select("recommend_rebuild", "effective_fpp")
+      .as[(Boolean, Double)].collect().head
+    assert(!after._1 && after._2 < 0.02, s"monitor still red after resize: $after")
+    // probe-identity: the resized index returns the inline path's counts
+    val probe = Seq(
+      (1L, "w1 x1 y1 z1 tail"), // shares trigrams with benchBig doc 1
+      (2L, "nothing shared here at all")).toDF("doc_id", "text")
+    val viaResized = Decontaminate.sharedGramCountsIndexed(
+        probe, resized.grams, resized.bloomCells, "doc_id", "text", 3, resized.m, resized.k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Decontaminate.sharedGramCounts(probe, benchBig, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaResized == inline && viaResized.nonEmpty)
+    // an emptied index cannot be sized — fail loud, not NPE/garbage
+    val emptied = Decontaminate.benchIndexDelete(bi, benchBig.select("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.benchIndexResize(emptied, 0.01)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("saturationReport(handle) reads the carried (m, k) — identical to the raw form") {
     val bi = Decontaminate.benchIndex(bench, "doc_id", "text", n = 3, m = 1 << 12, k = 4)
     val viaHandle = Decontaminate.saturationReport(bi)
