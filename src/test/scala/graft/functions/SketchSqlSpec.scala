@@ -83,6 +83,96 @@ class SketchSqlSpec extends AnyFunSuite {
     assert(rows(sql) == rows(api) && sql.count() > 0)
   }
 
+  test("bloom saturation monitor in one SQL statement") {
+    ready
+    // the MONITORING layer is SQL-authored like the sketch tier: the
+    // report is one statement over the same cell derivation the Bloom
+    // cells test builds — bit_count fill, the explicit left-assoc fill^k
+    // product (f*f*f*f, the engine's reduce order), and the documented
+    // 0.02 threshold
+    val sql = spark.sql(
+      """SELECT set_bits,
+        |  set_bits / 4096.0D AS fill_ratio,
+        |  (set_bits / 4096.0D) * (set_bits / 4096.0D)
+        |    * (set_bits / 4096.0D) * (set_bits / 4096.0D) AS effective_fpp,
+        |  (set_bits / 4096.0D) * (set_bits / 4096.0D)
+        |    * (set_bits / 4096.0D) * (set_bits / 4096.0D) >= 0.02D AS recommend_rebuild
+        |FROM (
+        |  SELECT coalesce(sum(bit_count(bits)), 0) AS set_bits FROM (
+        |    SELECT CAST(p / 32 AS INT) AS word,
+        |      bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))) AS bits
+        |    FROM (
+        |      SELECT (CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 13), 16, 10) AS BIGINT)
+        |            + i * CAST(conv(substring(md5(CAST(user_id AS STRING)), 14, 13), 16, 10) AS BIGINT))
+        |            % 4096 AS p
+        |      FROM ev LATERAL VIEW explode(sequence(0, 3)) t AS i
+        |      WHERE user_id IS NOT NULL
+        |    ) GROUP BY 1
+        |  )
+        |)""".stripMargin)
+    val api = Bloom.saturationReport(
+      Bloom.cells(spark.table("ev"), col("user_id").cast("string"), m = 4096, k = 4),
+      m = 4096, k = 4)
+    assert(rows(sql) == rows(api) && sql.count() == 1)
+  }
+
+  test("adaptive-scale PSI monitor in one SQL statement over cell views") {
+    ready
+    // psiByPeriodAdaptive's two halves — dyadic rebin to the coarsest
+    // scale (guarded arithmetic shift) and the eps-floored PSI grid — as
+    // one SQL statement over STORED cell tables (the standing-monitor
+    // deployment shape: cells persist, the monitor is SQL on a schedule)
+    val cutoff = "2024-01-07"
+    val ev = spark.table("ev").where(col("value").isNotNull)
+    AdaptiveHist.cells(
+        ev.where(to_date(col("ts")) > lit(cutoff).cast("date"))
+          .withColumn("day", to_date(col("ts"))),
+        col("value"), maxBins = 16, Seq("day"))
+      .createOrReplaceTempView("ahist_cells")
+    AdaptiveHist.cells(
+        ev.where(to_date(col("ts")) <= lit(cutoff).cast("date")),
+        col("value"), maxBins = 16)
+      .createOrReplaceTempView("ahist_ref")
+    val sql = spark.sql(
+      """WITH tgt AS (
+        |  SELECT max(scale) AS ts FROM
+        |    (SELECT scale FROM ahist_cells UNION ALL SELECT scale FROM ahist_ref)
+        |), alc AS (
+        |  SELECT day,
+        |    CASE WHEN ts - scale >= 63 THEN CAST(CASE WHEN bin < 0 THEN -1 ELSE 0 END AS BIGINT)
+        |         ELSE shiftright(bin, CAST(ts - scale AS INT)) END AS bin,
+        |    sum(cnt) AS cnt
+        |  FROM ahist_cells, tgt GROUP BY 1, 2
+        |), alr AS (
+        |  SELECT CASE WHEN ts - scale >= 63 THEN CAST(CASE WHEN bin < 0 THEN -1 ELSE 0 END AS BIGINT)
+        |         ELSE shiftright(bin, CAST(ts - scale AS INT)) END AS bin,
+        |    sum(cnt) AS cnt
+        |  FROM ahist_ref, tgt GROUP BY 1
+        |), tot AS (SELECT day, sum(cnt) AS tp FROM alc GROUP BY 1
+        |), rt AS (SELECT sum(cnt) AS tr FROM alr
+        |), bins AS (
+        |  SELECT DISTINCT bin FROM (SELECT bin FROM alc UNION ALL SELECT bin FROM alr)
+        |), grid AS (
+        |  SELECT t.day,
+        |    greatest(coalesce(c.cnt, 0) / CAST(t.tp AS DOUBLE), 1e-6D) AS p,
+        |    greatest(coalesce(r.cnt, 0) / CAST(rt.tr AS DOUBLE), 1e-6D) AS q
+        |  FROM tot t CROSS JOIN bins b CROSS JOIN rt
+        |  LEFT JOIN alc c ON c.day = t.day AND c.bin = b.bin
+        |  LEFT JOIN alr r ON r.bin = b.bin
+        |)
+        |SELECT day, sum((p - q) * ln(p / q)) AS psi FROM grid GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    val api = graft.operators.Drift.psiByPeriodAdaptive(
+        spark.table("ahist_cells"), "day", spark.table("ahist_ref"))
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    assert(sql.keySet == api.keySet && sql.nonEmpty)
+    // identical term SETS summed by different physical plans — ulp-level
+    // float-order tolerance (the documented cross-plan convention)
+    sql.foreach { case (d, v) =>
+      assert(math.abs(v - api(d)) < 1e-9, s"day $d: sql=$v api=${api(d)}")
+    }
+  }
+
   test("KMV sketch cells in one SQL statement (graft_kmv16)") {
     ready
     val sql = spark.sql(

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
@@ -97,6 +98,51 @@ class DecontaminateSpec extends AnyFunSuite {
       Decontaminate.benchIndexDelete(bi, Seq(1L).toDF("other_id"))
     }
     assert(e.getMessage.contains("doc_id"))
+  }
+
+  test("streaming-drained bloom cells ARE the BenchIndex growth feed (merge ≡ fresh build)") {
+    // the StreamOps.bloomCells doc claims drained slices feed a stored
+    // decontamination index as benchmark additions arrive — prove it: a
+    // growth slice arrives as a STREAM, its gram feed drains through the
+    // running streaming form at the index's (m, k), and Bloom.merge of the
+    // drained cells into the stored cells equals a fresh BATCH benchIndex
+    // over the union benchmark set, probe-identical (the indexed≡inline
+    // pattern, joining the streaming tier to the index tier)
+    import graft.functions.{Bloom, TextFunctions}
+    val (m, k) = (1 << 12, 4)
+    val bi1 = Decontaminate.benchIndex(bench, "doc_id", "text", n = 3, m = m, k = k)
+    val bench2 = Seq((200L, "p q r s t"), (201L, "u v w x y")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bench_growth").toString
+    bench2.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(bench2.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // the same gram derivation as benchIndex, as a stateless stream stage
+    val gramStream = stream.filter(trim(col("text")) =!= "")
+      .select(explode(array_distinct(
+        TextFunctions.wordShingles(lower(col("text")), 3))).as("g"))
+    val q = graft.streaming.StreamOps.bloomCells(gramStream, col("g"), m, k)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("growth_cells").start()
+    q.processAllAvailable(); q.stop()
+    val drained = spark.table("growth_cells")
+    // growth = OR-merge the drained cells + row-append the gram table
+    val grown = bi1.copy(
+      grams = bi1.grams.unionByName(
+        Decontaminate.benchIndex(bench2, "doc_id", "text", 3, m, k).grams),
+      bloomCells = Bloom.merge(bi1.bloomCells, drained))
+    val benchBoth = bench.unionByName(bench2)
+    val fresh = Decontaminate.benchIndex(benchBoth, "doc_id", "text", 3, m, k)
+    assert(grown.bloomCells.as[(Int, Long)].collect().toSet ==
+      fresh.bloomCells.as[(Int, Long)].collect().toSet,
+      "streaming-drained growth cells diverge from the whole-data build")
+    // probe-identity on a corpus touching old, new, and no benchmark docs
+    val corpus2 = corpus.unionByName(Seq((5L, "p q r s zz")).toDF("doc_id", "text"))
+    val viaGrown = Decontaminate.sharedGramCountsIndexed(
+        corpus2, grown.grams, grown.bloomCells, "doc_id", "text", 3, m, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Decontaminate.sharedGramCounts(corpus2, benchBoth, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGrown == inline && viaGrown.exists(_._1 == 5L))
   }
 
   test("benchIndexResize: monitor trips, resize from stored grams, monitor green, probes identical") {
