@@ -152,9 +152,11 @@ object Curation {
     * degrades). `tau` here must be ≤ every tick's `tau` (longer prefixes
     * are lossless, shorter ones drop pairs) and `idCol`/`langCol`/the
     * signatures' `shingleN` must match the tick's — contracts, not checks.
-    * Deletes: anti-join BOTH `posts` and the signature index on the removed
-    * ids (`frame.join(deletedIds, Seq(idCol), "left_anti")`); `freq` stays
-    * frozen (a deleted doc's df contribution is staleness, not error).
+    * Deletes: [[takedown]] is the single-call form (anti-joins BOTH `posts`
+    * and the signature index on the removed ids, subtracts the true-df
+    * feed, and deletes the bench index); `freq` stays frozen (a deleted
+    * doc's df contribution is staleness, not error — [[rebuildPostings]]
+    * when the drift monitor says the staleness has accumulated a cost).
     */
   def postingsIndex(
       sig: DataFrame,

@@ -94,7 +94,8 @@ object Decontaminate {
     *   - GROWTH: append the new slice's grams and `Bloom.merge` its cells —
     *     OR-merge equals the whole-data build for any merge shape;
     *   - TAKEDOWN: [[benchIndexDelete]] (bits can't unset — the cells
-    *     rebuild from the surviving grams);
+    *     rebuild from the surviving grams; `Curation.takedown` composes it
+    *     with the similarity tier's deletes in one call);
     *   - SATURATION: [[saturationReport]] on the monitoring cadence —
     *     OR-merged growth degrades effective fpp (cost, never correctness)
     *     until a rebuild at the grown size pays;
