@@ -6246,13 +6246,12 @@ object SparkEntry {
   // bit-identically; correctness is never at stake (one-sidedness), cost
   // is — which is why the report, not the probe, carries the trigger.
   private def bloomSaturation(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Bloom
     import graft.operators.Decontaminate
     val k = 4
     val bench = t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
     def report(label: String, m: Int) = {
       val bi = Decontaminate.benchIndex(bench, "doc_id", "text", n = 4, m = m, k = k)
-      Bloom.saturationReport(bi.bloomCells, m, k)
+      Decontaminate.saturationReport(bi) // handle-carried (m, k)
         .select(lit(label).as("config"), lit(m.toLong).as("m"),
           col("set_bits").cast("long").as("set_bits"),
           rnd(col("fill_ratio"), 8).as("fill_ratio"),

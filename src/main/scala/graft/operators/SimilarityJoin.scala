@@ -792,13 +792,18 @@ object SimilarityJoin {
     * [[indexDriftReport]]'s fresh-order estimate — monitor accuracy, never
     * correctness). Rows that reach exactly 0 are dropped: df 0 ≡ absent
     * (the frozen-order left join already treats unseen elements as df 0).
-    * Subtracting MORE than was ever added means the caller's feed and
-    * delete set diverged — that is a bug upstream, so it fails loud
-    * in-plan rather than clamping to 0 and hiding it.
+    * Subtracting MORE than was ever added — including a key the feed
+    * never saw at all — means the caller's feed and delete set diverged;
+    * that is a bug upstream, so it fails loud in-plan rather than
+    * clamping/dropping and hiding it. Implemented as union-and-aggregate
+    * (not a left join, which would silently DISCARD feed-absent keys
+    * before the guard could see them); duplicate `h` rows on either side
+    * are re-grouped first, the same shape tolerance [[mergeDfCounts]] has.
     */
   def subtractDfCounts(a: DataFrame, b: DataFrame): DataFrame =
-    a.join(b.select(col("h"), col("_df").as("_sub")), Seq("h"), "left")
-      .select(col("h"), (col("_df") - coalesce(col("_sub"), lit(0L))).as("_df"))
+    a.select(col("h"), col("_df"))
+      .unionByName(b.select(col("h"), (-col("_df")).as("_df")))
+      .groupBy(col("h")).agg(sum(col("_df")).as("_df"))
       // per-row in-plan guard (the psiByPeriod pattern): assert_true is
       // NULL — so isNull reads true — whenever the condition holds, and
       // throws with context the moment any row violates it

@@ -389,8 +389,8 @@ class CurationSpec extends AnyFunSuite {
     val acc1 = Curation.tickIndexed(idx0, b1.toDF("doc_id", "lang", "text"),
       bench, "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
       indexPinned = true, corpusPostings = Some((freq0, posts0)), benchIdx = Some(bi))
-    val acc1Docs = b1.filter(d =>
-      acc1.select("doc_id").as[Long].collect().toSet.contains(d._1))
+    val acc1Ids = acc1.select("doc_id").as[Long].collect().toSet // one action, hoisted
+    val acc1Docs = b1.filter(d => acc1Ids.contains(d._1))
     val app1 = sigs(acc1Docs)
     val idx1 = idx0.unionByName(app1)
     val posts1 = posts0.unionByName(
@@ -449,12 +449,19 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Curation.takedown(idx1, posts1, cur1, Some(bi), Seq(1L).toDF("other"), "other")
     }
-    val eNeg = intercept[Exception] {
+    def negMsg(e: Exception): Boolean =
+      e.getMessage.contains("went negative") ||
+        Option(e.getCause).exists(_.getMessage.contains("went negative"))
+    assert(negMsg(intercept[Exception] {
       SimilarityJoin.subtractDfCounts(
         freq0, SimilarityJoin.mergeDfCounts(freq0, freq0)).collect()
-    }
-    assert(eNeg.getMessage.contains("went negative") ||
-      Option(eNeg.getCause).exists(_.getMessage.contains("went negative")))
+    }))
+    // a key the feed NEVER saw must also trip (not silently vanish — the
+    // union-aggregate form exists precisely so absent keys reach the guard)
+    assert(negMsg(intercept[Exception] {
+      SimilarityJoin.subtractDfCounts(
+        freq0, Seq((Long.MinValue + 42L, 1L)).toDF("h", "_df")).collect()
+    }))
   }
 
   test("tick strategy passthrough: MinHashLsh is opt-in, exact-verified, recall-documented") {
