@@ -208,8 +208,9 @@ object Bench {
     "q262_stream_windowed_bloom" -> 1.440,
     // round-11 additions (r11 sf0.1 quiet-box min-of-2, BASELINE.md §3j):
     // q264 is the takedown capstone — a two-tick indexed loop (the q248
-    // class) with the single-call takedown folded between the ticks
-    "q263_bloom_rebuild" -> 1.326, "q264_takedown_tick" -> 16.246)
+    // class) with the single-call takedown folded between the ticks plus
+    // the post-rebuild drift read-off (a q252-class monitor pass)
+    "q263_bloom_rebuild" -> 1.326, "q264_takedown_tick" -> 19.376)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

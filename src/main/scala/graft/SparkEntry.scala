@@ -6515,6 +6515,18 @@ object SparkEntry {
         indexPinned = true, corpusPostings = Some((freq0, posts2)), benchIdx = Some(bi2)))
     val app2 = Curation.signatures(acc2, "doc_id", "text", "lang")
     val curF = SimilarityJoin.mergeDfCounts(cur2, SimilarityJoin.dfCounts(app2, "_h"))
+    // ---- the postings-rebuild leg, oracle-gated end to end: rebuild the
+    // order from the FINAL index, then read the drift monitor against it
+    // with the fresh side independently recomputed — the rebuild contract
+    // pins drift_ratio at EXACTLY 1.0 (same df multiset → same rarest-first
+    // order → identical postings → identical integer-valued volumes), so
+    // the oracle value-checks the whole two-postings-build machinery
+    // against a contract constant; any defect in the rebuilt order reads
+    // as ratio ≠ 1 here
+    val idxF = Pin.LocalCheckpoint(idx2.unionByName(app2))
+    val (rbFreq, _) = Curation.rebuildPostings(idxF, "doc_id", "lang")
+    val drift = Curation.indexDriftReport(
+      idxF, "doc_id", "lang", 0.5, Pin.LocalCheckpoint(rbFreq))
     // ---- metric report (every read-off oracle-recomputable) ----
     def accMetrics(pfx: String, acc: DataFrame) = acc.agg(
         count(lit(1)).cast("double").as("d"),
@@ -6529,10 +6541,15 @@ object SparkEntry {
         .select(lit("bench_gram_rows_before").as("metric"), col("v").as("value")))
       .unionByName(bi2.grams.agg(count(lit(1)).cast("double").as("v"))
         .select(lit("bench_gram_rows_after").as("metric"), col("v").as("value")))
-      .unionByName(idx2.unionByName(app2).agg(count(lit(1)).cast("double").as("v"))
+      .unionByName(idxF.agg(count(lit(1)).cast("double").as("v"))
         .select(lit("final_index_docs").as("metric"), col("v").as("value")))
       .unionByName(curF.agg(coalesce(sum(col("_df")), lit(0L)).cast("double").as("v"))
         .select(lit("final_df_mass").as("metric"), col("v").as("value")))
+      .unionByName(drift.select(expr(
+        """stack(2,
+          |  'post_rebuild_drift_ratio', drift_ratio,
+          |  'post_rebuild_recommend', CAST(recommend_rebuild AS DOUBLE))
+          |  AS (metric, value)""".stripMargin)))
       .select(col("metric"), rnd(col("value"), 6).as("value"))
       .orderBy(col("metric"))
   }
@@ -12647,6 +12664,14 @@ object SparkEntry {
         |    (SELECT count(*) FROM corpus_t2) + (SELECT count(*) FROM acc_t2) AS DOUBLE)
         |  UNION ALL
         |  SELECT 'final_df_mass', CAST(v AS DOUBLE) FROM dfm
+        |  -- the rebuild contract constants: a just-rebuilt order measures
+        |  -- stored_volume == fresh_volume exactly (integer-valued block
+        |  -- volumes under the identical df multiset), so the engine's full
+        |  -- two-postings-build drift read-off must land on exactly 1.0 / 0
+        |  UNION ALL
+        |  SELECT 'post_rebuild_drift_ratio', CAST(1.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'post_rebuild_recommend', CAST(0.0 AS DOUBLE)
         |)
         |SELECT metric, round(value + 1e-9, 6) AS value FROM m ORDER BY metric""".stripMargin
     })
