@@ -464,6 +464,30 @@ class CurationSpec extends AnyFunSuite {
     }))
   }
 
+  test("df-feed algebra: subtract inverts merge on random multisets (seeded property)") {
+    // the takedown feed's load-bearing identity: for any feed F and delete
+    // counts D, subtract(merge(F, D), D) == F — including keys D introduces
+    // (they cancel to 0 and drop) and duplicate-row shapes (both ops
+    // re-group). subtract(F, F) == empty.
+    val rnd = new scala.util.Random(131)
+    (1 to 5).foreach { trial =>
+      val keys = (1 to 40).map(_ => rnd.nextInt(25).toLong).distinct
+      val f = keys.map(h => (h, 1L + rnd.nextInt(9))).toDF("h", "_df")
+      // D: some keys from F, some fresh; emitted as DUPLICATE rows to
+      // exercise the re-grouping tolerance
+      val d0 = keys.take(keys.size / 2).map(h => (h, 1L + rnd.nextInt(4))) ++
+        (1 to 5).map(_ => (1000L + rnd.nextInt(3), 1L + rnd.nextInt(4)))
+      val d = d0.flatMap { case (h, c) => Seq((h, c - c / 2), (h, c / 2)) }
+        .filter(_._2 > 0).toDF("h", "_df")
+      val roundTrip = SimilarityJoin.subtractDfCounts(
+          SimilarityJoin.mergeDfCounts(f, d), d)
+        .as[(Long, Long)].collect().toSet
+      assert(roundTrip == f.as[(Long, Long)].collect().toSet, s"trial $trial")
+    }
+    val f1 = Seq((1L, 2L), (2L, 5L)).toDF("h", "_df")
+    assert(SimilarityJoin.subtractDfCounts(f1, f1).isEmpty)
+  }
+
   test("tick strategy passthrough: MinHashLsh is opt-in, exact-verified, recall-documented") {
     // MinHashLsh(8, 2) sized for tau = 0.5 (S-curve 50% point at
     // (1/8)^(1/2) ≈ 0.35; recall ≈ 0.98 at j = 0.6): candidates are banded
