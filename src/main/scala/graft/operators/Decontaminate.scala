@@ -136,6 +136,27 @@ object Decontaminate {
   def saturationReport(bi: BenchIndex, maxFpp: Double = 0.02): DataFrame =
     graft.functions.Bloom.saturationReport(bi.bloomCells, bi.m, bi.k, maxFpp = maxFpp)
 
+  /** GROWTH for the stored [[BenchIndex]] — the third lifecycle verb named
+    * (with [[benchIndexDelete]] and [[benchIndexResize]]; previously the
+    * growth recipe lived in docs as `grams.unionByName + Bloom.merge`
+    * folklore): gram the new benchmark slice at the index's (idCol, n),
+    * row-append the id-keyed gram table, OR-merge the cells at the carried
+    * (m, k). IDEMPOTENT like the bits themselves: the gram union is
+    * re-distincted, so re-ingesting an already-absorbed slice (a replayed
+    * feed, an overlapping drop) changes nothing — grow ≡ fresh build over
+    * the union benchmark set, for any growth shape (the merge spec's
+    * claim, now behind one call). Growth degrades the effective fpp over
+    * time — [[saturationReport]] watches, [[benchIndexResize]] responds.
+    * The drained streaming form (`StreamOps.bloomCells` over the gram
+    * feed) merges the same way when additions arrive as a stream.
+    */
+  def benchIndexGrow(bi: BenchIndex, newBench: DataFrame, textCol: String): BenchIndex = {
+    val add = benchIndex(newBench, bi.idCol, textCol, bi.n, bi.m, bi.k)
+    bi.copy(
+      grams = bi.grams.unionByName(add.grams).distinct(),
+      bloomCells = graft.functions.Bloom.merge(bi.bloomCells, add.bloomCells))
+  }
+
   /** TAKEDOWN contract for the stored [[BenchIndex]] — the delete the
     * postings index got in the similarity tier, mirrored for the
     * membership tier. OR-merged bits can never unset, so the recipe is:

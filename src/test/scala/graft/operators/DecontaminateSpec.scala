@@ -68,6 +68,31 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(merged == whole && merged.exists(_._1 == 5L))
   }
 
+  test("benchIndexGrow: one-call growth equals the fresh union build and re-ingest is a no-op") {
+    val bench2 = Seq((200L, "p q r s t")).toDF("doc_id", "text")
+    val bi = Decontaminate.benchIndex(bench, "doc_id", "text", n = 3, m = 1 << 12, k = 4)
+    val grown = Decontaminate.benchIndexGrow(bi, bench2, "text")
+    val fresh = Decontaminate.benchIndex(
+      bench.unionByName(bench2), "doc_id", "text", 3, 1 << 12, 4)
+    def grams(i: Decontaminate.BenchIndex) = i.grams.as[(Long, String)].collect().toSet
+    def cells(i: Decontaminate.BenchIndex) = i.bloomCells.as[(Int, Long)].collect().toSet
+    assert(grams(grown) == grams(fresh) && cells(grown) == cells(fresh))
+    assert((grown.m, grown.k, grown.n) == ((bi.m, bi.k, bi.n)))
+    // idempotent: re-ingesting an absorbed slice changes nothing (replayed
+    // feeds / overlapping drops are routine for a standing service)
+    val again = Decontaminate.benchIndexGrow(grown, bench2, "text")
+    assert(grams(again) == grams(grown) && cells(again) == cells(grown))
+    // and the grown index probes exactly like the inline path over the union
+    val corpus2 = corpus.unionByName(Seq((5L, "p q r s zz")).toDF("doc_id", "text"))
+    val indexed = Decontaminate.sharedGramCountsIndexed(
+        corpus2, grown.grams, grown.bloomCells, "doc_id", "text", 3, grown.m, grown.k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Decontaminate.sharedGramCounts(
+        corpus2, bench.unionByName(bench2), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed == inline && indexed.exists(_._1 == 5L))
+  }
+
   test("benchIndexDelete: a takedown stops flagging removed-exclusive grams, keeps shared ones") {
     // bench 100 and 200 SHARE trigram "a b c"; 100's other trigrams are
     // exclusive to it. Removing 100 must stop flagging its exclusive grams
