@@ -6493,11 +6493,10 @@ object SparkEntry {
     val acc1 = Pin.LocalCheckpoint(
       Curation.tickIndexed(idx0, b1, bench, "doc_id", "text", "lang", quality = q,
         indexPinned = true, corpusPostings = Some((freq0, posts0)), benchIdx = Some(bi)))
-    val app1 = Pin.LocalCheckpoint(Curation.signatures(acc1, "doc_id", "text", "lang"))
-    val idx1 = idx0.unionByName(app1)
-    val posts1 = posts0.unionByName(Pin.LocalCheckpoint(
-      Curation.postingsIndex(app1, "doc_id", "lang", frozenFreq = Some(freq0))._2))
-    val cur1 = SimilarityJoin.mergeDfCounts(freq0, SimilarityJoin.dfCounts(app1, "_h"))
+    // the named append verb (takedown's inverse): signatures row-append,
+    // frozen-order postings append, mergeable df merge — one call
+    val (idx1, posts1, cur1) = Curation.appendState(
+      idx0, posts0, freq0, acc1, "doc_id", "text", "lang", frozenFreq = freq0)
     // ---- the takedown ----
     val removed = docs.filter(col("doc_id") % 9 === 3).select(col("doc_id"))
     val (idx2raw, posts2raw, cur2raw, bi2opt) =

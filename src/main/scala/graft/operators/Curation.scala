@@ -192,8 +192,51 @@ object Curation {
       tau: Double = 0.5): (DataFrame, DataFrame) =
     postingsIndex(index, idCol, langCol, tau, frozenFreq = None)
 
-  /** TAKEDOWN TICK — the single-call inverse of [[tickIndexed]]'s append
-    * side, composing the tier's four delete contracts so a standing
+  /** APPEND the tick's accepted docs to the standing state in one call —
+    * the maintenance loop every tick runs after [[tickIndexed]], named
+    * (it was three hand-rolled statements in each caller, and its inverse
+    * [[takedown]] was already one call):
+    *
+    *   1. signature index: row-append the accepted docs' [[signatures]];
+    *   2. stored postings: row-append the accepted docs' postings built
+    *      UNDER THE FROZEN ORDER (`frozenFreq` — the [[postingsIndex]]
+    *      contract; drift is cost, never correctness);
+    *   3. true-df feed: [[SimilarityJoin.mergeDfCounts]] of the accepted
+    *      docs' [[SimilarityJoin.dfCounts]].
+    *
+    * `shingleN`/`shingleHash`/`tau` must match the standing index's build
+    * (the usual index contracts). The appended signature/postings frames
+    * are pinned through `pin` (they are read per subsequent tick; the
+    * merged df frame is left lazy — it re-aggregates from pinned parts).
+    * [[takedown]] of exactly the appended ids inverts this call half for
+    * half (CurationSpec proves the round trip lands on the original
+    * state), which is what makes append/takedown a clean verb pair for a
+    * standing service's ledger.
+    */
+  def appendState(
+      index: DataFrame,
+      posts: DataFrame,
+      currentFreq: DataFrame,
+      accepted: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      frozenFreq: DataFrame,
+      shingleN: Int = 5,
+      tau: Double = 0.5,
+      shingleHash: Column => Column = xxhash64(_),
+      pin: Pin = Pin.LocalCheckpoint): (DataFrame, DataFrame, DataFrame) = {
+    val app = pin(signatures(accepted, idCol, textCol, langCol, shingleN, shingleHash))
+    (
+      index.unionByName(app),
+      posts.unionByName(
+        pin(postingsIndex(app, idCol, langCol, tau, frozenFreq = Some(frozenFreq))._2)),
+      SimilarityJoin.mergeDfCounts(currentFreq, SimilarityJoin.dfCounts(app, "_h")))
+  }
+
+  /** TAKEDOWN TICK — the single-call inverse of [[appendState]] (and of
+    * [[tickIndexed]]'s append side generally), composing the tier's four
+    * delete contracts so a standing
     * service removes documents with one call and no state half drifts:
     *
     *   1. signature index: anti-join on the removed ids;

@@ -464,6 +464,36 @@ class CurationSpec extends AnyFunSuite {
     }))
   }
 
+  test("appendState ≡ the hand-rolled maintenance, and takedown inverts it exactly") {
+    val (corpus, batch) = mutationCorpus(109)
+    val idx0 = Curation.signatures(
+      corpus.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang").localCheckpoint()
+    val (freq0raw, posts0raw) = Curation.postingsIndex(idx0, "doc_id", "lang")
+    val freq0 = freq0raw.localCheckpoint()
+    val posts0 = posts0raw.localCheckpoint()
+    val accepted = batch.take(8).toDF("doc_id", "lang", "text") // any doc set works
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    val (idx1, posts1, cur1) = Curation.appendState(
+      idx0, posts0, freq0, accepted, "doc_id", "text", "lang", frozenFreq = freq0)
+    // ≡ the hand-rolled three statements
+    val app = Curation.signatures(accepted, "doc_id", "text", "lang").localCheckpoint()
+    assert(rows(idx1) == rows(idx0.unionByName(app)))
+    assert(rows(posts1) == rows(posts0.unionByName(
+      Curation.postingsIndex(app, "doc_id", "lang", frozenFreq = Some(freq0))._2)))
+    assert(rows(cur1) == rows(SimilarityJoin.mergeDfCounts(
+      freq0, SimilarityJoin.dfCounts(app, "_h"))))
+    // the inverse law: takedown of exactly the appended ids lands back on
+    // the original state, half for half (df feed compared as a multiset —
+    // merge leaves one row per h either way)
+    val (idxB, postsB, curB, _) = Curation.takedown(
+      idx1.localCheckpoint(), posts1.localCheckpoint(), cur1.localCheckpoint(),
+      None, accepted.select("doc_id"), "doc_id")
+    assert(rows(idxB) == rows(idx0))
+    assert(rows(postsB) == rows(posts0))
+    assert(rows(curB) == rows(freq0))
+  }
+
   test("df-feed algebra: subtract inverts merge on random multisets (seeded property)") {
     // the takedown feed's load-bearing identity: for any feed F and delete
     // counts D, subtract(merge(F, D), D) == F — including keys D introduces
