@@ -5974,7 +5974,10 @@ object SparkEntry {
     // the appended slices are pinned too, so idx1/posts1 are materialized
     // end-to-end and tick 2 can declare indexPinned (the parquet-index
     // production shape); accepted docs' postings build under the FROZEN
-    // freq — the index's staleness contract
+    // freq — the index's staleness contract. (Hand-rolled rather than
+    // Curation.appendState: this loop predates the mergeable df feed and
+    // deliberately carries none — appendState is the named form when the
+    // full index/posts/feed triple is maintained, q261/q264.)
     val app1 = Pin.LocalCheckpoint(
       Curation.signatures(acc1, "doc_id", "text", "lang"))
     val idx1 = idx0.unionByName(app1)
@@ -6359,13 +6362,13 @@ object SparkEntry {
       Curation.tickIndexed(idx0, b1, bench, "doc_id", "text", "lang", quality = q,
         indexPinned = true, corpusPostings = Some((freq0, posts0)),
         benchIdx = Some(bi), shingleHash = mdHash))
-    val app1 = Pin.LocalCheckpoint(
-      Curation.signatures(acc1, "doc_id", "text", "lang", shingleHash = mdHash))
-    val idx1 = idx0.unionByName(app1)
-    val posts1 = posts0.unionByName(Pin.LocalCheckpoint(
-      Curation.postingsIndex(app1, "doc_id", "lang", frozenFreq = Some(freq0))._2))
-    val freq1 = Pin.LocalCheckpoint(
-      SimilarityJoin.mergeDfCounts(freq0, SimilarityJoin.dfCounts(app1, "_h")))
+    // the named append verb (signatures row-append + frozen-order postings
+    // append + mergeable df merge); the merged feed is additionally pinned
+    // here because tick 2's merge and the drift monitor both read it
+    val (idx1, posts1, freq1raw) = Curation.appendState(
+      idx0, posts0, freq0, acc1, "doc_id", "text", "lang",
+      frozenFreq = freq0, shingleHash = mdHash)
+    val freq1 = Pin.LocalCheckpoint(freq1raw)
     // ---- tick 2 ----
     val acc2 = Pin.LocalCheckpoint(
       Curation.tickIndexed(idx1, b2, bench, "doc_id", "text", "lang", quality = q,
@@ -6518,7 +6521,9 @@ object SparkEntry {
     // order from the FINAL index, then read the drift monitor against it
     // with the fresh side independently recomputed — the rebuild contract
     // pins drift_ratio at EXACTLY 1.0 (same df multiset → same rarest-first
-    // order → identical postings → identical integer-valued volumes), so
+    // order → identical postings → identical HALF-integer-valued volumes
+    // (prefixVolumeCells' _cp1 = n_i·n_p/2 terms are multiples of 0.5 —
+    // exactly representable, order-independent summation below 2^52)), so
     // the oracle value-checks the whole two-postings-build machinery
     // against a contract constant; any defect in the rebuilt order reads
     // as ratio ≠ 1 here
@@ -12664,8 +12669,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'final_df_mass', CAST(v AS DOUBLE) FROM dfm
         |  -- the rebuild contract constants: a just-rebuilt order measures
-        |  -- stored_volume == fresh_volume exactly (integer-valued block
-        |  -- volumes under the identical df multiset), so the engine's full
+        |  -- stored_volume == fresh_volume exactly (block volumes are
+        |  -- HALF-integer-valued — n_i*n_p/2 terms, multiples of 0.5, exact
+        |  -- and order-independent in double below 2^52 — under the
+        |  -- identical df multiset), so the engine's full
         |  -- two-postings-build drift read-off must land on exactly 1.0 / 0
         |  UNION ALL
         |  SELECT 'post_rebuild_drift_ratio', CAST(1.0 AS DOUBLE)

@@ -193,9 +193,12 @@ object Curation {
     postingsIndex(index, idCol, langCol, tau, frozenFreq = None)
 
   /** APPEND the tick's accepted docs to the standing state in one call —
-    * the maintenance loop every tick runs after [[tickIndexed]], named
-    * (it was three hand-rolled statements in each caller, and its inverse
-    * [[takedown]] was already one call):
+    * the maintenance loop every df-feed-carrying tick runs after
+    * [[tickIndexed]], named (it was three hand-rolled statements in each
+    * such caller — q261/q264 — and its inverse [[takedown]] was already
+    * one call; loops that deliberately carry no feed, like q248's
+    * pre-feed shape and the ProfileTick per-stage profiler, stay
+    * hand-rolled and say so):
     *
     *   1. signature index: row-append the accepted docs' [[signatures]];
     *   2. stored postings: row-append the accepted docs' postings built
@@ -211,7 +214,12 @@ object Curation {
     * [[takedown]] of exactly the appended ids inverts this call half for
     * half (CurationSpec proves the round trip lands on the original
     * state), which is what makes append/takedown a clean verb pair for a
-    * standing service's ledger.
+    * standing service's ledger. The law's precondition is the tick
+    * contract itself: appended ids are NEW to the standing state (unique,
+    * monotone ingest ranks). Appending a COLLIDING id would put two docs'
+    * rows under one key, and a later takedown of that id removes both —
+    * id reuse is a caller bug everywhere in this tier, not something the
+    * inverse can repair.
     */
   def appendState(
       index: DataFrame,

@@ -141,19 +141,30 @@ object Decontaminate {
     * growth recipe lived in docs as `grams.unionByName + Bloom.merge`
     * folklore): gram the new benchmark slice at the index's (idCol, n),
     * row-append the id-keyed gram table, OR-merge the cells at the carried
-    * (m, k). IDEMPOTENT like the bits themselves: the gram union is
-    * re-distincted, so re-ingesting an already-absorbed slice (a replayed
-    * feed, an overlapping drop) changes nothing — grow ≡ fresh build over
-    * the union benchmark set, for any growth shape (the merge spec's
-    * claim, now behind one call). Growth degrades the effective fpp over
-    * time — [[saturationReport]] watches, [[benchIndexResize]] responds.
-    * The drained streaming form (`StreamOps.bloomCells` over the gram
-    * feed) merges the same way when additions arrive as a stream.
+    * (m, k). IDEMPOTENT like the bits themselves, and at SLICE cost, not
+    * stored-index cost: growth is keyed by the doc id — the slice's rows
+    * anti-join a broadcast of the stored DISTINCT ids (one row per
+    * benchmark doc — small by the benchmark-side premise), so re-ingesting
+    * an already-absorbed doc (a replayed feed, an overlapping drop) is a
+    * no-op and the stored gram table row-appends without ever being
+    * re-shuffled or re-distincted. Grow ≡ fresh build over the union
+    * benchmark set (spec). The id-keyed contract this implies: ids are
+    * immutable — re-ingesting an id with CHANGED text is still a no-op
+    * (first write wins); a revised benchmark doc is [[benchIndexDelete]]
+    * then grow, exactly like any other mutation in the tier. Growth
+    * degrades the effective fpp over time — [[saturationReport]] watches,
+    * [[benchIndexResize]] responds. The drained streaming form
+    * (`StreamOps.bloomCells` over the gram feed) merges the same way when
+    * additions arrive as a stream.
     */
   def benchIndexGrow(bi: BenchIndex, newBench: DataFrame, textCol: String): BenchIndex = {
-    val add = benchIndex(newBench, bi.idCol, textCol, bi.n, bi.m, bi.k)
+    Seq(bi.idCol, textCol).foreach(c => require(newBench.columns.contains(c),
+      s"newBench is missing column '$c': ${newBench.columns.toSeq}"))
+    val fresh = newBench.join(
+      broadcast(bi.grams.select(col(bi.idCol)).distinct()), Seq(bi.idCol), "left_anti")
+    val add = benchIndex(fresh, bi.idCol, textCol, bi.n, bi.m, bi.k)
     bi.copy(
-      grams = bi.grams.unionByName(add.grams).distinct(),
+      grams = bi.grams.unionByName(add.grams),
       bloomCells = graft.functions.Bloom.merge(bi.bloomCells, add.bloomCells))
   }
 

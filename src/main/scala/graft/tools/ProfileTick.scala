@@ -85,6 +85,9 @@ object ProfileTick {
         (ff, pp)
       })
       val acc1 = profiledTick(s"$tag t1", idx0, b1, posts0)
+      // deliberately hand-rolled (not Curation.appendState): the profiler
+      // exists to time each append half separately, and the named verb
+      // would collapse the per-stage attribution this tool reports
       val app1 = mat(s"$tag append signatures(acc1)",
         Curation.signatures(acc1, "doc_id", "text", "lang"))
       val idx1 = idx0.unionByName(app1)

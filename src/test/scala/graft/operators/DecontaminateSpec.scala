@@ -82,6 +82,16 @@ class DecontaminateSpec extends AnyFunSuite {
     // feeds / overlapping drops are routine for a standing service)
     val again = Decontaminate.benchIndexGrow(grown, bench2, "text")
     assert(grams(again) == grams(grown) && cells(again) == cells(grown))
+    // id-keyed contract: re-ingesting a KNOWN id with changed text is also
+    // a no-op (first write wins; a revised doc is delete-then-grow)
+    val revised = Decontaminate.benchIndexGrow(
+      grown, Seq((200L, "totally different words now")).toDF("doc_id", "text"), "text")
+    assert(grams(revised) == grams(grown) && cells(revised) == cells(grown))
+    // and the contextual require fires on a mis-keyed slice
+    val eCol = intercept[IllegalArgumentException] {
+      Decontaminate.benchIndexGrow(grown, Seq((1L, "x")).toDF("id", "text"), "text")
+    }
+    assert(eCol.getMessage.contains("doc_id"))
     // and the grown index probes exactly like the inline path over the union
     val corpus2 = corpus.unionByName(Seq((5L, "p q r s zz")).toDF("doc_id", "text"))
     val indexed = Decontaminate.sharedGramCountsIndexed(
