@@ -210,7 +210,10 @@ object Bench {
     // q264 is the takedown capstone — a two-tick indexed loop (the q248
     // class) with the single-call takedown folded between the ticks plus
     // the post-rebuild drift read-off (a q252-class monitor pass)
-    "q263_bloom_rebuild" -> 1.326, "q264_takedown_tick" -> 19.376)
+    "q263_bloom_rebuild" -> 1.326, "q264_takedown_tick" -> 19.376,
+    // round-11 late additions, first measured on the round-11 quiet box
+    "q265_embedding_drift" -> 1.467, "q266_state_audit" -> 7.604,
+    "q267_stream_service" -> 26.040)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

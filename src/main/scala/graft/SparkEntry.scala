@@ -6558,6 +6558,163 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  // q265 — EMBEDDING-DISTRIBUTION drift monitor (Drift.embeddingPsiByPeriod):
+  // the drift tier extended to the embedding column type — per-DIMENSION
+  // marginal PSI of each label cohort against the label-0 reference cohort
+  // (an encoder swap / corpus-mix shift / normalization bug moves mass in
+  // component marginals long before a downstream metric does). Marginals
+  // are deliberately centroid-free: every bin decision is a pure function
+  // of raw component values and literals (the q240/q243 discipline — no
+  // engine-summed float feeds a discrete choice), so the oracle re-derives
+  // cells and every (p − q)·ln(p/q) term exactly. Range (−0.75, 0.75) at
+  // 12 bins makes the bin width an exact dyadic 0.125 — the floor() both
+  // engines compute bit-identically. Scale shape: one posexplode pass
+  // (map-side-combinable count at rows × dims), then all scoring on the
+  // bounded labels × dims × bins grid; the reference aggregates once and
+  // broadcasts.
+  private def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.operators.Drift.embeddingPsiByPeriod(
+        emb.filter(col("label") =!= 0), "embedding", "label",
+        emb.filter(col("label") === 0), lo = -0.75, hi = 0.75, bins = 12)
+      .select(col("label"), col("dim"), rnd(col("psi"), 6).as("psi"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  // q266 — STATE INTEGRITY AUDIT (Curation.auditState): the fsck of the
+  // index tier. The lifecycle verbs maintain the invariants by
+  // construction and the monitors price cost drift — this audits a state
+  // that arrived over an operational seam the verbs don't cover (restore,
+  // partial write, migration, concurrent writers): every invariant is
+  // recomputed EXACTLY and reported as (check, observed violations, ok).
+  // The query runs the audit five times: once on a clean standing state
+  // (all six checks read 0) and once per seeded corruption — a df count
+  // bumped by 1, one doc's postings rows dropped, one signature row
+  // duplicated, an out-of-range bloom cell injected — asserting each
+  // corruption trips EXACTLY the checks it should, with violation counts
+  // the oracle re-derives in closed form: signatures use the portable
+  // md5-slice hash and τ = 0.5, so doc X's stored prefix length is
+  // SZ//2 + 1 rows (probe form) and its duplicated-signature fresh build
+  // emits SZ + 1 (plen over the doubled multiset: 2·SZ − ⌈SZ⌉ + 1) — the
+  // dup-state postings diff is their sum, and its df diff is 2·SZ (one
+  // row per direction per distinct shingle). Cost shape: each audit pays
+  // one postings build + one df recompute over the signature index and
+  // one cell build over the gram table (the q252 monitor class) — the
+  // operational-cadence layer, never per tick.
+  private def stateAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, Decontaminate, Pin}
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 3 === 0)
+    val idx = Pin.LocalCheckpoint(Curation.signatures(
+      corpus, "doc_id", "text", "lang",
+      shingleHash = sh => graft.functions.Kmv.hash(sh)))
+    val (freqRaw, postsRaw) = Curation.postingsIndex(idx, "doc_id", "lang")
+    val freq = Pin.LocalCheckpoint(freqRaw)
+    val posts = Pin.LocalCheckpoint(postsRaw)
+    val bi0 = Decontaminate.benchIndex(bench, "doc_id", "text", n = 4, m = 1 << 16, k = 4)
+    val bi = bi0.copy(grams = Pin.LocalCheckpoint(bi0.grams),
+      bloomCells = Pin.LocalCheckpoint(bi0.bloomCells))
+    def audit(tag: String, ix: DataFrame, ps: DataFrame, cf: DataFrame,
+        b: Decontaminate.BenchIndex): DataFrame =
+      Curation.auditState(ix, ps, freq, cf, Some(b), "doc_id", "lang")
+        .select(lit(tag).as("state"), col("check"), col("observed"),
+          col("ok").cast("int").as("ok"))
+    // doc X for the seeded corruptions: the max-id corpus doc with a
+    // non-empty shingle set (bounded driver aggregates — the q264 pattern)
+    val x = idx.filter(size(col("_h")) > 0).agg(max(col("doc_id"))).head().getLong(0)
+    val hMin = freq.agg(min(col("h"))).head().getLong(0)
+    val dfBumped = freq.withColumn("_df",
+      when(col("h") === hMin, col("_df") + 1).otherwise(col("_df")))
+    val postsDropped = posts.filter(col("doc_id") =!= x)
+    val idxDup = idx.unionByName(idx.filter(col("doc_id") === x))
+    val wordsB = (bi.m + 31) / 32
+    val biInject = bi.copy(bloomCells = bi.bloomCells.unionByName(
+      s.range(1).select(lit(wordsB + 5).cast("int").as("word"), lit(1L).as("bits"))))
+    audit("a_clean", idx, posts, freq, bi)
+      .unionByName(audit("b_df_bump", idx, posts, dfBumped, bi))
+      .unionByName(audit("c_postings_drop", idx, postsDropped, freq, bi))
+      .unionByName(audit("d_dup_sig", idxDup, posts, freq, bi))
+      .unionByName(audit("e_bloom_inject", idx, posts, freq, biInject))
+      .orderBy(col("state"), col("check"))
+  }
+
+  // q267 — the STREAMING curation service (Curation.ServiceState /
+  // serviceTick): q261's standing-service capstone as a literal
+  // Structured Streaming program. The two q248 batches arrive as a real
+  // file-source STREAM driven through writeStream.foreachBatch — each
+  // micro-batch runs tickIndexed against the driver-held state handle
+  // (stored bloom at stage 2, stored postings at stage 4) and appendState
+  // maintains all three corpus halves plus the high-water ingest rank
+  // (the monotone-rank guard, the tick contract made executable). The
+  // oracle recomputes BOTH per-arrival accepted sets via the chained
+  // q237 tick CTEs (micro-batch boundaries ≡ tick boundaries by greedy
+  // composability), pins the audit read-offs at the invariant constants
+  // (the maintained state must fsck clean — six checks, zero violations),
+  // and the high-water rank at max(doc_id).
+  private def streamService(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (x80, x90) = (mx * 4 / 5, mx * 9 / 10)
+    val bench = docs.filter(col("doc_id") < x80 && col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") < x80 && col("doc_id") % 50 =!= 0)
+    val state = Curation.serviceState(corpus, bench, "doc_id", "text", "lang")
+    // file-source replay, one bounded run per arrival batch sharing a
+    // checkpoint (the StreamOpsSpec replay discipline: a free-running
+    // trigger could split one arrival's part files across micro-batches —
+    // legal for the service, but the oracle pins the two-arrival split)
+    val root = java.nio.file.Files.createTempDirectory("graft-q267").toString
+    val streamDir = root + "/stream"
+    new java.io.File(streamDir).mkdirs()
+    def addBatch(df: DataFrame, n: Int): Unit = {
+      val sub = root + s"/b$n"
+      df.write.mode("overwrite").parquet(sub)
+      new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          val tmp = java.nio.file.Paths.get(streamDir, s".b${n}_$i.parquet.tmp")
+          java.nio.file.Files.copy(f.toPath, tmp)
+          java.nio.file.Files.move(tmp,
+            java.nio.file.Paths.get(streamDir, s"b${n}_$i.parquet"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+    }
+    val accs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def runArrival(): Unit = {
+      val q = s.readStream.schema(docs.schema).parquet(streamDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val acc = Curation.serviceTick(state, df, "doc_id", "text", "lang",
+            quality = TF.qualityScore(col("text"), Stopwords))
+          val r = acc.agg(
+            count(lit(1)).as("d"), coalesce(sum(col("doc_id")), lit(0L)).as("i")).head()
+          accs += ((r.getLong(0), r.getLong(1))); ()
+        }
+        .option("checkpointLocation", root + "/ckpt").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    addBatch(docs.filter(col("doc_id") >= x80 && col("doc_id") < x90), 1)
+    runArrival()
+    addBatch(docs.filter(col("doc_id") >= x90), 2)
+    runArrival()
+    val audit = Curation.auditState(state.index, state.posts, state.frozenFreq,
+      state.currentFreq, Some(state.benchIdx), "doc_id", "lang")
+    Seq(
+        ("acc1_docs", accs(0)._1.toDouble), ("acc1_id_sum", accs(0)._2.toDouble),
+        ("acc2_docs", accs(1)._1.toDouble), ("acc2_id_sum", accs(1)._2.toDouble),
+        ("svc_high_water", state.maxRank.toDouble))
+      .toDF("metric", "value")
+      .unionByName(audit.agg(count(lit(1)).cast("double").as("v"))
+        .select(lit("audit_checks").as("metric"), col("v").as("value")))
+      .unionByName(audit
+        .agg(coalesce(sum(col("observed")), lit(0L)).cast("double").as("v"))
+        .select(lit("audit_violations").as("metric"), col("v").as("value")))
+      .select(col("metric"), rnd(col("value"), 6).as("value"))
+      .orderBy(col("metric"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -6825,7 +6982,10 @@ object SparkEntry {
     "q261_curation_service" -> curationService,
     "q262_stream_windowed_bloom" -> streamWindowedBloom,
     "q263_bloom_rebuild" -> bloomRebuild,
-    "q264_takedown_tick" -> takedownTick)
+    "q264_takedown_tick" -> takedownTick,
+    "q265_embedding_drift" -> embeddingDrift,
+    "q266_state_audit" -> stateAudit,
+    "q267_stream_service" -> streamService)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -12678,6 +12838,146 @@ object SparkEntry {
         |  SELECT 'post_rebuild_drift_ratio', CAST(1.0 AS DOUBLE)
         |  UNION ALL
         |  SELECT 'post_rebuild_recommend', CAST(0.0 AS DOUBLE)
+        |)
+        |SELECT metric, round(value + 1e-9, 6) AS value FROM m ORDER BY metric""".stripMargin
+    },
+
+    // q265: per-dimension marginal PSI of each label cohort vs the label-0
+    // reference — the oracle re-derives cells (exact dyadic bin width
+    // 0.125, same floor/clamp) and every eps-floored (p − q)·ln(p/q) term
+    // on the keyed dims × bins grid. generate_subscripts is 1-based where
+    // posexplode is 0-based; float components widen to DOUBLE exactly.
+    "q265_embedding_drift" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM embeddings
+        |), binned AS (
+        |  SELECT label, dim,
+        |    CAST(least(greatest(floor((v - (-0.75)) / ((0.75 - (-0.75)) / 12)), 0), 11)
+        |      AS BIGINT) AS bin
+        |  FROM ex WHERE v IS NOT NULL
+        |), cells AS (
+        |  SELECT label, dim, bin, count(*) AS cnt FROM binned
+        |  WHERE label <> 0 GROUP BY 1, 2, 3
+        |), refc AS (
+        |  SELECT dim, bin, count(*) AS cnt FROM binned WHERE label = 0 GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT label, dim, sum(cnt) AS tp FROM cells GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT dim, sum(cnt) AS tr FROM refc GROUP BY 1
+        |), bins AS (
+        |  SELECT DISTINCT dim, bin
+        |  FROM (SELECT dim, bin FROM cells UNION ALL SELECT dim, bin FROM refc)
+        |), grid AS (
+        |  SELECT t.label, b.dim, b.bin, t.tp, r.tr,
+        |    coalesce(c.cnt, 0) AS cp, coalesce(f.cnt, 0) AS cr
+        |  FROM tot t
+        |  JOIN bins b ON b.dim = t.dim
+        |  JOIN rt r ON r.dim = b.dim
+        |  LEFT JOIN cells c ON c.label = t.label AND c.dim = b.dim AND c.bin = b.bin
+        |  LEFT JOIN refc f ON f.dim = b.dim AND f.bin = b.bin
+        |), terms AS (
+        |  SELECT label, dim,
+        |    greatest(cp / CAST(tp AS DOUBLE), 1e-6) AS p,
+        |    greatest(cr / CAST(tr AS DOUBLE), 1e-6) AS q
+        |  FROM grid
+        |)
+        |SELECT label, dim, round(sum((p - q) * ln(p / q)) + 1e-9, 6) AS psi
+        |FROM terms GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    // q266: the audit's violation counts in closed form. Doc X = the
+    // max-id corpus doc with a non-empty shingle set; at τ = 0.5 its
+    // stored (probe-form) prefix is SZ//2 + 1 rows and a
+    // duplicated-signature fresh build emits SZ + 1 rows over the doubled
+    // multiset (2·SZ − ⌈2·SZ·0.5⌉ + 1) with _sz = 2·SZ — every stored/
+    // fresh X row differs on _sz, so the dup-state postings diff is their
+    // sum and its df diff is one row per direction per distinct shingle
+    // (2·SZ). The df bump and the bloom inject each perturb exactly one
+    // row (diff 2 with the recompute's counterpart; 1 for the injected
+    // cell's two checks). Everything else is the contract constant 0.
+    "q266_state_audit" ->
+      """WITH corp AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id % 50 <> 0 AND doc_id % 3 = 0
+        |), xs AS (
+        |  SELECT max(doc_id) AS x FROM corp WHERE len(t) >= 5
+        |), szx AS (
+        |  SELECT count(DISTINCT
+        |    CAST(concat('0x', substr(md5(substr(t, CAST(i AS INT), 5)), 1, 13))
+        |      AS BIGINT)) AS sz
+        |  FROM corp, xs, unnest(range(1, len(t) - 3)) u(i)
+        |  WHERE doc_id = x
+        |), vals AS (
+        |  SELECT s.state, c.chk,
+        |    CASE
+        |      WHEN s.state = 'b_df_bump' AND c.chk = 'df_feed_exact' THEN 2
+        |      WHEN s.state = 'c_postings_drop' AND c.chk = 'postings_exact'
+        |        THEN (SELECT sz // 2 + 1 FROM szx)
+        |      WHEN s.state = 'd_dup_sig' AND c.chk = 'ids_unique' THEN 1
+        |      WHEN s.state = 'd_dup_sig' AND c.chk = 'postings_exact'
+        |        THEN (SELECT (sz // 2 + 1) + (sz + 1) FROM szx)
+        |      WHEN s.state = 'd_dup_sig' AND c.chk = 'df_feed_exact'
+        |        THEN (SELECT 2 * sz FROM szx)
+        |      WHEN s.state = 'e_bloom_inject' AND c.chk = 'bench_words_bounded' THEN 1
+        |      WHEN s.state = 'e_bloom_inject' AND c.chk = 'bench_cells_exact' THEN 1
+        |      ELSE 0 END AS observed
+        |  FROM (VALUES ('a_clean'), ('b_df_bump'), ('c_postings_drop'),
+        |        ('d_dup_sig'), ('e_bloom_inject')) s(state)
+        |  CROSS JOIN (VALUES ('ids_unique'), ('postings_ids_covered'),
+        |        ('postings_exact'), ('df_feed_exact'), ('bench_words_bounded'),
+        |        ('bench_cells_exact')) c(chk)
+        |)
+        |SELECT state, chk AS "check", CAST(observed AS BIGINT) AS observed,
+        |  CAST(CASE WHEN observed = 0 THEN 1 ELSE 0 END AS INT) AS ok
+        |FROM vals ORDER BY state, chk""".stripMargin,
+
+    // q267: the two streaming arrivals ≡ the two chained greedy ticks
+    // (micro-batch boundaries are tick boundaries by composability — the
+    // q237/q248 CTE machinery, chained as in q264 without the takedown);
+    // the audit read-offs are the invariant constants (six checks, zero
+    // violations — the maintained state must equal a fresh build, which
+    // is exactly what auditState recomputes), and the high-water rank is
+    // the max ingest id.
+    "q267_stream_service" -> {
+      val x80 = "(SELECT max(doc_id) * 4 // 5 FROM documents)"
+      val x90 = "(SELECT max(doc_id) * 9 // 10 FROM documents)"
+      "WITH " + curationTickCtesP(
+        sfx = "_t1",
+        batchSrc =
+          s"SELECT doc_id, lang, text FROM documents WHERE doc_id >= $x80 AND doc_id < $x90",
+        corpusSrc =
+          s"SELECT doc_id, lang, text FROM documents WHERE doc_id < $x80 AND doc_id % 50 <> 0",
+        benchSrc =
+          s"SELECT doc_id, lang, text FROM documents WHERE doc_id < $x80 AND doc_id % 50 = 0") +
+      ", " + curationTickCtesP(
+        sfx = "_t2",
+        batchSrc =
+          s"SELECT doc_id, lang, text FROM documents WHERE doc_id >= $x90",
+        corpusSrc =
+          s"""SELECT doc_id, lang, text FROM documents
+             |  WHERE doc_id < $x80 AND doc_id % 50 <> 0
+             |  UNION ALL
+             |  SELECT s.doc_id, s.lang, s.text FROM s3_t1 s
+             |  WHERE s.doc_id IN (SELECT doc_id FROM acc_t1)""".stripMargin,
+        benchSrc =
+          s"SELECT doc_id, lang, text FROM documents WHERE doc_id < $x80 AND doc_id % 50 = 0") +
+      """, m AS (
+        |  SELECT 'acc1_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM acc_t1
+        |  UNION ALL
+        |  SELECT 'acc1_id_sum', CAST(coalesce(sum(doc_id), 0) AS DOUBLE) FROM acc_t1
+        |  UNION ALL
+        |  SELECT 'acc2_docs', CAST(count(*) AS DOUBLE) FROM acc_t2
+        |  UNION ALL
+        |  SELECT 'acc2_id_sum', CAST(coalesce(sum(doc_id), 0) AS DOUBLE) FROM acc_t2
+        |  -- the audit constants: a verb-maintained state recomputes clean
+        |  UNION ALL
+        |  SELECT 'audit_checks', CAST(6 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'audit_violations', CAST(0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT 'svc_high_water', CAST((SELECT max(doc_id) FROM documents) AS DOUBLE)
         |)
         |SELECT metric, round(value + 1e-9, 6) AS value FROM m ORDER BY metric""".stripMargin
     })

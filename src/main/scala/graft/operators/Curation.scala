@@ -295,6 +295,100 @@ object Curation {
       benchIdx.map(bi => Decontaminate.benchIndexDelete(bi, removedIds)))
   }
 
+  /** INTEGRITY AUDIT over the standing state — the fsck of the index tier.
+    * The lifecycle verbs each maintain invariants by construction
+    * ([[appendState]]/[[takedown]] keep postings ≡ a frozen-order build
+    * over the signatures and the df feed ≡ a recompute;
+    * [[Decontaminate.benchIndexGrow]]/[[benchIndexDelete]]/
+    * [[benchIndexResize]] keep the bloom cells ≡ a fresh build over the
+    * stored grams), and the monitors price COST drift — but nothing so far
+    * VERIFIED a state that arrived over an operational seam the verbs
+    * don't cover: a restore from backup, a partial parquet write, a
+    * migration, a hand edit, two services appending concurrently. This
+    * audit recomputes every invariant exactly and reports one row per
+    * check: (check, observed, ok) with `observed` = the violation count
+    * (0 ⇔ ok), so a red row localizes WHICH half drifted and by how many
+    * rows:
+    *
+    *   - `ids_unique` — no id keys more than one signature row (id reuse
+    *     is the one caller bug the verb pair can't repair — see
+    *     [[appendState]]);
+    *   - `postings_ids_covered` — every postings id has a signature row
+    *     (observed = distinct orphaned ids);
+    *   - `postings_exact` — the stored postings multiset EQUALS a fresh
+    *     frozen-order build over the signature index at (`frozenFreq`,
+    *     `tau`) (observed = symmetric-difference rows; covers missing,
+    *     duplicated, AND corrupted rows);
+    *   - `df_feed_exact` — the mergeable true-df feed equals
+    *     [[SimilarityJoin.dfCounts]] recomputed over the index;
+    *   - `bench_words_bounded` (with `benchIdx`) — every bloom cell's word
+    *     index lies in [0, ⌈m/32⌉) (the saturation monitor's in-plan guard,
+    *     audited over the stored artifact);
+    *   - `bench_cells_exact` (with `benchIdx`) — the stored cells equal a
+    *     fresh [[graft.functions.Bloom.cells]] build over the stored
+    *     distinct grams at the handle's (m, k) — which implies the
+    *     one-sidedness probe contract (no stored gram can read negative).
+    *
+    * `tau` and `frozenFreq` must be the stored postings' build values (the
+    * usual index contracts — the audit checks the STATE against them, it
+    * cannot recover them). Cost shape: the heavy checks are one postings
+    * build + one df recompute over the signature index (the q252 monitor
+    * class, shingle-mass linear) and one cell build over the gram table
+    * (gram-linear) — an audit runs on operational cadence (after restores
+    * / migrations / suspected faults), not per tick; the monitors stay the
+    * scheduled cheap layer.
+    */
+  def auditState(
+      index: DataFrame,
+      posts: DataFrame,
+      frozenFreq: DataFrame,
+      currentFreq: DataFrame,
+      benchIdx: Option[Decontaminate.BenchIndex],
+      idCol: String,
+      langCol: String,
+      tau: Double = 0.5): DataFrame = {
+    Seq(idCol, langCol, "_dg", "_h").foreach(c => require(index.columns.contains(c),
+      s"index is missing column '$c' — build it with Curation.signatures"))
+    Seq(idCol, langCol, "_sz", "_pos", "h").foreach(c =>
+      require(posts.columns.contains(c),
+        s"posts is missing column '$c' — build it with Curation.postingsIndex"))
+    Seq(frozenFreq, currentFreq).foreach(f =>
+      Seq("h", "_df").foreach(c => require(f.columns.contains(c),
+        s"df frames need (h, _df): ${f.columns.toSeq}")))
+    def checkRow(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("observed"))
+        .select(lit(name).as("check"), col("observed"), (col("observed") === 0L).as("ok"))
+    def symDiff(a: DataFrame, b: DataFrame): DataFrame =
+      a.exceptAll(b).unionAll(b.exceptAll(a))
+    val postCols = Seq(idCol, langCol, "_sz", "_pos", "h")
+    val freshPosts =
+      postingsIndex(index, idCol, langCol, tau, frozenFreq = Some(frozenFreq))._2
+    val corpusChecks = Seq(
+      checkRow("ids_unique",
+        index.groupBy(col(idCol)).agg(count(lit(1)).as("_n")).where(col("_n") > 1)),
+      checkRow("postings_ids_covered",
+        posts.select(col(idCol)).distinct()
+          .join(index.select(col(idCol)), Seq(idCol), "left_anti")),
+      checkRow("postings_exact",
+        symDiff(posts.select(postCols.map(col): _*),
+          freshPosts.select(postCols.map(col): _*))),
+      checkRow("df_feed_exact",
+        symDiff(currentFreq.select(col("h"), col("_df")),
+          SimilarityJoin.dfCounts(index, "_h").select(col("h"), col("_df")))))
+    val benchChecks = benchIdx.toSeq.flatMap { bi =>
+      val words = (bi.m + 31) / 32
+      Seq(
+        checkRow("bench_words_bounded",
+          bi.bloomCells.where(col("word") < 0 || col("word") >= words)),
+        checkRow("bench_cells_exact",
+          symDiff(bi.bloomCells.select(col("word"), col("bits")),
+            graft.functions.Bloom.cells(
+              bi.grams.select(col("g")).distinct(), col("g"), bi.m, bi.k)
+              .select(col("word"), col("bits")))))
+    }
+    (corpusChecks ++ benchChecks).reduce(_ unionAll _)
+  }
+
   /** Drift monitor for the standing tick loop's postings index — the
     * operator that tells a user running daily ticks for a year that the
     * frozen element order has degraded their candidate volume (the
@@ -320,6 +414,150 @@ object Curation {
       rebuildRatio: Double = 2.0): DataFrame =
     SimilarityJoin.indexDriftReport(
       index, idCol, "_h", tau, frozenFreq, Seq(langCol), currentFreq, rebuildRatio)
+
+  /** The standing state a STREAMING curation service carries across
+    * micro-batches — the driver-held handle a `foreachBatch` loop reads
+    * and [[serviceTick]] mutates: the signature index, the stored postings
+    * under the frozen order `frozenFreq`, the mergeable true-df feed, the
+    * benchmark [[Decontaminate.BenchIndex]], and the high-water ingest
+    * rank (the executable form of the tick contract's monotone-rank
+    * premise). Mutable BY DESIGN: Structured Streaming's `foreachBatch` is
+    * Spark's own seam for exactly this shape — per-micro-batch batch code
+    * against driver-held state (each half stays a lazily-planned,
+    * pin-backed DataFrame; nothing event-sized lives on the driver). A
+    * production service persists the halves as parquet on a cadence and
+    * rebuilds the handle at restart ([[serviceState]] over the persisted
+    * frames — every half is already the persistable artifact its tier
+    * defined). Built by [[serviceState]]; [[serviceTakedown]] is the
+    * delete verb on the same handle.
+    */
+  final class ServiceState private[Curation] (
+      @volatile var index: DataFrame,
+      @volatile var posts: DataFrame,
+      val frozenFreq: DataFrame,
+      @volatile var currentFreq: DataFrame,
+      @volatile var benchIdx: Decontaminate.BenchIndex,
+      @volatile var maxRank: Long)
+
+  /** Build a [[ServiceState]] at service start — the q261 service-start
+    * shape as one call: corpus [[signatures]] + frozen-order
+    * [[postingsIndex]] (its freq doubles as the df feed's initial value —
+    * it IS `dfCounts` of the corpus) + a [[Decontaminate.benchIndex]]
+    * sized by `Bloom.sizeFor` over the benchmark's distinct gram count at
+    * `targetFpp`, + the corpus' max ingest rank. Three bounded driver
+    * actions (gram count for the sizing, max rank, and the pins) — all
+    * service-start cost, never per batch.
+    */
+  def serviceState(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      decontN: Int = 4,
+      shingleN: Int = 5,
+      tau: Double = 0.5,
+      targetFpp: Double = 0.001,
+      shingleHash: Column => Column = xxhash64(_),
+      pin: Pin = Pin.LocalCheckpoint): ServiceState = {
+    val idx = pin(signatures(corpus, idCol, textCol, langCol, shingleN, shingleHash))
+    val (freqRaw, postsRaw) = postingsIndex(idx, idCol, langCol, tau)
+    val freq = pin(freqRaw)
+    val posts = pin(postsRaw)
+    val grams = bench
+      .filter(trim(col(textCol)) =!= "")
+      .select(explode(array_distinct(
+        TextFunctions.wordShingles(lower(col(textCol)), decontN))).as("g"))
+      .distinct()
+    val nGrams = grams.count()
+    val (m, k) = graft.functions.Bloom.sizeFor(math.max(1L, nGrams), targetFpp)
+    val bi0 = Decontaminate.benchIndex(bench, idCol, textCol, decontN, m, k)
+    val bi = bi0.copy(grams = pin(bi0.grams), bloomCells = pin(bi0.bloomCells))
+    val maxRank = idx.agg(max(col(idCol).cast("long"))).head() match {
+      case r if r.isNullAt(0) => Long.MinValue
+      case r => r.getLong(0)
+    }
+    new ServiceState(idx, posts, freq, pin(freq), bi, maxRank)
+  }
+
+  /** One STREAMING service micro-batch — the `foreachBatch` body of a
+    * standing curation service (`stream.writeStream.foreachBatch { (df, _)
+    * => sink(Curation.serviceTick(state, df, …)) }`): run [[tickIndexed]]
+    * on the batch against the standing state (stage 2 probing the stored
+    * bloom, stage 4 the stored postings — nothing corpus- or
+    * bench-proportional rebuilt), [[appendState]] the accepted docs, and
+    * advance the high-water rank. Returns the PINNED accepted rows for
+    * the caller's sink.
+    *
+    * The monotone-rank guard is the tick contract made EXECUTABLE: greedy
+    * composability (the object header) requires every batch's ranks to
+    * follow every earlier batch's, and a streaming source replaying or
+    * reordering its feed would violate that silently — so a batch whose
+    * min rank does not exceed the state's high-water mark fails loud
+    * instead of producing an accepted set no combined run would. (The
+    * guard is one bounded min/max aggregate per batch; an empty batch
+    * no-ops.) Micro-batch BOUNDARIES, by contrast, never matter: ticks
+    * compose, so any arrival slicing yields the combined-run output —
+    * CurationSpec proves the streaming loop ≡ one combined tick
+    * end-to-end.
+    */
+  def serviceTick(
+      state: ServiceState,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      quality: Column,
+      minQuality: Double = 0.5,
+      decontN: Int = 4,
+      decontShared: Int = 5,
+      shingleN: Int = 5,
+      tau: Double = 0.5,
+      strategy: SimilarityStrategy = SimilarityStrategy.Auto,
+      shingleHash: Column => Column = xxhash64(_),
+      pin: Pin = Pin.LocalCheckpoint): DataFrame = {
+    val mm = batch.agg(
+      min(col(idCol).cast("long")).as("mn"), max(col(idCol).cast("long")).as("mx")).head()
+    if (mm.isNullAt(0)) return batch.limit(0)
+    require(mm.getLong(0) > state.maxRank,
+      s"serviceTick: batch min rank ${mm.getLong(0)} does not exceed the state's " +
+        s"high-water rank ${state.maxRank} — the feed replayed or reordered ingest " +
+        "ranks, which breaks greedy tick composability (the tick contract)")
+    val accepted = pin(tickIndexed(
+      state.index, batch, batch.limit(0) /* ignored: benchIdx carries the set */,
+      idCol, textCol, langCol, quality, minQuality, decontN, decontShared,
+      shingleN, tau, pin, indexPinned = true,
+      corpusPostings = Some((state.frozenFreq, state.posts)),
+      strategy = strategy, benchIdx = Some(state.benchIdx),
+      shingleHash = shingleHash))
+    val (i2, p2, f2) = appendState(
+      state.index, state.posts, state.currentFreq, accepted,
+      idCol, textCol, langCol, state.frozenFreq, shingleN, tau, shingleHash, pin)
+    state.index = i2
+    state.posts = p2
+    state.currentFreq = f2
+    state.maxRank = mm.getLong(1)
+    accepted
+  }
+
+  /** [[takedown]] on the streaming handle — mutates every state half in
+    * place (the delete verb beside [[serviceTick]]'s append; the rank
+    * high-water mark deliberately does NOT rewind: removed ranks stay
+    * consumed, because re-ingesting an old id is the id-reuse bug the
+    * tier documents, not a supported resurrection path — a re-admitted
+    * document arrives as a NEW rank like any other mutation).
+    */
+  def serviceTakedown(
+      state: ServiceState, removedIds: DataFrame, idCol: String,
+      pin: Pin = Pin.LocalCheckpoint): Unit = {
+    val (i2, p2, f2, b2) = takedown(
+      state.index, state.posts, state.currentFreq, Some(state.benchIdx),
+      removedIds, idCol)
+    state.index = pin(i2)
+    state.posts = pin(p2)
+    state.currentFreq = pin(f2)
+    state.benchIdx = b2.get
+  }
 
   /** One curation tick: run the funnel stages on `batch` against the
     * standing `corpus` and `bench`, returning the ACCEPTED batch rows

@@ -37,21 +37,34 @@ object Drift {
     * An EMPTY reference (no rows, or all-NULL counts) fails loud at
     * action time (in-plan assert on the 1-row total) instead of silently
     * flooring every q to eps and scoring garbage PSI against nothing.
+    *
+    * `keyCols` (optional) scores one PSI per (periodCol, keyCols…) on a
+    * KEYED grid — `cells` = (periodCol, keyCols…, bin, cnt), `refCells` =
+    * (keyCols…, bin, cnt) — with reference totals and bin spines PER KEY
+    * (the [[embeddingPsiByPeriod]] substrate: one score per embedding
+    * dimension). The keys are a shared spine contract: a key observed in
+    * `cells` with no reference rows fails loud in-plan (scoring a period's
+    * key against an eps-floored phantom reference is the empty-reference
+    * bug keyed), as does a key whose reference counts are all NULL. Scale
+    * shape unchanged: the grid is periods × keys × bins, all bounded.
     */
   def psiByPeriod(
       cells: DataFrame,
       periodCol: String,
       refCells: DataFrame,
-      eps: Double = 1e-6): DataFrame = {
+      eps: Double = 1e-6,
+      keyCols: Seq[String] = Nil): DataFrame = {
     require(eps > 0.0 && eps < 1.0, s"eps must be in (0, 1): $eps")
     Seq("bin", "cnt").foreach { c =>
       require(cells.columns.contains(c) && refCells.columns.contains(c),
         s"cell tables need (bin, cnt): ${cells.columns.toSeq} / ${refCells.columns.toSeq}")
     }
     val working = Set("_tp", "_cp", "_cr", "_tr")
-    val clash = working.intersect(cells.columns.toSet ++ refCells.columns.toSet + periodCol)
+    val clash = working.intersect(
+      cells.columns.toSet ++ refCells.columns.toSet + periodCol ++ keyCols)
     require(clash.isEmpty,
       s"psiByPeriod's working columns clash with input columns: $clash — rename them first")
+    if (keyCols.nonEmpty) return psiKeyed(cells, periodCol, refCells, eps, keyCols)
     val totals = cells.groupBy(col(periodCol)).agg(sum(col("cnt")).as("_tp"))
     // `agg` on a frame with zero rows still yields one row with a NULL sum,
     // so this 1-row filter sees exactly one tuple: assert_true throws on an
@@ -75,6 +88,119 @@ object Drift {
       .groupBy(col(periodCol))
       .agg(sum((p - q) * log(p / q)).as("psi"))
   }
+
+  /** The keyed grid behind `psiByPeriod(…, keyCols)` — kept as a separate
+    * path so the unkeyed monitors (q254/q260) keep their exact plan: the
+    * bounded binds become per-key JOINS (bin spine and reference totals
+    * join on the keys instead of cross-binding), and the empty-reference
+    * assert moves in-plan onto every scored row (a left-joined NULL `_tr`
+    * IS the keyed form of "reference is empty" — the 1-row agg trick can't
+    * see a single missing key).
+    */
+  private def psiKeyed(
+      cells: DataFrame,
+      periodCol: String,
+      refCells: DataFrame,
+      eps: Double,
+      keyCols: Seq[String]): DataFrame = {
+    val gridKeys = periodCol +: keyCols
+    val totals = cells.groupBy(gridKeys.map(col): _*).agg(sum(col("cnt")).as("_tp"))
+    val refTot = refCells.groupBy(keyCols.map(col): _*).agg(sum(col("cnt")).as("_tr"))
+    val bins = cells.select((keyCols :+ "bin").map(col): _*)
+      .unionByName(refCells.select((keyCols :+ "bin").map(col): _*)).distinct()
+    val p = greatest(coalesce(col("_cp"), lit(0L)) / col("_tp"), lit(eps))
+    val q = greatest(coalesce(col("_cr"), lit(0L)) / col("_tr"), lit(eps))
+    totals
+      .join(broadcast(bins), keyCols) // per-key bin spine: bounded dimensions
+      .join(cells.select((gridKeys :+ "bin").map(col) :+ col("cnt").as("_cp"): _*),
+        gridKeys :+ "bin", "left")
+      .join(broadcast(refCells.select((keyCols :+ "bin").map(col)
+        :+ col("cnt").as("_cr"): _*)), keyCols :+ "bin", "left")
+      .join(broadcast(refTot), keyCols, "left")
+      .where(assert_true(col("_tr").isNotNull && col("_tr") > 0,
+        lit("psiByPeriod: a key observed in cells has an empty reference (no rows " +
+          "or all-NULL counts) under keyCols — the keyed reference must cover " +
+          "every scored key")).isNull)
+      .groupBy(gridKeys.map(col): _*)
+      .agg(sum((p - q) * log(p / q)).as("psi"))
+  }
+
+  /** Fixed-range histogram cells over an EMBEDDING column, one histogram
+    * per (keyCols…, dimension): posexplode the vector, bin each component
+    * with the declared (lo, hi, bins) ([[graft.functions.QuantileSketch]]
+    * binning — out-of-range values clamp into the edge bins), count per
+    * (keyCols…, dim, bin). This is the drift tier's summary of an
+    * embedding DISTRIBUTION: dims × bins counters per key — bounded by
+    * declaration — against which [[embeddingPsiByPeriod]] scores PSI
+    * without a second pass over the vectors. NULL vectors are skipped;
+    * `dim` is the 0-based component index, so cells from shards/periods
+    * merge like any fixed-range cell table (same (lo, hi, bins) contract,
+    * [[graft.functions.QuantileSketch.merge]] with `keyCols :+ "dim"`).
+    *
+    * Deliberately NOT centroid-based: a per-dimension marginal needs no
+    * aggregated-float reference vector, so every bin decision is a pure
+    * function of raw component values and literals — a second engine
+    * re-derives the cells exactly (the q240/q243 discipline: never feed an
+    * engine-summed float into a discrete decision).
+    */
+  def embeddingCells(
+      df: DataFrame,
+      embCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val clash = Set("dim", "pos", "col").intersect(keyCols.toSet)
+    require(clash.isEmpty,
+      s"embeddingCells reserves (dim, pos, col) as working columns: $clash — rename them")
+    val ex = df.where(col(embCol).isNotNull)
+      .select(keyCols.map(col) :+ posexplode(col(embCol)): _*)
+      .withColumnRenamed("pos", "dim")
+    graft.functions.QuantileSketch.cells(
+      ex, col("col").cast("double"), lo, hi, bins, keyCols :+ "dim")
+  }
+
+  /** Embedding-distribution drift per period: PSI of each DIMENSION's
+    * marginal against a reference cohort — (periodCol, dim, psi), the
+    * drift tier extended to the embedding column type (the one first-class
+    * column the scalar monitors q254/q260 couldn't watch; an encoder swap,
+    * a corpus-mix shift, or a normalization bug shows up as mass moving
+    * in component marginals long before any downstream metric moves).
+    *
+    * Both sides bin at the declared (lo, hi, bins) via [[embeddingCells]]
+    * and score through the keyed [[psiByPeriod]] grid (key = `dim`), so
+    * the whole monitor inherits the tier's contracts: exact integer count
+    * ratios, one ln per term, eps floor on empty bins, loud failure when a
+    * dimension observed in `df` has no reference mass (ragged dims are a
+    * broken feed, not a score of 0). Per-dim marginals deliberately trade
+    * correlation visibility for DETERMINISM and mergeability — a rotation
+    * that preserves every marginal is invisible here, but every cell and
+    * every psi term is replayable bit-identically by a second engine,
+    * which is what lets the score gate an oracle. The conventional alarm
+    * levels apply per dimension (< 0.1 stable, 0.1–0.2 watch, > 0.2
+    * drifted); summaries (max/avg over dims, worst dim) are one bounded
+    * aggregation over the dims × periods grid.
+    *
+    * Scale shape: one pass over the vectors (posexplode → groupBy — a
+    * map-side-combinable count at rows × dims granularity), then all
+    * scoring on the periods × dims × bins grid. The reference side
+    * aggregates once and broadcasts; nothing rescans the data.
+    */
+  def embeddingPsiByPeriod(
+      df: DataFrame,
+      embCol: String,
+      periodCol: String,
+      refDf: DataFrame,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      eps: Double = 1e-6): DataFrame =
+    psiByPeriod(
+      embeddingCells(df, embCol, lo, hi, bins, Seq(periodCol)),
+      periodCol,
+      embeddingCells(refDf, embCol, lo, hi, bins, Nil),
+      eps,
+      keyCols = Seq("dim"))
 
   /** [[psiByPeriod]] over ADAPTIVE histogram cells — the align step that
     * lets the standing monitor ride the unknown-range sketch

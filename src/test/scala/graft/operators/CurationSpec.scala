@@ -601,4 +601,207 @@ class CurationSpec extends AnyFunSuite {
     val acc2 = runTick(corpus, Seq(d), tau = 0.5)
     assert(acc2 == Seq(11L))
   }
+
+  private def auditMap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Boolean)] =
+    df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+  test("auditState: a clean standing state reads every check ok") {
+    val (corpus, _) = mutationCorpus(211)
+    val bench = Seq((9000L, "lx", "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "lang", "text")
+    val idx = Curation.signatures(
+      corpus.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang").localCheckpoint()
+    val (freqRaw, postsRaw) = Curation.postingsIndex(idx, "doc_id", "lang")
+    val freq = freqRaw.localCheckpoint()
+    val posts = postsRaw.localCheckpoint()
+    val bi = Decontaminate.benchIndex(bench, "doc_id", "text", n = 4, m = 1 << 12, k = 4)
+    val got = auditMap(
+      Curation.auditState(idx, posts, freq, freq, Some(bi), "doc_id", "lang"))
+    assert(got.keySet == Set("ids_unique", "postings_ids_covered", "postings_exact",
+      "df_feed_exact", "bench_words_bounded", "bench_cells_exact"))
+    assert(got.values.forall { case (obs, ok) => obs == 0L && ok })
+    // without a bench index only the four corpus checks report
+    val noBench = auditMap(
+      Curation.auditState(idx, posts, freq, freq, None, "doc_id", "lang"))
+    assert(noBench.keySet == Set("ids_unique", "postings_ids_covered",
+      "postings_exact", "df_feed_exact"))
+  }
+
+  test("auditState: each seeded corruption trips exactly its checks, counts exact") {
+    val (corpus, _) = mutationCorpus(223)
+    val bench = Seq((9000L, "lx", "one two three four five six seven eight nine"))
+      .toDF("doc_id", "lang", "text")
+    val idx = Curation.signatures(
+      corpus.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang").localCheckpoint()
+    val (freqRaw, postsRaw) = Curation.postingsIndex(idx, "doc_id", "lang")
+    val freq = freqRaw.localCheckpoint()
+    val posts = postsRaw.localCheckpoint()
+    val bi = Decontaminate.benchIndex(bench, "doc_id", "text", n = 4, m = 1 << 12, k = 4)
+    def audit(ix: org.apache.spark.sql.DataFrame, ps: org.apache.spark.sql.DataFrame,
+        cf: org.apache.spark.sql.DataFrame, b: Decontaminate.BenchIndex) =
+      auditMap(Curation.auditState(ix, ps, freq, cf, Some(b), "doc_id", "lang"))
+    // doc X and its hand model: stored prefix at τ=0.5 is SZ/2 + 1 rows
+    // (probe form, floor), the duplicated-signature fresh build emits
+    // SZ + 1 rows with _sz = 2·SZ
+    val x = idx.agg(max(col("doc_id"))).head().getLong(0)
+    val sz = idx.filter(col("doc_id") === x)
+      .select(size(col("_h"))).head().getInt(0).toLong
+    val pl = sz / 2 + 1
+    // (a) one df count bumped: exactly 2 diff rows, nothing else trips
+    val hMin = freq.agg(min(col("h"))).head().getLong(0)
+    val bumped = freq.withColumn("_df",
+      when(col("h") === hMin, col("_df") + 1).otherwise(col("_df")))
+    val a = audit(idx, posts, bumped, bi)
+    assert(a("df_feed_exact") == (2L, false))
+    assert((a - "df_feed_exact").values.forall(_._2))
+    // (b) doc X's postings rows dropped: the diff is its stored prefix
+    val b = audit(idx, posts.filter(col("doc_id") =!= x), freq, bi)
+    assert(b("postings_exact") == (pl, false))
+    assert((b - "postings_exact").values.forall(_._2))
+    // (c) doc X's signature row duplicated: id dup + the doubled-multiset
+    // fresh postings (every X row differs on _sz) + 2 df rows per shingle
+    val c = audit(idx.unionByName(idx.filter(col("doc_id") === x)), posts, freq, bi)
+    assert(c("ids_unique") == (1L, false))
+    assert(c("postings_exact") == (pl + sz + 1, false))
+    assert(c("df_feed_exact") == (2 * sz, false))
+    assert(c("postings_ids_covered")._2 && c("bench_cells_exact")._2)
+    // (d) an out-of-range bloom cell injected: both bench checks, 1 row each
+    val words = (bi.m + 31) / 32
+    val biBad = bi.copy(bloomCells = bi.bloomCells.unionByName(
+      spark.range(1).select(lit(words + 3).cast("int").as("word"), lit(1L).as("bits"))))
+    val d = audit(idx, posts, freq, biBad)
+    assert(d("bench_words_bounded") == (1L, false))
+    assert(d("bench_cells_exact") == (1L, false))
+    assert((d - "bench_words_bounded" - "bench_cells_exact").values.forall(_._2))
+    // (e) an orphaned postings row: covered trips; the fresh-build diff
+    // sees the stray row too
+    val stray = posts.limit(0).unionByName(
+      Seq((999999L, "l0", 4, 1, 123L)).toDF("doc_id", "lang", "_sz", "_pos", "h"))
+    val e = audit(idx, posts.unionByName(stray), freq, bi)
+    assert(e("postings_ids_covered") == (1L, false))
+    assert(e("postings_exact") == (1L, false))
+  }
+
+  test("auditState: the lifecycle verbs keep every invariant (append, takedown)") {
+    val (corpus, batch) = mutationCorpus(227)
+    val bench = Seq((9000L, "lx", "red orange yellow green blue indigo violet"))
+      .toDF("doc_id", "lang", "text")
+    val idx0 = Curation.signatures(
+      corpus.toDF("doc_id", "lang", "text"), "doc_id", "text", "lang").localCheckpoint()
+    val (freqRaw, postsRaw) = Curation.postingsIndex(idx0, "doc_id", "lang")
+    val freq0 = freqRaw.localCheckpoint()
+    val posts0 = postsRaw.localCheckpoint()
+    val bi = Decontaminate.benchIndex(bench, "doc_id", "text", n = 4, m = 1 << 12, k = 4)
+    val acc1 = Curation.tickIndexed(idx0, batch.toDF("doc_id", "lang", "text"),
+      bench, "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
+      indexPinned = true, corpusPostings = Some((freq0, posts0)), benchIdx = Some(bi))
+      .localCheckpoint()
+    // append: the maintained state audits clean (frozenFreq stays freq0;
+    // the df feed equals a recompute because freq0 IS dfCounts(idx0))
+    val (idx1, posts1, cur1) = Curation.appendState(
+      idx0, posts0, freq0, acc1, "doc_id", "text", "lang", frozenFreq = freq0)
+    val afterAppend = auditMap(
+      Curation.auditState(idx1, posts1, freq0, cur1, Some(bi), "doc_id", "lang"))
+    assert(afterAppend.values.forall { case (obs, ok) => obs == 0L && ok },
+      s"append left a dirty state: $afterAppend")
+    // takedown: still clean over the surviving state
+    val removed = idx1.select(col("doc_id")).orderBy(col("doc_id")).limit(3)
+    val (idx2, posts2, cur2, bi2) =
+      Curation.takedown(idx1, posts1, cur1, Some(bi), removed, "doc_id")
+    val afterTakedown = auditMap(
+      Curation.auditState(idx2, posts2, freq0, cur2, bi2, "doc_id", "lang"))
+    assert(afterTakedown.values.forall { case (obs, ok) => obs == 0L && ok },
+      s"takedown left a dirty state: $afterTakedown")
+  }
+
+  test("streaming service: foreachBatch ticks equal one combined tick; replay fails loud") {
+    import java.nio.file.Files
+    val (corpus, batch) = mutationCorpus(233)
+    val bench = Seq((9000L, "lx", "north south east west up down left right middle"))
+      .toDF("doc_id", "lang", "text")
+    val cut = batch.map(_._1).sorted.apply(batch.size / 2)
+    val (b1, b2) = batch.partition(_._1 < cut) // id-monotone arrival order
+    val state = Curation.serviceState(
+      corpus.toDF("doc_id", "lang", "text"), bench, "doc_id", "text", "lang")
+
+    // the established file-source replay pattern: one bounded query run per
+    // arrival batch, shared checkpoint — foreachBatch IS the service loop
+    val streamDir = Files.createTempDirectory("svc-stream").toString
+    val stage = Files.createTempDirectory("svc-stage").toString
+    def addBatch(docs: Seq[(Long, String, String)], n: Int): Unit = {
+      val sub = stage + s"/b$n"
+      docs.toDF("doc_id", "lang", "text").write.mode("overwrite").parquet(sub)
+      new java.io.File(sub).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          val tmp = java.nio.file.Paths.get(streamDir, s".batch${n}_$i.parquet.tmp")
+          Files.copy(f.toPath, tmp)
+          Files.move(tmp, java.nio.file.Paths.get(streamDir, s"batch${n}_$i.parquet"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+    }
+    val ckpt = Files.createTempDirectory("svc-ckpt").toString
+    val schema = corpus.toDF("doc_id", "lang", "text").schema
+    val acceptedIds = new scala.collection.mutable.TreeSet[Long]()
+    def runArrival(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(streamDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val acc = Curation.serviceTick(state, df, "doc_id", "text", "lang",
+            quality = lit(1.0), minQuality = 0.0)
+          acc.select("doc_id").collect().foreach(r => acceptedIds += r.getLong(0)); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    addBatch(b1, 1); runArrival()
+    addBatch(b2, 2); runArrival()
+
+    // streaming-arrival accepted set ≡ one combined tick (greedy
+    // composability through the foreachBatch seam, stored indexes and all)
+    val combined = Curation.tick(
+        corpus.toDF("doc_id", "lang", "text"),
+        batch.toDF("doc_id", "lang", "text"),
+        bench, "doc_id", "text", "lang",
+        quality = lit(1.0), minQuality = 0.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(acceptedIds.toSeq == combined,
+      s"streaming ${acceptedIds.toSeq} vs combined $combined")
+    // the maintained state audits clean after the streaming loop
+    val audit = auditMap(Curation.auditState(
+      state.index, state.posts, state.frozenFreq, state.currentFreq,
+      Some(state.benchIdx), "doc_id", "lang"))
+    assert(audit.values.forall { case (obs, ok) => obs == 0L && ok },
+      s"streaming loop left a dirty state: $audit")
+    // takedown on the handle keeps it clean too
+    Curation.serviceTakedown(state,
+      Seq(combined.head).toDF("doc_id"), "doc_id")
+    val audit2 = auditMap(Curation.auditState(
+      state.index, state.posts, state.frozenFreq, state.currentFreq,
+      Some(state.benchIdx), "doc_id", "lang"))
+    assert(audit2.values.forall { case (obs, ok) => obs == 0L && ok })
+    // a replayed/reordered feed trips the monotone-rank guard loud
+    addBatch(b1, 3)
+    val e = intercept[Exception] { runArrival() }
+    def msg(t: Throwable): String =
+      Option(t).map(x => x.getMessage + " " + msg(x.getCause)).getOrElse("")
+    assert(msg(e).contains("high-water rank"))
+  }
+
+  test("auditState rejects malformed state frames loud") {
+    val idx = Seq((1L, "l0")).toDF("doc_id", "lang") // no _dg/_h
+    val ok = Curation.signatures(
+      Seq((1L, "l0", "abcdefghij")).toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang")
+    val (freq, posts) = Curation.postingsIndex(ok, "doc_id", "lang")
+    intercept[IllegalArgumentException] {
+      Curation.auditState(idx, posts, freq, freq, None, "doc_id", "lang")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.auditState(ok, posts.drop("_pos"), freq, freq, None, "doc_id", "lang")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.auditState(ok, posts, freq.drop("_df"), freq, None, "doc_id", "lang")
+    }
+  }
 }

@@ -184,4 +184,96 @@ class DriftSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("reference cells are empty") ||
       Option(e2.getCause).exists(_.getMessage.contains("reference cells are empty")))
   }
+
+  test("keyed PSI equals the unkeyed score per key slice") {
+    // two keys with different distributions AND different reference
+    // totals — the keyed grid must score each key exactly as an unkeyed
+    // run over that key's slice would
+    val cells = Seq(
+      ("d1", "k1", 0L, 10L), ("d1", "k1", 1L, 90L),
+      ("d1", "k2", 0L, 70L), ("d1", "k2", 2L, 30L),
+      ("d2", "k1", 1L, 5L), ("d2", "k2", 0L, 7L))
+      .toDF("day", "key", "bin", "cnt")
+    val ref = Seq(("k1", 0L, 50L), ("k1", 1L, 50L), ("k2", 0L, 20L), ("k2", 2L, 80L))
+      .toDF("key", "bin", "cnt")
+    val keyed = Drift.psiByPeriod(cells, "day", ref, keyCols = Seq("key"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(keyed.size == 4)
+    for (k <- Seq("k1", "k2")) {
+      val slice = Drift.psiByPeriod(
+        cells.filter(col("key") === k).drop("key"), "day",
+        ref.filter(col("key") === k).drop("key"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for (d <- Seq("d1", "d2"))
+        assert(math.abs(keyed((d, k)) - slice(d)) < 1e-12,
+          s"keyed ($d, $k) = ${keyed((d, k))} vs slice ${slice(d)}")
+    }
+  }
+
+  test("keyed PSI fails loud on a key the reference does not cover") {
+    val cells = Seq(("d1", "k1", 0L, 10L), ("d1", "k9", 0L, 10L))
+      .toDF("day", "key", "bin", "cnt")
+    val ref = Seq(("k1", 0L, 10L)).toDF("key", "bin", "cnt")
+    val e = intercept[Exception] {
+      Drift.psiByPeriod(cells, "day", ref, keyCols = Seq("key")).collect()
+    }
+    assert(e.getMessage.contains("empty reference") ||
+      Option(e.getCause).exists(_.getMessage.contains("empty reference")))
+  }
+
+  test("embedding cells: posexplode grid, clamped bins, NULL vectors skipped") {
+    val df = Seq(
+      (1, Seq(-0.9, 0.0, 0.9)), // -0.9 and 0.9 clamp into the edge bins
+      (1, Seq(-0.1, 0.1, 0.2)),
+      (2, null.asInstanceOf[Seq[Double]]))
+      .toDF("label", "emb")
+    val cells = Drift.embeddingCells(df, "emb", -0.5, 0.5, 10, Seq("label"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // w = 0.1: -0.9 → bin clamps to 0; 0.9 → 9; -0.1 → 4; 0.2 → 6; and
+    // both 0.0 and 0.1 land in bin 5 (IEEE: (0.1 + 0.5)/0.1 reads
+    // 5.999…, floor 5 — the double arithmetic the oracle replays)
+    assert(cells == Map(
+      (1, 0, 0L) -> 1L, (1, 1, 5L) -> 2L, (1, 2, 9L) -> 1L,
+      (1, 0, 4L) -> 1L, (1, 2, 6L) -> 1L))
+    intercept[IllegalArgumentException] {
+      Drift.embeddingCells(df, "emb", -0.5, 0.5, 10, Seq("dim"))
+    }
+  }
+
+  test("embedding PSI: identical cohorts read 0 per dim; a shifted dim alone trips") {
+    // ref and the 'same' cohort share the exact component multiset per
+    // dim; cohort 'shift' moves ONLY dim 1's mass to the other half
+    val mk = (label: String, d1: Double) =>
+      (1 to 50).map(i => (label, Seq(i / 100.0, d1)))
+    val df = (mk("same", -0.3) ++ mk("shift", 0.3)).toDF("label", "emb")
+    val ref = mk("r", -0.3).toDF("label", "emb")
+    val got = Drift.embeddingPsiByPeriod(
+        df, "emb", "label", ref, lo = -0.5, hi = 0.5, bins = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 4)
+    assert(got(("same", 0)) == 0.0 && got(("same", 1)) == 0.0)
+    assert(got(("shift", 0)) == 0.0) // dim 0 unchanged in the shifted cohort
+    assert(got(("shift", 1)) > 0.2)  // the moved dim alone reads drifted
+  }
+
+  test("embedding PSI equals per-dim unkeyed scores through the keyed grid") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 120).map { i =>
+      (s"c${i % 3}", Seq.fill(4)(rng.nextDouble() - 0.5))
+    }
+    val df = rows.filter(_._1 != "c0").toDF("label", "emb")
+    val ref = rows.filter(_._1 == "c0").toDF("label", "emb")
+    val got = Drift.embeddingPsiByPeriod(df, "emb", "label", ref, -0.5, 0.5, 8)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val cells = Drift.embeddingCells(df, "emb", -0.5, 0.5, 8, Seq("label"))
+    val refCells = Drift.embeddingCells(ref, "emb", -0.5, 0.5, 8)
+    for (d <- 0 until 4) {
+      val slice = Drift.psiByPeriod(
+        cells.filter(col("dim") === d).drop("dim"), "label",
+        refCells.filter(col("dim") === d).drop("dim"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for (c <- Seq("c1", "c2"))
+        assert(math.abs(got((c, d)) - slice(c)) < 1e-12)
+    }
+  }
 }
