@@ -173,6 +173,59 @@ class SketchSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding drift monitor in one SQL statement") {
+    ready
+    // Drift.embeddingPsiByPeriod's two halves — the posexplode marginal
+    // cells at a declared (lo, hi, bins) and the keyed eps-floored PSI
+    // grid (reference totals and bin spines per dimension) — as one SQL
+    // statement over the raw embedding table: the standing deployment
+    // persists the cells and schedules exactly this on a cadence
+    Engine.table(spark, TestSpark.Sf, "embeddings").createOrReplaceTempView("emb")
+    val sql = spark.sql(
+      """WITH ex AS (
+        |  SELECT label, posexplode(embedding) AS (dim, v) FROM emb
+        |  WHERE embedding IS NOT NULL
+        |), binned AS (
+        |  SELECT label, dim,
+        |    CAST(least(greatest(floor((CAST(v AS DOUBLE) - -0.75D)
+        |      / ((0.75D - -0.75D) / 12)), 0), 11) AS BIGINT) AS bin
+        |  FROM ex WHERE v IS NOT NULL
+        |), cells AS (
+        |  SELECT label, dim, bin, count(*) AS cnt FROM binned
+        |  WHERE label <> 0 GROUP BY 1, 2, 3
+        |), refc AS (
+        |  SELECT dim, bin, count(*) AS cnt FROM binned WHERE label = 0 GROUP BY 1, 2
+        |), tot AS (SELECT label, dim, sum(cnt) AS tp FROM cells GROUP BY 1, 2
+        |), rt AS (SELECT dim, sum(cnt) AS tr FROM refc GROUP BY 1
+        |), spine AS (
+        |  SELECT DISTINCT dim, bin
+        |  FROM (SELECT dim, bin FROM cells UNION ALL SELECT dim, bin FROM refc)
+        |), grid AS (
+        |  SELECT t.label, b.dim,
+        |    greatest(coalesce(c.cnt, 0) / CAST(t.tp AS DOUBLE), 1e-6D) AS p,
+        |    greatest(coalesce(r.cnt, 0) / CAST(rt.tr AS DOUBLE), 1e-6D) AS q
+        |  FROM tot t
+        |  JOIN spine b ON b.dim = t.dim
+        |  JOIN rt ON rt.dim = b.dim
+        |  LEFT JOIN cells c ON c.label = t.label AND c.dim = b.dim AND c.bin = b.bin
+        |  LEFT JOIN refc r ON r.dim = b.dim AND r.bin = b.bin
+        |)
+        |SELECT label, dim, sum((p - q) * ln(p / q)) AS psi
+        |FROM grid GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val emb = Engine.table(spark, TestSpark.Sf, "embeddings")
+    val api = graft.operators.Drift.embeddingPsiByPeriod(
+        emb.filter(col("label") =!= 0), "embedding", "label",
+        emb.filter(col("label") === 0), lo = -0.75, hi = 0.75, bins = 12)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(sql.keySet == api.keySet && sql.nonEmpty)
+    // identical term SETS summed by different physical plans — ulp-level
+    // float-order tolerance (the documented cross-plan convention)
+    sql.foreach { case (k, v) =>
+      assert(math.abs(v - api(k)) < 1e-9, s"$k: sql=$v api=${api(k)}")
+    }
+  }
+
   test("KMV sketch cells in one SQL statement (graft_kmv16)") {
     ready
     val sql = spark.sql(
