@@ -6684,21 +6684,37 @@ object SparkEntry {
     def runArrival(): Unit = {
       val q = s.readStream.schema(docs.schema).parquet(streamDir)
         .writeStream.outputMode("append")
-        .foreachBatch { (df: DataFrame, _: Long) =>
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          // batchId threads through for the at-least-once skip (the
+          // serviceTick idempotence contract); the per-arrival aggregate
+          // also FORCES the accepted frame's lazy pin, so nothing read
+          // after the temp-tree cleanup below still depends on the files
           val acc = Curation.serviceTick(state, df, "doc_id", "text", "lang",
-            quality = TF.qualityScore(col("text"), Stopwords))
+            quality = TF.qualityScore(col("text"), Stopwords), batchId = Some(bid))
           val r = acc.agg(
             count(lit(1)).as("d"), coalesce(sum(col("doc_id")), lit(0L)).as("i")).head()
           accs += ((r.getLong(0), r.getLong(1))); ()
         }
         .option("checkpointLocation", root + "/ckpt").start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable()
+      finally q.stop()
     }
-    addBatch(docs.filter(col("doc_id") >= x80 && col("doc_id") < x90), 1)
-    runArrival()
-    addBatch(docs.filter(col("doc_id") >= x90), 2)
-    runArrival()
+    try {
+      addBatch(docs.filter(col("doc_id") >= x80 && col("doc_id") < x90), 1)
+      runArrival()
+      addBatch(docs.filter(col("doc_id") >= x90), 2)
+      runArrival()
+    } finally {
+      // reclaim the whole temp tree (staged parquet, the stream copies,
+      // checkpoint state) — the replayStream discipline; q267 can't use
+      // its symlink trick because the stream dir outlives two query runs,
+      // so the copies are real files and a sweep's min-of-2 would leak
+      // 2× the batch bytes per measurement otherwise
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
     val audit = Curation.auditState(state.index, state.posts, state.frozenFreq,
       state.currentFreq, Some(state.benchIdx), "doc_id", "lang")
     Seq(

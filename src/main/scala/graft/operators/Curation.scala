@@ -355,6 +355,18 @@ object Curation {
     Seq(frozenFreq, currentFreq).foreach(f =>
       Seq("h", "_df").foreach(c => require(f.columns.contains(c),
         s"df frames need (h, _df): ${f.columns.toSeq}")))
+    // the bench halves get the same loud diagnosis as the corpus frames —
+    // the audit exists for states that arrived over operational seams, and
+    // a restored-with-renamed-columns frame must name itself here, not die
+    // as an unresolved-column error deep inside Bloom.cells/exceptAll
+    benchIdx.foreach { bi =>
+      require(bi.grams.columns.contains("g"),
+        s"benchIdx.grams is missing column 'g' — build it with " +
+          s"Decontaminate.benchIndex: ${bi.grams.columns.toSeq}")
+      Seq("word", "bits").foreach(c => require(bi.bloomCells.columns.contains(c),
+        s"benchIdx.bloomCells is missing column '$c' — build it with " +
+          s"Bloom.cells: ${bi.bloomCells.columns.toSeq}"))
+    }
     def checkRow(name: String, violations: DataFrame): DataFrame =
       violations.agg(count(lit(1)).as("observed"))
         .select(lit(name).as("check"), col("observed"), (col("observed") === 0L).as("ok"))
@@ -437,7 +449,8 @@ object Curation {
       val frozenFreq: DataFrame,
       @volatile var currentFreq: DataFrame,
       @volatile var benchIdx: Decontaminate.BenchIndex,
-      @volatile var maxRank: Long)
+      @volatile var maxRank: Long,
+      @volatile var lastBatchId: Long = Long.MinValue)
 
   /** Build a [[ServiceState]] at service start — the q261 service-start
     * shape as one call: corpus [[signatures]] + frozen-order
@@ -464,20 +477,24 @@ object Curation {
     val (freqRaw, postsRaw) = postingsIndex(idx, idCol, langCol, tau)
     val freq = pin(freqRaw)
     val posts = pin(postsRaw)
-    val grams = bench
-      .filter(trim(col(textCol)) =!= "")
-      .select(explode(array_distinct(
-        TextFunctions.wordShingles(lower(col(textCol)), decontN))).as("g"))
-      .distinct()
-    val nGrams = grams.count()
-    val (m, k) = graft.functions.Bloom.sizeFor(math.max(1L, nGrams), targetFpp)
-    val bi0 = Decontaminate.benchIndex(bench, idCol, textCol, decontN, m, k)
-    val bi = bi0.copy(grams = pin(bi0.grams), bloomCells = pin(bi0.bloomCells))
-    val maxRank = idx.agg(max(col(idCol).cast("long"))).head() match {
-      case r if r.isNullAt(0) => Long.MinValue
-      case r => r.getLong(0)
-    }
-    new ServiceState(idx, posts, freq, pin(freq), bi, maxRank)
+    // gram once, size from the same frame, build cells from it — the
+    // benchIndexSized contract (a hand-rolled sizing count here would scan
+    // the benchmark text twice and drift if the gram recipe changed)
+    val bi = Decontaminate.benchIndexSized(
+      bench, idCol, textCol, decontN, targetFpp, pin)
+    val mr = idx.agg(
+      count(lit(1)).as("n"),
+      count(col(idCol).cast("long")).as("nc"),
+      max(col(idCol).cast("long")).as("mx")).head()
+    require(mr.getLong(0) == mr.getLong(1),
+      s"serviceState: ${mr.getLong(0) - mr.getLong(1)} of ${mr.getLong(0)} corpus ids " +
+        s"in '$idCol' are NULL or not castable to long — the service rank contract " +
+        "needs long-castable, unique, monotone ingest ids")
+    val maxRank = if (mr.getLong(0) == 0L) Long.MinValue else mr.getLong(2)
+    // the df feed starts AS the frozen build's freq (it is dfCounts of the
+    // corpus); appendState replaces rather than mutates, so one pinned
+    // frame serves both roles
+    new ServiceState(idx, posts, freq, freq, bi, maxRank)
   }
 
   /** One STREAMING service micro-batch — the `foreachBatch` body of a
@@ -494,12 +511,23 @@ object Curation {
     * follow every earlier batch's, and a streaming source replaying or
     * reordering its feed would violate that silently — so a batch whose
     * min rank does not exceed the state's high-water mark fails loud
-    * instead of producing an accepted set no combined run would. (The
-    * guard is one bounded min/max aggregate per batch; an empty batch
-    * no-ops.) Micro-batch BOUNDARIES, by contrast, never matter: ticks
-    * compose, so any arrival slicing yields the combined-run output —
-    * CurationSpec proves the streaming loop ≡ one combined tick
+    * instead of producing an accepted set no combined run would. NULL or
+    * non-long-castable ids fail loud too (under non-ANSI SQL the cast
+    * yields NULL, and an unchecked guard would silently treat the batch
+    * as empty). The guard is one bounded aggregate per batch; an empty
+    * batch no-ops. Micro-batch BOUNDARIES, by contrast, never matter:
+    * ticks compose, so any arrival slicing yields the combined-run
+    * output — CurationSpec proves the streaming loop ≡ one combined tick
     * end-to-end.
+    *
+    * `batchId` — pass foreachBatch's second argument. Structured
+    * Streaming is at-least-once per micro-batch: a failure after the tick
+    * ran but before the offset commit re-delivers the SAME batch on
+    * restart, and without the id the rank guard would then wedge the
+    * service permanently (the re-delivery looks exactly like a feed
+    * replay). An already-seen batchId skips as already-applied — the
+    * canonical foreachBatch idempotence discipline; the rank guard keeps
+    * catching true feed replays, which arrive under a NEW batchId.
     */
   def serviceTick(
       state: ServiceState,
@@ -515,12 +543,32 @@ object Curation {
       tau: Double = 0.5,
       strategy: SimilarityStrategy = SimilarityStrategy.Auto,
       shingleHash: Column => Column = xxhash64(_),
-      pin: Pin = Pin.LocalCheckpoint): DataFrame = {
+      pin: Pin = Pin.LocalCheckpoint,
+      batchId: Option[Long] = None): DataFrame = {
+    // at-least-once idempotence (the canonical foreachBatch discipline):
+    // Structured Streaming may re-deliver a micro-batch whose effects were
+    // already applied (failure after the tick, before the offset commit) —
+    // an already-seen batchId SKIPS instead of wedging on the rank guard
+    // below (which exists for true FEED replays, a different fault)
+    if (batchId.exists(_ <= state.lastBatchId)) return batch.limit(0)
     val mm = batch.agg(
-      min(col(idCol).cast("long")).as("mn"), max(col(idCol).cast("long")).as("mx")).head()
-    if (mm.isNullAt(0)) return batch.limit(0)
-    require(mm.getLong(0) > state.maxRank,
-      s"serviceTick: batch min rank ${mm.getLong(0)} does not exceed the state's " +
+      count(lit(1)).as("n"),
+      count(col(idCol).cast("long")).as("nc"),
+      min(col(idCol).cast("long")).as("mn"),
+      max(col(idCol).cast("long")).as("mx")).head()
+    if (mm.getLong(0) == 0L) {
+      batchId.foreach(id => state.lastBatchId = id)
+      return batch.limit(0)
+    }
+    // fail loud on NULL / non-long-castable ids: under non-ANSI SQL the
+    // cast yields NULL and an unchecked guard would silently treat the
+    // whole batch as empty — dropping every document without error
+    require(mm.getLong(0) == mm.getLong(1),
+      s"serviceTick: ${mm.getLong(0) - mm.getLong(1)} of ${mm.getLong(0)} batch ids in " +
+        s"'$idCol' are NULL or not castable to long — the service rank contract needs " +
+        "long-castable, unique, monotone ingest ids")
+    require(mm.getLong(2) > state.maxRank,
+      s"serviceTick: batch min rank ${mm.getLong(2)} does not exceed the state's " +
         s"high-water rank ${state.maxRank} — the feed replayed or reordered ingest " +
         "ranks, which breaks greedy tick composability (the tick contract)")
     val accepted = pin(tickIndexed(
@@ -536,7 +584,8 @@ object Curation {
     state.index = i2
     state.posts = p2
     state.currentFreq = f2
-    state.maxRank = mm.getLong(1)
+    state.maxRank = mm.getLong(3)
+    batchId.foreach(id => state.lastBatchId = id)
     accepted
   }
 
@@ -556,7 +605,12 @@ object Curation {
     state.index = pin(i2)
     state.posts = pin(p2)
     state.currentFreq = pin(f2)
-    state.benchIdx = b2.get
+    // the rebuilt bench halves pin too: benchIndexDelete's cells are a
+    // full gram-proportional rebuild, and an unpinned handle would re-run
+    // it inside EVERY subsequent tick's stage-2 probe (against
+    // serviceTick's nothing-bench-proportional-per-tick contract)
+    val bi2 = b2.get
+    state.benchIdx = bi2.copy(grams = pin(bi2.grams), bloomCells = pin(bi2.bloomCells))
   }
 
   /** One curation tick: run the funnel stages on `batch` against the

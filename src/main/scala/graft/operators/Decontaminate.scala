@@ -136,6 +136,38 @@ object Decontaminate {
   def saturationReport(bi: BenchIndex, maxFpp: Double = 0.02): DataFrame =
     graft.functions.Bloom.saturationReport(bi.bloomCells, bi.m, bi.k, maxFpp = maxFpp)
 
+  /** [[benchIndex]] with (m, k) SIZED from the data — gram the benchmark
+    * ONCE (pinned), count the distinct grams, pick (m, k) via
+    * [[graft.functions.Bloom.sizeFor]] at `targetFpp`, and build the cells
+    * from the same pinned gram frame. This is the service-start build
+    * ([[graft.operators.Curation.serviceState]]): callers who hand-rolled
+    * the sizing re-implemented the gram recipe to count it — a second
+    * benchmark text scan AND a silent-drift hazard if the recipe here ever
+    * changed (the sizing count would diverge from the built index). One
+    * bounded driver action (the gram count); an empty benchmark sizes at
+    * n = 1 (the smallest legal filter — nothing will probe positive).
+    */
+  def benchIndexSized(
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      targetFpp: Double = 0.001,
+      pin: Pin = Pin.LocalCheckpoint): BenchIndex = {
+    require(n >= 1, s"n must be positive: $n")
+    val grams = pin(bench
+      .filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(array_distinct(
+        TextFunctions.wordShingles(lower(col(textCol)), n))).as("g"))
+      .distinct())
+    val nGrams = grams.select(col("g")).distinct().count()
+    val (m, k) = graft.functions.Bloom.sizeFor(math.max(1L, nGrams), targetFpp)
+    BenchIndex(
+      grams,
+      pin(graft.functions.Bloom.cells(grams.select(col("g")).distinct(), col("g"), m, k)),
+      idCol, n, m, k)
+  }
+
   /** GROWTH for the stored [[BenchIndex]] — the third lifecycle verb named
     * (with [[benchIndexDelete]] and [[benchIndexResize]]; previously the
     * growth recipe lived in docs as `grams.unionByName + Bloom.merge`

@@ -745,9 +745,9 @@ class CurationSpec extends AnyFunSuite {
     def runArrival(): Unit = {
       val q = spark.readStream.schema(schema).parquet(streamDir)
         .writeStream.outputMode("append")
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
           val acc = Curation.serviceTick(state, df, "doc_id", "text", "lang",
-            quality = lit(1.0), minQuality = 0.0)
+            quality = lit(1.0), minQuality = 0.0, batchId = Some(bid))
           acc.select("doc_id").collect().foreach(r => acceptedIds += r.getLong(0)); ()
         }
         .option("checkpointLocation", ckpt).start()
@@ -755,6 +755,13 @@ class CurationSpec extends AnyFunSuite {
       q.stop()
     }
     addBatch(b1, 1); runArrival()
+    // at-least-once idempotence: re-delivering an already-applied
+    // micro-batch (same batchId — the restart-after-crash shape) SKIPS
+    // instead of wedging on the rank guard or double-appending
+    val replayed = Curation.serviceTick(state, b1.toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
+      batchId = Some(state.lastBatchId))
+    assert(replayed.isEmpty)
     addBatch(b2, 2); runArrival()
 
     // streaming-arrival accepted set ≡ one combined tick (greedy
@@ -786,6 +793,19 @@ class CurationSpec extends AnyFunSuite {
     def msg(t: Throwable): String =
       Option(t).map(x => x.getMessage + " " + msg(x.getCause)).getOrElse("")
     assert(msg(e).contains("high-water rank"))
+  }
+
+  test("serviceTick fails loud on ids the rank contract cannot order") {
+    val corpus = Seq((1L, "l0", "abcdefghijkl")).toDF("doc_id", "lang", "text")
+    val state = Curation.serviceState(corpus, corpus.limit(0), "doc_id", "text", "lang")
+    // a string id casts to NULL under non-ANSI SQL — an unchecked guard
+    // would silently treat the whole batch as empty and drop every doc
+    val bad = Seq(("doc-9", "l0", "mnopqrstuvwx")).toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.serviceTick(state, bad, "doc_id", "text", "lang",
+        quality = lit(1.0), minQuality = 0.0)
+    }
+    assert(e.getMessage.contains("castable"))
   }
 
   test("auditState rejects malformed state frames loud") {

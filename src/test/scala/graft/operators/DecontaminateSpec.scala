@@ -272,4 +272,27 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(fast == exact)
     assert(fast.nonEmpty) // the synthetic corpus plants at least one near-copy
   }
+
+  test("benchIndexSized: one gram pass, sizeFor-pinned (m, k), identical to a hand build") {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val sized = Decontaminate.benchIndexSized(bench, "doc_id", "text", n = 3)
+    // (m, k) must be exactly sizeFor over the index's own distinct gram
+    // count (the single-recipe contract: the sizing can't drift from what
+    // was built)
+    val nGrams = sized.grams.select(col("g")).distinct().count()
+    assert((sized.m, sized.k) == graft.functions.Bloom.sizeFor(nGrams, 0.001))
+    // and the result is bit-identical to the two-step hand build at that (m, k)
+    val hand = Decontaminate.benchIndex(bench, "doc_id", "text", 3, sized.m, sized.k)
+    def rws(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    assert(rws(sized.grams) == rws(hand.grams))
+    assert(rws(sized.bloomCells) == rws(hand.bloomCells))
+    // an empty benchmark sizes at n = 1 instead of failing sizeFor's n > 0
+    val empty = Decontaminate.benchIndexSized(bench.limit(0), "doc_id", "text", n = 3)
+    assert(empty.grams.isEmpty && (empty.m, empty.k) == graft.functions.Bloom.sizeFor(1L, 0.001))
+  }
 }
