@@ -497,6 +497,60 @@ object Curation {
     new ServiceState(idx, posts, freq, freq, bi, maxRank)
   }
 
+  /** REBUILD a [[ServiceState]] from persisted halves — the restart verb
+    * (the handle doc's "restart = rebuild the handle from parquet", made
+    * executable): pass the five frames back (each half is already the
+    * persistable artifact its tier defined — read them with
+    * `spark.read.parquet`), plus the two scalars a restart ledger should
+    * carry beside them:
+    *
+    *   - `maxRank` — the high-water ingest rank. Persist it (a 1-row
+    *     ledger beside the frames); when absent it is recomputed from the
+    *     index, which UNDERSTATES it (rejected docs consumed ranks too).
+    *     That understatement is SAFE for the accepted set: a re-offered
+    *     previously-REJECTED rank re-rejects identically (greedy decisions
+    *     depend only on accepted predecessors — the object header), and a
+    *     re-offered ACCEPTED rank is the id-collision bug the tier
+    *     documents everywhere. The recomputed mark still rejects
+    *     feed replays older than the last accepted doc.
+    *   - `lastBatchId` — the at-least-once skip watermark. Persist it with
+    *     the state IF the state is checkpointed mid-stream (a crash
+    *     between a tick and its offset commit re-delivers that batch; the
+    *     skip needs the id to recognize it). Defaults to MinValue (process
+    *     everything the source re-delivers — correct whenever the state
+    *     was persisted at a batch boundary the source also committed).
+    *
+    * One bounded driver aggregate (the recomputed mark) when `maxRank` is
+    * absent; zero jobs otherwise. CurationSpec proves a mid-loop persist →
+    * restore → continue run lands on the combined-tick output with a
+    * clean audit.
+    */
+  def restoreServiceState(
+      index: DataFrame,
+      posts: DataFrame,
+      frozenFreq: DataFrame,
+      currentFreq: DataFrame,
+      benchIdx: Decontaminate.BenchIndex,
+      idCol: String,
+      maxRank: Option[Long] = None,
+      lastBatchId: Long = Long.MinValue): ServiceState = {
+    // id/_dg/_h only — langCol varies by deployment and every downstream
+    // verb re-validates what it reads
+    Seq(idCol, "_dg", "_h").foreach(c => require(index.columns.contains(c),
+      s"index is missing column '$c' — persist Curation.signatures output"))
+    val mark = maxRank.getOrElse {
+      val mr = index.agg(
+        count(lit(1)).as("n"),
+        count(col(idCol).cast("long")).as("nc"),
+        max(col(idCol).cast("long")).as("mx")).head()
+      require(mr.getLong(0) == mr.getLong(1),
+        s"restoreServiceState: ${mr.getLong(0) - mr.getLong(1)} of ${mr.getLong(0)} " +
+          s"restored ids in '$idCol' are NULL or not castable to long")
+      if (mr.getLong(0) == 0L) Long.MinValue else mr.getLong(2)
+    }
+    new ServiceState(index, posts, frozenFreq, currentFreq, benchIdx, mark, lastBatchId)
+  }
+
   /** One STREAMING service micro-batch — the `foreachBatch` body of a
     * standing curation service (`stream.writeStream.foreachBatch { (df, _)
     * => sink(Curation.serviceTick(state, df, …)) }`): run [[tickIndexed]]

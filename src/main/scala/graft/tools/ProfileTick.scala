@@ -14,10 +14,13 @@ import graft.operators.{Curation, Pin}
   * silently measured its own replica. Diagnostic only — never part of a
   * bench or oracle gate.
   *
-  * Runs the two-tick loop TWICE: signature-index only (the r7 shape, the
-  * similarity stage rebuilds corpus df + postings per tick) and with the
-  * persistable postings index carried across ticks (the r8 shape) — the
-  * printed totals are the measured tick-time reduction for the index.
+  * Runs the two-tick loop THREE times: signature-index only (the r7
+  * shape, the similarity stage rebuilds corpus df + postings per tick),
+  * with the persistable postings index carried across ticks (the r8
+  * shape), and with the stored benchmark BloomIndex too (the r9+ full
+  * production state — stage 2 probes stored cells instead of rebuilding
+  * the driver-side bloom from benchmark text per tick). The printed
+  * totals are the measured tick-time reduction for each stored index.
   *
   * Usage: runMain graft.tools.ProfileTick [sfDir]
   */
@@ -66,15 +69,16 @@ object ProfileTick {
         tag: String,
         index: DataFrame,
         batch: DataFrame,
-        posts: Option[(DataFrame, DataFrame)]): DataFrame =
+        posts: Option[(DataFrame, DataFrame)],
+        bi: Option[graft.operators.Decontaminate.BenchIndex] = None): DataFrame =
       Curation.tickIndexed(index, batch, bench, "doc_id", "text", "lang",
-        quality = q, indexPinned = true, corpusPostings = posts,
+        quality = q, indexPinned = true, corpusPostings = posts, benchIdx = bi,
         stageHook = (name, df) =>
           if (name == "self_pairs" || name == "dominated" || name == "accepted")
             mat(s"$tag $name", df)
           else tm(s"$tag $name") { df.count(); df })
 
-    def runLoop(tag: String, withPostings: Boolean): Double = {
+    def runLoop(tag: String, withPostings: Boolean, withBench: Boolean = false): Double = {
       val t0 = System.nanoTime()
       val idx0 = mat(s"$tag idx0 signatures",
         Curation.signatures(corpus, "doc_id", "text", "lang"))
@@ -84,7 +88,13 @@ object ProfileTick {
         val pp = Pin.LocalCheckpoint(p); pp.count()
         (ff, pp)
       })
-      val acc1 = profiledTick(s"$tag t1", idx0, b1, posts0)
+      val bi0 = if (!withBench) None else Some(tm(s"$tag idx0 bench bloom") {
+        val b = graft.operators.Decontaminate.benchIndexSized(
+          bench, "doc_id", "text", n = 4)
+        b.grams.count(); b.bloomCells.count()
+        b
+      })
+      val acc1 = profiledTick(s"$tag t1", idx0, b1, posts0, bi0)
       // deliberately hand-rolled (not Curation.appendState): the profiler
       // exists to time each append half separately, and the named verb
       // would collapse the per-stage attribution this tool reports
@@ -98,7 +108,7 @@ object ProfileTick {
         pa.count()
         (f, pa)
       }}
-      val acc2 = profiledTick(s"$tag t2", idx1, b2, posts1)
+      val acc2 = profiledTick(s"$tag t2", idx1, b2, posts1, bi0)
       tm(s"$tag final agg") {
         acc1.unionByName(acc2)
           .select(col("doc_id"), col("lang"),
@@ -116,8 +126,11 @@ object ProfileTick {
 
     val inline = runLoop("sig-only ", withPostings = false)
     val indexed = runLoop("postings ", withPostings = true)
+    val full = runLoop("p+bloom  ", withPostings = true, withBench = true)
     println(f"PROF  postings-index speedup: ${inline / indexed}%.2fx " +
       f"($inline%.1f s -> $indexed%.1f s)")
+    println(f"PROF  + bench-bloom speedup:  ${indexed / full}%.2fx " +
+      f"($indexed%.1f s -> $full%.1f s); vs sig-only ${inline / full}%.2fx")
     spark.stop()
   }
 }

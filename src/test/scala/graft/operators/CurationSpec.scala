@@ -795,6 +795,61 @@ class CurationSpec extends AnyFunSuite {
     assert(msg(e).contains("high-water rank"))
   }
 
+  test("service restart: persist mid-loop, restore from parquet, continue — ≡ combined") {
+    import java.nio.file.Files
+    val (corpus, batch) = mutationCorpus(239)
+    val bench = Seq((9000L, "lx", "winter spring summer autumn morning evening night"))
+      .toDF("doc_id", "lang", "text")
+    val cut = batch.map(_._1).sorted.apply(batch.size / 2)
+    val (b1, b2) = batch.partition(_._1 < cut)
+    val state = Curation.serviceState(
+      corpus.toDF("doc_id", "lang", "text"), bench, "doc_id", "text", "lang")
+    val acc1 = Curation.serviceTick(state, b1.toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
+      batchId = Some(0L))
+    val ids1 = acc1.select("doc_id").as[Long].collect().toSet
+    // crash here: persist EVERY half (each is its tier's persistable
+    // artifact) plus the two ledger scalars, then rebuild a fresh handle
+    val root = Files.createTempDirectory("svc-restart").toString
+    def save(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.write.mode("overwrite").parquet(s"$root/$name")
+    save(state.index, "index"); save(state.posts, "posts")
+    save(state.frozenFreq, "freq"); save(state.currentFreq, "cur")
+    save(state.benchIdx.grams, "bgrams"); save(state.benchIdx.bloomCells, "bcells")
+    val (savedRank, savedBid) = (state.maxRank, state.lastBatchId)
+    def load(name: String) = spark.read.parquet(s"$root/$name")
+    val restored = Curation.restoreServiceState(
+      load("index"), load("posts"), load("freq"), load("cur"),
+      Decontaminate.BenchIndex(load("bgrams"), load("bcells"), "doc_id",
+        state.benchIdx.n, state.benchIdx.m, state.benchIdx.k),
+      "doc_id", maxRank = Some(savedRank), lastBatchId = savedBid)
+    val acc2 = Curation.serviceTick(restored, b2.toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
+      batchId = Some(1L))
+    val got = (ids1 ++ acc2.select("doc_id").as[Long].collect()).toSeq.sorted
+    val combined = Curation.tick(
+        corpus.toDF("doc_id", "lang", "text"), batch.toDF("doc_id", "lang", "text"),
+        bench, "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == combined, s"restart broke the loop: $got vs $combined")
+    // the restored-and-advanced state still audits clean
+    val audit = auditMap(Curation.auditState(restored.index, restored.posts,
+      restored.frozenFreq, restored.currentFreq, Some(restored.benchIdx),
+      "doc_id", "lang"))
+    assert(audit.values.forall { case (obs, ok) => obs == 0L && ok },
+      s"restart left a dirty state: $audit")
+    // the recomputed default mark (no ledger) still rejects a feed replay
+    val noLedger = Curation.restoreServiceState(
+      load("index"), load("posts"), load("freq"), load("cur"),
+      Decontaminate.BenchIndex(load("bgrams"), load("bcells"), "doc_id",
+        state.benchIdx.n, state.benchIdx.m, state.benchIdx.k), "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Curation.serviceTick(noLedger, Seq(corpus.head).toDF("doc_id", "lang", "text"),
+        "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0)
+    }
+    assert(e.getMessage.contains("high-water rank"))
+  }
+
   test("serviceTick fails loud on ids the rank contract cannot order") {
     val corpus = Seq((1L, "l0", "abcdefghijkl")).toDF("doc_id", "lang", "text")
     val state = Curation.serviceState(corpus, corpus.limit(0), "doc_id", "text", "lang")
