@@ -6731,6 +6731,36 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  // q268 — the standing KS drift monitor (Drift.ksByPeriod): q254's
+  // PSI-per-day read-off with the drift tier's SECOND statistic — the
+  // largest CDF gap per day vs the first-week reference, over the SAME
+  // drained windowed cells (one sketch feeds both monitors; a deployment
+  // schedules whichever alarm semantics it wants). KS needs no eps floor
+  // and no transcendental: every distance is max |cum_p/n − cum_r/m| over
+  // exact integer running sums, bit-identical in a second engine. The
+  // alarm is the classical two-sample critical value at α = 0.05,
+  // 1.358·sqrt((n+m)/(n·m)) — it SCALES with sample size where PSI's
+  // 0.1/0.2 conventions are fixed, so the oracle value-checks the
+  // threshold arithmetic too, not just the statistic.
+  private def streamKs(s: SparkSession, dir: String): DataFrame = {
+    val cells = replayStream(s, dir, "append") { ev =>
+      graft.streaming.StreamOps.windowedHistCells(
+        ev, col("value"), lo = 0.0, hi = 512.0, bins = 16)
+    }
+    val byDay = cells.select(to_date(col("ws")).as("day"), col("bin"), col("cnt"))
+    val cutoff = lit("2024-01-07").cast("date")
+    val ref = byDay.filter(col("day") <= cutoff)
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+    val post = byDay.filter(col("day") > cutoff)
+    val crit = lit(1.358) * sqrt((col("n_period") + col("n_ref")).cast("double")
+      / (col("n_period") * col("n_ref")).cast("double"))
+    graft.operators.Drift.ksByPeriod(post, "day", ref)
+      .select(col("day"), rnd(col("ks"), 6).as("ks"), rnd(crit, 6).as("crit"),
+        when(rnd(col("ks"), 6) > rnd(crit, 6), 1).otherwise(0).cast("int")
+          .as("drifted"))
+      .orderBy(col("day"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -7001,7 +7031,8 @@ object SparkEntry {
     "q264_takedown_tick" -> takedownTick,
     "q265_embedding_drift" -> embeddingDrift,
     "q266_state_audit" -> stateAudit,
-    "q267_stream_service" -> streamService)
+    "q267_stream_service" -> streamService,
+    "q268_stream_ks" -> streamKs)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -12996,5 +13027,58 @@ object SparkEntry {
         |  SELECT 'svc_high_water', CAST((SELECT max(doc_id) FROM documents) AS DOUBLE)
         |)
         |SELECT metric, round(value + 1e-9, 6) AS value FROM m ORDER BY metric""".stripMargin
-    })
+    },
+
+    // q268: per-day two-sample KS from the closed-window cells (the q254
+    // derivation), CDFs as exact-integer running sums over the union bin
+    // spine, the classical α=0.05 critical value from the same totals —
+    // every distance and threshold re-derived bit-identically.
+    "q268_stream_ks" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+        |), cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS BIGINT)
+        |      AS bin,
+        |    count(*) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), closed AS (
+        |  SELECT c.* FROM cells c, mx
+        |  WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+        |), ref AS (
+        |  SELECT bin, sum(cnt) AS cnt FROM closed
+        |  WHERE day <= DATE '2024-01-07' GROUP BY 1
+        |), post AS (
+        |  SELECT day, bin, cnt FROM closed WHERE day > DATE '2024-01-07'
+        |), tot AS (
+        |  SELECT day, sum(cnt) AS tp FROM post GROUP BY 1
+        |), rt AS (
+        |  SELECT sum(cnt) AS tr FROM ref
+        |), bins AS (
+        |  SELECT DISTINCT bin
+        |  FROM (SELECT bin FROM post UNION ALL SELECT bin FROM ref)
+        |), grid AS (
+        |  SELECT t.day, b.bin, t.tp, rt.tr,
+        |    coalesce(p.cnt, 0) AS cp, coalesce(r.cnt, 0) AS cr
+        |  FROM tot t CROSS JOIN bins b CROSS JOIN rt
+        |  LEFT JOIN post p ON p.day = t.day AND p.bin = b.bin
+        |  LEFT JOIN ref r ON r.bin = b.bin
+        |), cums AS (
+        |  SELECT day, tp, tr,
+        |    abs(sum(cp) OVER (PARTITION BY day ORDER BY bin) / CAST(tp AS DOUBLE)
+        |      - sum(cr) OVER (PARTITION BY day ORDER BY bin) / CAST(tr AS DOUBLE))
+        |      AS d
+        |  FROM grid
+        |), ks AS (
+        |  SELECT day, max(d) AS ks, max(tp) AS n_p, max(tr) AS n_r
+        |  FROM cums GROUP BY 1
+        |), scored AS (
+        |  SELECT day, round(ks + 1e-9, 6) AS ks,
+        |    round(1.358 * sqrt(CAST(n_p + n_r AS DOUBLE)
+        |      / CAST(n_p * n_r AS DOUBLE)) + 1e-9, 6) AS crit
+        |  FROM ks
+        |)
+        |SELECT day, ks, crit,
+        |  CAST(CASE WHEN ks > crit THEN 1 ELSE 0 END AS INT) AS drifted
+        |FROM scored ORDER BY day""".stripMargin)
 }

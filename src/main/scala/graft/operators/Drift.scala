@@ -125,6 +125,84 @@ object Drift {
       .agg(sum((p - q) * log(p / q)).as("psi"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance per period from cell tables —
+    * the drift tier's SECOND statistic beside [[psiByPeriod]], same
+    * standing-monitor shape and contracts: `cells` =
+    * (periodCol, keyCols…, bin, cnt), `refCells` = (keyCols…, bin, cnt),
+    * both at one binning declaration. ks(period) = max over the union bin
+    * spine of |CDF_period − CDF_ref| where each CDF is a running sum of
+    * exact integer counts over bin order divided by its exact total —
+    * NO transcendental at all (PSI's one-ln-per-term discipline, improved
+    * on: the score is a max of |a/b − c/d| over longs, so a second engine
+    * re-derives every value bit-identically, not just per-term).
+    *
+    * Where the two monitors differ in practice: PSI weights by probability
+    * mass and reacts to any redistribution (including tail mass the eps
+    * floor keeps finite); KS is the largest CDF gap — sharp for location/
+    * scale shifts, blind to compensating reshuffles that cross back over
+    * the CDF, and it carries the classical two-sample alarm
+    * c(α)·sqrt((n+m)/(n·m)) so the threshold SCALES with sample size
+    * instead of PSI's fixed 0.1/0.2 conventions. Binned KS understates
+    * continuous KS by at most one bin's mass — the usual discretization
+    * trade, same declaration contract as every cell table.
+    *
+    * `keyCols` scores one KS per (periodCol, keyCols…) with reference
+    * totals and bin spines per key (the [[psiByPeriod]] keyed contract,
+    * including the loud in-plan failure on a key the reference doesn't
+    * cover — and on an empty/all-NULL reference, which that same assert
+    * catches since every scored row left-joins the reference totals).
+    * Returns (periodCol, keyCols…, ks, n_period, n_ref) — the totals ride
+    * along because the classical alarm needs them. Scale shape: the grid
+    * is periods × keys × bins, the running sums are windows over ≤ bins
+    * rows per (period, keys…) partition — bounded by declaration, never
+    * input-sized.
+    */
+  def ksByPeriod(
+      cells: DataFrame,
+      periodCol: String,
+      refCells: DataFrame,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    Seq("bin", "cnt").foreach { c =>
+      require(cells.columns.contains(c) && refCells.columns.contains(c),
+        s"cell tables need (bin, cnt): ${cells.columns.toSeq} / ${refCells.columns.toSeq}")
+    }
+    val working = Set("_tp", "_cp", "_cr", "_tr", "_one")
+    val clash = working.intersect(
+      cells.columns.toSet ++ refCells.columns.toSet + periodCol ++ keyCols)
+    require(clash.isEmpty,
+      s"ksByPeriod's working columns clash with input columns: $clash — rename them first")
+    // one generic keyed path: an unkeyed call rides a constant key
+    val (kc, cellsK, refK) =
+      if (keyCols.nonEmpty) (keyCols, cells, refCells)
+      else (Seq("_one"),
+        cells.withColumn("_one", lit(1)), refCells.withColumn("_one", lit(1)))
+    val gridKeys = periodCol +: kc
+    val totals = cellsK.groupBy(gridKeys.map(col): _*).agg(sum(col("cnt")).as("_tp"))
+    val refTot = refK.groupBy(kc.map(col): _*).agg(sum(col("cnt")).as("_tr"))
+    val spine = cellsK.select((kc :+ "bin").map(col): _*)
+      .unionByName(refK.select((kc :+ "bin").map(col): _*)).distinct()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(gridKeys.map(col): _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumP = sum(coalesce(col("_cp"), lit(0L))).over(w) / col("_tp")
+    val cumR = sum(coalesce(col("_cr"), lit(0L))).over(w) / col("_tr")
+    totals
+      .join(broadcast(spine), kc) // per-key bin spine: bounded dimensions
+      .join(cellsK.select((gridKeys :+ "bin").map(col) :+ col("cnt").as("_cp"): _*),
+        gridKeys :+ "bin", "left")
+      .join(broadcast(refK.select((kc :+ "bin").map(col) :+ col("cnt").as("_cr"): _*)),
+        kc :+ "bin", "left")
+      .join(broadcast(refTot), kc, "left")
+      .where(assert_true(col("_tr").isNotNull && col("_tr") > 0,
+        lit("ksByPeriod: the reference is empty (no rows or all-NULL counts) for a " +
+          "scored key — a KS distance against nothing is meaningless")).isNull)
+      .withColumn("_d", abs(cumP - cumR))
+      .groupBy(gridKeys.map(col): _*)
+      .agg(max(col("_d")).as("ks"),
+        first(col("_tp")).as("n_period"), first(col("_tr")).as("n_ref"))
+      .drop("_one")
+  }
+
   /** Fixed-range histogram cells over an EMBEDDING column, one histogram
     * per (keyCols…, dimension): posexplode the vector, bin each component
     * with the declared (lo, hi, bins) ([[graft.functions.QuantileSketch]]

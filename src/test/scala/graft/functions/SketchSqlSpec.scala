@@ -173,6 +173,47 @@ class SketchSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("KS drift monitor in one SQL statement — bit-identical, not just ulp") {
+    ready
+    // Drift.ksByPeriod over persisted cell views: running integer sums
+    // over the union bin spine, one division per side, max of |gaps| —
+    // NO transcendental, so SQL and Dataset must agree EXACTLY (the PSI
+    // cases tolerate summation-order ulp; KS has nothing to reorder)
+    val ev = spark.table("ev").where(col("value").isNotNull)
+    QuantileSketch.cells(
+        ev.withColumn("day", to_date(col("ts"))), col("value"), 0.0, 512.0, 16,
+        Seq("day"))
+      .createOrReplaceTempView("ks_cells")
+    QuantileSketch.cells(ev, col("value"), 0.0, 512.0, 16)
+      .createOrReplaceTempView("ks_ref")
+    val sql = spark.sql(
+      """WITH tot AS (SELECT day, sum(cnt) AS tp FROM ks_cells GROUP BY 1
+        |), rt AS (SELECT sum(cnt) AS tr FROM ks_ref
+        |), bins AS (
+        |  SELECT DISTINCT bin
+        |  FROM (SELECT bin FROM ks_cells UNION ALL SELECT bin FROM ks_ref)
+        |), grid AS (
+        |  SELECT t.day, b.bin, t.tp, rt.tr,
+        |    coalesce(c.cnt, 0) AS cp, coalesce(r.cnt, 0) AS cr
+        |  FROM tot t CROSS JOIN bins b CROSS JOIN rt
+        |  LEFT JOIN ks_cells c ON c.day = t.day AND c.bin = b.bin
+        |  LEFT JOIN ks_ref r ON r.bin = b.bin
+        |), cums AS (
+        |  SELECT day,
+        |    abs(sum(cp) OVER (PARTITION BY day ORDER BY bin
+        |          ROWS UNBOUNDED PRECEDING) / CAST(tp AS DOUBLE)
+        |      - sum(cr) OVER (PARTITION BY day ORDER BY bin
+        |          ROWS UNBOUNDED PRECEDING) / CAST(tr AS DOUBLE)) AS d
+        |  FROM grid
+        |)
+        |SELECT day, max(d) AS ks FROM cums GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    val api = graft.operators.Drift.ksByPeriod(
+        spark.table("ks_cells"), "day", spark.table("ks_ref"))
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    assert(sql.nonEmpty && sql == api)
+  }
+
   test("embedding drift monitor in one SQL statement") {
     ready
     // Drift.embeddingPsiByPeriod's two halves — the posexplode marginal

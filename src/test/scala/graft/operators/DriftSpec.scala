@@ -185,6 +185,60 @@ class DriftSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("reference cells are empty")))
   }
 
+  test("KS equals the hand-computed max CDF gap per period; 0 on identical") {
+    val cells = Seq(
+      ("d1", 0L, 10L), ("d1", 1L, 30L), ("d1", 2L, 60L),
+      ("d2", 0L, 40L), ("d2", 1L, 60L)) // same proportions as the ref
+      .toDF("day", "bin", "cnt")
+    val ref = Seq((0L, 20L), (1L, 30L), (2L, 50L)).toDF("bin", "cnt")
+    val got = Drift.ksByPeriod(cells, "day", ref)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // d1: CDFs p = (.1, .4, 1) vs r = (.2, .5, 1) — max gap .1 at bins 0/1
+    assert(math.abs(got("d1")._1 - 0.1) < 1e-12)
+    assert(got("d1")._2 == 100L && got("d1")._3 == 100L)
+    // d2 puts 0 mass in bin 2: CDFs p = (.4, 1, 1) vs r = (.2, .5, 1) —
+    // max gap .5 at bin 1 (the union spine supplies d2's empty bin 2)
+    assert(math.abs(got("d2")._1 - 0.5) < 1e-12)
+    // identical proportions read EXACTLY zero (integer ratios, no eps)
+    val same = Seq(("d", 0L, 40L), ("d", 1L, 60L)).toDF("day", "bin", "cnt")
+    val sameRef = Seq((0L, 80L), (1L, 120L)).toDF("bin", "cnt")
+    assert(Drift.ksByPeriod(same, "day", sameRef).collect().head.getDouble(1) == 0.0)
+  }
+
+  test("keyed KS equals the unkeyed score per key slice; uncovered key fails loud") {
+    val cells = Seq(
+      ("d1", "k1", 0L, 10L), ("d1", "k1", 1L, 90L),
+      ("d1", "k2", 0L, 70L), ("d1", "k2", 2L, 30L),
+      ("d2", "k1", 1L, 5L), ("d2", "k2", 0L, 7L))
+      .toDF("day", "key", "bin", "cnt")
+    val ref = Seq(("k1", 0L, 50L), ("k1", 1L, 50L), ("k2", 0L, 20L), ("k2", 2L, 80L))
+      .toDF("key", "bin", "cnt")
+    val keyed = Drift.ksByPeriod(cells, "day", ref, keyCols = Seq("key"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(keyed.size == 4)
+    for (k <- Seq("k1", "k2")) {
+      val slice = Drift.ksByPeriod(
+        cells.filter(col("key") === k).drop("key"), "day",
+        ref.filter(col("key") === k).drop("key"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for (d <- Seq("d1", "d2"))
+        assert(math.abs(keyed((d, k)) - slice(d)) < 1e-12)
+    }
+    val e = intercept[Exception] {
+      Drift.ksByPeriod(cells, "day", ref.filter(col("key") === "k1"),
+        keyCols = Seq("key")).collect()
+    }
+    assert(e.getMessage.contains("reference is empty") ||
+      Option(e.getCause).exists(_.getMessage.contains("reference is empty")))
+    val e2 = intercept[Exception] {
+      Drift.ksByPeriod(cells.drop("key"), "day",
+        Seq.empty[(Long, Long)].toDF("bin", "cnt")).collect()
+    }
+    assert(e2.getMessage.contains("reference is empty") ||
+      Option(e2.getCause).exists(_.getMessage.contains("reference is empty")))
+  }
+
   test("keyed PSI equals the unkeyed score per key slice") {
     // two keys with different distributions AND different reference
     // totals — the keyed grid must score each key exactly as an unkeyed
