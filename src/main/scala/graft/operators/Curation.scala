@@ -450,7 +450,26 @@ object Curation {
       @volatile var currentFreq: DataFrame,
       @volatile var benchIdx: Decontaminate.BenchIndex,
       @volatile var maxRank: Long,
-      @volatile var lastBatchId: Long = Long.MinValue)
+      @volatile var lastBatchId: Long = Long.MinValue,
+      // build conventions, carried so ticks can check them (the BenchIndex.n
+      // pattern): postings built at one (tau, shingleN, hash) probed at
+      // another produce a WRONG accepted set with no error possible from
+      // the stored rows alone
+      val tau: Double = 0.5,
+      val shingleN: Int = 5,
+      val hashTag: String = ServiceState.hashTag(xxhash64(_)))
+
+  object ServiceState {
+    /** Fingerprint of a shingle-hash convention: the expression text of the
+      * hash applied to a probe literal — no job, deterministic for a given
+      * Column function, and different conventions (xxhash64 vs md5-slice
+      * vs a salted variant) render different text. Carried on the handle so
+      * [[serviceTick]] can reject a probe under a different hash than the
+      * build (same seam class as [[Decontaminate.BenchIndex]]'s `n`).
+      */
+    def hashTag(shingleHash: Column => Column): String =
+      shingleHash(lit("graft-hash-convention-probe")).toString
+  }
 
   /** Build a [[ServiceState]] at service start — the q261 service-start
     * shape as one call: corpus [[signatures]] + frozen-order
@@ -494,7 +513,8 @@ object Curation {
     // the df feed starts AS the frozen build's freq (it is dfCounts of the
     // corpus); appendState replaces rather than mutates, so one pinned
     // frame serves both roles
-    new ServiceState(idx, posts, freq, freq, bi, maxRank)
+    new ServiceState(idx, posts, freq, freq, bi, maxRank,
+      tau = tau, shingleN = shingleN, hashTag = ServiceState.hashTag(shingleHash))
   }
 
   /** REBUILD a [[ServiceState]] from persisted halves — the restart verb
@@ -533,7 +553,10 @@ object Curation {
       benchIdx: Decontaminate.BenchIndex,
       idCol: String,
       maxRank: Option[Long] = None,
-      lastBatchId: Long = Long.MinValue): ServiceState = {
+      lastBatchId: Long = Long.MinValue,
+      tau: Double = 0.5,
+      shingleN: Int = 5,
+      shingleHash: Column => Column = xxhash64(_)): ServiceState = {
     // id/_dg/_h only — langCol varies by deployment and every downstream
     // verb re-validates what it reads
     Seq(idCol, "_dg", "_h").foreach(c => require(index.columns.contains(c),
@@ -548,7 +571,8 @@ object Curation {
           s"restored ids in '$idCol' are NULL or not castable to long")
       if (mr.getLong(0) == 0L) Long.MinValue else mr.getLong(2)
     }
-    new ServiceState(index, posts, frozenFreq, currentFreq, benchIdx, mark, lastBatchId)
+    new ServiceState(index, posts, frozenFreq, currentFreq, benchIdx, mark, lastBatchId,
+      tau = tau, shingleN = shingleN, hashTag = ServiceState.hashTag(shingleHash))
   }
 
   /** One STREAMING service micro-batch — the `foreachBatch` body of a
@@ -605,11 +629,23 @@ object Curation {
     // an already-seen batchId SKIPS instead of wedging on the rank guard
     // below (which exists for true FEED replays, a different fault)
     if (batchId.exists(_ <= state.lastBatchId)) return batch.limit(0)
+    // build-convention guard (the BenchIndex.n seam, extended): probing
+    // postings built under a different prefix order (tau), shingle width,
+    // or hash than the tick's arguments produces a WRONG accepted set with
+    // no error possible from the stored rows alone
+    require(state.tau == tau && state.shingleN == shingleN &&
+        state.hashTag == ServiceState.hashTag(shingleHash),
+      s"serviceTick: tick conventions (tau=$tau, shingleN=$shingleN, " +
+        s"hash=${ServiceState.hashTag(shingleHash)}) do not match the state's build " +
+        s"conventions (tau=${state.tau}, shingleN=${state.shingleN}, " +
+        s"hash=${state.hashTag}) — the stored signature/postings index was built " +
+        "under those; probing it under different ones silently mis-scores")
     val mm = batch.agg(
       count(lit(1)).as("n"),
       count(col(idCol).cast("long")).as("nc"),
       min(col(idCol).cast("long")).as("mn"),
-      max(col(idCol).cast("long")).as("mx")).head()
+      max(col(idCol).cast("long")).as("mx"),
+      count_distinct(col(idCol).cast("long")).as("nd")).head()
     if (mm.getLong(0) == 0L) {
       batchId.foreach(id => state.lastBatchId = id)
       return batch.limit(0)
@@ -621,6 +657,14 @@ object Curation {
       s"serviceTick: ${mm.getLong(0) - mm.getLong(1)} of ${mm.getLong(0)} batch ids in " +
         s"'$idCol' are NULL or not castable to long — the service rank contract needs " +
         "long-castable, unique, monotone ingest ids")
+    // intra-batch uniqueness: duplicate ids would BOTH survive stage-3
+    // keep-min (each equals the min) and appendState would then write
+    // duplicate signature rows — silently corrupting the standing state
+    // until a later auditState run flags ids_unique
+    require(mm.getLong(1) == mm.getLong(4),
+      s"serviceTick: batch has ${mm.getLong(1) - mm.getLong(4)} duplicate ids in " +
+        s"'$idCol' — the service rank contract needs unique ingest ids (duplicates " +
+        "would each survive keep-min dedup and corrupt the standing index)")
     require(mm.getLong(2) > state.maxRank,
       s"serviceTick: batch min rank ${mm.getLong(2)} does not exceed the state's " +
         s"high-water rank ${state.maxRank} — the feed replayed or reordered ingest " +

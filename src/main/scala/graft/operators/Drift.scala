@@ -59,7 +59,7 @@ object Drift {
       require(cells.columns.contains(c) && refCells.columns.contains(c),
         s"cell tables need (bin, cnt): ${cells.columns.toSeq} / ${refCells.columns.toSeq}")
     }
-    val working = Set("_tp", "_cp", "_cr", "_tr")
+    val working = Set("_tp", "_cp", "_cr", "_tr", "_ta")
     val clash = working.intersect(
       cells.columns.toSet ++ refCells.columns.toSet + periodCol ++ keyCols)
     require(clash.isEmpty,
@@ -97,6 +97,30 @@ object Drift {
     * IS the keyed form of "reference is empty" — the 1-row agg trick can't
     * see a single missing key).
     */
+  /** Unconditional empty-reference guard for the KEYED paths: the per-key
+    * in-plan assert only fires on keys OBSERVED in `cells`, so a scheduled
+    * monitor fed two empty frames would read "no drift" instead of "broken
+    * feed". A join-side bind can't close that gap — AQE's empty-relation
+    * propagation prunes a join whose other side turns out empty, guard and
+    * all — so the guard rides a UNION leg instead: both union children
+    * always materialize. The leg aggregates `refCells` to one row, fails
+    * loud in-plan if the total is NULL/zero, and otherwise filters itself
+    * to zero rows with a NON-FOLDABLE, NULL-TOLERANT predicate: a literal
+    * false would be pruned at optimize time taking the assert with it, and
+    * a null-intolerant `_ta < 0` makes InferFiltersFromConstraints prepend
+    * `isnotnull(_ta)` which short-circuits the And past the assert exactly
+    * when `_ta` is NULL — the case the guard exists for. Then projects
+    * NULL-cast columns so it unions with any result schema.
+    */
+  private def withRefGuard(result: DataFrame, refCells: DataFrame, msg: String): DataFrame = {
+    val guard = refCells.agg(sum(col("cnt")).as("_ta"))
+      .where(assert_true(col("_ta").isNotNull && col("_ta") > 0, lit(msg)).isNull &&
+        coalesce(col("_ta"), lit(-1L)) < 0)
+      .select(result.schema.fields.toSeq.map(f =>
+        lit(null).cast(f.dataType).as(f.name)): _*)
+    result.unionByName(guard)
+  }
+
   private def psiKeyed(
       cells: DataFrame,
       periodCol: String,
@@ -110,7 +134,7 @@ object Drift {
       .unionByName(refCells.select((keyCols :+ "bin").map(col): _*)).distinct()
     val p = greatest(coalesce(col("_cp"), lit(0L)) / col("_tp"), lit(eps))
     val q = greatest(coalesce(col("_cr"), lit(0L)) / col("_tr"), lit(eps))
-    totals
+    val scored = totals
       .join(broadcast(bins), keyCols) // per-key bin spine: bounded dimensions
       .join(cells.select((gridKeys :+ "bin").map(col) :+ col("cnt").as("_cp"): _*),
         gridKeys :+ "bin", "left")
@@ -123,6 +147,9 @@ object Drift {
           "every scored key")).isNull)
       .groupBy(gridKeys.map(col): _*)
       .agg(sum((p - q) * log(p / q)).as("psi"))
+    withRefGuard(scored, refCells,
+      "psiByPeriod: reference cells are empty (no rows or all-NULL counts) — " +
+        "a PSI against nothing is meaningless")
   }
 
   /** Two-sample Kolmogorov–Smirnov distance per period from cell tables —
@@ -166,7 +193,7 @@ object Drift {
       require(cells.columns.contains(c) && refCells.columns.contains(c),
         s"cell tables need (bin, cnt): ${cells.columns.toSeq} / ${refCells.columns.toSeq}")
     }
-    val working = Set("_tp", "_cp", "_cr", "_tr", "_one")
+    val working = Set("_tp", "_cp", "_cr", "_tr", "_one", "_ta")
     val clash = working.intersect(
       cells.columns.toSet ++ refCells.columns.toSet + periodCol ++ keyCols)
     require(clash.isEmpty,
@@ -186,7 +213,7 @@ object Drift {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumP = sum(coalesce(col("_cp"), lit(0L))).over(w) / col("_tp")
     val cumR = sum(coalesce(col("_cr"), lit(0L))).over(w) / col("_tr")
-    totals
+    val scored = totals
       .join(broadcast(spine), kc) // per-key bin spine: bounded dimensions
       .join(cellsK.select((gridKeys :+ "bin").map(col) :+ col("cnt").as("_cp"): _*),
         gridKeys :+ "bin", "left")
@@ -201,6 +228,9 @@ object Drift {
       .agg(max(col("_d")).as("ks"),
         first(col("_tp")).as("n_period"), first(col("_tr")).as("n_ref"))
       .drop("_one")
+    withRefGuard(scored, refCells,
+      "ksByPeriod: the reference is empty (no rows or all-NULL counts) — " +
+        "a KS distance against nothing is meaningless")
   }
 
   /** Fixed-range histogram cells over an EMBEDDING column, one histogram

@@ -850,6 +850,50 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("high-water rank"))
   }
 
+  test("serviceTick fails loud on intra-batch duplicate ids") {
+    val corpus = Seq((1L, "l0", "abcdefghijkl")).toDF("doc_id", "lang", "text")
+    val state = Curation.serviceState(corpus, corpus.limit(0), "doc_id", "text", "lang")
+    // duplicates would each survive stage-3 keep-min (each equals the min)
+    // and appendState would write duplicate signature rows — silent state
+    // corruption until a later auditState run
+    val dup = Seq((7L, "l0", "mnopqrstuvwx"), (7L, "l0", "yz0123456789"))
+      .toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.serviceTick(state, dup, "doc_id", "text", "lang",
+        quality = lit(1.0), minQuality = 0.0)
+    }
+    assert(e.getMessage.contains("duplicate ids"))
+  }
+
+  test("serviceTick fails loud when tick conventions differ from the build's") {
+    val corpus = Seq((1L, "l0", "abcdefghijkl")).toDF("doc_id", "lang", "text")
+    val state = Curation.serviceState(
+      corpus, corpus.limit(0), "doc_id", "text", "lang", shingleN = 5, tau = 0.5)
+    val batch = Seq((7L, "l0", "mnopqrstuvwx")).toDF("doc_id", "lang", "text")
+    // a different tau, shingleN, or hash probes stored postings built under
+    // a different prefix order / hash convention — wrong accepted set with
+    // no error possible from the stored rows alone
+    val eTau = intercept[IllegalArgumentException] {
+      Curation.serviceTick(state, batch, "doc_id", "text", "lang",
+        quality = lit(1.0), minQuality = 0.0, tau = 0.7)
+    }
+    assert(eTau.getMessage.contains("build conventions"))
+    val eN = intercept[IllegalArgumentException] {
+      Curation.serviceTick(state, batch, "doc_id", "text", "lang",
+        quality = lit(1.0), minQuality = 0.0, shingleN = 3)
+    }
+    assert(eN.getMessage.contains("build conventions"))
+    val eHash = intercept[IllegalArgumentException] {
+      Curation.serviceTick(state, batch, "doc_id", "text", "lang",
+        quality = lit(1.0), minQuality = 0.0,
+        shingleHash = c => abs(xxhash64(c)))
+    }
+    assert(eHash.getMessage.contains("build conventions"))
+    // matching conventions still tick
+    assert(Curation.serviceTick(state, batch, "doc_id", "text", "lang",
+      quality = lit(1.0), minQuality = 0.0).count() == 1L)
+  }
+
   test("serviceTick fails loud on ids the rank contract cannot order") {
     val corpus = Seq((1L, "l0", "abcdefghijkl")).toDF("doc_id", "lang", "text")
     val state = Curation.serviceState(corpus, corpus.limit(0), "doc_id", "text", "lang")

@@ -185,6 +185,31 @@ class DriftSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("reference cells are empty")))
   }
 
+  test("keyed paths fail loud on an empty reference even when cells are empty too") {
+    // a scheduled keyed monitor fed two empty frames must read "broken
+    // feed", not "no drift" — the per-key in-plan assert only covers keys
+    // OBSERVED in cells, so this needs the unconditional 1-row guard
+    val emptyCells = Seq.empty[(String, String, Long, Long)]
+      .toDF("day", "k", "bin", "cnt")
+    val emptyRef = Seq.empty[(String, Long, Long)].toDF("k", "bin", "cnt")
+    val e1 = intercept[Exception] {
+      Drift.psiByPeriod(emptyCells, "day", emptyRef, keyCols = Seq("k")).collect()
+    }
+    assert(e1.getMessage.contains("reference cells are empty") ||
+      Option(e1.getCause).exists(_.getMessage.contains("reference cells are empty")))
+    val e2 = intercept[Exception] {
+      Drift.ksByPeriod(emptyCells, "day", emptyRef, keyCols = Seq("k")).collect()
+    }
+    assert(e2.getMessage.contains("reference is empty") ||
+      Option(e2.getCause).exists(_.getMessage.contains("reference is empty")))
+    // and a healthy keyed score is untouched by the guard bind
+    val cells = Seq(("d1", "a", 0L, 40L), ("d1", "a", 1L, 60L))
+      .toDF("day", "k", "bin", "cnt")
+    val ref = Seq(("a", 0L, 50L), ("a", 1L, 50L)).toDF("k", "bin", "cnt")
+    assert(Drift.psiByPeriod(cells, "day", ref, keyCols = Seq("k")).count() == 1L)
+    assert(Drift.ksByPeriod(cells, "day", ref, keyCols = Seq("k")).count() == 1L)
+  }
+
   test("KS equals the hand-computed max CDF gap per period; 0 on identical") {
     val cells = Seq(
       ("d1", 0L, 10L), ("d1", 1L, 30L), ("d1", 2L, 60L),
