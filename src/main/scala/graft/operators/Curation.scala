@@ -437,11 +437,12 @@ object Curation {
     * Spark's own seam for exactly this shape — per-micro-batch batch code
     * against driver-held state (each half stays a lazily-planned,
     * pin-backed DataFrame; nothing event-sized lives on the driver). A
-    * production service persists the halves as parquet on a cadence and
-    * rebuilds the handle at restart ([[serviceState]] over the persisted
-    * frames — every half is already the persistable artifact its tier
-    * defined). Built by [[serviceState]]; [[serviceTakedown]] is the
-    * delete verb on the same handle.
+    * production service checkpoints the handle on a cadence with
+    * [[persistServiceState]] (generation dirs, ledger-committed) and
+    * rebuilds it at restart with [[restoreServiceState]] — every half is
+    * already the persistable artifact its tier defined. Built by
+    * [[serviceState]]; [[serviceTakedown]] is the delete verb on the same
+    * handle.
     */
   final class ServiceState private[Curation] (
       @volatile var index: DataFrame,
@@ -573,6 +574,113 @@ object Curation {
     }
     new ServiceState(index, posts, frozenFreq, currentFreq, benchIdx, mark, lastBatchId,
       tau = tau, shingleN = shingleN, hashTag = ServiceState.hashTag(shingleHash))
+  }
+
+  /** PERSIST a [[ServiceState]] to `dir` — the checkpoint half of the
+    * restart verb pair ([[restoreServiceState]] is the other half, and its
+    * `(spark, dir, shingleHash)` overload reads this layout back). Each
+    * call writes a fresh GENERATION directory `dir/gen=<k>` holding the
+    * six state frames as parquet (`index`, `posts`, `freq`, `cur`,
+    * `bench_grams`, `bench_cells`) and — written LAST — a 1-row `ledger`
+    * parquet carrying the two restart scalars (max_rank, last_batch_id)
+    * plus the build conventions (tau, shingle_n, hash_tag, id_col,
+    * bench_n, bench_m, bench_k). The ledger is the COMMIT RECORD: a crash
+    * mid-persist leaves a generation WITHOUT a committed ledger, which
+    * restore skips — the prior complete generation stays restorable, so
+    * no rename dance is needed (completeness = "the last-written artifact
+    * exists", checked via the parquet `_SUCCESS` marker). Generations
+    * OLDER than the newly committed one are pruned after the commit
+    * (keep-1: the just-committed state is the restore point; a crash
+    * between commit and prune leaves extra complete generations, which is
+    * only disk — restore always picks the highest committed one).
+    * Returns the committed generation number.
+    *
+    * Cost: six parquet writes of the state frames (index/postings are
+    * corpus-proportional — this is a CHECKPOINT-CADENCE verb, not a
+    * per-tick one) plus a 1-row ledger write and a bounded listing.
+    */
+  def persistServiceState(state: ServiceState, dir: String): Long = {
+    val spark = state.index.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens: Seq[Long] =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+      else Seq.empty
+    val gen = if (gens.isEmpty) 0L else gens.max + 1L
+    val gdir = s"$dir/gen=$gen"
+    def save(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$gdir/$name")
+    save(state.index, "index")
+    save(state.posts, "posts")
+    save(state.frozenFreq, "freq")
+    save(state.currentFreq, "cur")
+    save(state.benchIdx.grams, "bench_grams")
+    save(state.benchIdx.bloomCells, "bench_cells")
+    // ledger LAST — writing it is what commits the generation
+    import spark.implicits._
+    Seq((state.maxRank, state.lastBatchId, state.tau, state.shingleN,
+        state.hashTag, state.benchIdx.idCol, state.benchIdx.n,
+        state.benchIdx.m, state.benchIdx.k))
+      .toDF("max_rank", "last_batch_id", "tau", "shingle_n", "hash_tag",
+        "id_col", "bench_n", "bench_m", "bench_k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gdir/ledger")
+    gens.foreach(g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
+    gen
+  }
+
+  /** REBUILD a [[ServiceState]] from a [[persistServiceState]] directory —
+    * the self-describing restore: picks the highest COMMITTED generation
+    * (one whose ledger, written last, exists with its `_SUCCESS` marker;
+    * a crash-truncated partial generation is skipped by construction),
+    * reads the scalars and build conventions from the ledger, and loads
+    * the six frames. `shingleHash` must be passed because a Column
+    * function cannot be serialized — but its fingerprint IS validated
+    * against the persisted one, so a restore under a different hash
+    * convention than the build fails loud instead of silently mis-probing
+    * the stored postings (the [[ServiceState.hashTag]] seam).
+    *
+    * The loaded frames are PINNED (`pin`, explicit because Scala allows
+    * default arguments on only one `restoreServiceState` overload — pass
+    * [[Pin.LocalCheckpoint]] unless you need another): the handle must
+    * not stay lazily bound to the generation's files, because the NEXT
+    * [[persistServiceState]] prunes older generations after committing —
+    * an unpinned handle would be reading paths its own checkpoint just
+    * deleted.
+    */
+  def restoreServiceState(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      shingleHash: Column => Column,
+      pin: Pin): ServiceState = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"restoreServiceState: no persisted state at $dir")
+    val committed = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+      .filter(g => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/gen=$g/ledger/_SUCCESS")))
+    require(committed.nonEmpty,
+      s"restoreServiceState: no COMMITTED generation under $dir — a generation " +
+        "commits by its ledger (written last); only crash-truncated partials exist")
+    val gdir = s"$dir/gen=${committed.max}"
+    val led = spark.read.parquet(s"$gdir/ledger").head()
+    val tag = ServiceState.hashTag(shingleHash)
+    require(led.getAs[String]("hash_tag") == tag,
+      s"restoreServiceState: the persisted state was built under hash convention " +
+        s"'${led.getAs[String]("hash_tag")}' but the caller passed '$tag' — " +
+        "probing stored postings under a different hash silently mis-scores")
+    def load(name: String) = pin(spark.read.parquet(s"$gdir/$name"))
+    val bi = Decontaminate.BenchIndex(
+      load("bench_grams"), load("bench_cells"), led.getAs[String]("id_col"),
+      led.getAs[Int]("bench_n"), led.getAs[Int]("bench_m"), led.getAs[Int]("bench_k"))
+    new ServiceState(
+      load("index"), load("posts"), load("freq"), load("cur"), bi,
+      led.getAs[Long]("max_rank"), led.getAs[Long]("last_batch_id"),
+      tau = led.getAs[Double]("tau"), shingleN = led.getAs[Int]("shingle_n"),
+      hashTag = tag)
   }
 
   /** One STREAMING service micro-batch — the `foreachBatch` body of a

@@ -330,4 +330,64 @@ class SketchSqlSpec extends AnyFunSuite {
       floor(col("value")).cast("long"), k = 16)
     assert(rows(sql) == rows(api) && sql.count() > 0)
   }
+
+  test("state-audit cheap checks in one SQL statement each over persisted halves") {
+    // auditState's three INEXPENSIVE invariants (ids_unique,
+    // postings_ids_covered, bench_words_bounded) as plain SQL over the
+    // persisted state halves — what an ops dashboard schedules against the
+    // parquet directly; the heavy multiset-equality checks stay Dataset
+    // because their cost class (a fresh build) is the point. Each SQL
+    // count is asserted equal to the auditState row on BOTH a clean state
+    // and one with a seeded violation per check.
+    import graft.operators.{Curation, Decontaminate}
+    val docs = Engine.table(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .where(col("doc_id") % 7 === 0) // deterministic subset (limit() is not)
+    val idx = Curation.signatures(docs, "doc_id", "text", "lang")
+    val (freq, posts) = Curation.postingsIndex(idx, "doc_id", "lang", 0.5)
+    val bi = Decontaminate.benchIndex(
+      docs.where(col("doc_id") % 70 === 0), "doc_id", "text", 4, 512, 3)
+    val words = (bi.m + 31) / 32
+    // seeded violations: a duplicated signature id, an orphan postings id,
+    // an out-of-range bloom word
+    val idxDup = idx.unionAll(idx.limit(1))
+    val orphan = posts.limit(1).withColumn("doc_id", lit(-999L))
+    val postsOrphan = posts.unionAll(orphan)
+    val badCell = bi.bloomCells.limit(1).withColumn("word", lit(words + 7))
+    val cellsBad = bi.bloomCells.unionAll(badCell)
+    def auditObserved(ix: org.apache.spark.sql.DataFrame,
+        ps: org.apache.spark.sql.DataFrame,
+        cells: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Curation.auditState(ix, ps, freq, freq,
+          Some(bi.copy(bloomCells = cells)), "doc_id", "lang")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def sqlObserved(): Map[String, Long] = Map(
+      "ids_unique" -> spark.sql(
+        """SELECT count(*) FROM (
+          |  SELECT doc_id FROM audit_idx GROUP BY doc_id HAVING count(*) > 1
+          |)""".stripMargin).head().getLong(0),
+      "postings_ids_covered" -> spark.sql(
+        """SELECT count(*) FROM (
+          |  SELECT DISTINCT p.doc_id FROM audit_posts p
+          |  LEFT ANTI JOIN audit_idx i ON p.doc_id = i.doc_id
+          |)""".stripMargin).head().getLong(0),
+      "bench_words_bounded" -> spark.sql(
+        s"""SELECT count(*) FROM audit_bcells
+           |WHERE word < 0 OR word >= $words""".stripMargin).head().getLong(0))
+    for ((ix, ps, cells, seeded) <- Seq(
+        (idx, posts, bi.bloomCells, false),
+        (idxDup, postsOrphan, cellsBad, true))) {
+      ix.createOrReplaceTempView("audit_idx")
+      ps.createOrReplaceTempView("audit_posts")
+      cells.createOrReplaceTempView("audit_bcells")
+      val audit = auditObserved(ix, ps, cells)
+      val sqlC = sqlObserved()
+      for ((check, got) <- sqlC)
+        assert(got == audit(check), s"$check: SQL $got vs auditState ${audit(check)}")
+      if (seeded)
+        assert(sqlC("ids_unique") == 1L && sqlC("postings_ids_covered") == 1L &&
+          sqlC("bench_words_bounded") == 1L, s"seeded violations not all caught: $sqlC")
+      else assert(sqlC.values.forall(_ == 0L), s"clean state read dirty: $sqlC")
+    }
+  }
 }

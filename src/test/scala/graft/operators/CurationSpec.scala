@@ -850,6 +850,71 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("high-water rank"))
   }
 
+  test("persistServiceState: persist -> restore equals the live handle; crash-partial generations are skipped") {
+    import java.nio.file.Files
+    val (corpus, batch) = mutationCorpus(241)
+    val bench = Seq((9000L, "lx", "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "lang", "text")
+    val cut = batch.map(_._1).sorted.apply(batch.size / 2)
+    val (b1, b2) = batch.partition(_._1 < cut)
+    val state = Curation.serviceState(
+      corpus.toDF("doc_id", "lang", "text"), bench, "doc_id", "text", "lang")
+    val acc1 = Curation.serviceTick(state, b1.toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
+      batchId = Some(0L))
+    val ids1 = acc1.select("doc_id").as[Long].collect().toSet
+    val dir = Files.createTempDirectory("svc-persist").toString
+    // checkpoint mid-loop, through the VERB this time (not hand-rolled
+    // parquet writes) — the dir restore must land on the combined output
+    val gen0 = Curation.persistServiceState(state, dir)
+    assert(gen0 == 0L)
+    val restored = Curation.restoreServiceState(spark, dir, xxhash64(_), Pin.LocalCheckpoint)
+    assert(restored.maxRank == state.maxRank &&
+      restored.lastBatchId == state.lastBatchId &&
+      restored.tau == state.tau && restored.shingleN == state.shingleN &&
+      restored.hashTag == state.hashTag,
+      "restored scalars/conventions differ from the live handle's")
+    val acc2 = Curation.serviceTick(restored, b2.toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
+      batchId = Some(1L))
+    val got = (ids1 ++ acc2.select("doc_id").as[Long].collect()).toSeq.sorted
+    val combined = Curation.tick(
+        corpus.toDF("doc_id", "lang", "text"), batch.toDF("doc_id", "lang", "text"),
+        bench, "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == combined, s"persist/restore broke the loop: $got vs $combined")
+    val audit = auditMap(Curation.auditState(restored.index, restored.posts,
+      restored.frozenFreq, restored.currentFreq, Some(restored.benchIdx),
+      "doc_id", "lang"))
+    assert(audit.values.forall { case (obs, ok) => obs == 0L && ok },
+      s"restore left a dirty state: $audit")
+    // a second persist commits gen=1 and prunes gen=0
+    val gen1 = Curation.persistServiceState(restored, dir)
+    assert(gen1 == 1L)
+    assert(!new java.io.File(s"$dir/gen=0").exists(), "older generation not pruned")
+    // CRASH SIMULATION: a partial gen=2 (frames but NO ledger — the crash
+    // window is anywhere before the ledger commit) must be skipped and the
+    // prior committed generation restored
+    restored.index.write.mode("overwrite").parquet(s"$dir/gen=2/index")
+    val afterCrash = Curation.restoreServiceState(spark, dir, xxhash64(_), Pin.LocalCheckpoint)
+    assert(afterCrash.maxRank == restored.maxRank &&
+      afterCrash.lastBatchId == restored.lastBatchId,
+      "crash-partial generation was not skipped")
+    assert(afterCrash.index.count() == restored.index.count())
+    // a restore under a DIFFERENT hash convention fails loud
+    val e = intercept[IllegalArgumentException] {
+      Curation.restoreServiceState(spark, dir, c => abs(xxhash64(c)), Pin.LocalCheckpoint)
+    }
+    assert(e.getMessage.contains("hash convention"))
+    // a dir with ONLY partials fails loud instead of restoring nothing
+    val dir2 = Files.createTempDirectory("svc-persist-partial").toString
+    restored.index.write.mode("overwrite").parquet(s"$dir2/gen=0/index")
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.restoreServiceState(spark, dir2, xxhash64(_), Pin.LocalCheckpoint)
+    }
+    assert(e2.getMessage.contains("COMMITTED"))
+  }
+
   test("serviceTick fails loud on intra-batch duplicate ids") {
     val corpus = Seq((1L, "l0", "abcdefghijkl")).toDF("doc_id", "lang", "text")
     val state = Curation.serviceState(corpus, corpus.limit(0), "doc_id", "text", "lang")
