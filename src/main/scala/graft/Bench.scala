@@ -215,7 +215,8 @@ object Bench {
     "q265_embedding_drift" -> 1.467, "q266_state_audit" -> 7.604,
     // 26.040 at first build; re-floored after the review pass removed
     // serviceState's second benchmark gram scan
-    "q267_stream_service" -> 19.496, "q268_stream_ks" -> 2.603)
+    "q267_stream_service" -> 19.496, "q268_stream_ks" -> 2.603,
+    "q269_stream_embedding_drift" -> 3.048)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6761,6 +6761,46 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  // q269 — the STANDING embedding-drift deployment (StreamOps
+  // .windowedEmbeddingCells → Drift.psiByPeriod + Drift.ksByPeriod, both
+  // keyed by dim): q265's per-dimension marginal monitor as it actually
+  // runs in production — component marginals drained per CLOSED day from
+  // a watermarked stream (state bounded at open-windows × dims × bins),
+  // then BOTH drift statistics scored per (day, dim) against the
+  // first-week reference from the SAME cells (one sketch, two alarm
+  // semantics — the q254/q268 pattern on the embedding tier). Embeddings
+  // carry no event time, so the replay stamps a deterministic hourly
+  // ts = base + (vec_id % 336) hours — 14 days, the last one never
+  // closing (the q241 closure predicate the oracle re-derives). Range
+  // (−0.75, 0.75) × 12 bins = exact dyadic 0.125 widths; PSI terms are
+  // eps-floored exact ratios, KS is transcendental-free integer running
+  // sums, and the classical α=0.05 critical value scales with the
+  // per-(day, dim) totals.
+  private def streamEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("ts", expr(
+      "timestampadd(HOUR, CAST(vec_id % 336 AS INT), TIMESTAMP '2024-01-01 00:00:00')"))
+    val cells = replayFrame(s, emb, "append") { (_, stream) =>
+      graft.streaming.StreamOps.windowedEmbeddingCells(
+        stream, "embedding", lo = -0.75, hi = 0.75, bins = 12)
+    }
+    val byDay = cells.select(
+      to_date(col("ws")).as("day"), col("dim"), col("bin"), col("cnt"))
+    val cutoff = lit("2024-01-07").cast("date")
+    val ref = byDay.filter(col("day") <= cutoff)
+      .groupBy(col("dim"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+    val post = byDay.filter(col("day") > cutoff)
+    val psi = graft.operators.Drift.psiByPeriod(post, "day", ref, keyCols = Seq("dim"))
+    val ks = graft.operators.Drift.ksByPeriod(post, "day", ref, keyCols = Seq("dim"))
+    val crit = lit(1.358) * sqrt((col("n_period") + col("n_ref")).cast("double")
+      / (col("n_period") * col("n_ref")).cast("double"))
+    psi.join(ks, Seq("day", "dim"))
+      .select(col("day"), col("dim"), rnd(col("psi"), 6).as("psi"),
+        rnd(col("ks"), 6).as("ks"), rnd(crit, 6).as("crit"),
+        when(rnd(col("ks"), 6) > rnd(crit, 6), 1).otherwise(0).cast("int")
+          .as("ks_drifted"))
+      .orderBy(col("day"), col("dim"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -7032,7 +7072,8 @@ object SparkEntry {
     "q265_embedding_drift" -> embeddingDrift,
     "q266_state_audit" -> stateAudit,
     "q267_stream_service" -> streamService,
-    "q268_stream_ks" -> streamKs)
+    "q268_stream_ks" -> streamKs,
+    "q269_stream_embedding_drift" -> streamEmbeddingDrift)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -13080,5 +13121,83 @@ object SparkEntry {
         |)
         |SELECT day, ks, crit,
         |  CAST(CASE WHEN ks > crit THEN 1 ELSE 0 END AS INT) AS drifted
-        |FROM scored ORDER BY day""".stripMargin)
+        |FROM scored ORDER BY day""".stripMargin,
+
+    // q269: the standing embedding-drift deployment — per-(closed day,
+    // dim) marginal cells under the q241 closure predicate (deterministic
+    // hourly ts = base + (vec_id % 336) hours, 1-day windows, 1-hour
+    // watermark), then BOTH drift statistics re-derived from the same
+    // cells: q265's eps-floored PSI terms and q268's exact-integer
+    // running-sum KS + size-scaled critical value, each on the per-dim
+    // keyed grid.
+    "q269_stream_embedding_drift" ->
+      """WITH base AS (
+        |  SELECT embedding,
+        |    TIMESTAMP '2024-01-01 00:00:00' + (vec_id % 336) * INTERVAL 1 HOUR
+        |      AS ts
+        |  FROM embeddings
+        |), mx AS (
+        |  SELECT max(ts) AS m FROM base
+        |), ex AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    unnest(embedding::DOUBLE[]) AS v
+        |  FROM base
+        |), binned AS (
+        |  SELECT day, dim,
+        |    CAST(least(greatest(floor((v - (-0.75)) / 0.125), 0), 11) AS BIGINT)
+        |      AS bin
+        |  FROM ex WHERE v IS NOT NULL
+        |), cells AS (
+        |  SELECT day, dim, bin, count(*) AS cnt FROM binned GROUP BY 1, 2, 3
+        |), closed AS (
+        |  SELECT c.* FROM cells c, mx
+        |  WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+        |), ref AS (
+        |  SELECT dim, bin, sum(cnt) AS cnt FROM closed
+        |  WHERE day <= DATE '2024-01-07' GROUP BY 1, 2
+        |), post AS (
+        |  SELECT day, dim, bin, cnt FROM closed WHERE day > DATE '2024-01-07'
+        |), tot AS (
+        |  SELECT day, dim, sum(cnt) AS tp FROM post GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT dim, sum(cnt) AS tr FROM ref GROUP BY 1
+        |), bins AS (
+        |  SELECT DISTINCT dim, bin
+        |  FROM (SELECT dim, bin FROM post UNION ALL SELECT dim, bin FROM ref)
+        |), grid AS (
+        |  SELECT t.day, b.dim, b.bin, t.tp, r.tr,
+        |    coalesce(p.cnt, 0) AS cp, coalesce(f.cnt, 0) AS cr
+        |  FROM tot t
+        |  JOIN bins b ON b.dim = t.dim
+        |  JOIN rt r ON r.dim = b.dim
+        |  LEFT JOIN post p ON p.day = t.day AND p.dim = b.dim AND p.bin = b.bin
+        |  LEFT JOIN ref f ON f.dim = b.dim AND f.bin = b.bin
+        |), psis AS (
+        |  SELECT day, dim, sum(
+        |    (greatest(cp / CAST(tp AS DOUBLE), 1e-6)
+        |       - greatest(cr / CAST(tr AS DOUBLE), 1e-6))
+        |    * ln(greatest(cp / CAST(tp AS DOUBLE), 1e-6)
+        |         / greatest(cr / CAST(tr AS DOUBLE), 1e-6))) AS psi
+        |  FROM grid GROUP BY 1, 2
+        |), cums AS (
+        |  SELECT day, dim, tp, tr,
+        |    abs(sum(cp) OVER (PARTITION BY day, dim ORDER BY bin)
+        |          / CAST(tp AS DOUBLE)
+        |        - sum(cr) OVER (PARTITION BY day, dim ORDER BY bin)
+        |          / CAST(tr AS DOUBLE)) AS d
+        |  FROM grid
+        |), kss AS (
+        |  SELECT day, dim, max(d) AS ks, max(tp) AS n_p, max(tr) AS n_r
+        |  FROM cums GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT k.day, k.dim, round(p.psi + 1e-9, 6) AS psi,
+        |    round(k.ks + 1e-9, 6) AS ks,
+        |    round(1.358 * sqrt(CAST(n_p + n_r AS DOUBLE)
+        |      / CAST(n_p * n_r AS DOUBLE)) + 1e-9, 6) AS crit
+        |  FROM kss k JOIN psis p ON p.day = k.day AND p.dim = k.dim
+        |)
+        |SELECT day, dim, psi, ks, crit,
+        |  CAST(CASE WHEN ks > crit THEN 1 ELSE 0 END AS INT) AS ks_drifted
+        |FROM scored ORDER BY day, dim""".stripMargin)
 }

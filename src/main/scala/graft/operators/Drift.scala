@@ -233,6 +233,41 @@ object Drift {
         "a KS distance against nothing is meaningless")
   }
 
+  /** Rotate a standing monitor's REFERENCE to the trailing `k` closed
+    * periods of the SAME cell table it scores — the re-referencing verb a
+    * year-long deployment needs (a fixed reference frame ages: seasonal
+    * mix, encoder updates, and legitimate corpus growth all read as
+    * "drift" against a January baseline; the operational pattern is to
+    * re-reference on a cadence from the most recent accepted windows).
+    * Selects the `k` largest distinct values of `periodCol` present in
+    * `cells` and re-aggregates their counts to the reference shape
+    * (keyCols…, bin, cnt) — exactly what a fresh batch build over those
+    * periods' rows would produce, because fixed-range cells merge by
+    * cell-wise sum ([[graft.functions.QuantileSketch.merge]]'s contract;
+    * DriftSpec pins rotated-reference PSI and KS ≡ the same scores
+    * against a freshly aggregated reference). Feed the result straight
+    * back as `refCells` to [[psiByPeriod]] / [[ksByPeriod]].
+    *
+    * Scale shape: one distinct + top-k over the period spine (bounded by
+    * declaration — periods, not events), one broadcast semi-join over the
+    * bounded cell table, one re-aggregation. The period ordering is the
+    * column's natural ordering (dates/timestamps/strings all work).
+    */
+  def rotateReference(
+      cells: DataFrame,
+      periodCol: String,
+      k: Int,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(k > 0, s"rotateReference needs k > 0 trailing periods: $k")
+    Seq("bin", "cnt").foreach(c => require(cells.columns.contains(c),
+      s"cell tables need (bin, cnt): ${cells.columns.toSeq}"))
+    val trailing = cells.select(col(periodCol)).distinct()
+      .orderBy(col(periodCol).desc).limit(k)
+    cells.join(broadcast(trailing), Seq(periodCol))
+      .groupBy((keyCols :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Fixed-range histogram cells over an EMBEDDING column, one histogram
     * per (keyCols…, dimension): posexplode the vector, bin each component
     * with the declared (lo, hi, bins) ([[graft.functions.QuantileSketch]]

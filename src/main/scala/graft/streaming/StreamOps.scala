@@ -490,6 +490,49 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("ws"), col("bin"), col("cnt"))
 
+  /** WINDOWED streaming EMBEDDING-marginal cells — the drift tier's
+    * embedding substrate ([[graft.operators.Drift.embeddingCells]]) as a
+    * watermark-closed per-window form, so a standing deployment drains
+    * per-day per-dimension component marginals and schedules
+    * `Drift.embeddingPsiByPeriod` / `Drift.ksByPeriod(keyCols = Seq("dim"))`
+    * over them (one posexplode pass, two alarm semantics — the q254/q268
+    * pattern extended to the embedding column type): posexplode the vector,
+    * bin each component at the declared (lo, hi, bins) (the
+    * QuantileSketch dyadic-width clamp — identical bins to the batch
+    * build), count per (window, keyCols…, dim, bin). State is bounded at
+    * (open windows) × keys × dims × bins cells and old windows evict in
+    * append mode. Returns (ws = window start, keyCols…, dim, bin, cnt) —
+    * cells from different drains merge like any fixed-range cell table
+    * (same declaration, QuantileSketch.merge with `keyCols :+ "dim"`).
+    * Deliberately centroid-free, like the batch form: every bin decision
+    * is a pure function of raw component values and literals, so a second
+    * engine re-derives the drained cells exactly.
+    */
+  def windowedEmbeddingCells(
+      stream: DataFrame,
+      embCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      window_ : String = "1 day",
+      watermark: String = "1 hour",
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val clash = Set("dim", "pos", "col").intersect(keyCols.toSet)
+    require(clash.isEmpty,
+      s"windowedEmbeddingCells reserves (dim, pos, col) as working columns: " +
+        s"$clash — rename them")
+    stream.where(col(embCol).isNotNull)
+      .withWatermark("ts", watermark)
+      .select((col("ts") +: keyCols.map(col)) :+ posexplode(col(embCol)): _*)
+      .withColumnRenamed("pos", "dim")
+      .groupBy((window(col("ts"), window_) +: keyCols.map(col)) ++ Seq(col("dim"),
+        graft.functions.QuantileSketch.bin(col("col").cast("double"), lo, hi, bins)
+          .as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select((col("window.start").as("ws") +: keyCols.map(col)) ++
+        Seq(col("dim"), col("bin"), col("cnt")): _*)
+  }
+
   /** Streaming KMV maintenance — the distinct-SAMPLE fourth of the running
     * sketch tier ([[cmsCells]] = frequency, [[hllCells]] = count,
     * [[histCells]] = order statistics): per-group bottom-k buffers

@@ -210,6 +210,38 @@ class DriftSpec extends AnyFunSuite {
     assert(Drift.ksByPeriod(cells, "day", ref, keyCols = Seq("k")).count() == 1L)
   }
 
+  test("rotateReference: trailing-k re-aggregation scores identically to a fresh batch reference") {
+    // a standing cell table over five days, two keys — rotate to the
+    // trailing 2 days and score the remaining days against it; must equal
+    // scoring against a reference aggregated fresh over those days' rows
+    val rnd = new scala.util.Random(12)
+    val cells = (for {
+      d <- 1 to 5; k <- Seq("a", "b"); b <- 0L to 3L
+    } yield (s"d$d", k, b, (rnd.nextInt(50) + 1).toLong))
+      .toDF("day", "key", "bin", "cnt")
+    val rotated = Drift.rotateReference(cells, "day", 2, keyCols = Seq("key"))
+    val fresh = cells.filter(col("day") >= "d4")
+      .groupBy(col("key"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+    assert(rotated.collect().map(_.toSeq).toSet == fresh.collect().map(_.toSeq).toSet)
+    val post = cells.filter(col("day") < "d4")
+    def scored(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Double] =
+      df.collect().map(r => r.toSeq.dropRight(1) -> r.getDouble(r.length - 1)).toMap
+    val psiRot = scored(Drift.psiByPeriod(post, "day", rotated, keyCols = Seq("key")))
+    val psiFresh = scored(Drift.psiByPeriod(post, "day", fresh, keyCols = Seq("key")))
+    assert(psiRot == psiFresh && psiRot.size == 6)
+    val ksRot = Drift.ksByPeriod(post, "day", rotated, keyCols = Seq("key"))
+      .select("day", "key", "ks").collect().map(_.toSeq).toSet
+    val ksFresh = Drift.ksByPeriod(post, "day", fresh, keyCols = Seq("key"))
+      .select("day", "key", "ks").collect().map(_.toSeq).toSet
+    assert(ksRot == ksFresh && ksRot.size == 6)
+    // unkeyed form + parameter validation
+    val unkeyed = Drift.rotateReference(cells.drop("key"), "day", 1)
+    val wantLast = cells.filter(col("day") === "d5")
+      .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+    assert(unkeyed.collect().map(_.toSeq).toSet == wantLast.collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException](Drift.rotateReference(cells, "day", 0))
+  }
+
   test("KS equals the hand-computed max CDF gap per period; 0 on identical") {
     val cells = Seq(
       ("d1", 0L, 10L), ("d1", 1L, 30L), ("d1", 2L, 60L),

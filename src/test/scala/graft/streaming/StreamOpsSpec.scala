@@ -152,6 +152,34 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
   }
 
+  test("windowed embedding cells: append mode emits exactly the batch marginals of each closed day") {
+    // a synthetic embedding stream: deterministic hourly timestamps over
+    // the embeddings table (embeddings carry no event time of their own)
+    val embDir = Files.createTempDirectory("emb-stream").toString
+    Engine.table(spark, TestSpark.Sf, "embeddings")
+      .withColumn("ts", expr(
+        "timestampadd(HOUR, CAST(vec_id % 72 AS INT), TIMESTAMP '2024-01-01 00:00:00')"))
+      .write.mode("overwrite").parquet(embDir)
+    val embBatch = spark.read.parquet(embDir)
+    val stream = spark.readStream.schema(embBatch.schema).parquet(embDir)
+    val got = runStream(
+        StreamOps.windowedEmbeddingCells(
+          stream, "embedding", lo = -0.75, hi = 0.75, bins = 12),
+        "win_emb", "append")
+      .select(to_date(col("ws")).as("d"), col("dim"), col("bin"), col("cnt"))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "no closed windows emitted")
+    val gotDays = got.map(_._1).toSet
+    val want = graft.operators.Drift.embeddingCells(
+        embBatch.withColumn("d", to_date(col("ts"))),
+        "embedding", lo = -0.75, hi = 0.75, bins = 12, keyCols = Seq("d"))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getLong(3)))
+      .filter(c => gotDays(c._1))
+    assert(got.toSet == want.toSet)
+    val maxDay = embBatch.agg(max(to_date(col("ts")))).head().getDate(0).toString
+    assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
+  }
+
   test("windowed adaptive-hist bufs: append mode emits exactly the batch cells of each closed day") {
     val stream = spark.readStream.schema(batch.schema).parquet(streamDir)
     val bufs = runStream(
