@@ -401,6 +401,17 @@ object Curation {
     (corpusChecks ++ benchChecks).reduce(_ unionAll _)
   }
 
+  /** [[auditState]] over a live [[ServiceState]] handle — the fsck as a
+    * one-call service verb (the handle carries everything the audit needs,
+    * including the build `tau` it was constructed under, so the caller
+    * can't pass a mismatched one; `langCol` stays a parameter because the
+    * handle deliberately doesn't pin a language column — every downstream
+    * verb re-validates what it reads).
+    */
+  def auditService(state: ServiceState, langCol: String): DataFrame =
+    auditState(state.index, state.posts, state.frozenFreq, state.currentFreq,
+      Some(state.benchIdx), state.benchIdx.idCol, langCol, state.tau)
+
   /** Drift monitor for the standing tick loop's postings index — the
     * operator that tells a user running daily ticks for a year that the
     * frozen element order has degraded their candidate volume (the

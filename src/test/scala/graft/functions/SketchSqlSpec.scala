@@ -331,6 +331,27 @@ class SketchSqlSpec extends AnyFunSuite {
     assert(rows(sql) == rows(api) && sql.count() > 0)
   }
 
+  test("reference rotation in one SQL statement") {
+    // Drift.rotateReference as plain SQL over a persisted cell table —
+    // trailing-k period spine + cell-wise re-aggregation
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val rnd = new scala.util.Random(7)
+    val cells = spark.createDataFrame((for {
+      d <- 1 to 5; k <- Seq("a", "b"); b <- 0L to 3L
+    } yield (s"d$d", k, b, (rnd.nextInt(40) + 1).toLong)))
+      .toDF("day", "key", "bin", "cnt")
+    cells.createOrReplaceTempView("rot_cells")
+    val sql = spark.sql(
+      """SELECT key, bin, sum(cnt) AS cnt FROM rot_cells
+        |WHERE day IN (
+        |  SELECT day FROM (SELECT DISTINCT day FROM rot_cells
+        |                   ORDER BY day DESC LIMIT 2))
+        |GROUP BY key, bin""".stripMargin)
+    val api = graft.operators.Drift.rotateReference(
+      cells, "day", 2, keyCols = Seq("key"))
+    assert(rows(sql) == rows(api) && sql.count() > 0)
+  }
+
   test("state-audit cheap checks in one SQL statement each over persisted halves") {
     // auditState's three INEXPENSIVE invariants (ids_unique,
     // postings_ids_covered, bench_words_bounded) as plain SQL over the

@@ -915,6 +915,24 @@ class CurationSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("COMMITTED"))
   }
 
+  test("auditService equals auditState over the handle's halves and reads clean after a tick") {
+    val (corpus, batch) = mutationCorpus(251)
+    val bench = Seq((9000L, "lx", "red orange yellow green blue indigo violet"))
+      .toDF("doc_id", "lang", "text")
+    val state = Curation.serviceState(
+      corpus.toDF("doc_id", "lang", "text"), bench, "doc_id", "text", "lang")
+    Curation.serviceTick(state, batch.toDF("doc_id", "lang", "text"),
+      "doc_id", "text", "lang", quality = lit(1.0), minQuality = 0.0,
+      batchId = Some(0L))
+    val viaVerb = auditMap(Curation.auditService(state, "lang"))
+    val explicit = auditMap(Curation.auditState(state.index, state.posts,
+      state.frozenFreq, state.currentFreq, Some(state.benchIdx),
+      "doc_id", "lang", state.tau))
+    assert(viaVerb == explicit)
+    assert(viaVerb.values.forall { case (obs, ok) => obs == 0L && ok },
+      s"ticked state audits dirty through the verb: $viaVerb")
+  }
+
   test("serviceTick fails loud on intra-batch duplicate ids") {
     val corpus = Seq((1L, "l0", "abcdefghijkl")).toDF("doc_id", "lang", "text")
     val state = Curation.serviceState(corpus, corpus.limit(0), "doc_id", "text", "lang")

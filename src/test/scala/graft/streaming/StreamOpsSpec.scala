@@ -178,6 +178,28 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toSet == want.toSet)
     val maxDay = embBatch.agg(max(to_date(col("ts")))).head().getDate(0).toString
     assert(!gotDays(maxDay), s"unclosed day $maxDay emitted in append mode")
+    // keyed form: per-label cells drain identically to the batch build
+    val gotK = runStream(
+        StreamOps.windowedEmbeddingCells(
+          stream, "embedding", lo = -0.75, hi = 0.75, bins = 12,
+          keyCols = Seq("label")),
+        "win_emb_k", "append")
+      .select(to_date(col("ws")).as("d"), col("label"), col("dim"),
+        col("bin"), col("cnt"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(gotK.nonEmpty, "no closed keyed windows emitted")
+    val gotKDays = gotK.map(_._1).toSet
+    val wantK = graft.operators.Drift.embeddingCells(
+        embBatch.withColumn("d", to_date(col("ts"))),
+        "embedding", lo = -0.75, hi = 0.75, bins = 12,
+        keyCols = Seq("d", "label"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+      .filter(c => gotKDays(c._1))
+    assert(gotK.toSet == wantK.toSet)
   }
 
   test("windowed adaptive-hist bufs: append mode emits exactly the batch cells of each closed day") {
