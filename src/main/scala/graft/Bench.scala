@@ -216,7 +216,8 @@ object Bench {
     // 26.040 at first build; re-floored after the review pass removed
     // serviceState's second benchmark gram scan
     "q267_stream_service" -> 19.496, "q268_stream_ks" -> 2.603,
-    "q269_stream_embedding_drift" -> 3.048)
+    "q269_stream_embedding_drift" -> 3.048,
+    "q270_rotated_reference" -> 3.707)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6801,6 +6801,44 @@ object SparkEntry {
       .orderBy(col("day"), col("dim"))
   }
 
+  // q270 — REFERENCE ROTATION deployed (Drift.rotateReference): the
+  // re-baselining verb a year-long monitor needs, run as it actually
+  // runs — the standing cell table's trailing 3 CLOSED days are scored
+  // against a reference rotated from the 4 closed days immediately
+  // before them (the same cells, re-aggregated cell-wise; no second pass
+  // over events), with BOTH statistics from the q254/q268 machinery.
+  // A fixed first-week reference ages: seasonal mix and legitimate
+  // growth read as drift forever — rotation scores each block against
+  // the recent past instead. The block boundary is one bounded driver
+  // read over the day spine (the q264 1-row pattern); the oracle
+  // re-derives the closure predicate, the trailing-3/-4 day split, the
+  // rotated reference's cell-wise sums, and every PSI term, KS CDF step,
+  // and critical value.
+  private def rotatedDrift(s: SparkSession, dir: String): DataFrame = {
+    val cells = replayStream(s, dir, "append") { ev =>
+      graft.streaming.StreamOps.windowedHistCells(
+        ev, col("value"), lo = 0.0, hi = 512.0, bins = 16)
+    }
+    val byDay = cells.select(to_date(col("ws")).as("day"), col("bin"), col("cnt"))
+    // scoring block = trailing 3 closed days (bounded day spine read)
+    val cut = byDay.select(col("day")).distinct()
+      .orderBy(col("day").desc).limit(3)
+      .agg(min(col("day"))).head().getDate(0)
+    val post = byDay.filter(col("day") >= lit(cut))
+    val ref = graft.operators.Drift.rotateReference(
+      byDay.filter(col("day") < lit(cut)), "day", 4)
+    val psi = graft.operators.Drift.psiByPeriod(post, "day", ref)
+    val ks = graft.operators.Drift.ksByPeriod(post, "day", ref)
+    val crit = lit(1.358) * sqrt((col("n_period") + col("n_ref")).cast("double")
+      / (col("n_period") * col("n_ref")).cast("double"))
+    psi.join(ks, Seq("day"))
+      .select(col("day"), rnd(col("psi"), 6).as("psi"),
+        rnd(col("ks"), 6).as("ks"), rnd(crit, 6).as("crit"),
+        when(rnd(col("ks"), 6) > rnd(crit, 6), 1).otherwise(0).cast("int")
+          .as("ks_drifted"))
+      .orderBy(col("day"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -7073,7 +7111,8 @@ object SparkEntry {
     "q266_state_audit" -> stateAudit,
     "q267_stream_service" -> streamService,
     "q268_stream_ks" -> streamKs,
-    "q269_stream_embedding_drift" -> streamEmbeddingDrift)
+    "q269_stream_embedding_drift" -> streamEmbeddingDrift,
+    "q270_rotated_reference" -> rotatedDrift)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -13199,5 +13238,73 @@ object SparkEntry {
         |)
         |SELECT day, dim, psi, ks, crit,
         |  CAST(CASE WHEN ks > crit THEN 1 ELSE 0 END AS INT) AS ks_drifted
-        |FROM scored ORDER BY day, dim""".stripMargin)
+        |FROM scored ORDER BY day, dim""".stripMargin,
+
+    // q270: rotation deployed — the trailing 3 closed days scored against
+    // a reference rotated from the 4 closed days before them (cell-wise
+    // sums over the SAME cell table), both statistics re-derived exactly
+    // (q268's closure predicate + CDF machinery, q254's eps-floored PSI
+    // terms).
+    "q270_rotated_reference" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+        |), cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS BIGINT)
+        |      AS bin,
+        |    count(*) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), closed AS (
+        |  SELECT c.* FROM cells c, mx
+        |  WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+        |), cut AS (
+        |  SELECT min(day) AS c FROM (
+        |    SELECT DISTINCT day FROM closed ORDER BY day DESC LIMIT 3)
+        |), post AS (
+        |  SELECT day, bin, cnt FROM closed, cut WHERE day >= c
+        |), refdays AS (
+        |  SELECT day FROM (
+        |    SELECT DISTINCT cl.day AS day FROM closed cl, cut WHERE cl.day < c
+        |    ORDER BY day DESC LIMIT 4)
+        |), ref AS (
+        |  SELECT bin, sum(cnt) AS cnt FROM closed
+        |  WHERE day IN (SELECT day FROM refdays) GROUP BY 1
+        |), tot AS (
+        |  SELECT day, sum(cnt) AS tp FROM post GROUP BY 1
+        |), rt AS (
+        |  SELECT sum(cnt) AS tr FROM ref
+        |), bins AS (
+        |  SELECT DISTINCT bin
+        |  FROM (SELECT bin FROM post UNION ALL SELECT bin FROM ref)
+        |), grid AS (
+        |  SELECT t.day, b.bin, t.tp, rt.tr,
+        |    coalesce(p.cnt, 0) AS cp, coalesce(r.cnt, 0) AS cr
+        |  FROM tot t CROSS JOIN bins b CROSS JOIN rt
+        |  LEFT JOIN post p ON p.day = t.day AND p.bin = b.bin
+        |  LEFT JOIN ref r ON r.bin = b.bin
+        |), psis AS (
+        |  SELECT day, sum(
+        |    (greatest(cp / CAST(tp AS DOUBLE), 1e-6)
+        |       - greatest(cr / CAST(tr AS DOUBLE), 1e-6))
+        |    * ln(greatest(cp / CAST(tp AS DOUBLE), 1e-6)
+        |         / greatest(cr / CAST(tr AS DOUBLE), 1e-6))) AS psi
+        |  FROM grid GROUP BY 1
+        |), cums AS (
+        |  SELECT day, tp, tr,
+        |    abs(sum(cp) OVER (PARTITION BY day ORDER BY bin) / CAST(tp AS DOUBLE)
+        |      - sum(cr) OVER (PARTITION BY day ORDER BY bin) / CAST(tr AS DOUBLE))
+        |      AS d
+        |  FROM grid
+        |), kss AS (
+        |  SELECT day, max(d) AS ks, max(tp) AS n_p, max(tr) AS n_r
+        |  FROM cums GROUP BY 1
+        |), scored AS (
+        |  SELECT k.day, round(p.psi + 1e-9, 6) AS psi, round(k.ks + 1e-9, 6) AS ks,
+        |    round(1.358 * sqrt(CAST(n_p + n_r AS DOUBLE)
+        |      / CAST(n_p * n_r AS DOUBLE)) + 1e-9, 6) AS crit
+        |  FROM kss k JOIN psis p ON p.day = k.day
+        |)
+        |SELECT day, psi, ks, crit,
+        |  CAST(CASE WHEN ks > crit THEN 1 ELSE 0 END AS INT) AS ks_drifted
+        |FROM scored ORDER BY day""".stripMargin)
 }
