@@ -7112,7 +7112,7 @@ object SparkEntry {
     "q267_stream_service" -> streamService,
     "q268_stream_ks" -> streamKs,
     "q269_stream_embedding_drift" -> streamEmbeddingDrift,
-    "q270_rotated_reference" -> rotatedDrift)
+    "q270_stream_rotated_ref" -> rotatedDrift)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -13245,7 +13245,7 @@ object SparkEntry {
     // sums over the SAME cell table), both statistics re-derived exactly
     // (q268's closure predicate + CDF machinery, q254's eps-floored PSI
     // terms).
-    "q270_rotated_reference" ->
+    "q270_stream_rotated_ref" ->
       """WITH mx AS (
         |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
         |), cells AS (
