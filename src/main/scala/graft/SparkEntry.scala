@@ -6752,8 +6752,11 @@ object SparkEntry {
     val ref = byDay.filter(col("day") <= cutoff)
       .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
     val post = byDay.filter(col("day") > cutoff)
+    // each total cast to double BEFORE the multiply: a long product of two
+    // very large feed totals can overflow to negative (sqrt -> NaN,
+    // ks_drifted silently 0) where the double product just loses ulps
     val crit = lit(1.358) * sqrt((col("n_period") + col("n_ref")).cast("double")
-      / (col("n_period") * col("n_ref")).cast("double"))
+      / (col("n_period").cast("double") * col("n_ref").cast("double")))
     graft.operators.Drift.ksByPeriod(post, "day", ref)
       .select(col("day"), rnd(col("ks"), 6).as("ks"), rnd(crit, 6).as("crit"),
         when(rnd(col("ks"), 6) > rnd(crit, 6), 1).otherwise(0).cast("int")
@@ -6791,8 +6794,11 @@ object SparkEntry {
     val post = byDay.filter(col("day") > cutoff)
     val psi = graft.operators.Drift.psiByPeriod(post, "day", ref, keyCols = Seq("dim"))
     val ks = graft.operators.Drift.ksByPeriod(post, "day", ref, keyCols = Seq("dim"))
+    // each total cast to double BEFORE the multiply: a long product of two
+    // very large feed totals can overflow to negative (sqrt -> NaN,
+    // ks_drifted silently 0) where the double product just loses ulps
     val crit = lit(1.358) * sqrt((col("n_period") + col("n_ref")).cast("double")
-      / (col("n_period") * col("n_ref")).cast("double"))
+      / (col("n_period").cast("double") * col("n_ref").cast("double")))
     psi.join(ks, Seq("day", "dim"))
       .select(col("day"), col("dim"), rnd(col("psi"), 6).as("psi"),
         rnd(col("ks"), 6).as("ks"), rnd(crit, 6).as("crit"),
@@ -6829,8 +6835,11 @@ object SparkEntry {
       byDay.filter(col("day") < lit(cut)), "day", 4)
     val psi = graft.operators.Drift.psiByPeriod(post, "day", ref)
     val ks = graft.operators.Drift.ksByPeriod(post, "day", ref)
+    // each total cast to double BEFORE the multiply: a long product of two
+    // very large feed totals can overflow to negative (sqrt -> NaN,
+    // ks_drifted silently 0) where the double product just loses ulps
     val crit = lit(1.358) * sqrt((col("n_period") + col("n_ref")).cast("double")
-      / (col("n_period") * col("n_ref")).cast("double"))
+      / (col("n_period").cast("double") * col("n_ref").cast("double")))
     psi.join(ks, Seq("day"))
       .select(col("day"), rnd(col("psi"), 6).as("psi"),
         rnd(col("ks"), 6).as("ks"), rnd(crit, 6).as("crit"),
@@ -13155,7 +13164,7 @@ object SparkEntry {
         |), scored AS (
         |  SELECT day, round(ks + 1e-9, 6) AS ks,
         |    round(1.358 * sqrt(CAST(n_p + n_r AS DOUBLE)
-        |      / CAST(n_p * n_r AS DOUBLE)) + 1e-9, 6) AS crit
+        |      / (CAST(n_p AS DOUBLE) * CAST(n_r AS DOUBLE))) + 1e-9, 6) AS crit
         |  FROM ks
         |)
         |SELECT day, ks, crit,
@@ -13233,7 +13242,7 @@ object SparkEntry {
         |  SELECT k.day, k.dim, round(p.psi + 1e-9, 6) AS psi,
         |    round(k.ks + 1e-9, 6) AS ks,
         |    round(1.358 * sqrt(CAST(n_p + n_r AS DOUBLE)
-        |      / CAST(n_p * n_r AS DOUBLE)) + 1e-9, 6) AS crit
+        |      / (CAST(n_p AS DOUBLE) * CAST(n_r AS DOUBLE))) + 1e-9, 6) AS crit
         |  FROM kss k JOIN psis p ON p.day = k.day AND p.dim = k.dim
         |)
         |SELECT day, dim, psi, ks, crit,
@@ -13301,7 +13310,7 @@ object SparkEntry {
         |), scored AS (
         |  SELECT k.day, round(p.psi + 1e-9, 6) AS psi, round(k.ks + 1e-9, 6) AS ks,
         |    round(1.358 * sqrt(CAST(n_p + n_r AS DOUBLE)
-        |      / CAST(n_p * n_r AS DOUBLE)) + 1e-9, 6) AS crit
+        |      / (CAST(n_p AS DOUBLE) * CAST(n_r AS DOUBLE))) + 1e-9, 6) AS crit
         |  FROM kss k JOIN psis p ON p.day = k.day
         |)
         |SELECT day, psi, ks, crit,

@@ -599,7 +599,9 @@ object Curation {
     * mid-persist leaves a generation WITHOUT a committed ledger, which
     * restore skips — the prior complete generation stays restorable, so
     * no rename dance is needed (completeness = "the last-written artifact
-    * exists", checked via the parquet `_SUCCESS` marker). Generations
+    * is readable", checked by reading the 1-row ledger back — NOT by the
+    * `_SUCCESS` marker, which a deployment may disable via
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`). Generations
     * OLDER than the newly committed one are pruned after the commit
     * (keep-1: the just-committed state is the restore point; a crash
     * between commit and prune leaves extra complete generations, which is
@@ -610,6 +612,29 @@ object Curation {
     * corpus-proportional — this is a CHECKPOINT-CADENCE verb, not a
     * per-tick one) plus a 1-row ledger write and a bounded listing.
     */
+  /** Parse a generation-directory NAME to its number — `gen=<digits>` only.
+    * A stray non-numeric entry under the checkpoint root (an editor backup
+    * dir, a `gen=tmp` scratch) is IGNORED rather than crashing both restart
+    * verbs with a NumberFormatException.
+    */
+  private def genNumber(name: String): Option[Long] = {
+    val s = name.stripPrefix("gen=")
+    if (name.startsWith("gen=") && s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong)
+    else None
+  }
+
+  /** A generation's commit check: can the 1-row ledger parquet actually be
+    * READ? Checking the `_SUCCESS` marker alone would make every checkpoint
+    * invisible to restore on a deployment that writes with
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`; reading the
+    * row is the portable "written LAST and complete" test (a crash-partial
+    * ledger dir fails the read and the generation is skipped, same as
+    * before).
+    */
+  private def ledgerCommitted(
+      spark: org.apache.spark.sql.SparkSession, ledgerDir: String): Boolean =
+    scala.util.Try(spark.read.parquet(ledgerDir).head()).isSuccess
+
   def persistServiceState(state: ServiceState, dir: String): Long = {
     val spark = state.index.sparkSession
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -617,7 +642,7 @@ object Curation {
     val gens: Seq[Long] =
       if (fs.exists(root))
         fs.listStatus(root).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+          .flatMap(genNumber)
       else Seq.empty
     val gen = if (gens.isEmpty) 0L else gens.max + 1L
     val gdir = s"$dir/gen=$gen"
@@ -644,8 +669,9 @@ object Curation {
 
   /** REBUILD a [[ServiceState]] from a [[persistServiceState]] directory —
     * the self-describing restore: picks the highest COMMITTED generation
-    * (one whose ledger, written last, exists with its `_SUCCESS` marker;
-    * a crash-truncated partial generation is skipped by construction),
+    * (one whose ledger, written last, reads back as a row — marker-file
+    * independent; a crash-truncated partial generation is skipped by
+    * construction),
     * reads the scalars and build conventions from the ledger, and loads
     * the six frames. `shingleHash` must be passed because a Column
     * function cannot be serialized — but its fingerprint IS validated
@@ -670,9 +696,8 @@ object Curation {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"restoreServiceState: no persisted state at $dir")
     val committed = fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
-      .filter(g => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$dir/gen=$g/ledger/_SUCCESS")))
+      .flatMap(genNumber)
+      .filter(g => ledgerCommitted(spark, s"$dir/gen=$g/ledger"))
     require(committed.nonEmpty,
       s"restoreServiceState: no COMMITTED generation under $dir — a generation " +
         "commits by its ledger (written last); only crash-truncated partials exist")

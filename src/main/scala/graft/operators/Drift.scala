@@ -89,14 +89,6 @@ object Drift {
       .agg(sum((p - q) * log(p / q)).as("psi"))
   }
 
-  /** The keyed grid behind `psiByPeriod(…, keyCols)` — kept as a separate
-    * path so the unkeyed monitors (q254/q260) keep their exact plan: the
-    * bounded binds become per-key JOINS (bin spine and reference totals
-    * join on the keys instead of cross-binding), and the empty-reference
-    * assert moves in-plan onto every scored row (a left-joined NULL `_tr`
-    * IS the keyed form of "reference is empty" — the 1-row agg trick can't
-    * see a single missing key).
-    */
   /** Unconditional empty-reference guard for the KEYED paths: the per-key
     * in-plan assert only fires on keys OBSERVED in `cells`, so a scheduled
     * monitor fed two empty frames would read "no drift" instead of "broken
@@ -121,6 +113,14 @@ object Drift {
     result.unionByName(guard)
   }
 
+  /** The keyed grid behind `psiByPeriod(…, keyCols)` — kept as a separate
+    * path so the unkeyed monitors (q254/q260) keep their exact plan: the
+    * bounded binds become per-key JOINS (bin spine and reference totals
+    * join on the keys instead of cross-binding), and the empty-reference
+    * assert moves in-plan onto every scored row (a left-joined NULL `_tr`
+    * IS the keyed form of "reference is empty" — the 1-row agg trick can't
+    * see a single missing key).
+    */
   private def psiKeyed(
       cells: DataFrame,
       periodCol: String,

@@ -525,6 +525,12 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .select((col("ts") +: keyCols.map(col)) :+ posexplode(col(embCol)): _*)
       .withColumnRenamed("pos", "dim")
+      // drop null COMPONENTS, not just null arrays — the batch build
+      // (QuantileSketch.cells) drops null values before binning, and the
+      // "identical bins to the batch build" contract needs this side to
+      // match; without it a null component would land in a bin=NULL cell
+      // and inflate the per-(window, dim) totals
+      .where(col("col").isNotNull)
       .groupBy((window(col("ts"), window_) +: keyCols.map(col)) ++ Seq(col("dim"),
         graft.functions.QuantileSketch.bin(col("col").cast("double"), lo, hi, bins)
           .as("bin")): _*)

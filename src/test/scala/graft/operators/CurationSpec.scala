@@ -896,11 +896,25 @@ class CurationSpec extends AnyFunSuite {
     // window is anywhere before the ledger commit) must be skipped and the
     // prior committed generation restored
     restored.index.write.mode("overwrite").parquet(s"$dir/gen=2/index")
+    // STRAY ENTRIES: a non-numeric gen= name and an unrelated dir under the
+    // checkpoint root must be IGNORED by both verbs, not crash them with a
+    // NumberFormatException
+    assert(new java.io.File(s"$dir/gen=tmp").mkdirs())
+    assert(new java.io.File(s"$dir/notes.bak").mkdirs())
+    // MARKER-FILE INDEPENDENCE: commit detection reads the ledger row back,
+    // so a deployment with marksuccessfuljobs=false (no _SUCCESS written)
+    // still restores — simulate by deleting the marker from the committed gen
+    assert(new java.io.File(s"$dir/gen=1/ledger/_SUCCESS").delete(),
+      "_SUCCESS marker expected under the committed ledger")
     val afterCrash = Curation.restoreServiceState(spark, dir, xxhash64(_), Pin.LocalCheckpoint)
     assert(afterCrash.maxRank == restored.maxRank &&
       afterCrash.lastBatchId == restored.lastBatchId,
       "crash-partial generation was not skipped")
     assert(afterCrash.index.count() == restored.index.count())
+    // and the next persist numbers past the stray names correctly (gen=3,
+    // one above the crash-partial gen=2)
+    val gen3 = Curation.persistServiceState(afterCrash, dir)
+    assert(gen3 == 3L, s"stray gen names broke generation numbering: got $gen3")
     // a restore under a DIFFERENT hash convention fails loud
     val e = intercept[IllegalArgumentException] {
       Curation.restoreServiceState(spark, dir, c => abs(xxhash64(c)), Pin.LocalCheckpoint)

@@ -159,6 +159,12 @@ class StreamOpsSpec extends AnyFunSuite {
     Engine.table(spark, TestSpark.Sf, "embeddings")
       .withColumn("ts", expr(
         "timestampadd(HOUR, CAST(vec_id % 72 AS INT), TIMESTAMP '2024-01-01 00:00:00')"))
+      // a sprinkling of null COMPONENTS (not null arrays): the streaming
+      // build must drop them exactly like the batch QuantileSketch.cells
+      // does, instead of minting bin=NULL cells that inflate the
+      // per-(window, dim) totals
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> IF(vec_id % 17 = 0 AND i = 3, NULL, x))"))
       .write.mode("overwrite").parquet(embDir)
     val embBatch = spark.read.parquet(embDir)
     val stream = spark.readStream.schema(embBatch.schema).parquet(embDir)
