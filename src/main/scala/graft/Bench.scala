@@ -86,10 +86,10 @@ object Bench {
     "q107_typo_variants" -> 0.800, "q108_langid_kappa" -> 1.150,
     "q109_grouping_sets" -> 0.890, "q110_event_trigrams" -> 0.590,
     "q111_moment_stats" -> 0.390, "q112_pagerank" -> 2.590,
-    "q113_seasonal_decomp" -> 0.730, "q114_decile_migration" -> 0.690,
+    "q113_seasonal_decomp" -> 0.730, "q114_decile_migration" -> 1.300,
     "q115_calibration" -> 0.400, "q116_psi_drift" -> 0.660,
-    "q117_bigram_surprisal" -> 1.560, "q118_pareto_frontier" -> 0.540,
-    "q119_ab_test" -> 0.640, "q120_spend_gini" -> 0.640,
+    "q117_bigram_surprisal" -> 1.560, "q118_pareto_frontier" -> 1.080,
+    "q119_ab_test" -> 0.640, "q120_spend_gini" -> 1.070,
     // q122 re-baselined in round 4: the three RFM quintiles moved from a
     // single-partition ntile window to GlobalRank's range-partitioned exact
     // ntile (VERDICT r3 item 1) — three small range exchanges + offset
@@ -106,7 +106,7 @@ object Bench {
     "q137_pit_lookup" -> 1.540, "q138_sliding_distinct" -> 1.250,
     "q139_share_of_parent" -> 1.570, "q140_asof_nearest" -> 1.470,
     "q141_local_supplier_volume" -> 1.750, "q142_running_balance" -> 1.560,
-    "q143_winsorized_stats" -> 1.050, "q144_lorenz_curve" -> 0.770,
+    "q143_winsorized_stats" -> 1.050, "q144_lorenz_curve" -> 0.970,
     "q145_dedup_savings" -> 4.180, "q146_linear_attribution" -> 1.170,
     "q147_stickiness" -> 1.870, "q148_sql_authored" -> 0.530,
     "q149_order_fill_rate" -> 1.380, "q150_pythagorean_means" -> 0.630,
@@ -114,22 +114,22 @@ object Bench {
     "q153_mode_per_group" -> 1.040, "q154_bounce_rate" -> 0.940,
     "q155_target_encoding" -> 0.570, "q156_weighted_median" -> 1.930,
     "q157_stream_hourly_peak" -> 1.200, "q158_stream_new_users" -> 1.210,
-    "q159_event_paths" -> 0.850, "q160_user_predictability" -> 0.840,
+    "q159_event_paths" -> 0.850, "q160_user_predictability" -> 1.160,
     "q161_semi_anti_joins" -> 1.010, "q162_activity_streaks" -> 0.910,
     "q163_brand_hhi" -> 1.150, "q164_activation_latency" -> 1.150,
     "q165_cross_source_dups" -> 0.950, "q166_ranked_string_agg" -> 2.120,
     "q167_conversion_curve" -> 1.470, "q168_growth_accounting" -> 1.050,
-    "q169_seasonal_anomaly" -> 0.790, "q170_peak_concurrency" -> 1.360,
+    "q169_seasonal_anomaly" -> 0.790, "q170_peak_concurrency" -> 1.660,
     "q171_revenue_bridge" -> 0.510, "q172_sample_audit" -> 1.350,
     "q173_triple_itemsets" -> 1.660, "q174_survival_curve" -> 1.160,
     "q175_type_bitmask" -> 0.950, "q176_odds_ratio" -> 0.450,
     "q177_power_analysis" -> 0.800, "q178_bytes_per_token" -> 0.420,
-    "q179_vocab_coverage" -> 0.510, "q180_cluster_sizes" -> 3.800,
+    "q179_vocab_coverage" -> 0.870, "q180_cluster_sizes" -> 3.800,
     "q181_late_orders" -> 1.930, "q182_dormancy_gaps" -> 0.940,
     "q183_basket_size_curve" -> 1.330, "q184_max_drawdown" -> 0.610,
     "q185_acf_table" -> 0.800, "q186_lang_confusion" -> 1.430,
     "q187_price_dispersion" -> 1.160, "q188_seasonal_strength" -> 0.540,
-    "q189_audience_churn" -> 1.720, "q190_power_user_share" -> 0.820,
+    "q189_audience_churn" -> 1.720, "q190_power_user_share" -> 0.880,
     "q191_term_burstiness" -> 0.780, "q192_order_reconciliation" -> 1.620,
     "q193_rank_stability" -> 1.650, "q194_mix_shift_days" -> 1.190,
     "q195_deadstock" -> 1.410, "q196_value_bands" -> 0.810,
