@@ -217,7 +217,10 @@ object Bench {
     // serviceState's second benchmark gram scan
     "q267_stream_service" -> 19.496, "q268_stream_ks" -> 2.603,
     "q269_stream_embedding_drift" -> 3.048,
-    "q270_stream_rotated_ref" -> 3.707)
+    "q270_stream_rotated_ref" -> 3.707,
+    // round-13 additions (round-start quiet-box min-of-2, BASELINE §3l)
+    "q271_ivf_index_probe" -> 2.890,
+    "q272_mlp_inference" -> 0.490)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

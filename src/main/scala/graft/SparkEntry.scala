@@ -6848,6 +6848,65 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  // q271 — the PERSISTED IVF index through the oracle gate: the stored
+  // inverted-file artifact (IvfIndex.build: explicit centroid table →
+  // deterministic argmax-cosine assignment, ties to the lowest cell →
+  // cell-partitioned parquet, meta-committed last) probed on the REAL
+  // approximate path — nProbe = 3 of 8 cells, unlike q45's degenerate
+  // nProbe == nCells regime, so the oracle replays the whole IVF decision
+  // chain: every corpus assignment, each query's probed-cell ranking, and
+  // the exact in-cell scores. Centroids are the embeddings of vec_id < 8,
+  // so DuckDB re-derives the quantizer from the table itself; recall < 1
+  // by construction and the oracle agrees on WHICH neighbors are
+  // reachable. The probe reads only the probed cells' parquet (partition-
+  // pruned cell IN (…) — IvfIndexSpec asserts the filter reaches the scan).
+  private def ivfIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val idxDir = java.nio.file.Files.createTempDirectory("q271-ivf").toString + "/idx"
+    val h = graft.functions.IvfIndex.build(emb, "vec_id", "embedding", centroids, idxDir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.functions.IvfIndex.probe(h, queries, "q_id", "q_vec", k = 5, nProbe = 3)
+      .withColumnRenamed("vec_id", "c_id")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // q272 — the M24 inference DATA PLANE through the oracle gate: real
+  // driver rows (embeddings.parquet) streamed through
+  // Inference.scoreWithModel — broadcast model bytes, ONE session
+  // deserialization per partition (InferenceSpec counts it), per-row
+  // relu/softmax scoring — under a CONSTANT-WEIGHT MlpModel whose weights
+  // are signed powers of two: every layer-1 float product and layer-2
+  // double product is EXACT in both float and double, so the logits DuckDB
+  // recomputes are bit-identical to the scorer's and the only cross-engine
+  // noise left is exp()'s final ulp, absorbed by the 6-dp round. Label =
+  // argmax (ties to the lowest class index on both sides).
+  private def mlpInference(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w1 = Array.tabulate(4, 64)((i, j) =>
+      (((i * 7 + j * 5) % 3) - 1).toFloat / (1 << ((i + j) % 3)))
+    val b1 = Array.tabulate(4)(i => (i - 1).toFloat / 4f)
+    val w2 = Array.tabulate(3, 4)((k, i) =>
+      (((k * 3 + i * 2) % 3) - 1).toFloat / (1 << ((k + i) % 2)))
+    val b2 = Array.tabulate(3)(k => (k - 1).toFloat / 8f)
+    val model = graft.multimodal.Inference.MlpModel(
+      Array("c0", "c1", "c2"), w1, b1, w2, b2)
+    val media = t(s, dir, "embeddings")
+      .select(col("vec_id").cast("string").as("path"), col("embedding"))
+      .as[(String, Array[Float])]
+      .map { case (p, f) =>
+        graft.multimodal.Multimodal.DecodedMedia(
+          p, graft.multimodal.Multimodal.MediaMeta(0, 0, 0, "embedding"), f)
+      }
+    graft.multimodal.Inference.scoreWithModel(s, media, model.toBytes)
+      .toDF()
+      .select(col("path").cast("long").as("vec_id"), col("label"),
+        rnd(col("score"), 6).as("score"))
+      .orderBy(col("vec_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -7121,7 +7180,9 @@ object SparkEntry {
     "q267_stream_service" -> streamService,
     "q268_stream_ks" -> streamKs,
     "q269_stream_embedding_drift" -> streamEmbeddingDrift,
-    "q270_stream_rotated_ref" -> rotatedDrift)
+    "q270_stream_rotated_ref" -> rotatedDrift,
+    "q271_ivf_index_probe" -> ivfIndexProbe,
+    "q272_mlp_inference" -> mlpInference)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -13315,5 +13376,86 @@ object SparkEntry {
         |)
         |SELECT day, psi, ks, crit,
         |  CAST(CASE WHEN ks > crit THEN 1 ELSE 0 END AS INT) AS ks_drifted
-        |FROM scored ORDER BY day""".stripMargin)
+        |FROM scored ORDER BY day""".stripMargin,
+
+    // q271 replays the full stored-IVF decision chain: the deterministic
+    // argmax-cosine assignment (ties lowest cell), each query's top-3
+    // probed cells (same tie-break), and the exact in-cell cosine top-5.
+    "q271_ivf_index_probe" ->
+      """WITH cen AS (
+        |  SELECT vec_id::INT AS cell, embedding::DOUBLE[] AS cen
+        |  FROM embeddings WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.embedding::DOUBLE[], c.cen)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(c.cen, c.cen))) DESC, c.cell ASC) AS rn
+        |    FROM embeddings e, cen c
+        |  ) WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10
+        |), qcells AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.q_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        list_dot_product(q.qv, c.cen)
+        |          / (sqrt(list_dot_product(q.qv, q.qv))
+        |             * sqrt(list_dot_product(c.cen, c.cen))) DESC, c.cell ASC) AS rn
+        |    FROM q, cen c
+        |  ) WHERE rn <= 3
+        |), scored AS (
+        |  SELECT q.q_id, a.vec_id AS c_id,
+        |    list_dot_product(q.qv, a.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(q.qv, q.qv))
+        |         * sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))) AS sim
+        |  FROM qcells qc
+        |  JOIN q ON q.q_id = qc.q_id
+        |  JOIN assigned a ON a.cell = qc.cell
+        |  WHERE q.q_id != a.vec_id
+        |), ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, c_id, round(sim + 1e-9, 6) AS sim, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // q272 recomputes the constant-weight MLP end to end: power-of-two
+    // weights make every product exact in both engines, so the logits
+    // match bit for bit and only exp()'s last ulp rides on the 6-dp round.
+    "q272_mlp_inference" ->
+      """WITH f AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS j
+        |  FROM embeddings
+        |), h AS (
+        |  SELECT vec_id, r.i AS i,
+        |    greatest((r.i - 1) / 4.0 + sum(
+        |      ((((r.i * 7 + j * 5) % 3) - 1) / power(2.0, (r.i + j) % 3)) * v), 0.0) AS hv
+        |  FROM f, range(4) AS r(i)
+        |  GROUP BY vec_id, r.i
+        |), lg AS (
+        |  SELECT vec_id, r.k AS k,
+        |    (r.k - 1) / 8.0 + sum(
+        |      ((((r.k * 3 + i * 2) % 3) - 1) / power(2.0, (r.k + i) % 2)) * hv) AS logit
+        |  FROM h, range(3) AS r(k)
+        |  GROUP BY vec_id, r.k
+        |), sm AS (
+        |  SELECT vec_id, k,
+        |    exp(logit - max(logit) OVER (PARTITION BY vec_id)) AS e
+        |  FROM lg
+        |), p AS (
+        |  SELECT vec_id, k, e / sum(e) OVER (PARTITION BY vec_id) AS prob
+        |  FROM sm
+        |), best AS (
+        |  SELECT vec_id, k, prob,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY prob DESC, k ASC) AS rn
+        |  FROM p
+        |)
+        |SELECT vec_id, 'c' || k AS label, round(prob + 1e-9, 6) AS score
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin)
 }

@@ -33,7 +33,7 @@ object VectorFunctions {
     * corpus's scores at scale); the aggregator reduces each map partition to
     * ≤ 2k entries per query before the exchange.
     */
-  private def rankTopK(
+  private[functions] def rankTopK(
       scored: DataFrame,
       qId: String,
       cId: String,

@@ -57,6 +57,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // baseline (swap to ivfTopK at scale) + two 1-row stat combines;
     // q213 rides Mixture's broadcast 1-row normalizer
     "q209_knn_triangles", "q213_curriculum_plan",
+    // q271: the stored-IVF probe's two bounded centroid binds — queries ×
+    // broadcast nCells-row centroid table (cell ranking) and the build's
+    // assignment pass over the same table; the candidate join itself is a
+    // cell equi-join against the partition-pruned inverted file
+    "q271_ivf_index_probe",
     // q223: Dsir's broadcast 1-row totals bind (V, N_raw, N_target)
     "q223_dsir_weights",
     // q227: hard-negative scoring is the declared broadcast-anchors
@@ -94,10 +99,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // cell rows, and psiByPeriod's reference total; all drained-cell work
     "q260_adaptive_psi")
 
-  /** Queries allowed to plan an unpartitioned WindowExec — each window
-    * provably rides a BOUNDED aggregate frame (cardinality set by the
+  /** Queries that plan an unpartitioned WindowExec — DOCUMENTATION of why
+    * each frame is bounded (the test below now asserts the boundedness
+    * STRUCTURALLY — an Aggregate or Limit on every input path under the
+    * window — instead of trusting this list): cardinality set by the
     * calendar, a fixed bin/category domain, or an explicit LIMIT — never by
-    * input row count), so the single-partition sort cannot grow with the
+    * input row count, so the single-partition sort cannot grow with the
     * data:
     *  - day-level series (≤ calendar days in range): q04, q74, q77, q113,
     *    q128, q169, q174, q184, q188;
@@ -124,20 +131,33 @@ class PlanAuditSpec extends AnyFunSuite {
     "q200_orders_per_customer")
 
   test("no declared batch query plans an unpartitioned WindowExec over an unbounded frame") {
+    // STRUCTURAL invariant (not just the name allowlist above): every
+    // unpartitioned WindowExec must sit above a frame whose cardinality an
+    // Aggregate or an explicit Limit has already bounded on EVERY input
+    // path — group domains and top-N are what keep the single-partition
+    // sort from growing with the data. A future query that parks a global
+    // window directly over an input-sized scan fails here even if its name
+    // lands on the allowlist; the allowlist documents WHY each bounded
+    // frame is bounded, it no longer gates the check.
+    def bounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
     val offenders = SparkEntry.queries.toSeq
       .filterNot(_._1.contains("stream"))
       .flatMap { case (name, fn) =>
-        if (globalWindowAllowed(name)) Nil
-        else {
-          val plan = fn(spark, sf).queryExecution.sparkPlan
-          val bad = plan.collect {
-            case w: org.apache.spark.sql.execution.window.WindowExec
-                if w.partitionSpec.isEmpty => w
-          }
-          if (bad.nonEmpty) Seq(name) else Nil
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        val bad = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty && !bounded(w.child) => w
         }
+        if (bad.nonEmpty) Seq(name) else Nil
       }
-    assert(offenders.isEmpty, s"single-partition windows: ${offenders.mkString("; ")}")
+    assert(offenders.isEmpty,
+      s"single-partition windows over unbounded frames: ${offenders.mkString("; ")}")
   }
 
   test("no declared batch query plans a CartesianProduct or unexpected nested-loop join") {

@@ -1,0 +1,148 @@
+package graft.functions
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Engine, TestSpark}
+import graft.functions.{VectorFunctions => VF}
+
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = Engine.table(spark, TestSpark.Sf, "embeddings")
+  private def tmp(tag: String) = Files.createTempDirectory(tag).toString + "/idx"
+
+  test("buildKMeans + probe equals the inline ivfTopK for the same (seed, k, nProbe)") {
+    val dir = tmp("ivf-parity")
+    val h = IvfIndex.buildKMeans(emb, "vec_id", "embedding", nCells = 8, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val stored = IvfIndex.probe(h, queries, "q_id", "q_vec", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val inline = VF.ivfTopK(queries, emb, "q_id", "vec_id", "q_vec", "embedding",
+        k = 5, nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(stored == inline,
+      "stored-index probe diverged from the inline operator it persists")
+    assert(h.assignMetric == IvfIndex.MetricKMeans && h.nCells == 8 && h.dim == 64)
+  }
+
+  test("explicit-centroid build assigns by argmax cosine (ties lowest cell); degenerate probe is exact") {
+    val dir = tmp("ivf-cosine")
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val h = IvfIndex.build(emb, "vec_id", "embedding", centroids, dir)
+    // every stored row sits in its argmax-cosine cell
+    val wrong = h.cells
+      .crossJoin(broadcast(h.centroids.select(col("cell").as("c2"), col("centroid"))))
+      .withColumn("_s", VF.cosine(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max_by(col("c2"), struct(col("_s"), -col("c2"))).as("best"))
+      .filter(col("cell") =!= col("best"))
+      .count()
+    assert(wrong == 0, s"$wrong rows not in their argmax-cosine cell")
+    // nProbe == nCells degenerates to exact search
+    val queries = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = IvfIndex.probe(h, queries, "q_id", "q_vec", k = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exact = VF.bruteForceTopK(queries, emb, "q_id", "vec_id", "q_vec", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == exact, "nProbe == nCells probe must be exact")
+  }
+
+  test("probe result is pruneMaxCells-invariant and the pruned scan carries a cell partition filter") {
+    val dir = tmp("ivf-prune")
+    val h = IvfIndex.buildKMeans(emb, "vec_id", "embedding", nCells = 8, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val pruned = IvfIndex.probe(h, queries, "q_id", "q_vec", k = 5, nProbe = 2)
+    val full = IvfIndex.probe(h, queries, "q_id", "q_vec", k = 5, nProbe = 2,
+      pruneMaxCells = 0)
+    assert(pruned.collect().toSet == full.collect().toSet,
+      "partition-pruned probe changed the answer")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probed-cell IN filter did not reach the scan as a partition filter:\n$plan")
+  }
+
+  test("load fails loud on a crash-truncated build (no readable meta)") {
+    val dir = tmp("ivf-partial")
+    emb.limit(5).select(lit(0).as("cell"), col("vec_id"), col("embedding"))
+      .write.parquet(s"$dir/cells")
+    val e = intercept[IllegalArgumentException] { IvfIndex.load(spark, dir) }
+    assert(e.getMessage.contains("no committed index"))
+  }
+
+  test("append assigns to the nearest stored centroid, batch-proportional; drift report tracks growth") {
+    val dir = tmp("ivf-append")
+    val base = emb.filter(col("vec_id") < 250)
+    val h = IvfIndex.buildKMeans(base, "vec_id", "embedding", nCells = 8, dir)
+    val r0 = IvfIndex.driftReport(h).head()
+    assert(r0.getAs[Long]("n_vectors") == r0.getAs[Long]("built_n"))
+    assert(r0.getAs[Double]("growth_ratio") == 1.0)
+    assert(!r0.getAs[Boolean]("recommend_rebuild"))
+    // append the rest, shifted to fresh ids
+    val extra = emb.filter(col("vec_id") >= 250)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val h2 = IvfIndex.append(h, extra)
+    val r1 = IvfIndex.driftReport(h2).head()
+    assert(r1.getAs[Long]("n_vectors") == r0.getAs[Long]("built_n") + extra.count())
+    // every appended row landed in its argmin-Euclidean cell
+    val negDist = VF.dot(col("embedding"), col("centroid")) * lit(2.0) -
+      VF.dot(col("embedding"), col("embedding")) -
+      VF.dot(col("centroid"), col("centroid"))
+    val wrongE = h2.cells.filter(col("vec_id") >= 100000L)
+      .crossJoin(broadcast(h2.centroids.select(col("cell").as("c2"), col("centroid"))))
+      .withColumn("_s", negDist)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max_by(col("c2"), struct(col("_s"), -col("c2"))).as("best"))
+      .filter(col("cell") =!= col("best"))
+      .count()
+    assert(wrongE == 0, s"$wrongE appended rows not in their argmin-euclid cell")
+    // and an appended vector is findable through the probe (fresh q_id so
+    // the self-exclusion filter can't hide it)
+    val probeQ = extra.filter(col("vec_id") === 100250L)
+      .select(lit(-1L).as("q_id"), col("embedding").as("q_vec"))
+    val top = IvfIndex.probe(h2, probeQ, "q_id", "q_vec", k = 1, nProbe = 8).head()
+    assert(top.getLong(1) == 100250L && top.getDouble(2) == 1.0,
+      s"appended vector not findable: $top")
+    // growth past the threshold flips the recommendation
+    val r2 = IvfIndex.driftReport(h2, growthRatio = 1.5).head()
+    assert(r2.getAs[Boolean]("recommend_rebuild") != (r2.getAs[Double]("growth_ratio") < 1.5))
+  }
+
+  test("rebuild refits over build + appended mass into a fresh dir; refuses same-dir and cosine-metric") {
+    val dir = tmp("ivf-rebuild")
+    val base = emb.filter(col("vec_id") < 250)
+    val h = IvfIndex.buildKMeans(base, "vec_id", "embedding", nCells = 8, dir)
+    val extra = emb.filter(col("vec_id") >= 250)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val h2 = IvfIndex.append(h, extra)
+    val dir2 = tmp("ivf-rebuild-g2")
+    val h3 = IvfIndex.rebuild(h2, dir2)
+    val r = IvfIndex.driftReport(h3).head()
+    assert(r.getAs[Double]("growth_ratio") == 1.0, "rebuild did not reset the growth clock")
+    assert(r.getAs[Long]("n_vectors") == h2.cells.count())
+    // the rebuilt index still answers exactly in the degenerate regime
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = IvfIndex.probe(h3, queries, "q_id", "q_vec", k = 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exact = VF.bruteForceTopK(
+        queries, h3.cells.select(col("vec_id"), col("embedding")),
+        "q_id", "vec_id", "q_vec", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == exact)
+    intercept[IllegalArgumentException] { IvfIndex.rebuild(h2, h2.dir) }
+    val cdir = tmp("ivf-rebuild-cos")
+    val hc = IvfIndex.build(emb.limit(50), "vec_id", "embedding",
+      emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid")),
+      cdir)
+    val ec = intercept[IllegalArgumentException] { IvfIndex.rebuild(hc, tmp("x")) }
+    assert(ec.getMessage.contains("upstream centroid"))
+  }
+}
