@@ -402,4 +402,99 @@ object Drift {
     }
     psiByPeriod(aligned(cells, Seq(periodCol)), periodCol, aligned(refCells, Nil), eps)
   }
+
+  /** The standing state a STREAMING drift-monitor service carries across
+    * micro-batches — [[rotateReference]] wired into the service loop (the
+    * `Curation.ServiceState` pattern on the drift tier): the accumulated
+    * closed-period cell table, the reference currently in force, and the
+    * rotation clock. Driver-held and mutable BY DESIGN — `foreachBatch` is
+    * Spark's seam for per-micro-batch batch code against driver state; the
+    * frames stay lazily-planned, pin-backed DataFrames (nothing cell-table-
+    * sized lives on the driver). Deployment shape:
+    *
+    * {{{
+    *   val cells  = StreamOps.windowedHistCells(stream, col("value"), lo, hi, bins)
+    *   val state  = Drift.monitorState(seedCells, "ws", Nil, cadence = 7, refK = 4)
+    *   cells.writeStream.outputMode("append").foreachBatch { (batch, _) =>
+    *     sink(Drift.monitorTick(state, batch))   // (ws, keys…, psi, ks, n_period, n_ref)
+    *   }.start()
+    * }}}
+    *
+    * Append-mode windowed cells emit each closed window EXACTLY once, which
+    * is the premise [[monitorTick]] scores under (a period's cells arrive
+    * complete, in one batch).
+    */
+  final class MonitorState private[Drift] (
+      @volatile var cells: DataFrame,
+      @volatile var refCells: DataFrame,
+      @volatile var sinceRotation: Int,
+      val periodCol: String,
+      val keyCols: Seq[String],
+      val cadence: Int,
+      val refK: Int,
+      val pin: Pin)
+
+  /** Seed a [[MonitorState]] from the closed-period cells already on hand
+    * (a warmup window's batch build, or the restored cell table of a prior
+    * deployment). The initial reference is the trailing `refK` periods of
+    * the seed — i.e. the monitor starts exactly as if it had just rotated.
+    * `cadence` = closed periods between rotations; `refK` = periods the
+    * rotated reference aggregates.
+    */
+  def monitorState(
+      seedCells: DataFrame,
+      periodCol: String,
+      keyCols: Seq[String] = Nil,
+      cadence: Int = 7,
+      refK: Int = 4,
+      pin: Pin = Pin.LocalCheckpoint): MonitorState = {
+    require(cadence > 0, s"monitorState: cadence must be positive: $cadence")
+    new MonitorState(
+      pin(seedCells),
+      pin(rotateReference(seedCells, periodCol, refK, keyCols)),
+      0, periodCol, keyCols, cadence, refK, pin)
+  }
+
+  /** One drift-service micro-batch: score each NEWLY CLOSED period in
+    * `newCells` (both statistics, keyed by the state's `keyCols`) against
+    * the reference IN FORCE when that period closes, folding the rotation
+    * cadence in as it goes — after every `cadence` scored periods the
+    * reference rotates to the trailing `refK` periods of everything
+    * accumulated so far (INCLUDING the period that tripped the clock), the
+    * q270 verb run ON SCHEDULE instead of by hand. Periods are processed
+    * in period order, so scores are independent of how the stream batches
+    * them (DriftSpec pins tick-by-tick ≡ one-batch ≡ hand-rotated).
+    *
+    * Returns the batch's scored rows: (periodCol, keyCols…, psi, ks,
+    * n_period, n_ref). Cost per tick: O(new cells + bounded grids) — the
+    * period spine read is periods-per-batch ints (the q264 1-row-bind
+    * class), and each period's scoring grid is bounded by declaration
+    * (periods × keys × bins). The accumulated cell table grows one bounded
+    * period slice per close and is re-read only at rotation.
+    */
+  def monitorTick(state: MonitorState, newCells: DataFrame): DataFrame = {
+    val pCol = col(state.periodCol)
+    val joinKeys = state.periodCol +: state.keyCols
+    def score(periodCells: DataFrame): DataFrame =
+      psiByPeriod(periodCells, state.periodCol, state.refCells,
+          keyCols = state.keyCols)
+        .join(ksByPeriod(periodCells, state.periodCol, state.refCells,
+          keyCols = state.keyCols), joinKeys)
+    // bounded driver read: this batch's newly closed period spine, in order
+    val periods = newCells.select(pCol).distinct().orderBy(pCol)
+      .collect().map(_.get(0))
+    if (periods.isEmpty) return score(newCells) // empty, schema-correct
+    periods.map { p =>
+      val slice = newCells.filter(pCol === lit(p))
+      state.cells = state.pin(state.cells.unionByName(slice))
+      val scored = score(slice)
+      state.sinceRotation += 1
+      if (state.sinceRotation >= state.cadence) {
+        state.refCells = state.pin(
+          rotateReference(state.cells, state.periodCol, state.refK, state.keyCols))
+        state.sinceRotation = 0
+      }
+      scored
+    }.reduce(_ unionByName _)
+  }
 }

@@ -22,7 +22,14 @@ import graft.operators.{Curation, Pin}
   * the driver-side bloom from benchmark text per tick). The printed
   * totals are the measured tick-time reduction for each stored index.
   *
-  * Usage: runMain graft.tools.ProfileTick [sfDir]
+  * Usage: runMain graft.tools.ProfileTick [sfDir] [benchMod]
+  *
+  * `benchMod` (default 50) sets the benchmark share: every benchMod-th doc
+  * of the corpus region is benchmark. 50 ≈ 2% (78k docs at sf1 — where the
+  * stored bench bloom only ~breaks even, its rebuild-per-tick rival being
+  * ~2 s); 5 ≈ 20% (a 10× benchmark — the growth regime where
+  * bench-proportional per-tick work has to actually show up as a measured
+  * win for the stored cells, VERDICT r12 item 6).
   */
 object ProfileTick {
 
@@ -53,11 +60,14 @@ object ProfileTick {
     def mat(label: String, df: DataFrame): DataFrame =
       tm(label) { val p = Pin.LocalCheckpoint(df); p.count(); p }
 
+    val benchMod = args.lift(1).map(_.toInt).getOrElse(50)
+    require(benchMod >= 2, s"benchMod must leave a corpus: $benchMod")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
     val (x80, x90) = (mx * 4 / 5, mx * 9 / 10)
-    val bench = docs.filter(col("doc_id") < x80 && col("doc_id") % 50 === 0)
-    val corpus = docs.filter(col("doc_id") < x80 && col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") < x80 && col("doc_id") % benchMod === 0)
+    val corpus = docs.filter(col("doc_id") < x80 && col("doc_id") % benchMod =!= 0)
+    println(s"PROF  benchMod=$benchMod bench=${bench.count()} docs")
     val b1 = docs.filter(col("doc_id") >= x80 && col("doc_id") < x90)
     val b2 = docs.filter(col("doc_id") >= x90)
     def q = TextFunctions.qualityScore(col("text"), Stopwords)
@@ -124,13 +134,53 @@ object ProfileTick {
       dt
     }
 
-    val inline = runLoop("sig-only ", withPostings = false)
-    val indexed = runLoop("postings ", withPostings = true)
-    val full = runLoop("p+bloom  ", withPostings = true, withBench = true)
-    println(f"PROF  postings-index speedup: ${inline / indexed}%.2fx " +
-      f"($inline%.1f s -> $indexed%.1f s)")
-    println(f"PROF  + bench-bloom speedup:  ${indexed / full}%.2fx " +
-      f"($indexed%.1f s -> $full%.1f s); vs sig-only ${inline / full}%.2fx")
+    // args(3) == "stage2only" skips the three full loops — for sweeping the
+    // stage-2 micro-leg across benchMod points without re-paying ~2 min of
+    // loop per point (the batch b1 is benchMod-independent, so probe
+    // readings are comparable across points)
+    if (!args.lift(3).contains("stage2only")) {
+      val inline = runLoop("sig-only ", withPostings = false)
+      val indexed = runLoop("postings ", withPostings = true)
+      val full = runLoop("p+bloom  ", withPostings = true, withBench = true)
+      println(f"PROF  postings-index speedup: ${inline / indexed}%.2fx " +
+        f"($inline%.1f s -> $indexed%.1f s)")
+      println(f"PROF  + bench-bloom speedup:  ${indexed / full}%.2fx " +
+        f"($indexed%.1f s -> $full%.1f s); vs sig-only ${inline / full}%.2fx")
+    }
+
+    // stage-2 micro-leg (VERDICT r12 item 6): the PER-TICK delta the stored
+    // bench cells buy, isolated from the loop's other mass — T consecutive
+    // decontamination ticks over the same batch, driver-bloom-rebuild
+    // (sharedGramCounts: re-shingle bench + count + stat.bloomFilter per
+    // tick) vs stored-cell probe (sharedGramCountsIndexed over the pinned
+    // grams + cells the service persists). Reports per-tick averages, the
+    // one-time stored build, measured T-tick totals, and the crossover
+    // tick count after which the stored index is a net win.
+    val ticks = args.lift(2).map(_.toInt).getOrElse(8)
+    def s2force(df: DataFrame): Unit = { df.agg(count(lit(1))).head(); () }
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val rebuild = (1 to ticks).map(_ => timed(s2force(
+      graft.operators.Decontaminate.sharedGramCounts(
+        b1, bench, "doc_id", "text", 4))))
+    val tB = System.nanoTime()
+    val bi = graft.operators.Decontaminate.benchIndexSized(bench, "doc_id", "text", 4)
+    bi.grams.count()
+    val cells = Pin.LocalCheckpoint(bi.bloomCells)
+    cells.count()
+    val buildS = (System.nanoTime() - tB) / 1e9
+    val probe = (1 to ticks).map(_ => timed(s2force(
+      graft.operators.Decontaminate.sharedGramCountsIndexed(
+        b1, bi.grams, cells, "doc_id", "text", 4, bi.m, bi.k))))
+    val (rAvg, pAvg) = (rebuild.sum / ticks, probe.sum / ticks)
+    println(f"PROF  stage2 rebuild  per-tick avg ${rAvg}%6.2f s (T=$ticks total ${rebuild.sum}%6.2f s)")
+    println(f"PROF  stage2 stored   build once   ${buildS}%6.2f s")
+    println(f"PROF  stage2 probe    per-tick avg ${pAvg}%6.2f s (T=$ticks total ${probe.sum}%6.2f s)")
+    val crossover = if (rAvg > pAvg) math.ceil(buildS / (rAvg - pAvg)).toInt else -1
+    println(f"PROF  stage2 T-tick win: ${rebuild.sum / (buildS + probe.sum)}%.2fx " +
+      f"(rebuild ${rebuild.sum}%.1f s vs build+probe ${buildS + probe.sum}%.1f s); " +
+      s"crossover at tick $crossover")
     spark.stop()
   }
 }

@@ -387,4 +387,44 @@ class DriftSpec extends AnyFunSuite {
         assert(math.abs(got((c, d)) - slice(c)) < 1e-12)
     }
   }
+
+  test("monitorTick: service loop with rotation cadence equals hand-rotated scores, batching-invariant") {
+    val rnd = new scala.util.Random(41)
+    def dayCells(d: Int) = (0L to 3L).map(b => (f"d$d%02d", b, (rnd.nextInt(80) + 1).toLong))
+    val all = (1 to 10).map(d => d -> dayCells(d)).toMap
+    def frame(days: Seq[Int]) =
+      days.flatMap(all).toDF("day", "bin", "cnt")
+    // hand expectation: seed d01-d02, cadence 3, refK 2 — the reference in
+    // force per scored day (rotations after d05 and d08, trailing-2):
+    val refDays = Map(
+      3 -> Seq(1, 2), 4 -> Seq(1, 2), 5 -> Seq(1, 2),
+      6 -> Seq(4, 5), 7 -> Seq(4, 5), 8 -> Seq(4, 5),
+      9 -> Seq(7, 8), 10 -> Seq(7, 8))
+    def handScores(d: Int): Seq[Seq[Any]] = {
+      val ref = frame(refDays(d)).groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+      val slice = frame(Seq(d))
+      Drift.psiByPeriod(slice, "day", ref)
+        .join(Drift.ksByPeriod(slice, "day", ref), Seq("day"))
+        .collect().map(_.toSeq).toSeq
+    }
+    val want = (3 to 10).flatMap(handScores).toSet
+    def runLoop(batches: Seq[Seq[Int]]): Set[Seq[Any]] = {
+      val state = Drift.monitorState(frame(Seq(1, 2)), "day",
+        cadence = 3, refK = 2)
+      batches.flatMap(b =>
+        Drift.monitorTick(state, frame(b)).collect().map(_.toSeq)).toSet
+    }
+    // one closed day per tick — the steady-state deployment shape
+    val perDay = runLoop((3 to 10).map(Seq(_)))
+    assert(perDay == want, "per-day service loop diverged from hand-rotated scores")
+    // uneven batching, rotation boundary mid-batch — must not move a score
+    val uneven = runLoop(Seq(Seq(3, 4, 5), Seq(6), Seq(7, 8, 9, 10)))
+    assert(uneven == want, "uneven batching moved a score across a rotation boundary")
+    // an empty batch scores nothing and leaves the clock alone
+    val state = Drift.monitorState(frame(Seq(1, 2)), "day", cadence = 3, refK = 2)
+    val empty = Drift.monitorTick(state, frame(Nil))
+    assert(empty.columns.toSeq ==
+      Seq("day", "psi", "ks", "n_period", "n_ref") && empty.count() == 0)
+    assert(state.sinceRotation == 0)
+  }
 }
