@@ -220,7 +220,9 @@ object Bench {
     "q270_stream_rotated_ref" -> 3.707,
     // round-13 additions (round-start quiet-box min-of-2, BASELINE §3l)
     "q271_ivf_index_probe" -> 2.890,
-    "q272_mlp_inference" -> 0.490)
+    "q272_mlp_inference" -> 0.490,
+    "q273_ivf_append_probe" -> 3.562,
+    "q274_ivf_health" -> 1.892)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

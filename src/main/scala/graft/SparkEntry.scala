@@ -6907,6 +6907,55 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  // q273 — the IVF APPEND verb through the oracle gate: build the stored
+  // index over the EVEN vec_ids only, append the odd half as a second
+  // batch (assign-to-nearest under the build's cosine metric, rows added
+  // to the cell-partitioned parquet), then probe across BOTH generations'
+  // files. Explicit centroids never move, so the oracle's assignment
+  // chain is membership-timing-independent — DuckDB re-derives the final
+  // state directly, and any append defect (wrong cell, dropped rows, a
+  // probe that misses appended files) breaks the match. Different probe
+  // point than q271 (queries 10–19, nProbe 4, k 4) so the two gates don't
+  // share a literal answer.
+  private def ivfAppendProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val idxDir = java.nio.file.Files.createTempDirectory("q273-ivf").toString + "/idx"
+    val h0 = graft.functions.IvfIndex.build(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", centroids, idxDir)
+    val h = graft.functions.IvfIndex.append(h0, emb.filter(col("vec_id") % 2 === 1))
+    val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.functions.IvfIndex.probe(h, queries, "q_id", "q_vec", k = 4, nProbe = 4)
+      .withColumnRenamed("vec_id", "c_id")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // q274 — the IVF HEALTH REPORT through the oracle gate (the X41/X46
+  // monitor analog for the embedding tier, q271's drift verb): a fresh
+  // explicit-centroid build's 1-row driftReport, every field re-derived —
+  // per-cell counts from the deterministic assignment chain, growth 1.0
+  // by construction on a fresh build, balance ratios as exact integer
+  // divisions, mean assignment cosine 6-dp rounded, and the
+  // recommend_rebuild decision replayed from the same comparisons.
+  private def ivfHealth(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val idxDir = java.nio.file.Files.createTempDirectory("q274-ivf").toString + "/idx"
+    val h = graft.functions.IvfIndex.build(emb, "vec_id", "embedding", centroids, idxDir)
+    graft.functions.IvfIndex.driftReport(h)
+      .select(
+        col("n_vectors"), col("built_n"),
+        rnd(col("growth_ratio"), 6).as("growth_ratio"),
+        rnd(col("max_cell_frac"), 6).as("max_cell_frac"),
+        rnd(col("imbalance"), 6).as("imbalance"),
+        col("empty_cells"),
+        rnd(col("mean_assign_sim"), 6).as("mean_assign_sim"),
+        col("recommend_rebuild").cast("int").as("recommend_rebuild"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -7182,7 +7231,9 @@ object SparkEntry {
     "q269_stream_embedding_drift" -> streamEmbeddingDrift,
     "q270_stream_rotated_ref" -> rotatedDrift,
     "q271_ivf_index_probe" -> ivfIndexProbe,
-    "q272_mlp_inference" -> mlpInference)
+    "q272_mlp_inference" -> mlpInference,
+    "q273_ivf_append_probe" -> ivfAppendProbe,
+    "q274_ivf_health" -> ivfHealth)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -13457,5 +13508,87 @@ object SparkEntry {
         |  FROM p
         |)
         |SELECT vec_id, 'c' || k AS label, round(prob + 1e-9, 6) AS score
-        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin)
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // q273: the appended index's final state is membership-timing-
+    // independent under fixed explicit centroids, so the oracle derives it
+    // directly — same assignment chain as q271, different probe point.
+    "q273_ivf_append_probe" ->
+      """WITH cen AS (
+        |  SELECT vec_id::INT AS cell, embedding::DOUBLE[] AS cen
+        |  FROM embeddings WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.embedding::DOUBLE[], c.cen)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(c.cen, c.cen))) DESC, c.cell ASC) AS rn
+        |    FROM embeddings e, cen c
+        |  ) WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
+        |), qcells AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.q_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        list_dot_product(q.qv, c.cen)
+        |          / (sqrt(list_dot_product(q.qv, q.qv))
+        |             * sqrt(list_dot_product(c.cen, c.cen))) DESC, c.cell ASC) AS rn
+        |    FROM q, cen c
+        |  ) WHERE rn <= 4
+        |), scored AS (
+        |  SELECT q.q_id, a.vec_id AS c_id,
+        |    list_dot_product(q.qv, a.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(q.qv, q.qv))
+        |         * sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))) AS sim
+        |  FROM qcells qc
+        |  JOIN q ON q.q_id = qc.q_id
+        |  JOIN assigned a ON a.cell = qc.cell
+        |  WHERE q.q_id != a.vec_id
+        |), ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, c_id, round(sim + 1e-9, 6) AS sim, rank
+        |FROM ranked WHERE rank <= 4
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // q274: every health field from the same deterministic assignment
+    // chain — integer cell counts, exact-division balance ratios, the
+    // rebuild decision replayed from identical double comparisons.
+    "q274_ivf_health" ->
+      """WITH cen AS (
+        |  SELECT vec_id::INT AS cell, embedding::DOUBLE[] AS cen
+        |  FROM embeddings WHERE vec_id < 8
+        |), a AS (
+        |  SELECT vec_id, cell, sim FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      list_dot_product(e.embedding::DOUBLE[], c.cen)
+        |        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |           * sqrt(list_dot_product(c.cen, c.cen))) AS sim,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.embedding::DOUBLE[], c.cen)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(c.cen, c.cen))) DESC, c.cell ASC) AS rn
+        |    FROM embeddings e, cen c
+        |  ) WHERE rn = 1
+        |), per AS (
+        |  SELECT cell, count(*) AS n FROM a GROUP BY 1
+        |), agg AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nv, max(n) AS mx, count(*) AS used,
+        |    (SELECT avg(sim) FROM a) AS msim
+        |  FROM per
+        |)
+        |SELECT nv AS n_vectors, nv AS built_n,
+        |  round(1.0 + 1e-9, 6) AS growth_ratio,
+        |  round(CAST(mx AS DOUBLE) / CAST(nv AS DOUBLE) + 1e-9, 6) AS max_cell_frac,
+        |  round(CAST(mx AS DOUBLE) / CAST(nv AS DOUBLE) * 8 + 1e-9, 6) AS imbalance,
+        |  CAST(8 - used AS INT) AS empty_cells,
+        |  round(msim + 1e-9, 6) AS mean_assign_sim,
+        |  CAST(1.0 >= 2.0 OR CAST(mx AS DOUBLE) / CAST(nv AS DOUBLE) * 8 >= 4.0
+        |    AS INT) AS recommend_rebuild
+        |FROM agg""".stripMargin)
 }

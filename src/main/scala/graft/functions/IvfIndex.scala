@@ -230,6 +230,13 @@ object IvfIndex {
     * collect and keeps the plain equi-join.
     *
     * Returns (qId, idCol, sim, rank), ties by ascending corpus id.
+    *
+    * `maxSimExclusive`: keep only candidates with sim strictly BELOW the
+    * bound before ranking — the hard-negative shape (the most similar
+    * corpus vectors that are NOT near-duplicates,
+    * [[graft.ml.Contrastive.mineTripletsIndexed]]); the filter runs before
+    * the bounded heap, so the top-k is the top-k OF the sub-threshold set,
+    * not a post-filtered overall top-k that could come back empty.
     */
   def probe(
       h: Handle,
@@ -238,7 +245,8 @@ object IvfIndex {
       qVec: String,
       k: Int,
       nProbe: Int,
-      pruneMaxCells: Int = 256): DataFrame = {
+      pruneMaxCells: Int = 256,
+      maxSimExclusive: Option[Double] = None): DataFrame = {
     require(qId != h.idCol,
       s"probe: query id column '$qId' collides with the index id column — rename it")
     val qCellScores = queries
@@ -258,7 +266,10 @@ object IvfIndex {
       .join(broadcast(qCells), Seq("cell"))
       .filter(col(qId) =!= col(h.idCol))
       .withColumn("_sim", cosine(col(qVec), col(h.vecCol)))
-    VectorFunctions.rankTopK(scored, qId, h.idCol, col("_sim"), k)
+    val bounded = maxSimExclusive
+      .map(t => scored.filter(col("_sim") < lit(t)))
+      .getOrElse(scored)
+    VectorFunctions.rankTopK(bounded, qId, h.idCol, col("_sim"), k)
   }
 
   /** APPEND new vectors to the stored index: assign each to its nearest

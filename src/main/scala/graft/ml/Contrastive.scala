@@ -77,4 +77,54 @@ object Contrastive {
       .select(col("anchor"), col("positive"), col("negative"),
         col("pos_sim"), col("neg_sim"))
   }
+
+  /** [[mineTriplets]] with the hard-negative scorer swapped for the STORED
+    * IVF index — the "swap the scorer for ivfTopK at cluster scale" note
+    * above made executable against the persisted artifact
+    * ([[graft.functions.IvfIndex]]): a standing daily mining service stops
+    * re-streaming the corpus per anchor batch AND stops re-fitting the
+    * quantizer per tick — negatives come from a partition-pruned probe of
+    * the anchor's `nProbe` nearest cells (sub-threshold filter BEFORE the
+    * bounded heap, so the hardest sub-tauPos candidate in the probed cells
+    * wins). Positives are unchanged (SemDeDup's bucket equi-join).
+    *
+    * Approximate by construction: a negative hiding in an unprobed cell is
+    * missed — recall rises with `nProbe`, and at `nProbe == nCells` the
+    * output EQUALS [[mineTriplets]] row for row (ContrastiveSpec pins it).
+    * The index must hold the same vectors `emb` carries (same idCol/vecCol
+    * values); anchors absent from a probed cell self-exclude by id as in
+    * the inline path.
+    */
+  def mineTripletsIndexed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bucket: Column,
+      tauPos: Double,
+      index: graft.functions.IvfIndex.Handle,
+      nProbe: Int,
+      pin: Pin = Pin.LocalCheckpoint): DataFrame = {
+    val base = emb.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+    val pos = pin(SemDedup
+      .markDuplicates(emb, idCol, vecCol, bucket, tauPos)
+      .filter(col("dup_of").isNotNull)
+      .select(col("dup_of").as("anchor"), col(idCol).cast("long").as("positive")))
+    val anchorVecs = pos.select(col("anchor")).distinct()
+      .join(base, col("anchor") === col("_id"))
+      .select(col("anchor"), col("_v").as("_av"))
+    val negatives = graft.functions.IvfIndex
+      .probe(index, anchorVecs, "anchor", "_av", k = 1, nProbe = nProbe,
+        maxSimExclusive = Some(tauPos))
+      .select(col("anchor"), col(index.idCol).cast("long").as("negative"),
+        col("sim").as("neg_sim"))
+    val posSim = pos
+      .join(anchorVecs, Seq("anchor"))
+      .join(base, col("positive") === col("_id"))
+      .select(col("anchor"), col("positive"),
+        VectorFunctions.cosine(col("_av"), col("_v")).as("pos_sim"))
+    posSim
+      .join(negatives, Seq("anchor"))
+      .select(col("anchor"), col("positive"), col("negative"),
+        col("pos_sim"), col("neg_sim"))
+  }
 }

@@ -57,11 +57,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // baseline (swap to ivfTopK at scale) + two 1-row stat combines;
     // q213 rides Mixture's broadcast 1-row normalizer
     "q209_knn_triangles", "q213_curriculum_plan",
-    // q271: the stored-IVF probe's two bounded centroid binds — queries ×
-    // broadcast nCells-row centroid table (cell ranking) and the build's
-    // assignment pass over the same table; the candidate join itself is a
-    // cell equi-join against the partition-pruned inverted file
-    "q271_ivf_index_probe",
+    // q271/q273/q274: the stored-IVF verbs' bounded centroid binds —
+    // queries/corpus × broadcast nCells-row centroid table (cell ranking +
+    // assignment) and q274's 1-row balance × quality report combine; the
+    // candidate joins themselves are cell equi-joins against the
+    // partition-pruned inverted file
+    "q271_ivf_index_probe", "q273_ivf_append_probe", "q274_ivf_health",
     // q223: Dsir's broadcast 1-row totals bind (V, N_raw, N_target)
     "q223_dsir_weights",
     // q227: hard-negative scoring is the declared broadcast-anchors

@@ -59,4 +59,29 @@ class ContrastiveSpec extends AnyFunSuite {
       2L -> Array(0f, 1f, 0f, 0f)), tau = 0.95)
     assert(out.isEmpty)
   }
+
+  test("mineTripletsIndexed over the stored IVF index equals the inline miner at nProbe == nCells") {
+    import java.nio.file.Files
+    val emb = graft.Engine.table(spark, TestSpark.Sf, "embeddings")
+    val dir = Files.createTempDirectory("ivf-triplets").toString + "/idx"
+    val h = graft.functions.IvfIndex.buildKMeans(emb, "vec_id", "embedding",
+      nCells = 8, dir)
+    val bucket = SemDedup.signBucket(col("embedding"), 6)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("anchor"), col("positive"), col("negative"),
+        round(col("pos_sim") + lit(1e-9), 6).as("ps"),
+        round(col("neg_sim") + lit(1e-9), 6).as("ns"))
+      .collect().map(_.toSeq).toSet
+    val inline = canon(Contrastive.mineTriplets(
+      emb, "vec_id", "embedding", bucket, tauPos = 0.3))
+    val indexed = canon(Contrastive.mineTripletsIndexed(
+      emb, "vec_id", "embedding", bucket, tauPos = 0.3, h, nProbe = 8))
+    assert(inline.nonEmpty, "fixture mined no triplets — tauPos too high for this data")
+    assert(indexed == inline,
+      "degenerate-probe indexed miner diverged from the inline brute-force miner")
+    // and a genuinely approximate probe still returns sub-threshold negatives
+    val approx = Contrastive.mineTripletsIndexed(
+      emb, "vec_id", "embedding", bucket, tauPos = 0.3, h, nProbe = 2)
+    assert(approx.filter(col("neg_sim") >= 0.3).count() == 0)
+  }
 }
