@@ -114,6 +114,85 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(r2.getAs[Boolean]("recommend_rebuild") != (r2.getAs[Double]("growth_ratio") < 1.5))
   }
 
+  test("the stored artifact probes from ONE SQL statement (SketchSqlSpec parity for the IVF tier)") {
+    // the persisted cells/centroids are plain parquet — a SQL-only client
+    // (notebook, BI tool) can run the whole probe as one statement; the
+    // window form here is the SEMANTIC oracle (the Dataset probe's
+    // bounded-heap plan is the scale form)
+    val dir = tmp("ivf-sql")
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val h = IvfIndex.build(emb, "vec_id", "embedding", centroids, dir)
+    h.cells.createOrReplaceTempView("ivf_cells")
+    h.centroids.createOrReplaceTempView("ivf_centroids")
+    emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .createOrReplaceTempView("ivf_queries")
+    def cosSql(a: String, b: String) =
+      s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+         |  / (sqrt(aggregate(zip_with($a, $a, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+         |   * sqrt(aggregate(zip_with($b, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         |          CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
+    val sql = spark.sql(
+      s"""WITH qcells AS (
+         |  SELECT q_id, q_vec, cell FROM (
+         |    SELECT q.q_id, q.q_vec, c.cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cosSql("q.q_vec", "c.centroid")} DESC, c.cell ASC) AS rn
+         |    FROM ivf_queries q CROSS JOIN ivf_centroids c
+         |  ) WHERE rn <= 2
+         |), ranked AS (
+         |  SELECT q.q_id, s.vec_id, ${cosSql("q.q_vec", "s.embedding")} AS sim,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("q.q_vec", "s.embedding")} DESC, s.vec_id ASC) AS rank
+         |  FROM qcells q JOIN ivf_cells s ON s.cell = q.cell
+         |  WHERE q.q_id != s.vec_id
+         |)
+         |SELECT q_id, vec_id, round(sim + 1e-9, 6) AS sim, rank
+         |FROM ranked WHERE rank <= 3""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    val queries = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val ds = IvfIndex.probe(h, queries, "q_id", "q_vec", k = 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(sql == ds, "one-statement SQL probe diverged from the Dataset probe")
+  }
+
+  test("service composition: append -> driftReport cadence -> rebuild swap keeps the probe exact") {
+    // the deployment recipe the verbs compose into: per-batch appends, the
+    // health report on a cadence, and the generation-swap rebuild when it
+    // recommends one — after the swap the probe answers over EVERYTHING
+    // ingested, exactly (degenerate regime as the oracle)
+    val dir = tmp("ivf-service")
+    val slices = Seq(
+      emb.filter(col("vec_id") % 3 === 0),
+      emb.filter(col("vec_id") % 3 === 1),
+      emb.filter(col("vec_id") % 3 === 2))
+    var h = IvfIndex.buildKMeans(slices.head, "vec_id", "embedding", nCells = 8, dir)
+    var gen = 0
+    slices.tail.foreach { batch =>
+      h = IvfIndex.append(h, batch)
+      val r = IvfIndex.driftReport(h, growthRatio = 1.2).head()
+      if (r.getAs[Boolean]("recommend_rebuild")) {
+        gen += 1
+        h = IvfIndex.rebuild(h, s"$dir-gen$gen")
+      }
+    }
+    assert(gen >= 1, "fixture never tripped the rebuild recommendation")
+    assert(IvfIndex.driftReport(h, growthRatio = 1.2).head()
+      .getAs[Double]("growth_ratio") == 1.0)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = IvfIndex.probe(h, queries, "q_id", "q_vec", k = 3, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exact = VF.bruteForceTopK(queries, emb, "q_id", "vec_id", "q_vec", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == exact,
+      "after append/rebuild cycles the index no longer answers over the full ingested set")
+  }
+
   test("rebuild refits over build + appended mass into a fresh dir; refuses same-dir and cosine-metric") {
     val dir = tmp("ivf-rebuild")
     val base = emb.filter(col("vec_id") < 250)
