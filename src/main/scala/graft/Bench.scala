@@ -222,7 +222,8 @@ object Bench {
     "q271_ivf_index_probe" -> 2.890,
     "q272_mlp_inference" -> 0.490,
     "q273_ivf_append_probe" -> 3.562,
-    "q274_ivf_health" -> 1.892)
+    "q274_ivf_health" -> 1.892,
+    "q275_ivf_quantized_probe" -> 4.140)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

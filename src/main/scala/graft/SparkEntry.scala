@@ -6956,6 +6956,28 @@ object SparkEntry {
         col("recommend_rebuild").cast("int").as("recommend_rebuild"))
   }
 
+  // q275 — the QUANTIZED stored index through the oracle gate (q59's int8
+  // memory trade carried into the inverted file): assignment on the raw
+  // vectors (same deterministic chain as q271, so the cell layout is
+  // identical and the oracle reuses it), cells stored as per-vector affine
+  // int8 codes, probe scored on the RECONSTRUCTIONS — DuckDB replays the
+  // quantize→dequantize round trip per stored vector (the q59 recipe:
+  // round-half codes with the +1e-9 nudge) and every reconstructed cosine.
+  // Queries stay raw (they arrive from the caller, not the store).
+  private def ivfQuantizedProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val idxDir = java.nio.file.Files.createTempDirectory("q275-ivf").toString + "/idx"
+    val h = graft.functions.IvfIndex.buildQuantized(
+      emb, "vec_id", "embedding", centroids, idxDir)
+    val queries = emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.functions.IvfIndex.probe(h, queries, "q_id", "q_vec", k = 5, nProbe = 3)
+      .withColumnRenamed("vec_id", "c_id")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -7233,7 +7255,8 @@ object SparkEntry {
     "q271_ivf_index_probe" -> ivfIndexProbe,
     "q272_mlp_inference" -> mlpInference,
     "q273_ivf_append_probe" -> ivfAppendProbe,
-    "q274_ivf_health" -> ivfHealth)
+    "q274_ivf_health" -> ivfHealth,
+    "q275_ivf_quantized_probe" -> ivfQuantizedProbe)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -13590,5 +13613,63 @@ object SparkEntry {
         |  round(msim + 1e-9, 6) AS mean_assign_sim,
         |  CAST(1.0 >= 2.0 OR CAST(mx AS DOUBLE) / CAST(nv AS DOUBLE) * 8 >= 4.0
         |    AS INT) AS recommend_rebuild
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+
+    // q275: q271's assignment chain on the raw vectors, then the q59
+    // quantize→dequantize round trip per stored vector and reconstructed
+    // cosines per probed candidate.
+    "q275_ivf_quantized_probe" ->
+      """WITH cen AS (
+        |  SELECT vec_id::INT AS cell, embedding::DOUBLE[] AS cen
+        |  FROM embeddings WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.embedding::DOUBLE[], c.cen)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(c.cen, c.cen))) DESC, c.cell ASC) AS rn
+        |    FROM embeddings e, cen c
+        |  ) WHERE rn = 1
+        |), params AS (
+        |  SELECT vec_id, cell, embedding::DOUBLE[] AS e,
+        |    list_min(embedding::DOUBLE[]) AS mn,
+        |    greatest((list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0,
+        |      1e-12) AS sc
+        |  FROM assigned
+        |), deq AS (
+        |  SELECT vec_id, cell,
+        |    list_transform(
+        |      list_transform(e, x -> CAST(round((x - mn) / sc + 1e-9, 0) AS INT)),
+        |      c -> c * sc + mn) AS v
+        |  FROM params
+        |), q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 30
+        |), qcells AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.q_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        list_dot_product(q.qv, c.cen)
+        |          / (sqrt(list_dot_product(q.qv, q.qv))
+        |             * sqrt(list_dot_product(c.cen, c.cen))) DESC, c.cell ASC) AS rn
+        |    FROM q, cen c
+        |  ) WHERE rn <= 3
+        |), scored AS (
+        |  SELECT q.q_id, d.vec_id AS c_id,
+        |    list_dot_product(q.qv, d.v)
+        |      / (sqrt(list_dot_product(q.qv, q.qv))
+        |         * sqrt(list_dot_product(d.v, d.v))) AS sim
+        |  FROM qcells qc
+        |  JOIN q ON q.q_id = qc.q_id
+        |  JOIN deq d ON d.cell = qc.cell
+        |  WHERE q.q_id != d.vec_id
+        |), ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, c_id, round(sim + 1e-9, 6) AS sim, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin)
 }

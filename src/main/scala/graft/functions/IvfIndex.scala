@@ -56,13 +56,22 @@ object IvfIndex {
       dim: Int,
       assignMetric: String,
       builtN: Long,
-      seed: Long)
+      seed: Long,
+      quantized: Boolean = false)
 
   /** Assignment metrics carried in meta. */
   val MetricKMeans = "kmeans_euclidean"
   val MetricCosine = "cosine"
 
   private def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
+
+  /** The stored candidate vector as a scorable column: raw float array, or
+    * the int8 codes reconstructed (`code · scale + min`) for a
+    * [[buildQuantized]] artifact — per-component error ≤ scale/2, the q59
+    * trade carried into the inverted file.
+    */
+  private def storedVec(h: Handle): Column =
+    if (h.quantized) VectorFunctions.dequantize(col(h.vecCol)) else col(h.vecCol)
 
   /** Best cell per row under cosine (ties → LOWEST cell, the deterministic
     * oracle-replayable convention): broadcast the nCells-row centroid table,
@@ -121,10 +130,13 @@ object IvfIndex {
       nCells: Int,
       dim: Int,
       metric: String,
-      seed: Long): Handle = {
+      seed: Long,
+      quantized: Boolean = false): Handle = {
     val spark = assigned.sparkSession
     assigned
-      .select(col("cell"), col(idCol), col(vecCol))
+      .select(col("cell"), col(idCol),
+        (if (quantized) VectorFunctions.quantizeInt8(col(vecCol)) else col(vecCol))
+          .as(vecCol))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     centroids.select(col("cell"), col("centroid"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -132,8 +144,9 @@ object IvfIndex {
     // not a second pass over the source corpus)
     val builtN = spark.read.parquet(s"$dir/cells").count()
     import spark.implicits._
-    Seq((idCol, vecCol, nCells, dim, metric, builtN, seed))
-      .toDF("id_col", "vec_col", "n_cells", "dim", "assign_metric", "built_n", "seed")
+    Seq((idCol, vecCol, nCells, dim, metric, builtN, seed, quantized))
+      .toDF("id_col", "vec_col", "n_cells", "dim", "assign_metric", "built_n",
+        "seed", "quantized")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     load(spark, dir)
   }
@@ -193,6 +206,36 @@ object IvfIndex {
       MetricCosine, seed = 0L)
   }
 
+  /** [[build]] with INT8-QUANTIZED cell storage — the q59 memory trade
+    * carried into the inverted file: assignment runs on the RAW vectors
+    * (same deterministic argmax-cosine chain as [[build]], so the cell
+    * layout is identical), but each stored row holds
+    * `VectorFunctions.quantizeInt8(vec)` — per-vector affine int8 codes,
+    * ~4× smaller at rest (and the int codes dictionary/bit-pack further in
+    * parquet) — the difference between a 100 TB float corpus and a ~25 TB
+    * index. [[probe]] scores against the RECONSTRUCTED vectors
+    * (`dequantize`, per-component error ≤ scale/2), so ranking is the
+    * q59-class approximation; [[append]] quantizes incoming rows under the
+    * same scheme. [[rebuild]] refuses quantized handles — refitting a
+    * quantizer on reconstructions compounds the loss; rebuild from the raw
+    * corpus upstream.
+    */
+  def buildQuantized(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      dir: String): Handle = {
+    val cen = centroids.select(col("cell").cast("int").as("cell"), col("centroid"))
+    val n = cen.count()
+    require(n > 0, "IvfIndex.buildQuantized: empty centroid table")
+    val assigned = assignCosine(corpus, idCol, vecCol, cen)
+    val dim = corpus.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    writeArtifact(dir, assigned, cen, idCol, vecCol, n.toInt, dim,
+      MetricCosine, seed = 0L, quantized = true)
+  }
+
   /** Load a committed index. Fails loud when `meta` is unreadable — i.e. on
     * a crash-truncated build (meta is written last, so readable meta ⇒ the
     * frames it describes were fully written).
@@ -212,7 +255,8 @@ object IvfIndex {
       dim = led.getAs[Int]("dim"),
       assignMetric = led.getAs[String]("assign_metric"),
       builtN = led.getAs[Long]("built_n"),
-      seed = led.getAs[Long]("seed"))
+      seed = led.getAs[Long]("seed"),
+      quantized = led.getAs[Boolean]("quantized"))
   }
 
   /** Approximate top-k over the STORED index — the inline
@@ -265,7 +309,7 @@ object IvfIndex {
     val scored = cellRows
       .join(broadcast(qCells), Seq("cell"))
       .filter(col(qId) =!= col(h.idCol))
-      .withColumn("_sim", cosine(col(qVec), col(h.vecCol)))
+      .withColumn("_sim", cosine(col(qVec), storedVec(h)))
     val bounded = maxSimExclusive
       .map(t => scored.filter(col("_sim") < lit(t)))
       .getOrElse(scored)
@@ -283,7 +327,9 @@ object IvfIndex {
   def append(h: Handle, rows: DataFrame): Handle = {
     assignFor(h.assignMetric)(
         rows.select(col(h.idCol), col(h.vecCol)), h.idCol, h.vecCol, h.centroids)
-      .select(col("cell"), col(h.idCol), col(h.vecCol))
+      .select(col("cell"), col(h.idCol),
+        (if (h.quantized) VectorFunctions.quantizeInt8(col(h.vecCol))
+         else col(h.vecCol)).as(h.vecCol))
       .write.mode("append").partitionBy("cell").parquet(s"${h.dir}/cells")
     h.copy(cells = h.cells.sparkSession.read.parquet(s"${h.dir}/cells"))
   }
@@ -316,7 +362,7 @@ object IvfIndex {
       count(lit(1)).as("_cells_used"))
     val quality = h.cells
       .join(broadcast(h.centroids), Seq("cell"))
-      .agg(avg(cosine(col(h.vecCol), col("centroid"))).as("mean_assign_sim"))
+      .agg(avg(cosine(storedVec(h), col("centroid"))).as("mean_assign_sim"))
     balance.crossJoin(quality).select(
       col("n_vectors"),
       lit(h.builtN).as("built_n"),
@@ -351,6 +397,10 @@ object IvfIndex {
     require(h.assignMetric == MetricKMeans,
       s"IvfIndex.rebuild: '${h.assignMetric}' indexes carry an upstream centroid " +
         "table — re-train it upstream and ship it through IvfIndex.build")
+    require(!h.quantized,
+      "IvfIndex.rebuild: a quantized index stores lossy codes — refitting the " +
+        "quantizer on reconstructions compounds the error silently; rebuild " +
+        "from the raw vectors upstream (buildQuantized over the source corpus)")
     buildKMeans(h.cells.select(col(h.idCol), col(h.vecCol)),
       h.idCol, h.vecCol, h.nCells, newDir, h.seed)
   }

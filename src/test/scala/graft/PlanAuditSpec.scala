@@ -63,6 +63,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // candidate joins themselves are cell equi-joins against the
     // partition-pruned inverted file
     "q271_ivf_index_probe", "q273_ivf_append_probe", "q274_ivf_health",
+    "q275_ivf_quantized_probe",
     // q223: Dsir's broadcast 1-row totals bind (V, N_raw, N_target)
     "q223_dsir_weights",
     // q227: hard-negative scoring is the declared broadcast-anchors

@@ -193,6 +193,50 @@ class IvfIndexSpec extends AnyFunSuite {
       "after append/rebuild cycles the index no longer answers over the full ingested set")
   }
 
+  test("quantized build: same cell layout, ~4x smaller cells, q59-class probe, append quantizes, rebuild refuses") {
+    val dirR = tmp("ivf-raw")
+    val dirQ = tmp("ivf-q")
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val hr = IvfIndex.build(emb, "vec_id", "embedding", centroids, dirR)
+    val hq = IvfIndex.buildQuantized(emb, "vec_id", "embedding", centroids, dirQ)
+    assert(hq.quantized && !hr.quantized)
+    // identical cell layout (assignment ran on the raw vectors)
+    assert(hq.cells.select("cell", "vec_id").collect().map(_.toSeq).toSet ==
+      hr.cells.select("cell", "vec_id").collect().map(_.toSeq).toSet)
+    // the at-rest trade is real: quantized cells are substantially smaller
+    def bytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(s"$dir/cells"))
+    }
+    assert(bytes(dirQ) < bytes(dirR) * 0.6,
+      s"quantized cells not smaller: ${bytes(dirQ)} vs ${bytes(dirR)}")
+    // probe scores the reconstructions: equals brute force over dequantized
+    // vectors in the degenerate regime (the q59 contract on the stored form)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = IvfIndex.probe(hq, queries, "q_id", "q_vec", k = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val deqCorpus = emb.select(col("vec_id"),
+      VF.dequantize(VF.quantizeInt8(col("embedding"))).as("dv"))
+    val want = VF.bruteForceTopK(queries, deqCorpus, "q_id", "vec_id", "q_vec", "dv", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == want, "quantized degenerate probe != brute force over reconstructions")
+    // append quantizes under the same scheme and stays probe-findable
+    val extra = emb.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val hq2 = IvfIndex.append(hq, extra)
+    val pq = extra.select(lit(-1L).as("q_id"), col("embedding").as("q_vec"))
+    val top = IvfIndex.probe(hq2, pq, "q_id", "q_vec", k = 2, nProbe = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toMap
+    assert(top.contains(100000L + 7L), s"appended quantized row not findable: $top")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.rebuild(hq2.copy(assignMetric = IvfIndex.MetricKMeans), tmp("x"))
+    }
+    assert(e.getMessage.contains("lossy codes"))
+  }
+
   test("rebuild refits over build + appended mass into a fresh dir; refuses same-dir and cosine-metric") {
     val dir = tmp("ivf-rebuild")
     val base = emb.filter(col("vec_id") < 250)
