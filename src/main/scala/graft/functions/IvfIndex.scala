@@ -73,23 +73,45 @@ object IvfIndex {
   private def storedVec(h: Handle): Column =
     if (h.quantized) VectorFunctions.dequantize(col(h.vecCol)) else col(h.vecCol)
 
-  /** Best cell per row under cosine (ties → LOWEST cell, the deterministic
-    * oracle-replayable convention): broadcast the nCells-row centroid table,
-    * bounded-heap top-1 per id — map-side, no shuffle of the vectors beyond
-    * the 1-row-per-id partial-agg exchange.
+  /** Best cell per row as a MAP-SIDE FOLD — zero exchanges on the build/
+    * append path (the earlier shape scored a crossJoin through a bounded
+    * heap and joined the winner back to the corpus BY ID: a second full
+    * shuffle of the vectors for a value computable per row). The centroid
+    * table collapses to ONE broadcast row holding the cell-sorted
+    * `array<struct<cell,centroid>>`; each corpus row folds over it keeping
+    * the best (score, cell). Strict `>` + ascending cell order = ties to
+    * the LOWEST cell, the same deterministic oracle-replayable convention
+    * the heap form had (rank by score desc, ties by ascending cell id).
+    * Rows whose score is null against every centroid (null/zero vectors
+    * under cosine) fold to cell −1 and are dropped — the heap form dropped
+    * them too (no heap entry survives a null score).
     */
-  private def assignCosine(
-      df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
-    val scored = df
-      .crossJoin(broadcast(centroids))
-      .withColumn("_as", cosine(col(vecCol), col("centroid")))
-    TopK
-      .topKPerKey(scored, idCol, col("_as"), col("cell").cast("long"), lit(0L), 1)
-      .select(col(idCol), col("id").cast("int").as("cell"))
-      .join(df, Seq(idCol))
+  private def assignBest(
+      df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame)(
+      score: (Column, Column) => Column): DataFrame = {
+    val cens = centroids.agg(
+      sort_array(collect_list(struct(col("cell").cast("int").as("cell"),
+        col("centroid").as("centroid")))).as("_cens"))
+    val best = aggregate(
+      col("_cens"),
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1).as("c")),
+      (acc, cen) => {
+        val sc = score(col(vecCol), cen.getField("centroid"))
+        when(sc > acc.getField("s"),
+          struct(sc.as("s"), cen.getField("cell").as("c"))).otherwise(acc)
+      })
+    df.crossJoin(broadcast(cens)) // 1-row centroid-array bind
+      .withColumn("cell", best.getField("c"))
+      .filter(col("cell") >= 0)
+      .drop("_cens")
   }
 
-  /** Best cell per row under squared Euclidean distance (ties → lowest
+  /** [[assignBest]] under cosine (ties → lowest cell). */
+  private def assignCosine(
+      df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+    assignBest(df, idCol, vecCol, centroids)(cosine(_, _))
+
+  /** [[assignBest]] under squared Euclidean distance (ties → lowest
     * cell), computed natively from the stored centroids: score =
     * −(v·v − 2·v·c + c·c). This is [[append]]'s assignment for
     * [[buildKMeans]]-built indexes — the model object is gone after a
@@ -100,17 +122,10 @@ object IvfIndex {
     * moves recall at the margin).
     */
   private def assignEuclid(
-      df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
-    val v = col(vecCol)
-    val c = col("centroid")
-    val negDist = VectorFunctions.dot(v, c) * lit(2.0) -
-      VectorFunctions.dot(v, v) - VectorFunctions.dot(c, c)
-    val scored = df.crossJoin(broadcast(centroids)).withColumn("_as", negDist)
-    TopK
-      .topKPerKey(scored, idCol, col("_as"), col("cell").cast("long"), lit(0L), 1)
-      .select(col(idCol), col("id").cast("int").as("cell"))
-      .join(df, Seq(idCol))
-  }
+      df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+    assignBest(df, idCol, vecCol, centroids)((v, c) =>
+      VectorFunctions.dot(v, c) * lit(2.0) -
+        VectorFunctions.dot(v, v) - VectorFunctions.dot(c, c))
 
   private def assignFor(metric: String)(
       df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
@@ -137,18 +152,43 @@ object IvfIndex {
       .select(col("cell"), col(idCol),
         (if (quantized) VectorFunctions.quantizeInt8(col(vecCol)) else col(vecCol))
           .as(vecCol))
+      // the ONE exchange on the build path (assignment itself is a map-side
+      // fold): cluster rows by cell before the partitioned write, so each
+      // cell's directory gets ~one file instead of one PER INPUT PARTITION —
+      // numPartitions × nCells tiny files is the classic small-files failure
+      // at cluster scale, and the probe's partition-pruned scan pays it on
+      // every read. AQE coalesces the post-shuffle partitions where cells
+      // are small and splits skewed ones.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     centroids.select(col("cell"), col("centroid"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     // built_n from the WRITTEN cells (one bounded count over the artifact,
     // not a second pass over the source corpus)
     val builtN = spark.read.parquet(s"$dir/cells").count()
+    writeMeta(spark, dir, idCol, vecCol, nCells, dim, metric, builtN, seed, quantized)
+    load(spark, dir)
+  }
+
+  /** (Re)write the 1-row meta commit record — build's last step, and the
+    * accounting refresh [[delete]] runs after a partition rewrite.
+    */
+  private def writeMeta(
+      spark: SparkSession,
+      dir: String,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      dim: Int,
+      metric: String,
+      builtN: Long,
+      seed: Long,
+      quantized: Boolean): Unit = {
     import spark.implicits._
     Seq((idCol, vecCol, nCells, dim, metric, builtN, seed, quantized))
       .toDF("id_col", "vec_col", "n_cells", "dim", "assign_metric", "built_n",
         "seed", "quantized")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    load(spark, dir)
   }
 
   /** Build the stored index with the SAME seeded-KMeans coarse quantizer as
@@ -256,7 +296,12 @@ object IvfIndex {
       assignMetric = led.getAs[String]("assign_metric"),
       builtN = led.getAs[Long]("built_n"),
       seed = led.getAs[Long]("seed"),
-      quantized = led.getAs[Boolean]("quantized"))
+      // schema-tolerant: artifacts persisted before the quantized tier
+      // existed carry no such column — they are raw-vector indexes, so the
+      // default is false, not a field-not-found load failure (the whole
+      // point of the stored format is surviving restarts AND upgrades)
+      quantized = led.schema.fieldNames.contains("quantized") &&
+        led.getAs[Boolean]("quantized"))
   }
 
   /** Approximate top-k over the STORED index — the inline
@@ -296,16 +341,25 @@ object IvfIndex {
     val qCellScores = queries
       .crossJoin(broadcast(h.centroids))
       .withColumn("_csim", cosine(col(qVec), col("centroid")))
-    val qCells = TopK
+    val qCellsRaw = TopK
       .topKPerKey(qCellScores, qId, col("_csim"), col("cell").cast("long"), lit(0L), nProbe)
       .select(col(qId), col("id").cast("int").as("cell"))
       .join(queries, Seq(qId))
-    val probed = qCells.select(col("cell")).distinct()
-      .limit(pruneMaxCells + 1).collect().map(_.getInt(0))
-    val cellRows =
-      if (probed.length <= pruneMaxCells)
-        h.cells.where(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*))
-      else h.cells
+    // path decision only: is the probed-cell set small enough to prune?
+    val prunable = qCellsRaw.select(col("cell")).distinct()
+      .limit(pruneMaxCells + 1).count() <= pruneMaxCells
+    // on the pruned path, PIN the (bounded: queries × nProbe rows) cell
+    // assignment before deriving the IN-set, so the pushed partition filter
+    // and the recomputed join input can never disagree — a nondeterministic
+    // `queries` frame (a sample, an un-ordered limit) would otherwise be
+    // re-evaluated differently by the driver collect and the final plan,
+    // silently dropping candidates
+    val (qCells, cellRows) =
+      if (prunable) {
+        val pinned = qCellsRaw.localCheckpoint()
+        val probed = pinned.select(col("cell")).distinct().collect().map(_.getInt(0))
+        (pinned, h.cells.where(col("cell").isin(probed.map(Integer.valueOf).toSeq: _*)))
+      } else (qCellsRaw, h.cells)
     val scored = cellRows
       .join(broadcast(qCells), Seq("cell"))
       .filter(col(qId) =!= col(h.idCol))
@@ -330,8 +384,69 @@ object IvfIndex {
       .select(col("cell"), col(h.idCol),
         (if (h.quantized) VectorFunctions.quantizeInt8(col(h.vecCol))
          else col(h.vecCol)).as(h.vecCol))
+      .repartition(col("cell")) // batch-sized; buys ~one file per touched cell
       .write.mode("append").partitionBy("cell").parquet(s"${h.dir}/cells")
     h.copy(cells = h.cells.sparkSession.read.parquet(s"${h.dir}/cells"))
+  }
+
+  /** TAKEDOWN: remove `removedIds` from the stored index — the lifecycle
+    * verb every other stored-index tier carries (`Curation.takedown`,
+    * `Decontaminate.benchIndexDelete`), now on the embedding tier: a
+    * takedown request against a standing ANN/contrastive service is a
+    * bounded partition rewrite, not a full manual rebuild.
+    *
+    * Shape: find the AFFECTED cells (a join against the bounded takedown
+    * batch, collected as ≤ nCells ints — the q264 bounded-bind class), then
+    * rewrite ONLY those cells' partitions with their survivors (dynamic
+    * partition overwrite — untouched cells' files are never read or
+    * written) and drop the directory of any cell the delete emptied
+    * (dynamic overwrite writes nothing for a cell with zero survivors, so
+    * its stale files must go explicitly). Survivor rows pass through
+    * as stored — quantized codes are per-vector, so surviving codes are
+    * exactly what a fresh [[buildQuantized]] over the survivors would
+    * store.
+    *
+    * Accounting: meta's `built_n` re-baselines to the surviving row count —
+    * the same clock a fresh build over the survivors would start with, so
+    * `delete ∘ append ≡ build(survivors)` holds for the cells, the meta,
+    * and every [[driftReport]] field (IvfIndexSpec pins it). A takedown
+    * that matches nothing returns the handle unchanged — a no-op request
+    * must not silently reset the growth clock.
+    *
+    * `removedIds` is the takedown batch (bounded by the request, the
+    * broadcast side); the join against the cells prunes nothing on read —
+    * membership is only known by id — but only affected partitions are
+    * REWRITTEN, which is where a 100 TB index pays.
+    */
+  def delete(h: Handle, removedIds: DataFrame): Handle = {
+    val spark = h.cells.sparkSession
+    val rm = removedIds.select(col(h.idCol)).distinct()
+    val affected = h.cells.join(broadcast(rm), Seq(h.idCol))
+      .select(col("cell")).distinct().collect().map(_.getInt(0))
+    if (affected.isEmpty) return h
+    val aff = affected.map(Integer.valueOf).toSeq
+    // survivors of the affected cells only, pinned: the write below
+    // overwrites partitions the plan would otherwise still be reading
+    val survivors = h.cells.where(col("cell").isin(aff: _*))
+      .join(broadcast(rm), Seq(h.idCol), "left_anti")
+      .select(col("cell"), col(h.idCol), col(h.vecCol))
+      .localCheckpoint()
+    survivors
+      .repartition(col("cell")) // keep the ~one-file-per-cell layout
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"${h.dir}/cells")
+    val kept = survivors.select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    affected.filterNot(kept).foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(s"${h.dir}/cells/cell=$c")
+      p.getFileSystem(conf).delete(p, true)
+    }
+    val cells = spark.read.parquet(s"${h.dir}/cells")
+    val n = cells.count()
+    writeMeta(spark, h.dir, h.idCol, h.vecCol, h.nCells, h.dim, h.assignMetric,
+      n, h.seed, h.quantized)
+    h.copy(cells = cells, builtN = n)
   }
 
   /** Health report for a standing index — the X41/X46 monitor analog for
@@ -403,5 +518,28 @@ object IvfIndex {
         "from the raw vectors upstream (buildQuantized over the source corpus)")
     buildKMeans(h.cells.select(col(h.idCol), col(h.vecCol)),
       h.idCol, h.vecCol, h.nCells, newDir, h.seed)
+  }
+
+  /** The executable rebuild path for a QUANTIZED index — what to run when
+    * [[driftReport]] says `recommend_rebuild` on a [[buildQuantized]]
+    * artifact, which [[rebuild]] rightly refuses (refitting a quantizer on
+    * int8 reconstructions compounds the loss silently). The caller supplies
+    * the RAW corpus (the source of truth a quantized index is a lossy view
+    * of — build rows plus every appended batch); the verb re-runs the
+    * deterministic assignment + re-quantization against the handle's own
+    * centroid table into `newDir`, and the caller swaps dirs on success
+    * (the same generation-swap pattern as [[rebuild]]). Rebalancing under
+    * NEW centroids is the same call with a fresh centroid table shipped
+    * through [[buildQuantized]] directly.
+    */
+  def rebuildQuantized(h: Handle, rawCorpus: DataFrame, newDir: String): Handle = {
+    require(newDir != h.dir,
+      "IvfIndex.rebuildQuantized: target dir must differ from the live index dir " +
+        "(swap dirs on success)")
+    require(h.quantized,
+      "IvfIndex.rebuildQuantized: handle is not quantized — use rebuild (kmeans " +
+        "metric) or build with a new centroid table (explicit-centroid metric)")
+    buildQuantized(rawCorpus.select(col(h.idCol), col(h.vecCol)),
+      h.idCol, h.vecCol, h.centroids, newDir)
   }
 }

@@ -90,7 +90,11 @@ object Contrastive {
     *
     * Approximate by construction: a negative hiding in an unprobed cell is
     * missed — recall rises with `nProbe`, and at `nProbe == nCells` the
-    * output EQUALS [[mineTriplets]] row for row (ContrastiveSpec pins it).
+    * output EQUALS [[mineTriplets]] row for row AFTER 6-dp canonicalization
+    * (ContrastiveSpec pins it): `neg_sim` here rides the probe's ranked
+    * output, which rounds sim to 6 dp, where the inline scorer emits the
+    * raw double — the rows and ranking are identical, the similarity
+    * differs below the 6th decimal.
     * The index must hold the same vectors `emb` carries (same idCol/vecCol
     * values); anchors absent from a probed cell self-exclude by id as in
     * the inline path.

@@ -22,7 +22,10 @@ import graft.operators.{Curation, Pin}
   * the driver-side bloom from benchmark text per tick). The printed
   * totals are the measured tick-time reduction for each stored index.
   *
-  * Usage: runMain graft.tools.ProfileTick [sfDir] [benchMod]
+  * Usage: runMain graft.tools.ProfileTick [sfDir] [benchMod] [ticks] [stage2only]
+  *
+  * `ticks` (default 8) sets the stage-2 tick count; passing `stage2only` as
+  * the 4th arg skips the three full loops and runs only the stage-2 sweep.
   *
   * `benchMod` (default 50) sets the benchmark share: every benchMod-th doc
   * of the corpus region is benchmark. 50 ≈ 2% (78k docs at sf1 — where the
@@ -60,7 +63,10 @@ object ProfileTick {
     def mat(label: String, df: DataFrame): DataFrame =
       tm(label) { val p = Pin.LocalCheckpoint(df); p.count(); p }
 
-    val benchMod = args.lift(1).map(_.toInt).getOrElse(50)
+    val benchMod = args.lift(1).map { a =>
+      require(a.forall(_.isDigit), s"benchMod (arg 2) must be an integer, got '$a'")
+      a.toInt
+    }.getOrElse(50)
     require(benchMod >= 2, s"benchMod must leave a corpus: $benchMod")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
@@ -156,7 +162,10 @@ object ProfileTick {
     // grams + cells the service persists). Reports per-tick averages, the
     // one-time stored build, measured T-tick totals, and the crossover
     // tick count after which the stored index is a net win.
-    val ticks = args.lift(2).map(_.toInt).getOrElse(8)
+    val ticks = args.lift(2).map { a =>
+      require(a.forall(_.isDigit), s"ticks (arg 3) must be an integer, got '$a'")
+      a.toInt
+    }.getOrElse(8)
     def s2force(df: DataFrame): Unit = { df.agg(count(lit(1))).head(); () }
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

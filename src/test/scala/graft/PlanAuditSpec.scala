@@ -143,8 +143,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // frame is bounded, it no longer gates the check.
     def bounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
       case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      // GlobalLimit only: a LocalLimit bounds rows PER PARTITION, so an
+      // unpartitioned window above a pre-shuffle LocalLimit could still
+      // hold limit × partitions rows — df.limit(n) plans a GlobalLimit,
+      // so legitimately-bounded queries pass on the global node
       case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-      case _: org.apache.spark.sql.execution.LocalLimitExec => true
       case leaf if leaf.children.isEmpty => false
       case other => other.children.forall(bounded)
     }
