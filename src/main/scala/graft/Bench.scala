@@ -223,7 +223,13 @@ object Bench {
     "q272_mlp_inference" -> 0.490,
     "q273_ivf_append_probe" -> 3.562,
     "q274_ivf_health" -> 1.892,
-    "q275_ivf_quantized_probe" -> 4.140)
+    "q275_ivf_quantized_probe" -> 4.140,
+    // round-14 additions (round-start quiet-box min-of-2, BASELINE §3m):
+    // q277 is the drift-tier service capstone — 25 sequential monitor
+    // ticks with 8 reference rotations over the replayed stream, the
+    // q261/q264/q267 deliberately-heavy loop class
+    "q276_ivf_delete_probe" -> 4.744,
+    "q277_drift_monitor_loop" -> 21.867)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6978,6 +6978,74 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // q276 — the IVF TAKEDOWN verb through the oracle gate, closing the
+  // embedding tier's lifecycle (the q264 takedown / q263 bloom-delete
+  // contract on the inverted file): build the stored index over the even
+  // vec_ids, append the odd half, then DELETE every vec_id % 5 == 2 — a
+  // partition-pruned rewrite of only the affected cells, with built_n
+  // re-baselined to the survivor count — and probe the final state across
+  // both generations' surviving files. Explicit centroids never move, so
+  // the post-delete index ≡ a fresh build over the survivors
+  // (IvfIndexSpec pins cells/meta/health equality); the oracle re-derives
+  // that final state directly from the survivor predicate — any delete
+  // defect (row left behind, survivor dropped, stale emptied-cell file
+  // still probed) breaks the match. Different probe point than
+  // q271/q273/q275 (queries 30–39, nProbe 3, k 4).
+  private def ivfDeleteProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val idxDir = java.nio.file.Files.createTempDirectory("q276-ivf").toString + "/idx"
+    val h0 = graft.functions.IvfIndex.build(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", centroids, idxDir)
+    val h1 = graft.functions.IvfIndex.append(h0, emb.filter(col("vec_id") % 2 === 1))
+    val h = graft.functions.IvfIndex.delete(
+      h1, emb.filter(col("vec_id") % 5 === 2).select(col("vec_id")))
+    val queries = emb.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.functions.IvfIndex.probe(h, queries, "q_id", "q_vec", k = 4, nProbe = 3)
+      .withColumnRenamed("vec_id", "c_id")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // q277 — the STANDING DRIFT-MONITOR LOOP through the oracle gate (the
+  // q261→q267 precedent: verbs gated ⇒ gate the service loop): the q268
+  // windowed-cells feed replayed through Drift.monitorState/monitorTick
+  // across EIGHT rotation boundaries. Seed = the first 4 closed days (the
+  // monitor starts as if it had just rotated); the remaining closed days
+  // arrive in two micro-batches (the batching the tick contract is
+  // invariant to); every period is scored (PSI + KS, n_period/n_ref) against
+  // the reference IN FORCE when it closes, and after every cadence=3 scored
+  // periods the reference rotates to the trailing refK=4 periods of
+  // everything accumulated so far — including the period that tripped the
+  // clock. The oracle re-derives the closure predicate, the day-ordinal →
+  // reference-window mapping (scored ordinal r uses ordinals
+  // [3·⌊(r−5)/3⌋+1, 3·⌊(r−5)/3⌋+4]), each rotated reference's cell-wise
+  // sums, and every eps-floored PSI term and integer-running-sum KS gap.
+  private def driftMonitorLoop(s: SparkSession, dir: String): DataFrame = {
+    val cells = replayStream(s, dir, "append") { ev =>
+      graft.streaming.StreamOps.windowedHistCells(
+        ev, col("value"), lo = 0.0, hi = 512.0, bins = 16)
+    }
+    val byDay = cells.select(to_date(col("ws")).as("day"), col("bin"), col("cnt"))
+    // bounded closed-day spine read (the q264 1-row-bind class)
+    val days = byDay.select(col("day")).distinct().orderBy(col("day"))
+      .collect().map(_.getDate(0))
+    require(days.length >= 6, s"monitor loop needs >5 closed days, got ${days.length}")
+    val seedEnd = days(3)
+    val state = graft.operators.Drift.monitorState(
+      byDay.filter(col("day") <= lit(seedEnd)), "day", Nil, cadence = 3, refK = 4)
+    val mid = days(math.min(13, days.length - 1))
+    val t1 = graft.operators.Drift.monitorTick(
+      state, byDay.filter(col("day") > lit(seedEnd) && col("day") <= lit(mid)))
+    val t2 = graft.operators.Drift.monitorTick(
+      state, byDay.filter(col("day") > lit(mid)))
+    t1.unionByName(t2)
+      .select(col("day"), rnd(col("psi"), 6).as("psi"), rnd(col("ks"), 6).as("ks"),
+        col("n_period"), col("n_ref"))
+      .orderBy(col("day"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -7256,7 +7324,9 @@ object SparkEntry {
     "q272_mlp_inference" -> mlpInference,
     "q273_ivf_append_probe" -> ivfAppendProbe,
     "q274_ivf_health" -> ivfHealth,
-    "q275_ivf_quantized_probe" -> ivfQuantizedProbe)
+    "q275_ivf_quantized_probe" -> ivfQuantizedProbe,
+    "q276_ivf_delete_probe" -> ivfDeleteProbe,
+    "q277_drift_monitor_loop" -> driftMonitorLoop)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -13671,5 +13741,124 @@ object SparkEntry {
         |)
         |SELECT q_id, c_id, round(sim + 1e-9, 6) AS sim, rank
         |FROM ranked WHERE rank <= 5
-        |ORDER BY q_id, rank""".stripMargin)
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // q276: the post-delete index ≡ a fresh build over the survivors
+    // (fixed explicit centroids ⇒ membership-timing-independent), so the
+    // oracle derives the final state from the survivor predicate directly —
+    // q271's assignment chain restricted to vec_id % 5 != 2.
+    "q276_ivf_delete_probe" ->
+      """WITH cen AS (
+        |  SELECT vec_id::INT AS cell, embedding::DOUBLE[] AS cen
+        |  FROM embeddings WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.embedding::DOUBLE[], c.cen)
+        |          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(c.cen, c.cen))) DESC, c.cell ASC) AS rn
+        |    FROM embeddings e, cen c
+        |    WHERE e.vec_id % 5 != 2
+        |  ) WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id >= 30 AND vec_id < 40
+        |), qcells AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.q_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        list_dot_product(q.qv, c.cen)
+        |          / (sqrt(list_dot_product(q.qv, q.qv))
+        |             * sqrt(list_dot_product(c.cen, c.cen))) DESC, c.cell ASC) AS rn
+        |    FROM q, cen c
+        |  ) WHERE rn <= 3
+        |), scored AS (
+        |  SELECT q.q_id, a.vec_id AS c_id,
+        |    list_dot_product(q.qv, a.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(q.qv, q.qv))
+        |         * sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))) AS sim
+        |  FROM qcells qc
+        |  JOIN q ON q.q_id = qc.q_id
+        |  JOIN assigned a ON a.cell = qc.cell
+        |  WHERE q.q_id != a.vec_id
+        |), ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, c_id, round(sim + 1e-9, 6) AS sim, rank
+        |FROM ranked WHERE rank <= 4
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // q277: the monitor loop unrolled — the closed-day spine gets ordinals;
+    // scored ordinal r (r >= 5, seed = 1..4, cadence 3, refK 4) is scored
+    // against the reference rotated from ordinals
+    // [3·((r−5)//3)+1, 3·((r−5)//3)+4] (the trailing 4 of everything
+    // accumulated at the last rotation, including the tripping period);
+    // then q268's eps-floored PSI terms and exact integer running-sum KS
+    // per (scored day, its reference-in-force).
+    "q277_drift_monitor_loop" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+        |), cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS BIGINT)
+        |      AS bin,
+        |    count(*) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), closed AS (
+        |  SELECT c.* FROM cells c, mx
+        |  WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+        |), spine AS (
+        |  SELECT day, row_number() OVER (ORDER BY day) AS rn
+        |  FROM (SELECT DISTINCT day FROM closed)
+        |), refmap AS (
+        |  SELECT s.day AS sday, sp.day AS rday
+        |  FROM (SELECT day, rn FROM spine WHERE rn >= 5) s
+        |  JOIN spine sp
+        |    ON sp.rn BETWEEN 3 * ((s.rn - 5) // 3) + 1
+        |               AND 3 * ((s.rn - 5) // 3) + 4
+        |), ref AS (
+        |  SELECT m.sday AS day, c.bin, sum(c.cnt) AS cnt
+        |  FROM refmap m JOIN closed c ON c.day = m.rday GROUP BY 1, 2
+        |), post AS (
+        |  SELECT day, bin, cnt FROM closed
+        |  WHERE day IN (SELECT day FROM spine WHERE rn >= 5)
+        |), tot AS (
+        |  SELECT day, sum(cnt) AS tp FROM post GROUP BY 1
+        |), rt AS (
+        |  SELECT day, sum(cnt) AS tr FROM ref GROUP BY 1
+        |), bins AS (
+        |  SELECT DISTINCT day, bin
+        |  FROM (SELECT day, bin FROM post UNION ALL SELECT day, bin FROM ref)
+        |), grid AS (
+        |  SELECT t.day, b.bin, t.tp, r.tr,
+        |    coalesce(p.cnt, 0) AS cp, coalesce(f.cnt, 0) AS cr
+        |  FROM tot t
+        |  JOIN bins b ON b.day = t.day
+        |  JOIN rt r ON r.day = t.day
+        |  LEFT JOIN post p ON p.day = t.day AND p.bin = b.bin
+        |  LEFT JOIN ref f ON f.day = t.day AND f.bin = b.bin
+        |), psis AS (
+        |  SELECT day, sum(
+        |    (greatest(cp / CAST(tp AS DOUBLE), 1e-6)
+        |       - greatest(cr / CAST(tr AS DOUBLE), 1e-6))
+        |    * ln(greatest(cp / CAST(tp AS DOUBLE), 1e-6)
+        |         / greatest(cr / CAST(tr AS DOUBLE), 1e-6))) AS psi
+        |  FROM grid GROUP BY 1
+        |), cums AS (
+        |  SELECT day, tp, tr,
+        |    abs(sum(cp) OVER (PARTITION BY day ORDER BY bin) / CAST(tp AS DOUBLE)
+        |      - sum(cr) OVER (PARTITION BY day ORDER BY bin) / CAST(tr AS DOUBLE))
+        |      AS d
+        |  FROM grid
+        |), kss AS (
+        |  SELECT day, max(d) AS ks, max(tp) AS n_p, max(tr) AS n_r
+        |  FROM cums GROUP BY 1
+        |)
+        |SELECT k.day, round(p.psi + 1e-9, 6) AS psi, round(k.ks + 1e-9, 6) AS ks,
+        |  CAST(n_p AS BIGINT) AS n_period, CAST(n_r AS BIGINT) AS n_ref
+        |FROM kss k JOIN psis p ON p.day = k.day
+        |ORDER BY k.day""".stripMargin)
 }

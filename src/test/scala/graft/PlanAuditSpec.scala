@@ -64,6 +64,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // partition-pruned inverted file
     "q271_ivf_index_probe", "q273_ivf_append_probe", "q274_ivf_health",
     "q275_ivf_quantized_probe",
+    // q276: same stored-IVF bounded binds as q271/q273 (build + append +
+    // delete chain, then the probe's centroid ranking); the delete's
+    // affected-cell find is a broadcast join against the bounded takedown
+    // batch
+    "q276_ivf_delete_probe",
+    // q277: the monitor loop's per-tick scoring grids — each period's
+    // bounded (bins ∪ ref-bins) spine and 1-row reference-total binds
+    // crossed against the period totals, the q254/q268 PSI/KS class;
+    // every frame is cell-table-bounded (bins × days), never event mass
+    "q277_drift_monitor_loop",
     // q223: Dsir's broadcast 1-row totals bind (V, N_raw, N_target)
     "q223_dsir_weights",
     // q227: hard-negative scoring is the declared broadcast-anchors

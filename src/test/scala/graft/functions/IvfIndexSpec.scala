@@ -268,4 +268,110 @@ class IvfIndexSpec extends AnyFunSuite {
     val ec = intercept[IllegalArgumentException] { IvfIndex.rebuild(hc, tmp("x")) }
     assert(ec.getMessage.contains("upstream centroid"))
   }
+
+  test("delete: delete . append == fresh build over survivors (cells, meta, health, probe)") {
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    // lifecycle chain: build evens, append odds, take down vec_id % 5 == 2
+    val hA = IvfIndex.build(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", centroids,
+      tmp("ivf-del-a"))
+    val hA2 = IvfIndex.append(hA, emb.filter(col("vec_id") % 2 === 1))
+    val rm = emb.filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+    val hA3 = IvfIndex.delete(hA2, rm)
+    // the reference: one fresh build over exactly the survivors
+    val hB = IvfIndex.build(
+      emb.filter(col("vec_id") % 5 =!= 2), "vec_id", "embedding", centroids,
+      tmp("ivf-del-b"))
+    assert(hA3.cells.select("cell", "vec_id").collect().map(_.toSeq).toSet ==
+      hB.cells.select("cell", "vec_id").collect().map(_.toSeq).toSet,
+      "survivor cells diverge from a fresh build over the survivors")
+    assert(hA3.builtN == hB.builtN, "delete did not re-baseline built_n")
+    // mean_assign_sim is an avg over doubles — partition layout moves the
+    // summation order, so the last ulp can differ; pin it at 12 dp and
+    // everything else exactly
+    def health(h: IvfIndex.Handle): Seq[Any] =
+      IvfIndex.driftReport(h).head().toSeq.map {
+        case d: Double => math.rint(d * 1e12) / 1e12
+        case x => x
+      }
+    assert(health(hA3) == health(hB),
+      "health report diverges from the fresh-build-over-survivors reference")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def probe(h: IvfIndex.Handle) =
+      IvfIndex.probe(h, queries, "q_id", "q_vec", k = 4, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(probe(hA3) == probe(hB))
+    // the delete COMMITTED: a cold load sees the same accounting
+    val reloaded = IvfIndex.load(spark, hA3.dir)
+    assert(reloaded.builtN == hA3.builtN && reloaded.cells.count() == hA3.builtN)
+    // a no-op takedown (ids not present) must not reset the growth clock
+    val extra = emb.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val grown = IvfIndex.append(hA3, extra)
+    val noop = IvfIndex.delete(grown,
+      emb.filter(col("vec_id") < 3).select((col("vec_id") + 900000L).as("vec_id")))
+    assert(noop.builtN == hA3.builtN,
+      "no-op delete re-baselined built_n (growth clock silently reset)")
+  }
+
+  test("delete that empties a cell drops its directory; probe and reload survive") {
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val dir = tmp("ivf-del-empty")
+    val h = IvfIndex.build(emb, "vec_id", "embedding", centroids, dir)
+    // take down EVERY member of one populated cell
+    val victim = h.cells.groupBy(col("cell")).count()
+      .orderBy(col("count"), col("cell")).head().getInt(0)
+    val rm = h.cells.filter(col("cell") === victim).select(col("vec_id"))
+    val nRm = rm.count()
+    assert(nRm > 0)
+    val h2 = IvfIndex.delete(h, rm)
+    assert(!new java.io.File(s"$dir/cells/cell=$victim").exists(),
+      "emptied cell directory left stale files behind")
+    assert(h2.builtN == h.builtN - nRm)
+    assert(h2.cells.filter(col("cell") === victim).count() == 0)
+    // probing INTO the emptied cell region still answers from the others
+    val queries = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val got = IvfIndex.probe(h2, queries, "q_id", "q_vec", k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exact = VF.bruteForceTopK(
+        queries, h2.cells.select(col("vec_id"), col("embedding")),
+        "q_id", "vec_id", "q_vec", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == exact, "degenerate probe after emptying a cell is not exact")
+    assert(IvfIndex.load(spark, dir).cells.count() == h2.builtN)
+  }
+
+  test("rebuildQuantized: recommend_rebuild on a quantized handle has an executable path") {
+    val centroids = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val dir = tmp("ivf-rq")
+    val raw = emb.select(col("vec_id"), col("embedding"))
+    val hq = IvfIndex.buildQuantized(raw, "vec_id", "embedding", centroids, dir)
+    // the monitor can recommend a rebuild the old tier had no verb for;
+    // the service path: rebuildQuantized over the RAW corpus, swap dirs
+    val dir2 = tmp("ivf-rq-g2")
+    val h2 = IvfIndex.rebuildQuantized(hq, raw, dir2)
+    assert(h2.quantized && h2.dir == dir2)
+    assert(h2.cells.select("cell", "vec_id").collect().map(_.toSeq).toSet ==
+      hq.cells.select("cell", "vec_id").collect().map(_.toSeq).toSet,
+      "re-quantized generation moved rows between cells under unchanged centroids")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def probe(h: IvfIndex.Handle) =
+      IvfIndex.probe(h, queries, "q_id", "q_vec", k = 4, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(probe(h2) == probe(hq),
+      "rebuilt-from-raw quantized generation answers differently")
+    // refusals: not quantized / same dir
+    val hr = IvfIndex.build(raw, "vec_id", "embedding", centroids, tmp("ivf-rq-raw"))
+    val en = intercept[IllegalArgumentException] {
+      IvfIndex.rebuildQuantized(hr, raw, tmp("x"))
+    }
+    assert(en.getMessage.contains("not quantized"))
+    intercept[IllegalArgumentException] { IvfIndex.rebuildQuantized(hq, raw, hq.dir) }
+  }
 }
