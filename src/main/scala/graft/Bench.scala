@@ -246,7 +246,10 @@ object Bench {
     // ticks with 8 reference rotations over the replayed stream, the
     // q261/q264/q267 deliberately-heavy loop class
     "q276_ivf_delete_probe" -> 4.744,
-    "q277_drift_monitor_loop" -> 21.867)
+    "q277_drift_monitor_loop" -> 21.867,
+    // q278 = the q277 loop at cadence 4 (24 ticks, 6 rotations) + one
+    // persist/restore seam — same service-capstone class
+    "q278_monitor_restart" -> 18.815)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

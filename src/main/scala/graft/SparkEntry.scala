@@ -7046,6 +7046,48 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  // q278 — the monitor loop SURVIVING A RESTART, through the oracle gate
+  // (Drift.persistMonitorState / restoreMonitorState — the q237/q248
+  // checkpoint contract on the drift tier): q277's loop at a DIFFERENT
+  // declaration (seed 5 closed days, cadence 4, refK 3 — no shared
+  // literal answer), with the state CHECKPOINTED after the first
+  // micro-batch, the in-memory monitor discarded, and the second batch
+  // scored by a monitor RESTORED from the generation directory. The
+  // persist lands mid-rotation-cycle (10 scored periods at cadence 4 ⇒
+  // since_rotation = 2 rides the ledger), so a restore that loses the
+  // rotation clock — or the accumulated cells, or the reference in
+  // force — shifts every subsequent rotation and breaks the match. The
+  // oracle is restart-blind by construction: it unrolls the SAME loop
+  // arithmetic (scored ordinal r ≥ 6 vs reference ordinals
+  // [4·⌊(r−6)/4⌋+3, 4·⌊(r−6)/4⌋+5]) with no seam — equality IS the
+  // restart-transparency proof.
+  private def monitorRestart(s: SparkSession, dir: String): DataFrame = {
+    val cells = replayStream(s, dir, "append") { ev =>
+      graft.streaming.StreamOps.windowedHistCells(
+        ev, col("value"), lo = 0.0, hi = 512.0, bins = 16)
+    }
+    val byDay = cells.select(to_date(col("ws")).as("day"), col("bin"), col("cnt"))
+    val days = byDay.select(col("day")).distinct().orderBy(col("day"))
+      .collect().map(_.getDate(0))
+    require(days.length >= 7, s"monitor restart needs >6 closed days, got ${days.length}")
+    val seedEnd = days(4)
+    val state = graft.operators.Drift.monitorState(
+      byDay.filter(col("day") <= lit(seedEnd)), "day", Nil, cadence = 4, refK = 3)
+    val mid = days(math.min(14, days.length - 1))
+    val t1 = graft.operators.Drift.monitorTick(
+      state, byDay.filter(col("day") > lit(seedEnd) && col("day") <= lit(mid)))
+    val ckptDir = java.nio.file.Files.createTempDirectory("q278-monitor").toString +
+      "/state"
+    graft.operators.Drift.persistMonitorState(state, ckptDir)
+    val restored = graft.operators.Drift.restoreMonitorState(s, ckptDir)
+    val t2 = graft.operators.Drift.monitorTick(
+      restored, byDay.filter(col("day") > lit(mid)))
+    t1.unionByName(t2)
+      .select(col("day"), rnd(col("psi"), 6).as("psi"), rnd(col("ks"), 6).as("ks"),
+        col("n_period"), col("n_ref"))
+      .orderBy(col("day"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> pricingSummary,
@@ -7326,7 +7368,8 @@ object SparkEntry {
     "q274_ivf_health" -> ivfHealth,
     "q275_ivf_quantized_probe" -> ivfQuantizedProbe,
     "q276_ivf_delete_probe" -> ivfDeleteProbe,
-    "q277_drift_monitor_loop" -> driftMonitorLoop)
+    "q277_drift_monitor_loop" -> driftMonitorLoop,
+    "q278_monitor_restart" -> monitorRestart)
 
   /** Shared oracle fragment: the document quality score (q13's formula),
     * guarded for empty/whitespace-only docs — DuckDB's bare formula
@@ -13825,6 +13868,75 @@ object SparkEntry {
         |), post AS (
         |  SELECT day, bin, cnt FROM closed
         |  WHERE day IN (SELECT day FROM spine WHERE rn >= 5)
+        |), tot AS (
+        |  SELECT day, sum(cnt) AS tp FROM post GROUP BY 1
+        |), rt AS (
+        |  SELECT day, sum(cnt) AS tr FROM ref GROUP BY 1
+        |), bins AS (
+        |  SELECT DISTINCT day, bin
+        |  FROM (SELECT day, bin FROM post UNION ALL SELECT day, bin FROM ref)
+        |), grid AS (
+        |  SELECT t.day, b.bin, t.tp, r.tr,
+        |    coalesce(p.cnt, 0) AS cp, coalesce(f.cnt, 0) AS cr
+        |  FROM tot t
+        |  JOIN bins b ON b.day = t.day
+        |  JOIN rt r ON r.day = t.day
+        |  LEFT JOIN post p ON p.day = t.day AND p.bin = b.bin
+        |  LEFT JOIN ref f ON f.day = t.day AND f.bin = b.bin
+        |), psis AS (
+        |  SELECT day, sum(
+        |    (greatest(cp / CAST(tp AS DOUBLE), 1e-6)
+        |       - greatest(cr / CAST(tr AS DOUBLE), 1e-6))
+        |    * ln(greatest(cp / CAST(tp AS DOUBLE), 1e-6)
+        |         / greatest(cr / CAST(tr AS DOUBLE), 1e-6))) AS psi
+        |  FROM grid GROUP BY 1
+        |), cums AS (
+        |  SELECT day, tp, tr,
+        |    abs(sum(cp) OVER (PARTITION BY day ORDER BY bin) / CAST(tp AS DOUBLE)
+        |      - sum(cr) OVER (PARTITION BY day ORDER BY bin) / CAST(tr AS DOUBLE))
+        |      AS d
+        |  FROM grid
+        |), kss AS (
+        |  SELECT day, max(d) AS ks, max(tp) AS n_p, max(tr) AS n_r
+        |  FROM cums GROUP BY 1
+        |)
+        |SELECT k.day, round(p.psi + 1e-9, 6) AS psi, round(k.ks + 1e-9, 6) AS ks,
+        |  CAST(n_p AS BIGINT) AS n_period, CAST(n_r AS BIGINT) AS n_ref
+        |FROM kss k JOIN psis p ON p.day = k.day
+        |ORDER BY k.day""".stripMargin,
+
+    // q278: q277's unrolled-loop recipe at the (seed 5, cadence 4, refK 3)
+    // declaration — scored ordinal r ≥ 6 scores against reference
+    // ordinals [4·((r−6)//4)+3, 4·((r−6)//4)+5]. The Spark side persists
+    // and restores the monitor between the two micro-batches; the oracle
+    // has no seam — equality is the restart-transparency proof.
+    "q278_monitor_restart" ->
+      """WITH mx AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events
+        |), cells AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(least(greatest(floor((value - 0.0) / 32.0), 0), 15) AS BIGINT)
+        |      AS bin,
+        |    count(*) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), closed AS (
+        |  SELECT c.* FROM cells c, mx
+        |  WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR
+        |), spine AS (
+        |  SELECT day, row_number() OVER (ORDER BY day) AS rn
+        |  FROM (SELECT DISTINCT day FROM closed)
+        |), refmap AS (
+        |  SELECT s.day AS sday, sp.day AS rday
+        |  FROM (SELECT day, rn FROM spine WHERE rn >= 6) s
+        |  JOIN spine sp
+        |    ON sp.rn BETWEEN 4 * ((s.rn - 6) // 4) + 3
+        |               AND 4 * ((s.rn - 6) // 4) + 5
+        |), ref AS (
+        |  SELECT m.sday AS day, c.bin, sum(c.cnt) AS cnt
+        |  FROM refmap m JOIN closed c ON c.day = m.rday GROUP BY 1, 2
+        |), post AS (
+        |  SELECT day, bin, cnt FROM closed
+        |  WHERE day IN (SELECT day FROM spine WHERE rn >= 6)
         |), tot AS (
         |  SELECT day, sum(cnt) AS tp FROM post GROUP BY 1
         |), rt AS (

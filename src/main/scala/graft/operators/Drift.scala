@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift read-offs over histogram CELL TABLES — the
@@ -496,5 +496,90 @@ object Drift {
       }
       scored
     }.reduce(_ unionByName _)
+  }
+
+  /** `gen=<digits>` directory name → number; anything else ignored (the
+    * `Curation.genNumber` contract — a stray scratch dir must not crash
+    * both restart verbs).
+    */
+  private def genNumber(name: String): Option[Long] = {
+    val s = name.stripPrefix("gen=")
+    if (name.startsWith("gen=") && s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong)
+    else None
+  }
+
+  /** Commit check = can the 1-row ledger be READ (portable against
+    * `marksuccessfuljobs=false` deployments, the `Curation` reasoning). */
+  private def ledgerCommitted(spark: SparkSession, ledgerDir: String): Boolean =
+    scala.util.Try(spark.read.parquet(ledgerDir).head()).isSuccess
+
+  /** CHECKPOINT a standing monitor — [[MonitorState]] is driver-held by
+    * design, so without this verb a restart loses the accumulated cell
+    * table, the reference in force, and (silently worst) the rotation
+    * clock: a rebuilt monitor would rotate on a different schedule than
+    * the one the deployment declared. Same crash-safe shape as
+    * `Curation.persistServiceState`: a fresh `gen=<k>` directory holding
+    * the two frames plus a 1-row ledger written LAST (the commit record —
+    * a crash mid-persist leaves an uncommitted generation [[
+    * restoreMonitorState]] skips), then older generations are pruned.
+    * Checkpoint-cadence cost: the cell table is (periods × keys × bins)
+    * rows — bounded by declaration, never event mass.
+    */
+  def persistMonitorState(state: MonitorState, dir: String): Long = {
+    val spark = state.cells.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens: Seq[Long] =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath.getName).flatMap(genNumber)
+      else Seq.empty
+    val gen = if (gens.isEmpty) 0L else gens.max + 1L
+    val gdir = s"$dir/gen=$gen"
+    state.cells.write.mode("overwrite").parquet(s"$gdir/cells")
+    state.refCells.write.mode("overwrite").parquet(s"$gdir/ref")
+    import spark.implicits._
+    Seq((state.periodCol, state.keyCols, state.cadence, state.refK,
+        state.sinceRotation))
+      .toDF("period_col", "key_cols", "cadence", "ref_k", "since_rotation")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gdir/ledger")
+    gens.foreach(g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true))
+    gen
+  }
+
+  /** Rebuild a [[MonitorState]] from a [[persistMonitorState]] directory:
+    * highest COMMITTED generation (ledger readable ⇒ the frames it
+    * describes were fully written; crash-truncated partials are skipped by
+    * construction), scalars from the ledger, frames PINNED — the restored
+    * handle must not stay lazily bound to generation files the NEXT
+    * checkpoint's pruning will delete (the `restoreServiceState`
+    * contract). The restored monitor resumes mid-rotation-cycle exactly:
+    * `since_rotation` rides the ledger, so the next rotation fires on the
+    * declared cadence, not `cadence` periods after the restart.
+    */
+  def restoreMonitorState(
+      spark: SparkSession,
+      dir: String,
+      pin: Pin = Pin.LocalCheckpoint): MonitorState = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"restoreMonitorState: no persisted monitor at $dir")
+    val committed = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .flatMap(genNumber)
+      .filter(g => ledgerCommitted(spark, s"$dir/gen=$g/ledger"))
+    require(committed.nonEmpty,
+      s"restoreMonitorState: no COMMITTED generation under $dir — a generation " +
+        "commits by its ledger (written last); only crash-truncated partials exist")
+    val gdir = s"$dir/gen=${committed.max}"
+    val led = spark.read.parquet(s"$gdir/ledger").head()
+    new MonitorState(
+      pin(spark.read.parquet(s"$gdir/cells")),
+      pin(spark.read.parquet(s"$gdir/ref")),
+      led.getAs[Int]("since_rotation"),
+      led.getAs[String]("period_col"),
+      led.getSeq[String](led.fieldIndex("key_cols")).toList,
+      led.getAs[Int]("cadence"),
+      led.getAs[Int]("ref_k"),
+      pin)
   }
 }

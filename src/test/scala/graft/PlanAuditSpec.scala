@@ -74,6 +74,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // crossed against the period totals, the q254/q268 PSI/KS class;
     // every frame is cell-table-bounded (bins × days), never event mass
     "q277_drift_monitor_loop",
+    // q278: q277's scoring-grid class with a persist/restore seam — same
+    // bounded binds, restored frames are pinned generation reads
+    "q278_monitor_restart",
     // q223: Dsir's broadcast 1-row totals bind (V, N_raw, N_target)
     "q223_dsir_weights",
     // q227: hard-negative scoring is the declared broadcast-anchors

@@ -427,4 +427,48 @@ class DriftSpec extends AnyFunSuite {
       Seq("day", "psi", "ks", "n_period", "n_ref") && empty.count() == 0)
     assert(state.sinceRotation == 0)
   }
+
+  test("persist/restore monitor: restart mid-rotation-cycle is score-transparent; partial gens skipped") {
+    val rnd = new scala.util.Random(43)
+    def dayCells(d: Int) = (0L to 3L).map(b => (f"d$d%02d", b, (rnd.nextInt(80) + 1).toLong))
+    val all = (1 to 10).map(d => d -> dayCells(d)).toMap
+    def frame(days: Seq[Int]) = days.flatMap(all).toDF("day", "bin", "cnt")
+    // uninterrupted reference run
+    val ref = Drift.monitorState(frame(Seq(1, 2)), "day", cadence = 3, refK = 2)
+    val want = (3 to 10).flatMap(d =>
+      Drift.monitorTick(ref, frame(Seq(d))).collect().map(_.toSeq)).toSet
+    // interrupted run: persist after day 6 — ONE period past the d05
+    // rotation, so since_rotation = 1 must ride the ledger or the d08
+    // rotation shifts
+    val state = Drift.monitorState(frame(Seq(1, 2)), "day", cadence = 3, refK = 2)
+    val before = (3 to 6).flatMap(d =>
+      Drift.monitorTick(state, frame(Seq(d))).collect().map(_.toSeq))
+    assert(state.sinceRotation == 1)
+    val dir = java.nio.file.Files.createTempDirectory("monitor-ckpt").toString + "/st"
+    val gen0 = Drift.persistMonitorState(state, dir)
+    assert(gen0 == 0L)
+    val restored = Drift.restoreMonitorState(spark, dir)
+    assert(restored.sinceRotation == 1 && restored.cadence == 3 &&
+      restored.refK == 2 && restored.periodCol == "day" && restored.keyCols.isEmpty)
+    val after = (7 to 10).flatMap(d =>
+      Drift.monitorTick(restored, frame(Seq(d))).collect().map(_.toSeq))
+    assert((before ++ after).toSet == want,
+      "restart moved a score — the restored monitor did not resume the declared loop")
+    // a second checkpoint commits a new generation and prunes the old one
+    val gen1 = Drift.persistMonitorState(restored, dir)
+    assert(gen1 == 1L && !new java.io.File(s"$dir/gen=0").exists())
+    // a crash-truncated generation (frames written, no ledger) is skipped
+    // in favor of the last committed one...
+    restored.cells.write.mode("overwrite").parquet(s"$dir/gen=2/cells")
+    val skipped = Drift.restoreMonitorState(spark, dir)
+    assert(skipped.sinceRotation == restored.sinceRotation &&
+      skipped.cells.count() == restored.cells.count())
+    // ...and with ONLY partials on disk, restore fails loud
+    val dir2 = java.nio.file.Files.createTempDirectory("monitor-ckpt2").toString + "/st"
+    restored.cells.write.mode("overwrite").parquet(s"$dir2/gen=0/cells")
+    val e = intercept[IllegalArgumentException] {
+      Drift.restoreMonitorState(spark, dir2)
+    }
+    assert(e.getMessage.contains("no COMMITTED generation"))
+  }
 }
