@@ -269,6 +269,55 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(ec.getMessage.contains("upstream centroid"))
   }
 
+  test("explicit-centroid build executes exactly ONE shuffle (the cell-clustering repartition)") {
+    // the round-14 build-path claim made artifact-checkable: assignment is
+    // a map-side fold (zero exchanges), so the cells write must plan
+    // exactly one shuffle — the repartition(cell) that buys the
+    // one-file-per-cell layout. The earlier heap+join shape planned three
+    // (heap partial-agg, join-back-by-id, clustering); a regression to any
+    // join- or window-based assignment re-adds an exchange and fails here.
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        // the WRITE into <dir>/cells only — the build's read-back count
+        // over the same path would otherwise also match (and planning an
+        // Exchange SinglePartition for its final agg is fine there)
+        if (qe.analyzed.toString.contains("InsertIntoHadoopFsRelation") &&
+            qe.analyzed.toString.contains("ivf-oneshuffle") &&
+            qe.analyzed.toString.contains("cells"))
+          captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dir = tmp("ivf-oneshuffle")
+      val centroids = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+      IvfIndex.build(emb, "vec_id", "embedding", centroids, dir)
+      // QueryExecutionListener delivery is async — poll for the cells-write plan
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (captured.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(!captured.isEmpty, "cells-write query execution was never captured")
+      // an adaptive plan prints its final AND initial trees — count the
+      // final one only. KEY-partitioned (hash/range) exchanges are the
+      // corpus-mass shuffles the claim is about; the plan legitimately
+      // also carries Engine.table's RoundRobin scan rebalance (test-
+      // harness artifact: single-row-group testdata parquet) and one
+      // SinglePartition collapse of the ≤ nCells centroid rows into the
+      // broadcast array — neither moves corpus-proportional data by key
+      val plan = captured.peek().split("== Initial Plan ==")(0)
+      val keyed = "Exchange (hashpartitioning|rangepartitioning)".r
+        .findAllIn(plan).size
+      assert(keyed == 1,
+        s"cells write planned $keyed key-partitioned shuffles (want exactly 1 — " +
+          s"the cell clustering):\n$plan")
+      assert(plan.contains("REPARTITION_BY_COL"),
+        "the one shuffle is not the explicit cell-clustering repartition")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("delete: delete . append == fresh build over survivors (cells, meta, health, probe)") {
     val centroids = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
