@@ -261,6 +261,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // single-spill-file shuffle writer (see Engine.BypassMergeThreshold)
+      .config("spark.shuffle.sort.bypassMergeThreshold", Engine.BypassMergeThreshold)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Engine.tune(spark)

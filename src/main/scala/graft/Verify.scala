@@ -18,6 +18,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
+      // single-spill-file shuffle writer (see Engine.BypassMergeThreshold)
+      .config("spark.shuffle.sort.bypassMergeThreshold", Engine.BypassMergeThreshold)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Engine.tune(spark)

@@ -484,18 +484,40 @@ object Drift {
     val periods = newCells.select(pCol).distinct().orderBy(pCol)
       .collect().map(_.get(0))
     if (periods.isEmpty) return score(newCells) // empty, schema-correct
-    periods.map { p =>
-      val slice = newCells.filter(pCol === lit(p))
+    // Periods sharing a reference-in-force score in ONE multi-period
+    // psi/ks call: the spine is chunked at the rotation boundaries
+    // (first chunk = cadence − sinceRotation periods, then cadence-sized),
+    // so no rotation ever lands mid-chunk and every period still scores
+    // against exactly the reference the one-at-a-time loop would use.
+    // Scoring a chunk together is value-identical to per-period calls —
+    // the only plan difference is the shared bin spine, and a spine bin
+    // absent from both a period and the reference contributes an exact
+    // +0.0 PSI term and repeats the previous KS CDF step (DriftSpec pins
+    // tick-by-tick ≡ one-batch ≡ hand-rotated) — while the per-batch job
+    // count drops from O(periods) to O(rotations): at cadence c a P-period
+    // batch runs ⌈P/c⌉ scoring passes, not P (the r14 optimization-round
+    // rewrite; q277's 25-tick loop was plan-bound, guide §3.3).
+    var idx = 0
+    val out = Seq.newBuilder[DataFrame]
+    while (idx < periods.length) {
+      val take = math.min(state.cadence - state.sinceRotation, periods.length - idx)
+      val chunk = periods.slice(idx, idx + take)
+      // the spine is sorted and the chunk contiguous in it, so a closed
+      // range filter selects exactly the chunk's periods (works for any
+      // ordered period type — date, timestamp, string, int)
+      val slice = newCells.filter(
+        pCol >= lit(chunk.head) && pCol <= lit(chunk.last))
       state.cells = state.pin(state.cells.unionByName(slice))
-      val scored = score(slice)
-      state.sinceRotation += 1
+      out += score(slice)
+      state.sinceRotation += take
       if (state.sinceRotation >= state.cadence) {
         state.refCells = state.pin(
           rotateReference(state.cells, state.periodCol, state.refK, state.keyCols))
         state.sinceRotation = 0
       }
-      scored
-    }.reduce(_ unionByName _)
+      idx += take
+    }
+    out.result().reduce(_ unionByName _)
   }
 
   /** `gen=<digits>` directory name → number; anything else ignored (the
