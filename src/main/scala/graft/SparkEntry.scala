@@ -286,17 +286,19 @@ object SparkEntry {
     val bands = 4
     val rowsPerBand = 4
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), TF.charShingles(col("text"), 5).as("shingles"))
       // candidate verification runs on SORTED HASHED shingles: the native
       // two-pointer Jaccard is ~10× the interpreted string-array intersect,
       // the join shuffles 8-byte hashes instead of 5-char strings, and the
-      // minhash derives from the SAME hashes (each shingle string-hashed once).
-      .withColumn("hashes", sort_array(transform(col("shingles"), sh => xxhash64(sh))))
+      // minhash derives from the SAME hashes (each shingle string-hashed
+      // once, in the fused one-pass expression — multiset form, since the
+      // original sort_array(transform(...)) kept duplicate shingles).
+      .select(col("doc_id"),
+        graft.expressions.ShingleHashes
+          .hashedCharShingles(col("text"), 5, distinct = false).as("hashes"))
       // sub-5-char docs have no shingles: exclude them (the oracle's len ≥ 5
       // guard) rather than let their shared sentinel signatures cross-match
       .filter(size(col("hashes")) > 0)
       .withColumn("minhash", TF.minhashSignature(col("hashes"), bands * rowsPerBand))
-      .drop("shingles")
     // The self-join below would recompute the shingle+minhash subtree for
     // both sides; localCheckpoint materializes the banded table once and —
     // unlike persist(), which stays pinned with no unpersist hook after the
@@ -1074,7 +1076,7 @@ object SparkEntry {
       // repeat whenever a 5-gram recurs, and differing duplicate densities
       // would make raw-length ratios a FALSE-NEGATIVE-prone bound) — and
       // every per-pair merge visits each element once per doc, not per copy
-      sort_array(array_distinct(transform(TF.charShingles(col("text"), 5), x => xxhash64(x))))
+      graft.expressions.ShingleHashes.hashedCharShingles(col("text"), 5)
         .as("h"))
     graft.operators.Pairs.allPairs(sh, "doc_id", Seq("lang"), buckets = 8)
       // EXACT length prune before the O(|A|+|B|) merge: J(A,B) ≤ min/max of
@@ -2228,7 +2230,7 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val sh = docs.select(
       col("doc_id"), col("lang"),
-      sort_array(array_distinct(transform(TF.charShingles(col("text"), 5), x => xxhash64(x))))
+      graft.expressions.ShingleHashes.hashedCharShingles(col("text"), 5)
         .as("h"))
     // the per-pair hot path is the native two-pointer intersection with the
     // CONTAINMENT early-exit bound (inter + min remainder < ~0.6·min size ⇒
@@ -5468,8 +5470,7 @@ object SparkEntry {
       strategy: graft.operators.SimilarityStrategy)(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents").select(
       col("doc_id"),
-      sort_array(array_distinct(
-        transform(TF.charShingles(col("text"), 5), x => xxhash64(x)))).as("h"))
+      graft.expressions.ShingleHashes.hashedCharShingles(col("text"), 5).as("h"))
     val incoming = sh.filter(col("doc_id") % 10 === 0)
       .withColumnRenamed("doc_id", "inc_id")
     val corpus = sh.filter(col("doc_id") % 10 =!= 0)
@@ -5528,8 +5529,7 @@ object SparkEntry {
       .localCheckpoint(false) // feeds both the shingle pass and the stage agg
     val sh = s3.select(
       col("doc_id"), col("lang"),
-      sort_array(array_distinct(
-        transform(TF.charShingles(col("text"), 5), x => xxhash64(x)))).as("h"))
+      graft.expressions.ShingleHashes.hashedCharShingles(col("text"), 5).as("h"))
     // near-dup pairs via the exact similarity SELF-join under its
     // COST-BASED strategy (q231 gates the prefix engine; the spec proves
     // both engines emit identical pairs): Auto measures the prefix-postings
@@ -5565,8 +5565,7 @@ object SparkEntry {
   private def selfJoinNearDups(s: SparkSession, dir: String): DataFrame = {
     val sh = t(s, dir, "documents").select(
       col("doc_id"), col("lang"),
-      sort_array(array_distinct(
-        transform(TF.charShingles(col("text"), 5), x => xxhash64(x)))).as("h"))
+      graft.expressions.ShingleHashes.hashedCharShingles(col("text"), 5).as("h"))
     graft.operators.SimilarityJoin
       .jaccardSelfJoin(sh, "doc_id", "h", threshold = 0.5, blockCols = Seq("lang"),
         // pinned to the prefix engine: THIS query is the oracle gate for the
@@ -6097,8 +6096,8 @@ object SparkEntry {
     import graft.operators.SimilarityJoin
     val sigs = t(s, dir, "documents")
       .select(col("doc_id"),
-        sort_array(array_distinct(transform(TF.charShingles(col("text"), 5),
-          sh => graft.functions.Kmv.hash(sh)))).as("_h"))
+        graft.expressions.ShingleHashes.hashedCharShingles(
+          col("text"), 5, md5Slice = true).as("_h"))
       .filter(size(col("_h")) > 0)
       // read 4× (stored freq + fresh freq + two postings builds)
       .localCheckpoint()

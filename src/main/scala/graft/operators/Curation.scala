@@ -128,13 +128,36 @@ object Curation {
       textCol: String,
       langCol: String,
       shingleN: Int = 5,
-      shingleHash: Column => Column = xxhash64(_)): DataFrame =
+      shingleHash: Column => Column = xxhash64(_)): DataFrame = {
+    // the two standard hash conventions take the fused single-pass
+    // expression (one tight loop per row instead of three interpreted
+    // higher-order passes — value-identical, ShingleHashesSpec); a custom
+    // convention keeps the composed form. Dispatch by the same expression
+    // fingerprint ServiceState carries for its build-convention guard.
+    val tag = ServiceState.hashTag(shingleHash)
+    val hashed =
+      if (tag == SignatureHashTags.xx)
+        graft.expressions.ShingleHashes.hashedCharShingles(col(textCol), shingleN)
+      else if (tag == SignatureHashTags.md5Slice)
+        graft.expressions.ShingleHashes.hashedCharShingles(
+          col(textCol), shingleN, md5Slice = true)
+      else
+        sort_array(array_distinct(
+          transform(TextFunctions.charShingles(col(textCol), shingleN),
+            shingleHash)))
     df.select(
       col(idCol), col(langCol),
       sha2(col(textCol), 256).as("_dg"),
-      sort_array(array_distinct(
-        transform(TextFunctions.charShingles(col(textCol), shingleN),
-          shingleHash))).as("_h"))
+      hashed.as("_h"))
+  }
+
+  /** Fingerprints of the two standard shingle-hash conventions (computed
+    * once — hashTag renders an expression tree per call).
+    */
+  private object SignatureHashTags {
+    val xx: String = ServiceState.hashTag(xxhash64(_))
+    val md5Slice: String = ServiceState.hashTag(graft.functions.Kmv.hash(_))
+  }
 
   /** The POSTINGS half of the persistable tick index — what stops the
     * similarity stage rebuilding document frequencies and corpus prefix
